@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
+line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Execution is forced through the ``noop`` sink — full physical plan, no
+driver-side collect — which is the honest per-query cost at scale (the
+driver-materialization anti-pattern would dominate and mislead).  One warm
+session is shared across queries; cold start is reported separately in the
+JSON but excluded from per-query numbers (BASELINE.md's accounting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set — one per major operator family; falls back gracefully while
+#: coverage is still widening.
+HEADLINE = [
+    "selector_flagship_window",  # selector + tumbling window (the identity op)
+    "selector_fanout",  # N-subscription single-scan fan-out
+    "q1_pricing_summary",  # TPC-H-Q1-like scan+agg
+    "q3_top_revenue",  # 3-table join top-k
+    "window_session",  # session windows (stateful-op analog)
+    "f1_exact_dedup",  # corpus dedup
+    "f4_topk_cosine",  # similarity search
+    "f9_tfidf",  # text analysis
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    t_start = time.time()
+    from pulsar_message_filter_spark import registry
+    from pulsar_message_filter_spark.session import get_spark
+
+    spark = get_spark("pmf-bench")
+    graded = registry.all_graded()
+    cold_sec = time.time() - t_start
+
+    names = [n for n in HEADLINE if n in graded]
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = graded[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # warm the session + parquet footers once (excluded from timing)
+    if names:
+        run(names[0])
+
+    per_query = {n: round(run(n), 3) for n in names}
+    total = round(sum(per_query.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cold_start_sec": round(cold_sec, 3),
+                "n_graded_total": len(graded),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
