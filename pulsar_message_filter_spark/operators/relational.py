@@ -1,1 +1,846 @@
-"""Placeholder — populated in this round."""
+"""C-series graded queries — the relational core (SURVEY.md §2.C).
+
+All built-in Catalyst operators; the engineering effort is oracle parity
+(aliasing, float canonicalization, deterministic tiebreaks) and scale
+hygiene (broadcast hints for dims, no driver-side collects, pushdown-friendly
+predicates).
+
+Money-aggregate rule (see ``operators/parity.py``): products of 2dp columns
+are computed in exact integer cents (cents × cents → int ten-thousandths),
+summed as int64 — order-independent and bit-identical across engines —
+then divided back once.  This is how TPC-H-Q1-style queries hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load, register_temp_views
+from pulsar_message_filter_spark.operators.parity import cents, cents_sql
+from pulsar_message_filter_spark.registry import graded
+
+# ---------------------------------------------------------------------------
+# C1/C2/C11 — scan + filter + hash aggregate (TPC-H-Q1-like pricing summary)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               sum({cents_sql('l_extendedprice')} * {cents_sql('1 - l_discount')}) / 10000.0 AS sum_disc_price,
+               sum({cents_sql('l_extendedprice')} * {cents_sql('1 - l_discount')} * {cents_sql('1 + l_tax')}) / 1000000.0 AS sum_charge,
+               (sum({cents_sql('l_quantity')}) / count(*)) / 100 AS avg_qty,
+               (sum({cents_sql('l_extendedprice')}) / count(*)) / 100 AS avg_price,
+               (sum({cents_sql('l_discount')}) / count(*)) / 100 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    section="C1,C2,C11",
+    description="pricing summary: filter + groupBy + 8 aggregates (TPC-H Q1 shape)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    disc_price_c4 = cents("l_extendedprice") * cents(F.lit(1) - F.col("l_discount"))
+    charge_c6 = disc_price_c4 * cents(F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            (F.sum(disc_price_c4) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c6) / 1000000.0).alias("sum_charge"),
+            ((F.sum(cents("l_quantity")) / F.count("*")) / 100).alias("avg_qty"),
+            ((F.sum(cents("l_extendedprice")) / F.count("*")) / 100).alias("avg_price"),
+            ((F.sum(cents("l_discount")) / F.count("*")) / 100).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4/C8/C22 — 3-table join, aggregate, deterministic top-k
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "q3_top_revenue",
+    oracle=f"""
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               sum({cents_sql('l.l_extendedprice')} * {cents_sql('1 - l.l_discount')}) / 10000.0 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """,
+    section="C4,C22",
+    description="3-table equi-join + aggregate + ordered top-10 (TPC-H Q3 shape)",
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    lineitem = load(spark, "lineitem", sf_dir)
+    revenue_c4 = cents("l_extendedprice") * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1996-01-01")
+        .groupBy(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+        )
+        .agg((F.sum(revenue_c4) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — outer joins
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey,
+               count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    """,
+    section="C5",
+    description="left outer join preserving order-less customers",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@graded(
+    "join_full_outer",
+    oracle="""
+        WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+                   WHERE c_acctbal > 4000 GROUP BY 1),
+             s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+                   WHERE s_acctbal > 4000 GROUP BY 1)
+        SELECT coalesce(c.nk, s.nk) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    section="C5",
+    description="full outer join of two filtered aggregates with non-overlapping keys",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 4000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") > 4000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, F.col("c_nk") == F.col("s_nk"), "full").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_nationkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    section="C6",
+    description="left-semi join: customers having a big order",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, "customer", sf_dir)
+    big_orders = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+@graded(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+    """,
+    section="C6",
+    description="left-anti join: customers with no urgent order",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, "customer", sf_dir)
+    urgent = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# C7 — cross join (kept tiny by design: region × nation)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    section="C7",
+    description="Cartesian product of the two tiny dims (125 rows)",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, "region", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# C8 — broadcast join (plan-level: oracle sees the same logical join)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "join_broadcast_dims",
+    oracle="""
+        SELECT r.r_name, count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+    """,
+    section="C8",
+    description="explicit broadcast of the dim chain into the fact scan — at "
+    "100 TB this is a map-side join with zero shuffle of the big side",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, "customer", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    region = load(spark, "region", sf_dir)
+    dims = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        customer.join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9 — theta / range join
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "join_range_theta",
+    oracle="""
+        SELECT s.s_nationkey AS nationkey, count(*) AS n_pairs
+        FROM supplier s
+        JOIN customer c
+          ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+        GROUP BY 1
+    """,
+    section="C9",
+    description="equi + inequality join condition (range/theta component)",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, "supplier", sf_dir)
+    customer = load(spark, "customer", sf_dir)
+    return (
+        supplier.join(
+            customer,
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (F.col("s_acctbal") > F.col("c_acctbal")),
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C10 — as-of join (nearest prior event), emulated identically on both engines
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "join_asof",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'click'),
+             matched AS (
+               SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                      p.ts_us - c.ts_us AS gap_us,
+                      row_number() OVER (PARTITION BY p.event_id
+                                         ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+               FROM p JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us)
+        SELECT purchase_id, click_id, gap_us FROM matched WHERE rn = 1
+    """,
+    section="C10",
+    description="as-of join: most recent prior click per purchase, per user "
+    "(range join + row_number emulation; DuckDB ASOF JOIN semantics)",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_ts"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("c_ts"), F.desc("click_id")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user")) & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id", "click_id", (F.col("p_ts") - F.col("c_ts")).alias("gap_us")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — distinct
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    section="C3",
+    description="duplicate elimination over a composite key",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, "customer", sf_dir).select("c_nationkey", "c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# C12 — count distinct (exact graded; approx is rows-only)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    section="C12",
+    description="exact distinct aggregation",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "orders", sf_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@graded(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches differ by design across engines (SURVEY §7.4.9)
+    section="C12",
+    description="approx_count_distinct (HLL) — rows-only by design",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "orders", sf_dir)
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C13 — statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_discount), 8) AS var_disc,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 8) AS covar_qty_disc
+        FROM lineitem GROUP BY 1
+    """,
+    section="C13",
+    description="stddev / variance / correlation / covariance",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 8).alias("covar_qty_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C14 — percentiles / median (exact; approx is rows-only)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+               round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+               round(median(l_extendedprice), 4) AS median_price
+        FROM lineitem GROUP BY 1
+    """,
+    section="C14",
+    description="exact interpolated percentiles + median",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+
+
+@graded(
+    "agg_approx_percentile",
+    oracle=None,  # KLL/GK sketches differ across engines by design
+    section="C14",
+    description="approx_percentile — rows-only by design",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+                "approx_p50"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C15 — array aggregation (deterministic: sorted, joined to string)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT c_nationkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        FROM customer GROUP BY 1
+    """,
+    section="C15",
+    description="collect_set + sort_array, canonicalized to a joined string",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "customer", sf_dir)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C16 — rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    section="C16",
+    description="hierarchical rollup with subtotal rows",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "orders", sf_dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@graded(
+    "agg_cube",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+    """,
+    section="C16",
+    description="cube over two dimensions (all grouping sets)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "customer", sf_dir)
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C17 — pivot (manual CASE on the oracle side for parity)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS f_price,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 2) AS o_price
+        FROM lineitem GROUP BY 1
+    """,
+    section="C17",
+    description="categorical pivot to columns",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("f_price"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("o_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C18 — ranking window functions
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "window_rank",
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    section="C18",
+    description="row_number / rank / dense_rank / ntile with deterministic tiebreak",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return load(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        "s_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C19 — analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "window_lag_lead",
+    oracle="""
+        SELECT o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               first_value(o_totalprice) OVER w AS first_price
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    section="C19",
+    description="lag / lead / first_value per customer order history",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C20 — frame-spec aggregates (running totals, exact via integer cents)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "window_running_sum",
+    oracle=f"""
+        SELECT o_orderkey,
+               sum({cents_sql('o_totalprice')}) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 100.0 AS running_total
+        FROM orders WHERE o_custkey < 100
+    """,
+    section="C20",
+    description="running total with explicit ROWS frame (exact integer cents)",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            (F.sum(cents("o_totalprice")).over(w) / 100.0).alias("running_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C21 — top-k per group
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "topk_per_group",
+    oracle="""
+        SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+            SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    section="C21",
+    description="top-3 orders by value within each status (rank-then-filter)",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        load(spark, "orders", sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C22 — global sort / limit (planner emits TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "global_topk",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 15
+    """,
+    section="C22",
+    description="global ordered top-k — physical plan is TakeOrderedAndProject, "
+    "a per-partition heap + driver merge: no global sort at 100 TB",
+)
+def global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "lineitem", sf_dir)
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(15)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C23 — union
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "setop_union_all",
+    oracle="""
+        SELECT nationkey, role, count(*) AS n FROM (
+            SELECT c_nationkey AS nationkey, 'customer' AS role FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, 'supplier' AS role FROM supplier
+        ) GROUP BY 1, 2
+    """,
+    section="C23",
+    description="bag union of two role-tagged projections",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("role")
+    )
+    supp = load(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("role")
+    )
+    return cust.unionByName(supp).groupBy("nationkey", "role").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C24 — intersect / except
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "setop_intersect_except",
+    oracle="""
+        SELECT 'intersect' AS op, p_size FROM (
+            SELECT p_size FROM part WHERE p_type LIKE 'SMALL%'
+            INTERSECT
+            SELECT p_size FROM part WHERE p_type LIKE 'LARGE%'
+        )
+        UNION ALL
+        SELECT 'except' AS op, p_size FROM (
+            SELECT p_size FROM part WHERE p_type LIKE 'SMALL%'
+            EXCEPT
+            SELECT p_size FROM part WHERE p_type LIKE 'PROMO%'
+        )
+    """,
+    section="C24",
+    description="set intersection and difference over part sizes",
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, "part", sf_dir)
+    small = part.filter(F.col("p_type").like("SMALL%")).select("p_size")
+    large = part.filter(F.col("p_type").like("LARGE%")).select("p_size")
+    promo = part.filter(F.col("p_type").like("PROMO%")).select("p_size")
+    inter = small.intersect(large).select(F.lit("intersect").alias("op"), "p_size")
+    exc = small.subtract(promo).select(F.lit("except").alias("op"), "p_size")
+    return inter.unionByName(exc)
+
+
+# ---------------------------------------------------------------------------
+# C25 — scalar subquery / decorrelation (SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "scalar_subquery",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n_big
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY 1
+    """,
+    section="C25",
+    description="scalar subquery in predicate, via the spark.sql surface",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_big
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# C26 — sampling (rows-only: RNG differs across engines by design)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "sample_seeded",
+    oracle=None,
+    section="C26",
+    description="reproducible Bernoulli sample (seeded) — rows-only by design",
+)
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "orders", sf_dir)
+        .sample(fraction=0.05, seed=42)
+        .select("o_orderkey", "o_orderstatus")
+    )

@@ -1,1 +1,326 @@
-"""Placeholder — populated in this round."""
+"""D-series graded queries — the scalar function library (SURVEY.md §2.D).
+
+One graded "sampler" query per function family; each exercises several
+functions of the family in one pass so the inventory stays reviewable.
+Engine-specific functions with no cross-engine twin (xxhash64, crc32,
+bround, spark ``hash``) are grouped in a deliberately rows-only sampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+
+# ---------------------------------------------------------------------------
+# D1 — string functions
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_string",
+    oracle=r"""
+        SELECT p_partkey,
+               upper(p_name) AS up_name,
+               length(p_name) AS name_len,
+               substring(p_name, 1, 4) AS pre4,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+               levenshtein(p_name, 'cold widget') AS lev_cold,
+               instr(p_name, 'old') AS pos_old,
+               reverse(p_name) AS rev_name,
+               trim(concat('  ', p_brand, '  ')) AS trimmed
+        FROM part WHERE p_partkey < 300
+    """,
+    section="D1",
+    description="string family: case, slice, pad, regex, translate, levenshtein…",
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("up_name"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 4).alias("pre4"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+            F.levenshtein("p_name", F.lit("cold widget")).alias("lev_cold"),
+            F.instr("p_name", "old").alias("pos_old"),
+            F.reverse("p_name").alias("rev_name"),
+            F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+                "trimmed"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — date/time functions (outputs canonicalized to strings/ints)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dy,
+               quarter(o_orderdate) AS qtr,
+               dayofweek(o_orderdate) + 1 AS dow,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+               date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+        FROM orders WHERE o_orderkey < 1000
+    """,
+    section="D2",
+    description="date/time family: parts, trunc, last_day, add_months, datediff "
+    "(Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday → +1)",
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+                "plus3mo"
+            ),
+            F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias(
+                "days_since_95"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3 — math functions
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_math",
+    oracle="""
+        SELECT p_partkey,
+               abs(p_size - 25) AS dist25,
+               sign(p_size - 25) AS sgn,
+               CAST(power(p_size, 2) AS BIGINT) AS size_sq,
+               round(sqrt(p_retailprice), 6) AS sqrt_price,
+               round(ln(p_retailprice), 6) AS ln_price,
+               round(log10(p_retailprice), 6) AS log10_price,
+               ceil(p_retailprice / 7) AS ceil_div7,
+               floor(p_retailprice / 7) AS floor_div7,
+               greatest(p_size, 25) AS hi,
+               least(p_size, 25) AS lo,
+               p_size % 7 AS size_mod7
+        FROM part WHERE p_partkey < 500
+    """,
+    section="D3",
+    description="math family: abs/sign/power/sqrt/ln/log10/ceil/floor/greatest/least/mod",
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            F.abs(F.col("p_size") - 25).alias("dist25"),
+            F.signum(F.col("p_size") - 25).alias("sgn"),
+            F.pow("p_size", 2).cast("long").alias("size_sq"),
+            F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+            F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+            F.round(F.log10("p_retailprice"), 6).alias("log10_price"),
+            F.ceil(F.col("p_retailprice") / 7).alias("ceil_div7"),
+            F.floor(F.col("p_retailprice") / 7).alias("floor_div7"),
+            F.greatest("p_size", F.lit(25)).alias("hi"),
+            F.least("p_size", F.lit(25)).alias("lo"),
+            (F.col("p_size") % 7).alias("size_mod7"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 — conditional / null handling
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_conditional",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN value > 150 THEN 'high'
+                    WHEN value >= 50 THEN 'mid'
+                    ELSE 'low' END AS band,
+               coalesce(json_extract_string(props, '$.absent'), 'none') AS absent_or_none,
+               nullif(event_type, 'click') AS type_or_null,
+               CASE WHEN value IS NULL THEN -1 ELSE value END AS value_nvl
+        FROM events WHERE event_id < 2000
+    """,
+    section="D4",
+    description="when/otherwise, coalesce, nullif, nvl-style null handling",
+)
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.when(F.col("value") > 150, "high")
+            .when(F.col("value") >= 50, "mid")
+            .otherwise("low")
+            .alias("band"),
+            F.coalesce(
+                F.get_json_object("props", "$.absent"), F.lit("none")
+            ).alias("absent_or_none"),
+            F.nullif("event_type", F.lit("click")).alias("type_or_null"),
+            F.nvl("value", F.lit(-1.0)).alias("value_nvl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5 — array functions (incl. lambda higher-order functions)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_array",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS n_dims,
+               round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_e,
+               round(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sumsq
+        FROM embeddings WHERE vec_id < 200
+    """,
+    section="D5",
+    description="array family: size, element_at, filter/transform/aggregate lambdas",
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.col("embedding")
+    return (
+        load(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
+            F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+            F.round(F.array_max("embedding").cast("double"), 4).alias("max_e"),
+            F.round(
+                F.aggregate(
+                    emb,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                ),
+                6,
+            ).alias("sumsq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6/D7 — map + JSON functions over the message-properties column
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_map_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+               json_extract_string(props, '$.missing') AS missing_val
+        FROM events WHERE event_id < 2000
+    """,
+    section="D6,D7",
+    description="JSON property extraction + typed access (from_json map path on "
+    "the Spark side, json_extract on the oracle)",
+)
+def func_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Parse once into a real MapType column (D6), then read keys from the map —
+    # the Spark-idiomatic form of the properties map; the oracle reads the
+    # same values straight from JSON.
+    props_map = F.from_json("props", "map<string,string>")
+    return (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 2000)
+        .withColumn("pm", props_map)
+        .select(
+            "event_id",
+            F.element_at("pm", "k").alias("k_str"),
+            F.element_at("pm", "k").cast("int").alias("k_int"),
+            (F.element_at("pm", "k").cast("int") * 2).alias("k_doubled"),
+            F.element_at("pm", "missing").alias("missing_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8 — hash / digest functions
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_hash",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS md5_hex,
+               sha256(text) AS sha256_hex
+        FROM documents WHERE doc_id < 200
+    """,
+    section="D8",
+    description="cross-engine digests: md5 + sha256 (dedup-key material)",
+)
+def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        )
+    )
+
+
+@graded(
+    "func_hash_spark_native",
+    oracle=None,  # xxhash64 / murmur3 / crc32 have no DuckDB twins (SURVEY D8)
+    section="D8,D3",
+    description="Spark-native hashes (xxhash64, murmur3 hash, crc32) + bround — "
+    "rows-only by design",
+)
+def func_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.xxhash64("text").alias("xx64"),
+            F.hash("text").alias("murmur3"),
+            F.crc32(F.col("text").cast("binary")).alias("crc"),
+            F.bround(F.col("n_chars") / 7, 2).alias("banker_round"),
+        )
+    )

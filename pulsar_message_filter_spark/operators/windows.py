@@ -1,1 +1,194 @@
-"""Placeholder — populated in this round."""
+"""E-series graded queries — event-time windowing, batch-graded (SURVEY §2.E).
+
+Spark's unified model means the *same expressions* run under ``readStream``;
+the batch oracle check validates the windowing logic, while the
+streaming-only machinery (watermarks, state stores, triggers, resume) is
+exercised by the tests in ``tests/test_streaming.py`` over deterministic
+file-stream input (SURVEY §5.3.3).
+
+Timestamp parity: all comparisons/outputs use epoch-microseconds or
+formatted strings; the oracle truncates its native nanosecond timestamps
+identically via ``epoch_us`` (FIXTURES.md quirk 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.parity import cents, cents_sql
+from pulsar_message_filter_spark.registry import graded
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# E1 — tumbling window aggregate
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "window_tumbling",
+    oracle=f"""
+        SELECT strftime(date_trunc('day', ts), '{_DUCK_FMT}') AS window_start,
+               event_type,
+               count(*) AS n,
+               (sum({cents_sql('value')}) / count(*)) / 100 AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    section="E1",
+    description="tumbling 1-day event-time windows per event type",
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "1 day").start.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            ((F.sum(cents("value")) / F.count("*")) / 100).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w", _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — sliding window aggregate (2h window, 1h slide → 2 windows per event)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "window_sliding",
+    oracle=f"""
+        SELECT strftime(window_start, '{_DUCK_FMT}') AS window_start,
+               count(*) AS n
+        FROM (
+            SELECT date_trunc('hour', ts) AS window_start FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+        ) GROUP BY 1
+    """,
+    section="E2",
+    description="sliding 2h/1h windows: each event lands in exactly two windows",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").start.alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w", _FMT).alias("window_start"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 — session windows (gap-based), oracle via gaps-and-islands
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@graded(
+    "window_session",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                        OR lag(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), numbered AS (
+            SELECT user_id, ts_us,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        )
+        SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    """,
+    section="E3",
+    description="30-min-gap session windows per user (oracle: gaps-and-islands). "
+    "In streaming this is the same session_window expression + watermark",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "events", sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 — stream-dedup semantics in batch (keep-first, deterministic)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "stream_dedup_first",
+    oracle="""
+        SELECT user_id, event_type, event_id AS first_event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    section="E4",
+    description="keep-first dedup per key — the deterministic batch form of "
+    "dropDuplicates/dropDuplicatesWithinWatermark",
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    return (
+        load(spark, "events", sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6 — stream–static enrichment join (broadcast the static dim)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "stream_static_join",
+    oracle="""
+        SELECT n.n_name, count(*) AS n_events,
+               round(sum(e.value), 2) AS total_value
+        FROM events e
+        JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        GROUP BY 1
+    """,
+    section="E6,C8",
+    description="stream-static enrichment: broadcast dim join (identical plan "
+    "under readStream; the static side is re-broadcast per micro-batch)",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    return (
+        events.join(
+            F.broadcast(nation),
+            (F.col("user_id") % 25) == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
