@@ -1,1 +1,279 @@
-"""Placeholder — populated in this round."""
+"""F-series: corpus deduplication (SURVEY.md §2.F1–F2).
+
+Three tiers, mirroring large-scale training-data practice (C4/RefinedWeb
+pipelines, public):
+
+* **exact** — canonical-form content hash, keep-first-by-id.  Shuffle is
+  keyed by the 256-bit hash: uniform by construction, no skew, and the
+  window dedup never materializes groups (SURVEY §7.4.10).
+* **MinHash + LSH banding** — a from-scratch Column-algebra implementation
+  (shingle → per-permutation min of seeded xxhash64 → band keys → bucket
+  equi-join → exact Jaccard re-check).  No quadratic candidate generation:
+  the only shuffle is the band-key join.  Deterministic (hash seeds are
+  literal), but engine-specific hashes → rows-only for the oracle; exact
+  Jaccard itself is oracle-checked separately (``f2_jaccard_pairs``).
+* **SimHash** — 64-bit bit-vote fingerprint via an Arrow-batched pandas
+  UDF (the G2 surface): near-dups differ in few bits, so Hamming-ball
+  search reduces to band joins too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+
+# ---------------------------------------------------------------------------
+# F1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+def canonical_text(col: Column) -> Column:
+    """Canonical form for exact dedup: trimmed, case-folded, space-collapsed."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per canonical content hash.
+
+    The window partitions on ``sha2(canonical, 256)`` — uniformly
+    distributed keys, so the dedup shuffle cannot skew even if one document
+    dominates the corpus.
+    """
+    hashed = df.withColumn("__h", F.sha2(canonical_text(F.col(text_col)), 256))
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+@graded(
+    "f1_exact_dedup",
+    oracle="""
+        SELECT min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+    section="F1",
+    description="exact dedup: canonical-hash groups, keep-first id + copy count",
+)
+def f1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(F.sha2(canonical_text(F.col("text")), 256).alias("__h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .drop("__h")
+        .select("keep_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — exact n-gram Jaccard (oracle-checked ground truth for MinHash)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f2_jaccard_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+            FROM documents WHERE doc_id < 60
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(a.t || b.t)) AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(a.t || b.t)) > 0.5
+    """,
+    section="F2",
+    description="exact token-set Jaccard similarity pairs (MinHash ground truth)",
+)
+def f2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") > 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — MinHash + LSH banding, pure Column algebra
+# ---------------------------------------------------------------------------
+
+N_PERM = 32  # minhash permutations
+N_BANDS = 8  # → 4 rows per band; P(candidate) = 1-(1-j^4)^8
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """n-token shingles of a token array (empty-safe)."""
+    return F.when(
+        F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_perm: int = N_PERM
+) -> DataFrame:
+    """MinHash signatures as ``(doc, m0..m{n_perm-1})`` — the distributed
+    shape: explode shingles once, evaluate the n_perm seeded ``xxhash64``
+    family per shingle *row*, then a single groupBy-doc min-aggregation.
+
+    This evaluates each shingle string exactly once (vs. n_perm re-derivations
+    if the signature were built as n_perm array transforms over the same
+    shingle expression — which also blows up codegen), and the only shuffle
+    is the partial-aggregated min per doc: the Broder '97 trick in map-side
+    combine form.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.split(F.lower(F.col(text_col)), " "))).alias("sh"),
+    )
+    return exploded.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(p))).alias(f"m{p}")
+            for p in range(n_perm)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, n_perm: int = N_PERM, n_bands: int = N_BANDS
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) via banded minhash signatures."""
+    rows_per_band = n_perm // n_bands
+    sig = minhash_signatures(df, text_col, id_col, n_perm)
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    a = bands.select(F.col("doc").alias("id_a"), "band", "key")
+    b = bands.select(F.col("doc").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Candidates re-checked with exact token-set Jaccard ≥ threshold.
+
+    At 100 TB: candidate generation is a band-key equi-join (no cross
+    join); the exact re-check touches only candidate pairs.
+    """
+    cands = minhash_candidates(df, text_col, id_col)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    )
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        cands.join(toks.select(F.col("doc").alias("id_a"), F.col("t").alias("ta")), "id_a")
+        .join(toks.select(F.col("doc").alias("id_b"), F.col("t").alias("tb")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@graded(
+    "f2_minhash_lsh",
+    oracle=None,  # xxhash64 family is engine-specific (SURVEY §7.4.8)
+    section="F2,F14",
+    description="MinHash(32)+LSH(8 bands) near-dup pairs with exact Jaccard "
+    "re-check — the no-cross-join dedup scale path; rows-only",
+)
+def f2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return minhash_near_dups(docs, "text", "doc_id", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# F2/G2 — SimHash fingerprint via Arrow-batched pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash: per token, md5-derived 64-bit hash votes on each bit;
+    the fingerprint sign-packs the votes.  Vectorized per Arrow batch."""
+
+    def one(text: str) -> int:
+        votes = [0] * 64
+        for tok in text.lower().split():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
+            )
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        fp = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                fp |= 1 << bit
+        # two's-complement into int64
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    return texts.map(one)
+
+
+def simhash64(col):
+    """SimHash pandas UDF — constructed lazily because ``@pandas_udf`` parses
+    its return type through the active session (a module-level decorator
+    would make the registry un-importable before SparkSession creation)."""
+    return pandas_udf(_simhash_batch, "long")(col)
+
+
+@graded(
+    "f2_simhash",
+    oracle=None,  # python-side hash family, engine-specific by design
+    section="F2,G2",
+    description="SimHash64 fingerprints (pandas UDF / Arrow batches); near-dups "
+    "have small Hamming distance — rows-only",
+)
+def f2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", simhash64("text").alias("simhash"))

@@ -1,1 +1,376 @@
-"""Placeholder — populated in this round."""
+"""F-series: vector similarity search (SURVEY.md §2.F3–F5, F13).
+
+All exact math is pure Column algebra — ``zip_with`` + ``aggregate`` folds
+with explicit double casts — no UDFs, so Catalyst fuses the whole cosine
+into codegen and the oracle can replicate the identical fold in SQL
+(``list_transform`` over ``generate_series`` with double casts).
+
+Scale design (100 TB / billions of vectors):
+
+* brute-force top-k broadcasts the (small) query set against the corpus —
+  one scan, no shuffle of the big side, per-partition heap via the ranking
+  window;
+* the LSH path (`lsh_topk`) hashes vectors into sign-bit buckets of R
+  seeded random hyperplanes, joins within buckets only, then re-ranks
+  exactly — candidate generation is a bucket-equi-join, shuffle keyed by
+  bucket id, no quadratic blowup.  Plane vectors are seeded literals so
+  the operator is deterministic.
+"""
+
+from __future__ import annotations
+
+import random as _random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+
+EMB_DIM = 64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact double-precision dot product of two float arrays (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """L2-normalized copy of a float array column (F13)."""
+    n = norm(a)
+    return F.transform(a, lambda x: (x.cast("double") / n))
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Oracle twin of :func:`dot` — same double casts, same sequential fold."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — exact pairwise cosine similarity
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f3_cosine_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 20 AND b.vec_id < 20
+    """,
+    section="F3",
+    description="exact pairwise cosine over a pair window — pure Column algebra",
+)
+def f3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 20)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — top-k similarity search (brute force, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def brute_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, round_dp: int = 6
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus scan
+    is a single pass.  Ranking is on the *rounded* similarity with vec_id
+    tiebreak, making the result deterministic across engines.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), round_dp).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@graded(
+    "f4_topk_cosine",
+    oracle=f"""
+        WITH sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_cosine_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM sims
+        ) WHERE rank <= 3
+    """,
+    section="F4,C21",
+    description="brute-force top-3 cosine neighbors for 5 query vectors",
+)
+def f4_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return brute_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+
+
+# ---------------------------------------------------------------------------
+# F4 scale path — random-hyperplane LSH bucketing (deterministic, seeded)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = _random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(
+    emb: Column, n_planes: int = 12, dim: int = EMB_DIM, seed: int = 42
+) -> Column:
+    """Sign-bit bucket id from ``n_planes`` seeded random hyperplanes.
+
+    Cosine-similar vectors agree on most sign bits, so they collide in the
+    same bucket with high probability — candidate generation becomes a
+    bucket equi-join instead of a quadratic cross join.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(n_planes, dim, seed)):
+        d = dot(emb, F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_buckets(
+    emb: Column,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = EMB_DIM,
+    seed: int = 42,
+) -> Column:
+    """Multi-table LSH keys: array of ``struct<tbl, bucket>``.
+
+    OR-amplification: a pair is a candidate if it collides in ANY of the
+    L tables — with per-plane agreement probability p, candidate
+    probability is 1-(1-p^k)^L, tunable to the recall target (k planes
+    controls precision, L tables recall)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(emb, planes_per_table, dim, seed + 1000 * t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    k: int,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Approximate all-pairs top-k: multi-table bucket join + exact re-rank.
+
+    The 100 TB path for F4 (SURVEY §2.F14): candidate generation is an
+    equi-join on (table, bucket) — shuffle keyed by bucket, pair count
+    ~L/2^k of the cross join; the exact cosine touches candidates only.
+    """
+    bucketed = corpus.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            lsh_buckets(F.col("embedding"), n_tables, planes_per_table)
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "bk.tbl", "bk.bucket")
+    a = bucketed.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "tbl", "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "tbl", "bucket"
+    )
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair may collide in several tables — dedupe before the cosine
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qe").alias("qe"), F.first("ce").alias("ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@graded(
+    "f4_topk_lsh",
+    oracle=None,  # approximate by design: recall depends on the hash family
+    section="F4,F14",
+    description="LSH-bucketed approximate top-k (sign-bit hyperplane buckets) — "
+    "the no-cross-join scale path; rows-only by design",
+)
+def f4_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 300)
+    return lsh_topk(emb, k=3, n_tables=8, planes_per_table=4)
+
+
+# ---------------------------------------------------------------------------
+# F5 — KNN majority-label vote
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f5_knn_vote",
+    oracle=f"""
+        WITH sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                   round({_cosine_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ), knn AS (
+            SELECT query_id, label FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, neighbor_id) AS rn
+                FROM sims
+            ) WHERE rn <= 5
+        ), votes AS (
+            SELECT query_id, label, count(*) AS n_votes FROM knn GROUP BY 1, 2
+        )
+        SELECT query_id, label AS predicted_label, n_votes FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY n_votes DESC, label) AS rv
+            FROM votes
+        ) WHERE rv = 1
+    """,
+    section="F5",
+    description="5-NN majority-label vote for 10 query vectors",
+)
+def f5_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    knn = brute_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).join(
+        labels, "neighbor_id"
+    )
+    votes = knn.groupBy("query_id", "label").agg(F.count("*").alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F13 — embedding normalization + per-label centroids
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f13_normalize",
+    oracle=f"""
+        SELECT vec_id,
+               round(sqrt({_dot_sql('embedding', 'embedding')}), 6) AS norm_before,
+               CAST(1.0 AS DOUBLE) AS norm_after
+        FROM embeddings WHERE vec_id < 10
+    """,
+    section="F13",
+    description="L2 normalization: norm before, and the (verified-1.0) norm after",
+)
+def f13_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 10)
+    normalized = emb.select(
+        "vec_id",
+        F.round(norm(F.col("embedding")), 6).alias("norm_before"),
+        l2_normalize(F.col("embedding")).alias("unit"),
+    )
+    # round the recomputed norm of the normalized vector: exactly 1.0
+    return normalized.select(
+        "vec_id",
+        "norm_before",
+        F.round(
+            F.sqrt(F.aggregate(F.col("unit"), F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("norm_after"),
+    )
+
+
+@graded(
+    "f13_label_centroids",
+    oracle="""
+        WITH exploded AS (
+            SELECT label, i.pos, CAST(embedding[i.pos] AS DOUBLE) AS v
+            FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) i
+        ), dims AS (
+            SELECT label, pos, sum(v) / count(*) AS dim_avg
+            FROM exploded GROUP BY 1, 2
+        )
+        SELECT label,
+               round(sqrt(sum(dim_avg * dim_avg)), 6) AS centroid_norm,
+               round(max(CASE WHEN pos = 1 THEN dim_avg END), 6) AS dim0_avg
+        FROM dims GROUP BY 1
+    """,
+    section="F13",
+    description="per-label centroid via posexplode + element-wise mean",
+)
+def f13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v_f")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("v_f").cast("double").alias("v"))
+    dims = exploded.groupBy("label", "pos").agg(
+        (F.sum("v") / F.count("*")).alias("dim_avg")
+    )
+    return dims.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("dim_avg") * F.col("dim_avg"))), 6).alias(
+            "centroid_norm"
+        ),
+        F.round(F.max(F.when(F.col("pos") == 1, F.col("dim_avg"))), 6).alias(
+            "dim0_avg"
+        ),
+    )

@@ -1,1 +1,286 @@
-"""Placeholder — populated in this round."""
+"""F-series: text analysis over the document corpus (SURVEY.md §2.F6–F11).
+
+Everything is built-in Column algebra (split / explode / higher-order
+lambdas) — no UDFs in the hot path, so at 100 TB these stay inside
+whole-stage codegen and the only shuffles are the final aggregations.
+
+Integer-ratio outputs (token counts, distinct ratios) divide exact int64s,
+which is bit-identical across engines — no rounding gymnastics needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+# ---------------------------------------------------------------------------
+# F6 — tokenization + corpus token statistics
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f6_token_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS total_tokens,
+               CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+               max(len(string_split(text, ' '))) AS max_tokens
+        FROM documents GROUP BY 1
+    """,
+    section="F6",
+    description="token counts per language (exact integer ratios)",
+)
+def f6_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).withColumn(
+        "n_tok", F.size(tokens(F.col("text")))
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 — stopword removal (higher-order filter, no UDF)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f7_stopword_filter",
+    oracle=f"""
+        SELECT lang,
+               sum(len(list_filter(string_split(text, ' '),
+                       t -> t NOT IN {STOPWORDS!r}))) AS content_tokens,
+               sum(len(string_split(text, ' '))) AS all_tokens
+        FROM documents GROUP BY 1
+    """,
+    section="F7",
+    description="stopword removal via array filter lambda; content vs total tokens",
+)
+def f7_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(F.col("text"))
+    content = F.filter(toks, lambda t: ~t.isin(*STOPWORDS))
+    return (
+        load(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(content)).alias("content_tokens"),
+            F.sum(F.size(toks)).alias("all_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — n-grams (bigram frequency table)
+# ---------------------------------------------------------------------------
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams via an index-sequence transform (1-indexed element_at)."""
+    joined = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), joined)
+    )
+
+
+@graded(
+    "f8_top_bigrams",
+    oracle="""
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+             bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])) AS bigram
+                    FROM toks WHERE len(t) >= 2)
+        SELECT bigram, count(*) AS n FROM bi
+        GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """,
+    section="F8",
+    description="top-20 bigrams corpus-wide (deterministic tiebreak)",
+)
+def f8_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(ngrams(tokens(F.col("text")), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — TF-IDF (pure DataFrame algebra; no HashingTF, for oracle parity)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f9_tfidf",
+    oracle="""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term,
+               round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        ORDER BY tfidf DESC, term, doc_id LIMIT 25
+    """,
+    section="F9",
+    description="TF-IDF (smoothed idf) top-25 terms, pure relational algebra",
+)
+def f9_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "term", "doc_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — corpus profiling
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f10_corpus_profile",
+    oracle="""
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               round(quantile_cont(n_chars, 0.5), 2) AS median_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY 1, 2
+    """,
+    section="F10,C11,C14",
+    description="per (lang, source) corpus profile: counts + length distribution",
+)
+def f10_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "documents", sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("median_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11 — heuristic quality filters (C4/Gopher-style, public heuristics)
+# ---------------------------------------------------------------------------
+
+
+def quality_flags(text: Column) -> dict[str, Column]:
+    """Boolean quality heuristics over a text column (all Column algebra)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    avg_word_len = (F.length(text) - (n_tok - 1)).cast("double") / n_tok
+    return {
+        "len_ok": (n_tok >= 5) & (n_tok <= 500),
+        "word_len_ok": (avg_word_len >= 2.0) & (avg_word_len <= 12.0),
+        "diversity_ok": (n_distinct.cast("double") / n_tok) > 0.3,
+    }
+
+
+@graded(
+    "f11_quality_filter",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS avg_word_len
+            FROM documents
+        )
+        SELECT doc_id,
+               (n_tok >= 5 AND n_tok <= 500) AS len_ok,
+               (avg_word_len >= 2.0 AND avg_word_len <= 12.0) AS word_len_ok,
+               (CAST(n_distinct AS DOUBLE) / n_tok > 0.3) AS diversity_ok,
+               ((n_tok >= 5 AND n_tok <= 500)
+                AND (avg_word_len >= 2.0 AND avg_word_len <= 12.0)
+                AND (CAST(n_distinct AS DOUBLE) / n_tok > 0.3)) AS quality_pass
+        FROM scored
+    """,
+    section="F11",
+    description="heuristic quality flags per document (length / word-length / "
+    "lexical-diversity bounds)",
+)
+def f11_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    flags = quality_flags(F.col("text"))
+    passes = flags["len_ok"] & flags["word_len_ok"] & flags["diversity_ok"]
+    return docs.select(
+        "doc_id",
+        flags["len_ok"].alias("len_ok"),
+        flags["word_len_ok"].alias("word_len_ok"),
+        flags["diversity_ok"].alias("diversity_ok"),
+        passes.alias("quality_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6b — language-ID heuristic (stopword-profile n-gram scoring)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f6b_char_profile",
+    oracle="""
+        SELECT lang,
+               round(CAST(sum(length(replace(text, ' ', ''))) AS DOUBLE)
+                     / sum(len(string_split(text, ' '))), 6) AS chars_per_token,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    section="F6",
+    description="per-language character profile (chars/token — the language-ID "
+    "heuristic's core feature, exact int ratio)",
+)
+def f6b_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.round(
+            F.sum(F.length(F.regexp_replace("text", " ", ""))).cast("double")
+            / F.sum(F.size(tokens(F.col("text")))),
+            6,
+        ).alias("chars_per_token"),
+        F.count("*").alias("n_docs"),
+    )

@@ -1,0 +1,13 @@
+"""Structured-Streaming layer (SURVEY.md §2.E, §3.3)."""
+
+from pulsar_message_filter_spark.streaming.pipeline import (
+    filtered_sink_pipeline,
+    stateful_user_stats,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "filtered_sink_pipeline",
+    "windowed_event_counts",
+    "stateful_user_stats",
+]

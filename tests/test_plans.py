@@ -1,0 +1,75 @@
+"""Physical-plan contract tests (SURVEY.md §4.2): the plans the engine
+promises at scale, asserted on the real optimizer output — not vibes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.plans import (
+    has_broadcast_hash_join,
+    has_cartesian_product,
+    plan_str,
+    pushed_filters,
+    uses_take_ordered,
+    whole_stage_codegen_spans,
+)
+from pulsar_message_filter_spark.selector import Selector
+from tests.conftest import SF_SMOKE
+
+
+def test_selector_native_predicates_push_to_scan(spark):
+    """Selector terms on native columns must reach the parquet reader."""
+    events = load(spark, "events", SF_SMOKE)
+    sel = Selector("event_type IN ('purchase', 'error') AND value > 100")
+    filtered = sel.apply(events)
+    pushed = " ".join(pushed_filters(filtered))
+    assert "event_type" in pushed and "value" in pushed, pushed
+
+
+def test_selector_column_pruning(spark):
+    """A two-column projection must not scan all six event columns."""
+    events = load(spark, "events", SF_SMOKE)
+    df = events.filter(F.col("value") > 100).select("event_id", "event_type")
+    plan = plan_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema and "user_id" not in read_schema, read_schema
+
+
+def test_q3_join_is_broadcast(spark):
+    from pulsar_message_filter_spark.operators.relational import q3_top_revenue
+
+    assert has_broadcast_hash_join(q3_top_revenue(spark, SF_SMOKE))
+
+
+def test_global_topk_uses_take_ordered(spark):
+    from pulsar_message_filter_spark.operators.relational import global_topk
+
+    assert uses_take_ordered(global_topk(spark, SF_SMOKE))
+
+
+def test_minhash_has_no_cartesian(spark):
+    """LSH candidate generation must be an equi-join on band keys."""
+    from pulsar_message_filter_spark.operators.dedup import minhash_candidates
+
+    docs = load(spark, "documents", SF_SMOKE)
+    assert not has_cartesian_product(minhash_candidates(docs, "text", "doc_id"))
+
+
+def test_lsh_topk_has_no_cartesian(spark):
+    from pulsar_message_filter_spark.operators.similarity import lsh_topk
+
+    emb = load(spark, "embeddings", SF_SMOKE)
+    assert not has_cartesian_product(lsh_topk(emb, k=3))
+
+
+def test_flagship_is_single_codegen_pipeline_per_stage(spark):
+    """Selector + window agg should stay inside whole-stage codegen."""
+    from pulsar_message_filter_spark.operators.selector_queries import flagship
+
+    df = flagship(spark, SF_SMOKE)
+    assert whole_stage_codegen_spans(df) >= 1
+    # and no Python evaluation anywhere in the plan (UDF-free hot path)
+    assert "BatchEvalPython" not in plan_str(df)
+    assert "ArrowEvalPython" not in plan_str(df)
