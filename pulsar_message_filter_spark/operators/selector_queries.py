@@ -21,7 +21,7 @@ from pulsar_message_filter_spark.filtering import fan_out, with_verdict
 from pulsar_message_filter_spark.io import load
 from pulsar_message_filter_spark.operators.parity import cents, cents_sql
 from pulsar_message_filter_spark.registry import graded
-from pulsar_message_filter_spark.selector import Selector
+from pulsar_message_filter_spark.selector import Schema, Selector
 
 #: Output projection for plain filter queries: stable columns, no raw
 #: timestamps (precision-parity — SURVEY §7.4.1), no recomputed floats.
@@ -125,6 +125,77 @@ _register_selector(
     description="${param} placeholders bound from subscription properties at compile",
     params={"threshold": 120, "kind": "purchase"},
 )
+
+# --- B6 (ESCAPE) + schema generality: selectors over other tables -------------
+# The selector compiler is schema-parameterized (B12): the same grammar
+# filters any table.  ESCAPE translates to an anchored regex on the Spark
+# side (no native Column LIKE...ESCAPE) and native LIKE...ESCAPE in the
+# oracle — semantics proven equal by the row set.
+
+PART_SCHEMA = Schema(
+    columns={
+        "p_partkey": "long",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "long",
+        "p_retailprice": "double",
+    },
+    props_col=None,
+)
+
+_ESCAPE_SEL = Selector(
+    "p_name NOT LIKE '%!_%' ESCAPE '!' AND p_name LIKE '%old%' AND p_size BETWEEN 10 AND 40",
+    schema=PART_SCHEMA,
+)
+
+
+@graded(
+    "selector_like_escape",
+    oracle=f"SELECT p_partkey, p_name, p_size FROM part WHERE {_ESCAPE_SEL.duckdb_sql()}",
+    section="B6,B12",
+    description="LIKE ... ESCAPE with escaped wildcard + selector over a "
+    "non-events schema (compiler schema generality)",
+)
+def selector_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "part", sf_dir)
+        .filter(_ESCAPE_SEL.column())
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+DOCS_SCHEMA = Schema(
+    columns={
+        "doc_id": "long",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "long",
+    },
+    props_col=None,
+)
+
+_DOCS_SEL = Selector(
+    "lang IN ('en', 'de') AND n_chars > 200 AND text LIKE '%data%'",
+    schema=DOCS_SCHEMA,
+)
+
+
+@graded(
+    "selector_documents",
+    oracle=f"SELECT doc_id, lang, n_chars FROM documents WHERE {_DOCS_SEL.duckdb_sql()}",
+    section="B12,B5,B6",
+    description="message-selector grammar applied to the document corpus "
+    "(subscription-style filtered view over any table)",
+)
+def selector_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "documents", sf_dir)
+        .filter(_DOCS_SEL.column())
+        .select("doc_id", "lang", "n_chars")
+    )
+
 
 # --- B12 + E1: the flagship — selector + tumbling window -----------------------
 FLAGSHIP_SELECTOR = Selector("props.k > 50 AND event_type IN ('purchase', 'error')")

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import random as _random
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -205,6 +207,44 @@ def lsh_buckets(
     )
 
 
+def lsh_table_buckets_np(
+    n_tables: int, planes_per_table: int, dim: int = EMB_DIM, seed: int = 42
+):
+    """Vectorized bucket assignment: one numpy matmul per Arrow batch
+    computes every table's sign-bit bucket at once.
+
+    This is the sanctioned pandas-UDF exception (SURVEY §2.G design rule):
+    expressing L×k hyperplane dot products as inline Column folds creates a
+    ~L·k·dim-term codegen expression whose compile time dwarfs the data —
+    the (batch × dim)·(dim × L·k) matmul is the right kernel.  Output is
+    ``array<long>`` of per-table bucket ids, deterministic from the seed.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplanes(planes_per_table, dim, seed + 1000 * t)[p]
+            for t in range(n_tables)
+            for p in range(planes_per_table)
+        ]
+    ).T  # (dim, L*k)
+    weights = np.tile(2 ** np.arange(planes_per_table), n_tables)
+    table_idx = np.repeat(np.arange(n_tables), planes_per_table)
+
+    def assign(batch: pd.Series) -> pd.Series:
+        mat = np.stack(batch.to_numpy())  # (n, dim) float32
+        bits = (mat.astype(np.float64) @ planes) > 0  # (n, L*k)
+        weighted = bits * weights
+        buckets = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            buckets[:, t] = weighted[:, table_idx == t].sum(axis=1)
+        return pd.Series(list(buckets))
+
+    return pandas_udf(assign, "array<long>")
+
+
 def lsh_topk(
     corpus: DataFrame,
     k: int,
@@ -217,13 +257,12 @@ def lsh_topk(
     equi-join on (table, bucket) — shuffle keyed by bucket, pair count
     ~L/2^k of the cross join; the exact cosine touches candidates only.
     """
+    bucket_udf = lsh_table_buckets_np(n_tables, planes_per_table)
     bucketed = corpus.select(
         "vec_id",
         "embedding",
-        F.explode(
-            lsh_buckets(F.col("embedding"), n_tables, planes_per_table)
-        ).alias("bk"),
-    ).select("vec_id", "embedding", "bk.tbl", "bk.bucket")
+        F.posexplode(bucket_udf(F.col("embedding"))).alias("tbl", "bucket"),
+    )
     a = bucketed.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "tbl", "bucket"
     )

@@ -161,6 +161,56 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E7 — stream–stream join, batch-graded time-bounded form
+# ---------------------------------------------------------------------------
+
+_JOIN_WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
+
+
+@graded(
+    "stream_stream_join",
+    oracle=f"""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id AS purchase_id,
+               count(c.ts_us) AS n_prior_clicks
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts_us >= p.ts_us - {_JOIN_WINDOW_US}
+         AND c.ts_us <= p.ts_us
+        GROUP BY 1
+    """,
+    section="E7",
+    description="time-bounded stream-stream join (batch form): clicks within "
+    "10 min before each purchase, per user.  Under readStream this is the "
+    "same equi+range condition with watermarks on both sides bounding state",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_us").alias("c_ts")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - _JOIN_WINDOW_US)
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left",
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("c_ts").alias("n_prior_clicks"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # E6 — stream–static enrichment join (broadcast the static dim)
 # ---------------------------------------------------------------------------
 
