@@ -682,6 +682,128 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C18/C19 — distribution window functions (exact rational outputs)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "window_distribution",
+    oracle="""
+        SELECT s_suppkey,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    section="C18,C19",
+    description="percent_rank / cume_dist — exact (rank-1)/(n-1) rationals, "
+    "bit-identical across engines",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return load(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C20 — RANGE frame (value-based window bounds)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "window_range_frame",
+    oracle="""
+        SELECT p_partkey,
+               count(*) OVER (ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                 AS n_within_5
+        FROM part WHERE p_partkey < 500
+    """,
+    section="C20",
+    description="RANGE frame: peers within a value distance (not row count)",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("p_size").rangeBetween(-5, Window.currentRow)
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 500)
+        .select("p_partkey", F.count("*").over(w).alias("n_within_5"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C24 — INTERSECT ALL / EXCEPT ALL (bag semantics with multiplicities)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "setop_all_variants",
+    oracle="""
+        SELECT 'intersect_all' AS op, l_quantity FROM (
+            SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey < 500
+            INTERSECT ALL
+            SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey < 500
+        )
+        UNION ALL
+        SELECT 'except_all' AS op, l_quantity FROM (
+            SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey < 500
+            EXCEPT ALL
+            SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey < 500
+        )
+    """,
+    section="C24",
+    description="bag-semantics set ops: multiplicity-aware intersect/except",
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 500)
+    a = li.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    inter = a.intersectAll(r).select(F.lit("intersect_all").alias("op"), "l_quantity")
+    exc = a.exceptAll(r).select(F.lit("except_all").alias("op"), "l_quantity")
+    return inter.unionByName(exc)
+
+
+# ---------------------------------------------------------------------------
+# C23 — union-by-name with missing columns
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "setop_union_missing_cols",
+    oracle="""
+        SELECT c_custkey AS entity_id, c_acctbal AS balance, c_mktsegment AS segment
+        FROM customer WHERE c_custkey < 100
+        UNION ALL
+        SELECT s_suppkey AS entity_id, s_acctbal AS balance, NULL AS segment
+        FROM supplier WHERE s_suppkey < 50
+    """,
+    section="C23",
+    description="unionByName(allowMissingColumns): absent columns null-filled",
+)
+def setop_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    supp = (
+        load(spark, "supplier", sf_dir)
+        .filter(F.col("s_suppkey") < 50)
+        .select(
+            F.col("s_suppkey").alias("entity_id"),
+            F.col("s_acctbal").alias("balance"),
+        )
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
 # C21 — top-k per group
 # ---------------------------------------------------------------------------
 

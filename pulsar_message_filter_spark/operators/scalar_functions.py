@@ -278,6 +278,178 @@ def func_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D1b — string functions, second sampler (split/repeat/affix tests/locate)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_string2",
+    oracle="""
+        SELECT p_partkey,
+               string_split(p_name, ' ')[1] AS first_tok,
+               string_split(p_name, ' ')[-1] AS last_tok,
+               len(string_split(p_name, ' ')) AS n_toks,
+               repeat(p_brand, 2) AS brand2,
+               (p_name LIKE 'c%') AS starts_c,
+               (p_name LIKE '%t') AS ends_t,
+               contains(p_name, 'id') AS has_id,
+               rtrim(p_name, 'te') AS rtrimmed,
+               replace(p_name, ' ', '_') AS snake
+        FROM part WHERE p_partkey < 300
+    """,
+    section="D1",
+    description="string family 2: split/element access, repeat, affix tests, "
+    "set-trim, replace",
+)
+def func_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("p_name", " ")
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.element_at(toks, 1).alias("first_tok"),
+            F.element_at(toks, -1).alias("last_tok"),
+            F.size(toks).alias("n_toks"),
+            F.repeat("p_brand", 2).alias("brand2"),
+            F.startswith(F.col("p_name"), F.lit("c")).alias("starts_c"),
+            F.endswith(F.col("p_name"), F.lit("t")).alias("ends_t"),
+            F.contains(F.col("p_name"), F.lit("id")).alias("has_id"),
+            F.expr("rtrim('te', p_name)").alias("rtrimmed"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2b — date/time second sampler: epoch conversions, constructors
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_datetime2",
+    oracle="""
+        -- epoch(ts) is a DOUBLE whose BIGINT cast *rounds*; Spark's
+        -- unix_timestamp truncates — floor via integer division instead
+        SELECT event_id,
+               epoch_us(ts) // 1000000 AS epoch_s,
+               epoch_us(ts) AS epoch_us,
+               strftime(make_date(2024, 1 + (epoch_us(ts) // 1000000) % 12, 1), '%Y-%m-%d')
+                 AS made_date,
+               hour(ts) AS hh, minute(ts) AS mi,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso
+        FROM events WHERE event_id < 1000
+    """,
+    section="D2",
+    description="date/time family 2: epoch seconds/micros, make_date, "
+    "hour/minute parts, strftime formatting",
+)
+def func_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("epoch_s"),
+            F.unix_micros("ts").alias("epoch_us"),
+            F.date_format(
+                F.make_date(
+                    F.lit(2024), (F.unix_timestamp("ts") % 12 + 1).cast("int"), F.lit(1)
+                ),
+                "yyyy-MM-dd",
+            ).alias("made_date"),
+            F.hour("ts").alias("hh"),
+            F.minute("ts").alias("mi"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("iso"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5b — array second sampler: slice/sort/flatten/sequence/zip
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_array2",
+    oracle="""
+        SELECT vec_id,
+               round(CAST(list_slice(embedding, 1, 3)[2] AS DOUBLE), 4) AS sliced_e2,
+               round(CAST(list_sort(embedding)[1] AS DOUBLE), 4) AS min_sorted,
+               round(CAST(list_reverse_sort(embedding)[1] AS DOUBLE), 4) AS max_sorted,
+               len(flatten([embedding, embedding])) AS flat_len,
+               len(generate_series(1, 5)) AS seq_len,
+               list_contains(list_transform(embedding, x -> x > 0.5), true) AS any_gt_half
+        FROM embeddings WHERE vec_id < 150
+    """,
+    section="D5",
+    description="array family 2: slice, sort asc/desc, flatten, sequence, "
+    "transform+contains (exists pattern)",
+)
+def func_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.col("embedding")
+    return (
+        load(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < 150)
+        .select(
+            "vec_id",
+            F.round(F.element_at(F.slice(emb, 1, 3), 2).cast("double"), 4).alias(
+                "sliced_e2"
+            ),
+            F.round(F.element_at(F.sort_array(emb), 1).cast("double"), 4).alias(
+                "min_sorted"
+            ),
+            F.round(
+                F.element_at(F.sort_array(emb, asc=False), 1).cast("double"), 4
+            ).alias("max_sorted"),
+            F.size(F.flatten(F.array(emb, emb))).alias("flat_len"),
+            F.size(F.sequence(F.lit(1), F.lit(5))).alias("seq_len"),
+            F.exists(emb, lambda x: x > 0.5).alias("any_gt_half"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6b — map second sampler over the parsed properties map
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_map2",
+    oracle="""
+        SELECT event_id,
+               json_keys(props) AS prop_keys,
+               1 AS n_props,
+               json_extract_string(props, '$.k') AS k_from_entries,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) * 10 AS k_x10
+        FROM events WHERE event_id < 1000
+    """,
+    section="D6",
+    description="map family 2: map_keys/size/transform_values on the parsed "
+    "properties map (json_keys twin on the oracle)",
+)
+def func_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pm = F.from_json("props", "map<string,string>")
+    return (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 1000)
+        .withColumn("pm", pm)
+        .select(
+            "event_id",
+            F.map_keys("pm").alias("prop_keys"),
+            F.size("pm").alias("n_props"),
+            F.element_at(F.map_values("pm"), 1).alias("k_from_entries"),
+            F.element_at(
+                F.transform_values(
+                    "pm", lambda k, v: v.cast("int") * 10
+                ).alias("x"),
+                "k",
+            ).alias("k_x10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # D8 — hash / digest functions
 # ---------------------------------------------------------------------------
 

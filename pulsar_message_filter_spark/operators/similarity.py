@@ -301,6 +301,115 @@ def f4_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F2/F3 — embedding-cosine near-duplicate detection (graded)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f2_embedding_neardup",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 300 AND b.vec_id < 300
+          AND round({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+    """,
+    section="F2,F3",
+    description="embedding-cosine near-dup pairs above threshold — the "
+    "semantic-dedup primitive (exact form; LSH path is f4_topk_lsh)",
+)
+def f2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 scale path 2 — IVF-style cell probing (seeded random centroids)
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign_np(n_cells: int, n_probe: int, dim: int = EMB_DIM, seed: int = 7):
+    """Vectorized IVF cell assignment: nearest ``n_probe`` of ``n_cells``
+    seeded random unit centroids per vector (one matmul per Arrow batch).
+
+    A training-free IVF: random centroids partition the sphere into Voronoi
+    cells.  Index side assigns each vector to its single nearest cell;
+    query side probes the ``n_probe`` nearest cells — the classic
+    recall/cost knob of IVF indexes (public FAISS-style design).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((dim, n_cells))
+    cents /= np.linalg.norm(cents, axis=0, keepdims=True)
+
+    def assign(batch: pd.Series) -> pd.Series:
+        mat = np.stack(batch.to_numpy()).astype(np.float64)  # (n, dim)
+        sims = mat @ cents  # (n, n_cells)
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int64)
+        return pd.Series(list(top))
+
+    return pandas_udf(assign, "array<long>")
+
+
+def ivf_topk(
+    corpus: DataFrame, k: int, n_cells: int = 16, n_probe: int = 3
+) -> DataFrame:
+    """Approximate top-k: corpus indexed by nearest cell, queries probe the
+    ``n_probe`` nearest cells — candidate join is an equi-join on cell id
+    (shuffle keyed by cell; pair count ~n_probe/n_cells of the cross join).
+    """
+    index_udf = ivf_assign_np(n_cells, 1)
+    probe_udf = ivf_assign_np(n_cells, n_probe)
+    indexed = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.element_at(index_udf(F.col("embedding")), 1).alias("cell"),
+    )
+    probes = corpus.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(probe_udf(F.col("embedding"))).alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        probes.join(indexed, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@graded(
+    "f4_topk_ivf",
+    oracle=None,  # approximate by design (cell-probing recall tradeoff)
+    section="F4,F14",
+    description="IVF-style approximate top-k: seeded random-centroid cells, "
+    "n_probe nearest cells per query — rows-only by design",
+)
+def f4_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 300)
+    return ivf_topk(emb, k=3, n_cells=16, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
 # F5 — KNN majority-label vote
 # ---------------------------------------------------------------------------
 

@@ -257,6 +257,177 @@ def f11_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F6c — BPE-ish regex token counting (subword-shaped segmentation)
+# ---------------------------------------------------------------------------
+
+#: A BPE-ish segmentation regex (public GPT-2-style shape, simplified to the
+#: corpus alphabet): word pieces of up to 4 chars — a cheap, deterministic
+#: proxy for subword token counts.
+_PIECE_RE = "[a-z]{1,4}"
+
+
+@graded(
+    "f6c_subword_counts",
+    oracle=f"""
+        SELECT lang,
+               sum(len(regexp_extract_all(text, '{_PIECE_RE}'))) AS n_pieces,
+               sum(len(string_split(text, ' '))) AS n_words,
+               CAST(sum(len(regexp_extract_all(text, '{_PIECE_RE}'))) AS DOUBLE)
+                 / sum(len(string_split(text, ' '))) AS pieces_per_word
+        FROM documents GROUP BY 1
+    """,
+    section="F6",
+    description="token counting via a BPE-ish segmentation regex "
+    "(regexp_count; exact integer ratios)",
+)
+def f6c_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pieces = F.regexp_count("text", F.lit(_PIECE_RE))
+    words = F.size(tokens(F.col("text")))
+    return (
+        load(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.sum(pieces).alias("n_pieces"),
+            F.sum(words).alias("n_words"),
+            (F.sum(pieces).cast("double") / F.sum(words)).alias("pieces_per_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6d — document fingerprint (polynomial rolling hash, SQL-expressible)
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007
+
+
+@graded(
+    "f6d_rolling_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                                      t -> CAST(7 * length(t) + ascii(t) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {_FP_MOD}
+               ) AS fingerprint
+        FROM documents WHERE doc_id < 200
+    """,
+    section="F6,F1",
+    description="order-sensitive document fingerprint: polynomial rolling hash "
+    "over token features — pure fold, identical on both engines",
+)
+def f6d_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    token_feature = F.transform(
+        tokens(F.col("text")),
+        lambda t: (F.lit(7) * F.length(t) + F.ascii(t)).cast("long"),
+    )
+    fingerprint = F.aggregate(
+        token_feature,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % _FP_MOD,
+    )
+    return (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", fingerprint.alias("fingerprint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11b — Gopher-style repetition/composition ratios (public heuristics)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f11b_gopher_ratios",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN {STOPWORDS!r})) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(len(string_split(text, ' '))
+                    - len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS repeated_token_ratio
+        FROM documents WHERE doc_id < 300
+    """,
+    section="F11",
+    description="Gopher-style composition ratios: stopword fraction + "
+    "repeated-token fraction (exact int ratios)",
+)
+def f11b_gopher_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_rep = n - F.size(F.array_distinct(toks))
+    return (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            (n_stop.cast("double") / n).alias("stopword_ratio"),
+            (n_rep.cast("double") / n).alias("repeated_token_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6e — language-ID heuristic (marker-word scoring, argmax with tiebreak)
+# ---------------------------------------------------------------------------
+
+#: Deterministic marker sets (the heuristic's shape is what matters; on this
+#: synthetic shared-vocabulary corpus the scores tie often — the tiebreak
+#: makes the argmax deterministic and oracle-checkable anyway).
+_LANG_MARKERS = {
+    "en": ("the", "fast", "join"),
+    "de": ("der", "und", "batch"),
+    "es": ("el", "la", "stream"),
+    "fr": ("le", "et", "vector"),
+    "zh": ("data", "big", "hash"),
+}
+
+
+def _marker_score(lang: str):
+    toks = tokens(F.col("text"))
+    return F.size(F.filter(toks, lambda t: t.isin(*_LANG_MARKERS[lang])))
+
+
+@graded(
+    "f6e_langid_heuristic",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text,' '), t -> t IN ('the','fast','join'))) AS s_en,
+                   len(list_filter(string_split(text,' '), t -> t IN ('der','und','batch'))) AS s_de,
+                   len(list_filter(string_split(text,' '), t -> t IN ('el','la','stream'))) AS s_es,
+                   len(list_filter(string_split(text,' '), t -> t IN ('le','et','vector'))) AS s_fr,
+                   len(list_filter(string_split(text,' '), t -> t IN ('data','big','hash'))) AS s_zh
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id, lang AS true_lang,
+               CASE greatest(s_en, s_de, s_es, s_fr, s_zh)
+                    WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                    WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+        FROM scored
+    """,
+    section="F6",
+    description="language-ID heuristic: marker-word scores, deterministic "
+    "argmax (alphabetical tiebreak)",
+)
+def f6e_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    scores = {lang: _marker_score(lang) for lang in sorted(_LANG_MARKERS)}
+    best = F.greatest(*scores.values())
+    pred = F.when(scores["de"] == best, "de")
+    for lang in ("en", "es", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return docs.select(
+        "doc_id", F.col("lang").alias("true_lang"), pred.alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # F6b — language-ID heuristic (stopword-profile n-gram scoring)
 # ---------------------------------------------------------------------------
 
