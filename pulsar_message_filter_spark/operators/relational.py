@@ -41,7 +41,7 @@ from pulsar_message_filter_spark.registry import graded
         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
-    section="C1,C2,C11",
+    section="C1,C2,C11,A1",
     description="pricing summary: filter + groupBy + 8 aggregates (TPC-H Q1 shape)",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
