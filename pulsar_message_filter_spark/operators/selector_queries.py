@@ -285,9 +285,9 @@ _SUBSCRIPTIONS = {
     "selector_fanout",
     oracle=f"""
         SELECT count(*) AS n_messages,
-               sum(CASE WHEN {_SUBSCRIPTIONS['purchases'].duckdb_sql()} THEN 1 ELSE 0 END) AS n_purchases,
-               sum(CASE WHEN {_SUBSCRIPTIONS['big_values'].duckdb_sql()} THEN 1 ELSE 0 END) AS n_big_values,
-               sum(CASE WHEN {_SUBSCRIPTIONS['key_band'].duckdb_sql()} THEN 1 ELSE 0 END) AS n_key_band
+               CAST(sum(CASE WHEN {_SUBSCRIPTIONS['purchases'].duckdb_sql()} THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+               CAST(sum(CASE WHEN {_SUBSCRIPTIONS['big_values'].duckdb_sql()} THEN 1 ELSE 0 END) AS BIGINT) AS n_big_values,
+               CAST(sum(CASE WHEN {_SUBSCRIPTIONS['key_band'].duckdb_sql()} THEN 1 ELSE 0 END) AS BIGINT) AS n_key_band
         FROM events
     """,
     section="B14",

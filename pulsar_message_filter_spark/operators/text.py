@@ -33,7 +33,7 @@ def tokens(col: Column) -> Column:
     oracle="""
         SELECT lang,
                count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS total_tokens,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
                max(len(string_split(text, ' '))) AS max_tokens
         FROM documents GROUP BY 1
@@ -62,9 +62,9 @@ def f6_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f7_stopword_filter",
     oracle=f"""
         SELECT lang,
-               sum(len(list_filter(string_split(text, ' '),
-                       t -> t NOT IN {STOPWORDS!r}))) AS content_tokens,
-               sum(len(string_split(text, ' '))) AS all_tokens
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                       t -> t NOT IN {STOPWORDS!r}))) AS BIGINT) AS content_tokens,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS all_tokens
         FROM documents GROUP BY 1
     """,
     section="F7",
@@ -270,8 +270,8 @@ _PIECE_RE = "[a-z]{1,4}"
     "f6c_subword_counts",
     oracle=f"""
         SELECT lang,
-               sum(len(regexp_extract_all(text, '{_PIECE_RE}'))) AS n_pieces,
-               sum(len(string_split(text, ' '))) AS n_words,
+               CAST(sum(len(regexp_extract_all(text, '{_PIECE_RE}'))) AS BIGINT) AS n_pieces,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
                CAST(sum(len(regexp_extract_all(text, '{_PIECE_RE}'))) AS DOUBLE)
                  / sum(len(string_split(text, ' '))) AS pieces_per_word
         FROM documents GROUP BY 1

@@ -54,7 +54,7 @@ def g1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g3_pandas_udaf",
     oracle="""
         SELECT lang,
-               sum(n_chars * n_chars) AS sum_sq_chars,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq_chars,
                count(*) AS n
         FROM documents GROUP BY 1
     """,
