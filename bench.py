@@ -24,12 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "selector_flagship_window",  # selector + tumbling window (the identity op)
     "selector_fanout",  # N-subscription single-scan fan-out
+    "selector_verdict_routing",  # ACCEPT/REJECT/RESCHEDULE one-pass
     "q1_pricing_summary",  # TPC-H-Q1-like scan+agg
     "q3_top_revenue",  # 3-table join top-k
+    "join_asof",  # as-of range join + window
+    "agg_rollup",  # multi-level aggregation
     "window_session",  # session windows (stateful-op analog)
+    "stream_stream_join",  # time-bounded stream-stream join (batch form)
     "f1_exact_dedup",  # corpus dedup
+    "f2_minhash_lsh",  # MinHash+LSH near-dup (the heavy custom op)
     "f4_topk_cosine",  # similarity search
     "f9_tfidf",  # text analysis
+    "f13_label_centroids",  # embedding centroids
 ]
 
 

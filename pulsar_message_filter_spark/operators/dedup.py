@@ -121,8 +121,11 @@ def f2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F2 — MinHash + LSH banding, pure Column algebra
 # ---------------------------------------------------------------------------
 
-N_PERM = 32  # minhash permutations
-N_BANDS = 8  # → 4 rows per band; P(candidate) = 1-(1-j^4)^8
+N_PERM = 16  # minhash permutations
+N_BANDS = 4  # → 4 rows per band; P(candidate | j) = 1-(1-j^4)^4:
+#   j=0.9 → 0.986, j=0.8 → 0.88, j=0.5 → 0.23 — tuned for the ≥0.8
+#   near-dup threshold; double N_PERM for lower thresholds (the knob
+#   trades signature cost for low-similarity recall)
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:

@@ -17,6 +17,7 @@ from pulsar_message_filter_spark.selector.compiler import (
     EVENTS_SCHEMA,
     Schema,
     SelectorTypeError,
+    _boolean_ctx,
     annotate,
     to_column,
     to_sql,
@@ -44,11 +45,15 @@ class Selector:
     ):
         self.text = text
         self.schema = schema
-        self.ast: Node = annotate(parse(text, params), schema)
-        if self.ast.type != "boolean":
+        ast = annotate(parse(text, params), schema)
+        if ast.type == "dynamic":
+            # a bare property as the whole selector — JMS boolean property
+            ast = _boolean_ctx(ast)
+        if ast.type != "boolean":
             raise SelectorTypeError(
-                f"selector must be a boolean predicate, got {self.ast.type}: {text!r}"
+                f"selector must be a boolean predicate, got {ast.type}: {text!r}"
             )
+        self.ast: Node = ast
 
     def column(self):
         """→ ``pyspark.sql.Column`` (requires an active SparkSession)."""

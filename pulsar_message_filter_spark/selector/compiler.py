@@ -122,6 +122,19 @@ def _string_ctx(node: Node) -> Node:
     raise SelectorTypeError(f"expected a string expression, got {node.type}")
 
 
+def _boolean_ctx(node: Node) -> Node:
+    """Boolean context (AND/OR/NOT operands, selector root).
+
+    JMS boolean properties: a bare property identifier used as a predicate
+    term reads as its boolean value (``getBooleanProperty``); an
+    inconvertible value yields UNKNOWN — hence try-cast."""
+    if node.type == "boolean":
+        return node
+    if node.type == "dynamic":
+        return _coerce(node, "boolean")
+    raise SelectorTypeError(f"expected a boolean expression, got {node.type}")
+
+
 def annotate(node: Node, schema: Schema) -> Node:
     """Infer types bottom-up, inserting :class:`Cast` nodes; returns the
     (possibly wrapped) node with ``.type`` set on every descendant."""
@@ -213,19 +226,13 @@ def annotate(node: Node, schema: Schema) -> Node:
         return node
 
     if isinstance(node, Not):
-        node.operand = annotate(node.operand, schema)
-        if node.operand.type != "boolean":
-            raise SelectorTypeError(f"NOT requires a boolean, got {node.operand.type}")
+        node.operand = _boolean_ctx(annotate(node.operand, schema))
         node.type = "boolean"
         return node
 
     if isinstance(node, (And, Or)):
-        node.left = annotate(node.left, schema)
-        node.right = annotate(node.right, schema)
-        for side in (node.left, node.right):
-            if side.type != "boolean":
-                op = "AND" if isinstance(node, And) else "OR"
-                raise SelectorTypeError(f"{op} requires booleans, got {side.type}")
+        node.left = _boolean_ctx(annotate(node.left, schema))
+        node.right = _boolean_ctx(annotate(node.right, schema))
         node.type = "boolean"
         return node
 
@@ -278,6 +285,11 @@ def to_column(node: Node, schema: Schema):
                 return F.col(n.name)
             return F.get_json_object(F.col(schema.props_col), f"$.{detail}")
         if isinstance(n, Cast):
+            if n.to == "boolean":
+                # JMS Boolean.valueOf: true iff equalsIgnoreCase("true");
+                # any other string is false; missing property stays NULL
+                # (engines' native string→bool casts disagree on 'yes'/'y').
+                return F.lower(build(n.operand)) == "true"
             return build(n.operand).try_cast(n.to)
         if isinstance(n, Unary):
             c = build(n.operand)
@@ -355,7 +367,13 @@ def to_sql(node: Node, schema: Schema, dialect: str = "duckdb") -> str:
     if dialect not in ("duckdb", "spark"):
         raise ValueError(f"unknown dialect {dialect!r}")
 
-    type_names = {"double": "DOUBLE", "long": "BIGINT", "timestamp": "TIMESTAMP", "string": "VARCHAR"}
+    type_names = {
+        "double": "DOUBLE",
+        "long": "BIGINT",
+        "timestamp": "TIMESTAMP",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+    }
 
     def render(n: Node) -> str:
         if isinstance(n, Lit):
@@ -372,6 +390,9 @@ def to_sql(node: Node, schema: Schema, dialect: str = "duckdb") -> str:
                 return f"json_extract_string({schema.props_col}, '$.{detail}')"
             return f"get_json_object({schema.props_col}, '$.{detail}')"
         if isinstance(n, Cast):
+            if n.to == "boolean":
+                # JMS Boolean.valueOf — see the Column backend twin
+                return f"(lower({render(n.operand)}) = 'true')"
             return f"TRY_CAST({render(n.operand)} AS {type_names[n.to]})"
         if isinstance(n, Unary):
             return f"({n.op}{render(n.operand)})"

@@ -130,3 +130,50 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+def redelivery_counter_tws(stream: DataFrame) -> DataFrame:
+    """E8 on the Spark 4 ``transformWithStateInPandas`` API: per-user
+    redelivery counter — the state primitive behind RESCHEDULE bookkeeping
+    (how many times has this key been re-enqueued?).
+
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` Python package (the TWS state-server protocol) — absent
+    in this container, so the test skips and ``applyInPandasWithState``
+    (:func:`stateful_user_stats`) is the locally-exercised E8 path.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' python package "
+            "(Spark's TWS state-server protocol); use stateful_user_stats "
+            "(applyInPandasWithState) where protobuf is unavailable"
+        ) from e
+    from typing import Iterator as _Iterator
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RedeliveryCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n_seen", "n BIGINT")
+
+        def handleInputRows(
+            self, key, rows: _Iterator[pd.DataFrame], timer_values
+        ) -> _Iterator[pd.DataFrame]:
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RedeliveryCounter(),
+        outputStructType="user_id bigint, n_seen bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

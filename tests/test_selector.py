@@ -126,6 +126,27 @@ def test_non_boolean_root_rejected():
         Selector("value + 1")
 
 
+def test_boolean_property_coercion(spark):
+    # JMS boolean properties: bare identifier in boolean context reads as
+    # getBooleanProperty; inconvertible → UNKNOWN → dropped
+    df = spark.createDataFrame(
+        [(1, '{"armed": "true"}'), (2, '{"armed": "false"}'),
+         (3, '{"armed": "maybe"}'), (4, "{}")],
+        "event_id long, props string",
+    )
+    sel = Selector("props.armed AND event_id < 10", EVENTS_SCHEMA)
+    # JMS Boolean.valueOf semantics, not an engine cast (engines disagree
+    # on 'yes'/'y'): rendered as lower(x) = 'true' on both backends
+    assert "= 'true'" in sel.duckdb_sql()
+    got = sorted(r.event_id for r in df.filter(sel.column()).collect())
+    assert got == [1]
+    # bare property as the entire selector
+    got2 = sorted(
+        r.event_id for r in df.filter(Selector("armed", EVENTS_SCHEMA).column()).collect()
+    )
+    assert got2 == [1]
+
+
 def test_string_arith_coerces():
     # dynamic property in arithmetic context → double
     sql = Selector("props.k + 1 > 2").duckdb_sql()

@@ -21,6 +21,7 @@ from pulsar_message_filter_spark.streaming import (
     stateful_user_stats,
     windowed_event_counts,
 )
+from pulsar_message_filter_spark.streaming.pipeline import redelivery_counter_tws
 from tests.conftest import SF_SMOKE
 
 
@@ -210,3 +211,66 @@ def test_stateful_user_stats_carries_state(spark, tmp_path):
     # last update for user 7 must reflect all 3 events (state carried)
     final = max((r for r in rows if r.user_id == 7), key=lambda r: r.n_events)
     assert final.n_events == 3 and abs(final.total_value - 35.0) < 1e-9
+
+
+def test_transform_with_state_counter(spark, tmp_path):
+    """E8 (Spark 4 API): transformWithStateInPandas value state carries the
+    per-user redelivery count across micro-batches (RocksDB provider).
+
+    Skips where the protobuf package (TWS state-server protocol) is absent
+    — this container intentionally ships no extra packages."""
+    pytest.importorskip("google.protobuf.descriptor")
+    input_dir = str(tmp_path / "in")
+    Path(input_dir).mkdir()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_message_stream(spark, input_dir)
+        q = (
+            redelivery_counter_tws(stream)
+            .writeStream.format("memory")
+            .outputMode("update")
+            .queryName("tws_t")
+            .start()
+        )
+        try:
+            _write_events(
+                spark,
+                [(1, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+                 (2, "2024-01-01 10:01:00", 3, "view", 1.0, "{}"),
+                 (3, "2024-01-01 10:02:00", 4, "view", 1.0, "{}")],
+                input_dir,
+            )
+            q.processAllAvailable()
+            _write_events(
+                spark, [(4, "2024-01-01 10:05:00", 3, "view", 1.0, "{}")], input_dir
+            )
+            q.processAllAvailable()
+            rows = spark.table("tws_t").collect()
+        finally:
+            q.stop()
+        latest = {}
+        for r in rows:
+            latest[r.user_id] = max(latest.get(r.user_id, 0), r.n_seen)
+        assert latest == {3: 3, 4: 1}
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_gate_error_is_actionable(spark, tmp_path):
+    """Without protobuf, the TWS builder fails fast with guidance (not a
+    mid-query worker crash)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    stream = file_message_stream(spark, str(tmp_path))
+    with pytest.raises(RuntimeError, match="applyInPandasWithState"):
+        redelivery_counter_tws(stream)
