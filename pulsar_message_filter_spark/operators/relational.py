@@ -109,6 +109,173 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composite workload queries (TPC-H shapes expressible on the fixture subset)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "q5_local_supplier_revenue",
+    oracle=f"""
+        SELECT n.n_name,
+               sum({cents_sql('l.l_extendedprice')} * {cents_sql('1 - l.l_discount')}) / 10000.0
+                 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    section="C4,C8",
+    description="local-supplier revenue by nation (TPC-H Q5 shape): 6-table "
+    "star join; dims broadcast, fact side never shuffled for the joins",
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir)
+    revenue_c4 = cents("l_extendedprice") * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(revenue_c4) / 10000.0).alias("revenue"))
+    )
+
+
+@graded(
+    "q6_forecast_revenue",
+    oracle=f"""
+        SELECT sum({cents_sql('l_extendedprice')} * {cents_sql('l_discount')}) / 10000.0
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    section="C2,C11",
+    description="forecast revenue change (TPC-H Q6 shape): pure scan+filter+agg "
+    "— the pushdown showcase, no shuffle beyond the final reduce",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents("l_discount")) / 10000.0).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@graded(
+    "q10_returned_items",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               sum({cents_sql('l.l_extendedprice')} * {cents_sql('1 - l.l_discount')}) / 10000.0
+                 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    section="C4,C22",
+    description="top returned-item customers (TPC-H Q10 shape)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    revenue_c4 = cents("l_extendedprice") * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(revenue_c4) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@graded(
+    "q14_promo_revenue_share",
+    oracle=f"""
+        SELECT
+          100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN {cents_sql('l.l_extendedprice')} * {cents_sql('1 - l.l_discount')}
+                      ELSE 0 END)
+              / sum({cents_sql('l.l_extendedprice')} * {cents_sql('1 - l.l_discount')})
+            AS promo_share_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    section="C4,C11,D4",
+    description="promo revenue share (TPC-H Q14 shape): conditional aggregate "
+    "ratio — exact int sums, one identical double division",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir)
+    rev = cents("l_extendedprice") * cents(F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (100.0 * F.sum(promo) / F.sum(rev)).alias("promo_share_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # C5 — outer joins
 # ---------------------------------------------------------------------------
 
