@@ -610,6 +610,109 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C13b — higher moments from exact integer power sums
+# ---------------------------------------------------------------------------
+# Built-in skewness/kurtosis differ across engines (population vs
+# bias-corrected estimators), so the graded query computes the population
+# moments from *exact integer* power sums of cents values: the sums are
+# order-independent int64s, every downstream double op is identical, and
+# tests/test_moments.py pins Spark's built-in F.skewness to this formula.
+
+
+@graded(
+    "agg_moments_exact",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum({cents_sql('l_quantity')}) AS BIGINT) AS s1,
+                   CAST(sum({cents_sql('l_quantity')} * {cents_sql('l_quantity')}) AS BIGINT) AS s2,
+                   CAST(sum({cents_sql('l_quantity')} * {cents_sql('l_quantity')}
+                            * {cents_sql('l_quantity')}) AS BIGINT) AS s3
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, n,
+               round((s2 / n - (s1 / n) * (s1 / n)) / 10000.0, 6) AS variance_pop,
+               round((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                     / power(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness_pop
+        FROM s
+    """,
+    section="C13",
+    description="population variance + skewness from exact integer power "
+    "sums — deterministic higher moments (built-ins are estimator-divergent)",
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    c = cents("l_quantity")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+        F.sum(c * c * c).alias("s3"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    var_c = m2 - m1 * m1  # in cents², population
+    skew = (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / F.pow(var_c, 1.5)
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        F.round(var_c / 10000.0, 6).alias("variance_pop"),
+        F.round(skew, 6).alias("skewness_pop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite pipeline: selector → broadcast enrich → session windows
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "pipeline_composite",
+    oracle="""
+        WITH filtered AS (
+            SELECT e.user_id, epoch_us(e.ts) AS ts_us, n.n_name
+            FROM events e
+            JOIN nation n ON e.user_id % 25 = n.n_nationkey
+            WHERE TRY_CAST(json_extract_string(e.props, '$.k') AS DOUBLE) > 30
+              AND e.event_type IN ('click', 'purchase', 'view')
+        ), ordered AS (
+            SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+                           OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM filtered
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ), sessions AS (
+            SELECT n_name, user_id,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        )
+        SELECT n_name, count(*) AS n_sessions
+        FROM (SELECT n_name, user_id, session_id FROM sessions GROUP BY 1, 2, 3)
+        GROUP BY 1
+    """,
+    section="B12,E3,E6,C8",
+    description="end-to-end pipeline: compiled selector → broadcast dim "
+    "enrichment → 30-min session windows → sessions per nation (the "
+    "deployment shape, batch-graded; identical under readStream)",
+)
+def pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_message_filter_spark.selector import Selector
+
+    sel = Selector("props.k > 30 AND event_type IN ('click', 'purchase', 'view')")
+    events = load(spark, "events", sf_dir).filter(sel.column())
+    nation = load(spark, "nation", sf_dir)
+    enriched = events.join(
+        F.broadcast(nation), (F.col("user_id") % 25) == F.col("n_nationkey")
+    )
+    sessions = enriched.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id", "n_name"
+    ).agg(F.count("*").alias("n_events"))
+    return sessions.groupBy("n_name").agg(F.count("*").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
 # C14 — percentiles / median (exact; approx is rows-only)
 # ---------------------------------------------------------------------------
 
@@ -774,10 +877,10 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, "supplier", sf_dir).select(
         "s_suppkey",
         "s_nationkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 

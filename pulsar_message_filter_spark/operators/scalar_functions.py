@@ -46,14 +46,14 @@ def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             F.upper("p_name").alias("up_name"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("long").alias("name_len"),
             F.substring("p_name", 1, 4).alias("pre4"),
             F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
             F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
             F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
             F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
-            F.levenshtein("p_name", F.lit("cold widget")).alias("lev_cold"),
-            F.instr("p_name", "old").alias("pos_old"),
+            F.levenshtein("p_name", F.lit("cold widget")).cast("long").alias("lev_cold"),
+            F.instr("p_name", "old").cast("long").alias("pos_old"),
             F.reverse("p_name").alias("rev_name"),
             F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
                 "trimmed"
@@ -92,11 +92,11 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") < 1000)
         .select(
             "o_orderkey",
-            F.year("o_orderdate").alias("yr"),
-            F.month("o_orderdate").alias("mo"),
-            F.dayofmonth("o_orderdate").alias("dy"),
-            F.quarter("o_orderdate").alias("qtr"),
-            F.dayofweek("o_orderdate").alias("dow"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
                 "month_start"
             ),
@@ -104,9 +104,9 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
                 "plus3mo"
             ),
-            F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias(
-                "days_since_95"
-            ),
+            F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_95"),
         )
     )
 
@@ -121,13 +121,13 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_partkey,
                abs(p_size - 25) AS dist25,
-               sign(p_size - 25) AS sgn,
+               CAST(sign(p_size - 25) AS DOUBLE) AS sgn,
                CAST(power(p_size, 2) AS BIGINT) AS size_sq,
                round(sqrt(p_retailprice), 6) AS sqrt_price,
                round(ln(p_retailprice), 6) AS ln_price,
                round(log10(p_retailprice), 6) AS log10_price,
-               ceil(p_retailprice / 7) AS ceil_div7,
-               floor(p_retailprice / 7) AS floor_div7,
+               CAST(ceil(p_retailprice / 7) AS BIGINT) AS ceil_div7,
+               CAST(floor(p_retailprice / 7) AS BIGINT) AS floor_div7,
                greatest(p_size, 25) AS hi,
                least(p_size, 25) AS lo,
                p_size % 7 AS size_mod7
@@ -150,8 +150,8 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10("p_retailprice"), 6).alias("log10_price"),
             F.ceil(F.col("p_retailprice") / 7).alias("ceil_div7"),
             F.floor(F.col("p_retailprice") / 7).alias("floor_div7"),
-            F.greatest("p_size", F.lit(25)).alias("hi"),
-            F.least("p_size", F.lit(25)).alias("lo"),
+            F.greatest("p_size", F.lit(25)).cast("long").alias("hi"),
+            F.least("p_size", F.lit(25)).cast("long").alias("lo"),
             (F.col("p_size") % 7).alias("size_mod7"),
         )
     )
@@ -223,9 +223,9 @@ def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 200)
         .select(
             "vec_id",
-            F.size("embedding").alias("n_dims"),
+            F.size("embedding").cast("long").alias("n_dims"),
             F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
-            F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+            F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_positive"),
             F.round(F.array_max("embedding").cast("double"), 4).alias("max_e"),
             F.round(
                 F.aggregate(
@@ -310,7 +310,7 @@ def func_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.element_at(toks, 1).alias("first_tok"),
             F.element_at(toks, -1).alias("last_tok"),
-            F.size(toks).alias("n_toks"),
+            F.size(toks).cast("long").alias("n_toks"),
             F.repeat("p_brand", 2).alias("brand2"),
             F.startswith(F.col("p_name"), F.lit("c")).alias("starts_c"),
             F.endswith(F.col("p_name"), F.lit("t")).alias("ends_t"),
@@ -358,8 +358,8 @@ def func_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "yyyy-MM-dd",
             ).alias("made_date"),
-            F.hour("ts").alias("hh"),
-            F.minute("ts").alias("mi"),
+            F.hour("ts").cast("long").alias("hh"),
+            F.minute("ts").cast("long").alias("mi"),
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("iso"),
         )
     )
@@ -402,8 +402,8 @@ def func_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.element_at(F.sort_array(emb, asc=False), 1).cast("double"), 4
             ).alias("max_sorted"),
-            F.size(F.flatten(F.array(emb, emb))).alias("flat_len"),
-            F.size(F.sequence(F.lit(1), F.lit(5))).alias("seq_len"),
+            F.size(F.flatten(F.array(emb, emb))).cast("long").alias("flat_len"),
+            F.size(F.sequence(F.lit(1), F.lit(5))).cast("long").alias("seq_len"),
             F.exists(emb, lambda x: x > 0.5).alias("any_gt_half"),
         )
     )

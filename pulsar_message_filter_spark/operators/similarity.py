@@ -127,7 +127,7 @@ def brute_topk(
             "neighbor_id",
             F.round(cosine(F.col("qe"), F.col("ce")), round_dp).alias("cos_sim"),
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

@@ -49,7 +49,7 @@ def f6_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
         (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens"),
-        F.max("n_tok").alias("max_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
     )
 
 

@@ -99,6 +99,28 @@ def main() -> int:
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        else:
+            # surface type drift (e.g. DuckDB HUGEINT vs Spark bigint) —
+            # the likeliest silent breaker of a stricter driver schema
+            # check.  DBAPI description types are coarse ('NUMBER'), so ask
+            # DESCRIBE for the real DuckDB column types.
+            duck_types = {
+                r[0]: r[1].lower()
+                for r in con.execute(f"DESCRIBE {g.oracle}").fetchall()
+            }
+            compat = {
+                "bigint": {"bigint"},
+                "int": {"integer"},
+                "double": {"double"},
+                "float": {"float"},
+                "string": {"varchar"},
+                "boolean": {"boolean"},
+            }
+            for col, stype in sdf.dtypes:
+                dtype = duck_types.get(col, "?")
+                expected = compat.get(stype)
+                if expected is not None and dtype not in expected:
+                    problems.append(f"dtype drift {col}: spark={stype} duck={dtype}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
