@@ -609,6 +609,147 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q7_volume_shipping",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS ship_year,
+               sum({cents_sql('l.l_extendedprice')} * {cents_sql('1 - l.l_discount')}) / 10000.0
+                 AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    section="C4,C8,D2",
+    description="cross-nation shipping volume by year (TPC-H Q7 shape): "
+    "double-aliased dim join (nation twice)",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, "supplier", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*pair))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*pair))
+    revenue_c4 = cents("l_extendedprice") * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg((F.sum(revenue_c4) / 10000.0).alias("volume"))
+    )
+
+
+@graded(
+    "q13_order_count_distribution",
+    oracle="""
+        SELECT n_orders, count(*) AS n_customers FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                               AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY 1
+        ) GROUP BY 1
+    """,
+    section="C5,C11",
+    description="customer order-count histogram (TPC-H Q13 shape): outer join "
+    "with join-side predicate, then a second aggregation level",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderpriority") != "1-URGENT")
+    per_customer = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@graded(
+    "q18_large_orders",
+    oracle="""
+        SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price,
+               sum(l.l_quantity) AS total_qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+        HAVING sum(l.l_quantity) > 135
+    """,
+    section="C4,C11",
+    description="large-quantity orders (TPC-H Q18 shape): aggregate + HAVING",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 135)
+    )
+
+
+@graded(
+    "funnel_conversion",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   lag(event_type) OVER w AS prev_type,
+                   lag(event_type, 2) OVER w AS prev2_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' AND prev_type = 'click'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS click_to_purchase,
+               CAST(sum(CASE WHEN event_type = 'purchase' AND prev_type = 'click'
+                             AND prev2_type = 'view'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+        FROM seq GROUP BY 1
+    """,
+    section="C19,E3",
+    description="message-analytics funnel: view→click→purchase sequences per "
+    "user via ordered lag windows",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("event_type", 2).over(w).alias("prev2_type"),
+    )
+    c2p = (F.col("event_type") == "purchase") & (F.col("prev_type") == "click")
+    full = c2p & (F.col("prev2_type") == "view")
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(c2p.cast("int")).cast("long").alias("click_to_purchase"),
+        F.sum(full.cast("int")).cast("long").alias("full_funnel"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # C13b — higher moments from exact integer power sums
 # ---------------------------------------------------------------------------

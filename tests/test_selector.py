@@ -247,6 +247,11 @@ _LEAVES = [
     "props.absent IS NULL",
     "props.k BETWEEN {small} AND {small2}",
     "ts >= '2024-01-{day:02d} 00:00:00'",
+    # newer grammar features: ESCAPE, dynamic arithmetic, modulo on props
+    "event_type NOT LIKE '%!_%' ESCAPE '!'",
+    "value + props.k > {num}",
+    "props.k % 10 = {digit}",
+    "props.k * 2 - 1 >= {small}",
 ]
 
 
@@ -262,6 +267,7 @@ def _random_selector(rng: random.Random, depth: int = 0) -> str:
             small2=s2,
             pre=rng.choice("cpsv"),
             day=rng.randint(1, 28),
+            digit=rng.randint(0, 9),
         )
     op = rng.choice(["AND", "OR"])
     left = _random_selector(rng, depth + 1)
