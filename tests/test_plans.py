@@ -64,6 +64,40 @@ def test_lsh_topk_has_no_cartesian(spark):
     assert not has_cartesian_product(lsh_topk(emb, k=3))
 
 
+def test_all_non_udf_queries_stay_jvm_side(spark):
+    """Sweeping UDF-free contract: every oracle-graded query outside the
+    G-series (and the deliberate pandas-UDF ops) must contain no Python
+    evaluation in its physical plan — the hot path stays in codegen."""
+    from pulsar_message_filter_spark import registry
+
+    allowed_python = {
+        # G-series exist to exercise the Python surfaces
+        "g1_scalar_udf", "g3_pandas_udaf", "g4_grouped_map",
+        "g5_map_in_pandas", "g6_udtf_shingles",
+        # deliberate vectorized-UDF operators
+        "f2_simhash", "f12_multimodal_features", "f4_topk_lsh", "f4_topk_ivf",
+    }
+    offenders = []
+    for name, g in registry.all_graded().items():
+        if name in allowed_python:
+            continue
+        plan = plan_str(g.fn(spark, SF_SMOKE))
+        if "EvalPython" in plan or "PythonUDTF" in plan:
+            offenders.append(name)
+    assert not offenders, f"python eval leaked into hot paths: {offenders}"
+
+
+def test_star_join_queries_broadcast_dims(spark):
+    from pulsar_message_filter_spark.operators.relational import (
+        q5_local_supplier_revenue,
+        q7_volume_shipping,
+        q10_returned_items,
+    )
+
+    for fn in (q5_local_supplier_revenue, q7_volume_shipping, q10_returned_items):
+        assert has_broadcast_hash_join(fn(spark, SF_SMOKE)), fn.__name__
+
+
 def test_flagship_is_single_codegen_pipeline_per_stage(spark):
     """Selector + window agg should stay inside whole-stage codegen."""
     from pulsar_message_filter_spark.operators.selector_queries import flagship
