@@ -1,0 +1,143 @@
+"""Feature-engineering operators for training-data pipelines (SURVEY §2.F
+extension surface): per-group standardization and a seeded iterative
+clustering pass.
+
+``feature_zscore`` shows that even *standardization* can be hash-exact
+across engines: mean and variance come from integer-cents power sums, so
+the z-score is a chain of identical double ops on identical int64s.
+
+``kmeans_lite`` is the iterative-algorithm representative (driver contract
+allows rows-only for these): a fixed number of Lloyd iterations with
+seeded initial centroids.  Each iteration is one distributed assign +
+aggregate; only the k×dim centroid matrix (O(k), not O(n)) returns to the
+driver between iterations — the legitimate scalar-sized collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.parity import cents, cents_sql
+from pulsar_message_filter_spark.operators.similarity import EMB_DIM, dot
+from pulsar_message_filter_spark.registry import graded
+
+# ---------------------------------------------------------------------------
+# per-group z-score standardization (exact)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "feature_zscore",
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum({cents_sql('value')}) AS BIGINT) AS s1,
+                   CAST(sum({cents_sql('value')} * {cents_sql('value')}) AS BIGINT) AS s2
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_id,
+               round(({cents_sql('e.value')} - s.s1 / s.n)
+                     / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 6) AS zscore
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE e.event_id < 2000
+    """,
+    section="F13,C11",
+    description="per-group z-score standardization — hash-exact via integer "
+    "power sums (population std), the feature-scaling primitive",
+)
+def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    c = cents("value")
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    std_c = F.sqrt(F.col("s2") / F.col("n") - m1 * m1)
+    return (
+        events.filter(F.col("event_id") < 2000)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            F.round((cents("value") - m1) / std_c, 6).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# seeded k-means-lite (iterative; rows-only by design)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_lite(
+    corpus: DataFrame, k: int = 8, iters: int = 3, seed: int = 11
+) -> DataFrame:
+    """Fixed-iteration Lloyd clustering over the embedding column.
+
+    Initial centroids are seeded gaussians; each iteration assigns every
+    vector to its nearest centroid (squared-L2 via the dot identity —
+    pure Column algebra, one scan) and recomputes centroids with a
+    posexplode + mean aggregation.  Deterministic: same seed + iteration
+    count → same assignment.  Returns (vec_id, cluster, dist2).
+    """
+    import random as _random
+
+    rng = _random.Random(seed)
+    centroids = [
+        [rng.gauss(0.0, 0.13) for _ in range(EMB_DIM)] for _ in range(k)
+    ]
+
+    def assign(df: DataFrame) -> DataFrame:
+        # dist²(x, c) = |x|² - 2x·c + |c|²; |x|² is rank-invariant, so the
+        # argmin needs only  -2x·c + |c|²  per centroid
+        best_cluster, best_score = None, None
+        for idx, cent in enumerate(centroids):
+            carr = F.array(*[F.lit(v) for v in cent])
+            c_norm2 = sum(v * v for v in cent)
+            score = -2.0 * dot(F.col("embedding"), carr) + F.lit(c_norm2)
+            if best_score is None:
+                best_cluster, best_score = F.lit(idx), score
+            else:
+                best_cluster = F.when(score < best_score, idx).otherwise(best_cluster)
+                best_score = F.least(score, best_score)
+        return df.select(
+            "vec_id", "embedding", best_cluster.alias("cluster"), best_score.alias("score")
+        )
+
+    for _ in range(iters):
+        assigned = assign(corpus)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
+            .select("cluster", F.col("dims.m").alias("centroid"))
+            .collect()  # O(k·dim) — centroid matrix only, never the corpus
+        )
+        for row in new_rows:
+            centroids[row.cluster] = list(row.centroid)
+
+    final = assign(corpus)
+    norm2 = dot(F.col("embedding"), F.col("embedding"))
+    return final.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round(norm2 + F.col("score"), 4).alias("dist2"),
+    )
+
+
+@graded(
+    "kmeans_lite_clusters",
+    oracle=None,  # iterative algorithm — rows-only per the driver contract
+    section="F13,F14",
+    description="seeded 3-iteration Lloyd clustering (k=8) over embeddings; "
+    "per-iteration cost is one scan + one k×dim aggregate — rows-only",
+)
+def kmeans_lite_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return kmeans_lite(emb, k=8, iters=3)

@@ -122,6 +122,18 @@ def test_simhash_near_dup_small_hamming(spark):
     assert sum(far) / len(far) > 16, far
 
 
+def test_kmeans_lite_deterministic_and_nondegenerate(spark):
+    from pulsar_message_filter_spark.operators.features import kmeans_lite
+
+    emb = load(spark, "embeddings", SF_SMOKE)
+    a = sorted(map(tuple, kmeans_lite(emb, k=8, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_lite(emb, k=8, iters=2).collect()))
+    assert a == b  # seeded → same assignment every run
+    clusters = {row[1] for row in a}
+    assert len(clusters) >= 4  # not collapsed into a couple of cells
+    assert all(row[2] >= 0 for row in a)  # dist² non-negative
+
+
 def test_multimodal_stub_plumbing(spark):
     feats = binary_features(spark, f"{SF_SMOKE}/*.parquet").collect()
     assert len(feats) == 10
