@@ -98,6 +98,42 @@ def test_star_join_queries_broadcast_dims(spark):
         assert has_broadcast_hash_join(fn(spark, SF_SMOKE)), fn.__name__
 
 
+def test_bucketed_join_avoids_shuffle(spark):
+    """F14/§2 scale posture: pre-bucketing both join sides on the key makes
+    the join co-located — the physical plan must contain NO Exchange.
+    At 100 TB this is the difference between a full-fact shuffle and none."""
+    import shutil
+
+    orders = load(spark, "orders", SF_SMOKE).limit(500)
+    lineitem = load(spark, "lineitem", SF_SMOKE).limit(2000)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the in-memory catalog forgets tables across sessions but their files
+    # persist in the warehouse dir — clear stale locations
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders"))
+    (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem"))
+    # disable auto-broadcast so the sort-merge path (the 100 TB shape —
+    # neither side fits in memory) is what gets planned
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plan_str(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan  # no shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_flagship_is_single_codegen_pipeline_per_stage(spark):
     """Selector + window agg should stay inside whole-stage codegen."""
     from pulsar_message_filter_spark.operators.selector_queries import flagship
