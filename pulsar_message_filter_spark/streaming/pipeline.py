@@ -19,8 +19,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState
 
-from pulsar_message_filter_spark.filtering import with_verdict
+from pulsar_message_filter_spark.filtering import REJECT, RESCHEDULE, with_verdict
 from pulsar_message_filter_spark.selector import Selector
+
+
+def route_batch(
+    batch: DataFrame,
+    accept: Selector | str,
+    reschedule: Selector | str | None,
+    retry_delay: str = "5 MINUTES",
+    max_redeliveries: int = 3,
+) -> DataFrame:
+    """One-pass verdict tagging for a (micro-)batch, with redelivery
+    bookkeeping: RESCHEDULE rows carry ``not_before`` (visibility time) and
+    ``redelivery_count``; a message that has already been redelivered
+    ``max_redeliveries`` times diverts to REJECT — the broker's
+    maxRedeliverCount → DLQ rule (public Pulsar retry-topic convention).
+    """
+    if "redelivery_count" not in batch.columns:
+        batch = batch.withColumn("redelivery_count", F.lit(0))
+    tagged = with_verdict(batch, accept, reschedule)
+    tagged = tagged.withColumn(
+        "verdict",
+        F.when(
+            (F.col("verdict") == RESCHEDULE)
+            & (F.col("redelivery_count") >= max_redeliveries),
+            F.lit(REJECT),
+        ).otherwise(F.col("verdict")),
+    )
+    return tagged.withColumn(
+        "not_before",
+        F.when(
+            F.col("verdict") == RESCHEDULE,
+            F.current_timestamp() + F.expr(f"INTERVAL {retry_delay}"),
+        ),
+    )
 
 
 def filtered_sink_pipeline(
@@ -29,6 +62,8 @@ def filtered_sink_pipeline(
     out_dir: str,
     checkpoint_dir: str,
     reschedule: Selector | str | None = None,
+    retry_delay: str = "5 MINUTES",
+    max_redeliveries: int = 3,
 ):
     """Verdict routing to sinks (B13 + A5/A6): one ``foreachBatch`` writes
     ACCEPT / REJECT / RESCHEDULE rows to parquet partitioned by verdict —
@@ -40,19 +75,11 @@ def filtered_sink_pipeline(
     Checkpointing gives exactly-once: the sink commit is idempotent per
     epoch (parquet overwrite by batch partition), offsets are WAL'd.
     """
-    tagged_cols = None  # closed over for schema stability
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        tagged = with_verdict(batch, accept, reschedule)
-        tagged = tagged.withColumn(
-            "not_before",
-            F.when(
-                F.col("verdict") == "RESCHEDULE",
-                F.current_timestamp() + F.expr("INTERVAL 5 MINUTES"),
-            ),
-        )
         (
-            tagged.write.mode("append")
+            route_batch(batch, accept, reschedule, retry_delay, max_redeliveries)
+            .write.mode("append")
             .partitionBy("verdict")
             .parquet(out_dir)
         )
@@ -61,6 +88,31 @@ def filtered_sink_pipeline(
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+
+
+def reingest_due_retries(spark, out_dir: str, generation: int | None = None) -> DataFrame:
+    """The retry-topic consumer leg: RESCHEDULEd rows whose visibility time
+    has arrived, redelivery count incremented, ready to union back into
+    the source pipeline.
+
+    With a real broker this is a subscription on the retry topic and the
+    broker's cursor provides consume-once; in this parquet emulation the
+    sink is append-only, so the caller passes the ``generation``
+    (redelivery_count value) it is consuming — equivalently, a streaming
+    re-ingest would use a file-stream with its own checkpoint as the
+    cursor.
+    """
+    out = spark.read.parquet(out_dir)
+    due = out.filter(
+        (F.col("verdict") == RESCHEDULE)
+        & (F.col("not_before") <= F.current_timestamp())
+    )
+    if generation is not None:
+        due = due.filter(F.col("redelivery_count") == generation)
+    return (
+        due.drop("verdict", "not_before")
+        .withColumn("redelivery_count", F.col("redelivery_count") + 1)
     )
 
 

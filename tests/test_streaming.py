@@ -274,3 +274,46 @@ def test_tws_gate_error_is_actionable(spark, tmp_path):
     stream = file_message_stream(spark, str(tmp_path))
     with pytest.raises(RuntimeError, match="applyInPandasWithState"):
         redelivery_counter_tws(stream)
+
+
+def test_retry_loop_redelivers_then_dead_letters(spark, tmp_path):
+    """B13/§7.4.6 full retry loop: a RESCHEDULEd message is re-ingested
+    with an incremented redelivery count and dead-letters (REJECT) once
+    max_redeliveries is exhausted — the broker's maxRedeliverCount rule."""
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        reingest_due_retries,
+        route_batch,
+    )
+
+    out_dir = str(tmp_path / "out")
+    accept = "event_type = 'purchase'"
+    resched = "value >= 150"  # stays true forever → must eventually DLQ
+
+    batch = spark.createDataFrame(
+        [(1, 1, "view", 500.0, "{}")],
+        "event_id bigint, user_id bigint, event_type string, value double, props string",
+    )
+    # cycle 0: initial routing (immediate visibility for the test)
+    route_batch(batch, accept, resched, retry_delay="0 SECONDS",
+                max_redeliveries=2).write.mode("append").partitionBy("verdict").parquet(out_dir)
+    counts = []
+    for generation in range(3):
+        due = reingest_due_retries(spark, out_dir, generation=generation)
+        rows = due.collect()
+        if not rows:
+            break
+        counts.append(rows[0].redelivery_count)
+        route_batch(due, accept, resched, retry_delay="0 SECONDS",
+                    max_redeliveries=2).write.mode("append").partitionBy("verdict").parquet(out_dir)
+        # consumed retries would be acked on a broker; emulate by tracking
+        # only the latest generation below
+
+    out = spark.read.parquet(out_dir)
+    # generations: rc=0 RESCHEDULE, rc=1 RESCHEDULE, rc=2 -> REJECT (DLQ)
+    resched_rcs = sorted(
+        r.redelivery_count for r in out.filter("verdict = 'RESCHEDULE'").collect()
+    )
+    dlq_rcs = [r.redelivery_count for r in out.filter("verdict = 'REJECT'").collect()]
+    assert resched_rcs == [0, 1]
+    assert dlq_rcs == [2]
+    assert counts[:2] == [1, 2]
