@@ -57,3 +57,47 @@ def salted_agg(
             for alias, (fn, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resilient equi-join: spray the skewed side, replicate the small side.
+
+    A hot join key concentrates all its rows on one shuffle partition; AQE's
+    skew handling splits oversized *partitions* after the fact, but when one
+    key alone exceeds executor memory the classic fix is salting:
+
+    * the skewed (large) side gets a random salt in ``[0, n_salts)`` — its
+      hot key now hashes to ``n_salts`` distinct shuffle buckets;
+    * the small side is replicated once per salt value (an ``explode`` over
+      ``sequence(0, n_salts-1)`` — n_salts× the small side's rows, which is
+      why this requires a genuinely small build side);
+    * the equi-join runs on ``on + [salt]``.
+
+    Row multiplicity is preserved exactly for ``inner`` and ``left`` joins:
+    each skewed-side row carries exactly one salt and meets exactly one
+    replica of each matching small-side row.  ``right``/``full`` are
+    rejected — unmatched small-side rows would surface once per replica.
+
+    At 100 TB this is the manual fallback for pathological keys; prefer AQE
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default in our session)
+    until a single key's row count breaks the partition-split model.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join preserves semantics only for inner/left, got {how!r}")
+    overlap = set(skewed.columns) & set(small.columns) - set(on)
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    salted_big = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id(), *[F.col(k) for k in on]), n_salts).cast("int"),
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(replicated_small, on=on + ["__salt"], how=how).drop("__salt")
