@@ -165,12 +165,11 @@ def minhash_signatures(
     )
 
 
-def minhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, n_perm: int = N_PERM, n_bands: int = N_BANDS
+def _candidates_from_signatures(
+    sig: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) via banded minhash signatures."""
+    """LSH candidate pairs (id_a < id_b) from a signature frame (``doc, m0..``)."""
     rows_per_band = n_perm // n_bands
-    sig = minhash_signatures(df, text_col, id_col, n_perm)
     bands = sig.select(
         "doc",
         F.explode(
@@ -200,15 +199,63 @@ def minhash_candidates(
     )
 
 
-def minhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+def minhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, n_perm: int = N_PERM, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """Candidates re-checked with exact token-set Jaccard ≥ threshold.
+    """LSH candidate pairs (id_a < id_b) via banded minhash signatures."""
+    sig = minhash_signatures(df, text_col, id_col, n_perm)
+    return _candidates_from_signatures(sig, n_perm, n_bands)
 
-    At 100 TB: candidate generation is a band-key equi-join (no cross
-    join); the exact re-check touches only candidate pairs.
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_perm: int = N_PERM,
+    estimate_first: bool = True,
+) -> DataFrame:
+    """Candidates re-checked in two stages, then exact Jaccard ≥ threshold.
+
+    Scale path (SURVEY §2.F14): band-key equi-join generates candidates
+    with no cross join; then
+
+    1. **signature-estimated Jaccard** — the fraction of agreeing minhash
+       components is an unbiased Jaccard estimator (Broder '97).  This join
+       touches only the n_perm-long signatures (≈128 B/doc), not the token
+       arrays, and prunes the band-collision false positives cheaply.  The
+       cut keeps everything within ~2.5σ below threshold
+       (σ = sqrt(j(1-j)/n_perm) ≈ 0.10 at n_perm=16), so true near-dup
+       recall loss is negligible (<0.5%) while most sub-threshold
+       collisions never reach stage 2.  Exact duplicates have identical
+       signatures (estimate 1.0) and always survive.
+    2. **exact token-set Jaccard** — only the survivors pay the token-array
+       join; precision of the final output is exact, same as before.
+
+    ``estimate_first=False`` restores the single-stage exact re-check
+    (useful for auditing the estimator itself).
     """
-    cands = minhash_candidates(df, text_col, id_col)
+    sig = minhash_signatures(df, text_col, id_col, n_perm)
+    cands = _candidates_from_signatures(sig, n_perm)
+    if estimate_first:
+        sig_a = sig.select(
+            F.col("doc").alias("id_a"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(n_perm)]
+        )
+        sig_b = sig.select(
+            F.col("doc").alias("id_b"), *[F.col(f"m{p}").alias(f"b{p}") for p in range(n_perm)]
+        )
+        agree = sum(
+            (F.col(f"a{p}") == F.col(f"b{p}")).cast("int") for p in range(n_perm)
+        )
+        sigma = (threshold * (1 - threshold) / n_perm) ** 0.5
+        est_cut = max(0.0, threshold - 2.5 * sigma)
+        cands = (
+            cands.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .withColumn("__est", agree / F.lit(float(n_perm)))
+            .filter(F.col("__est") >= est_cut)
+            .select("id_a", "id_b")
+        )
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(F.split(F.lower(F.col(text_col)), " ")).alias("t"),

@@ -56,6 +56,27 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     assert all(pair in expected or pair[0] < pair[1] for pair in found)
 
 
+def test_minhash_estimate_prefilter_matches_exact_recheck(spark):
+    """The signature-estimate stage-1 cut must not change the final pair set
+    on a near-dup corpus (exact dups have identical signatures → est 1.0)."""
+    docs = load(spark, "documents", SF_SMOKE).limit(80)
+    dups = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(dups)
+    two_stage = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(corpus, "text", "doc_id", threshold=0.8).collect()
+    }
+    exact_only = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(
+            corpus, "text", "doc_id", threshold=0.8, estimate_first=False
+        ).collect()
+    }
+    assert two_stage == exact_only and len(two_stage) >= 80
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     emb = load(spark, "embeddings", SF_SMOKE).filter(F.col("vec_id") < 200)
     brute = {
