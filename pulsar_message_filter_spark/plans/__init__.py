@@ -2,6 +2,7 @@
 
 from pulsar_message_filter_spark.plans.inspect import (
     has_broadcast_hash_join,
+    plan_fingerprint,
     has_cartesian_product,
     plan_str,
     pushed_filters,
@@ -11,6 +12,7 @@ from pulsar_message_filter_spark.plans.inspect import (
 
 __all__ = [
     "plan_str",
+    "plan_fingerprint",
     "pushed_filters",
     "has_broadcast_hash_join",
     "has_cartesian_product",

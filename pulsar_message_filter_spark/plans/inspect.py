@@ -48,6 +48,41 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in plan_str(df)
 
 
+_OP_LINE = re.compile(r"^[\s:+\-*]*(?:\((\d+)\)\s*)?([A-Za-z][A-Za-z0-9]*)")
+_PUSHED_ATOM = re.compile(r"([A-Za-z]+)\(([A-Za-z_][A-Za-z_0-9]*)")
+
+
+def plan_fingerprint(df: DataFrame) -> dict:
+    """Structural fingerprint of the physical plan for regression diffing.
+
+    Captures what matters at 100 TB and nothing that churns: the multiset
+    of physical operator kinds (joins, exchanges, aggregates, Python-eval
+    nodes...), plus pushed-filter shapes as ``Predicate(column)`` with
+    literal values stripped.  Expression ids, statistics, codegen stage
+    numbering, and file paths never enter the fingerprint, so it is stable
+    across sessions — it changes exactly when the *shape* of the plan
+    changes (a new shuffle, a join strategy flip, a lost pushdown).
+    """
+    ops: dict[str, int] = {}
+    for line in plan_str(df, "simple").splitlines():
+        m = _OP_LINE.match(line)
+        if not m or not m.group(2):
+            continue
+        op = m.group(2)
+        # skip non-operator prose (e.g. "== Physical Plan ==" headers)
+        if op in {"Physical", "Output", "Arguments", "Results", "Subquery"}:
+            continue
+        ops[op] = ops.get(op, 0) + 1
+    pushed = sorted(
+        {
+            f"{m.group(1)}({m.group(2)})"
+            for block in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_str(df))
+            for m in _PUSHED_ATOM.finditer(block.group(1))
+        }
+    )
+    return {"ops": dict(sorted(ops.items())), "pushed": pushed}
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (wider/fewer is better).
 
