@@ -234,8 +234,19 @@ def minhash_near_dups(
 
     ``estimate_first=False`` restores the single-stage exact re-check
     (useful for auditing the estimator itself).
+
+    The signature frame is persisted (memory-and-disk) because three
+    branches reuse it — band keys, estimate side A, estimate side B;
+    recomputing the shingle-explode + 16-hash aggregation per branch would
+    triple the dominant cost.  At 100M docs the signatures are ~16 GB
+    cluster-wide (n_perm longs + id per doc) — cache-friendly by design,
+    and the natural checkpoint artifact for incremental dedup runs.
     """
     sig = minhash_signatures(df, text_col, id_col, n_perm)
+    if estimate_first:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     cands = _candidates_from_signatures(sig, n_perm)
     if estimate_first:
         sig_a = sig.select(
