@@ -81,3 +81,119 @@ def f12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fixture parquet files themselves serve as the opaque binary corpus;
     # their magic bytes are 'PAR1'.
     return binary_features(spark, f"{sf_dir}/*.parquet").orderBy("path")
+
+
+# ---------------------------------------------------------------------------
+# F12 — frame sampling (1→N fan-out) and resize (1→1 rewrite) stages
+# ---------------------------------------------------------------------------
+
+#: Frame-sampling output: one row PER SAMPLED FRAME (the 1→N batch shape a
+#: video decoder produces).  Frame payloads stay binary; only metadata is
+#: typed.
+FRAME_SCHEMA = (
+    "path string, frame_idx int, ts_ms long, frame_bytes binary, frame_len long"
+)
+
+FRAME_STRIDE_MS = 1000  # fake decoder: one "frame" per simulated second
+
+
+def frame_sample_stub(
+    batches: Iterator[pd.DataFrame], every_n: int = 2, real_decode: bool = False
+):
+    """mapInPandas stage: (path, content) → every ``every_n``-th frame.
+
+    The deterministic fake treats each KiB of content as one frame (byte
+    slice = frame payload; timestamps advance FRAME_STRIDE_MS per frame) so
+    tests can assert exact fan-out counts and payloads.  The Spark-side
+    contract this pins down is the part that survives a real decoder:
+    input batches arrive per-file-partition, each input row may emit many
+    output rows, and emitted frames carry their own binary payload plus
+    typed metadata — downstream stages (dedup by frame hash, per-frame
+    embedding) operate on this exact schema.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real frame extraction requires a video library; "
+            "this container intentionally ships the stub path only"
+        )
+    for pdf in batches:
+        out: dict[str, list] = {c: [] for c in ("path", "frame_idx", "ts_ms", "frame_bytes", "frame_len")}
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name = path.rsplit("/", 1)[-1]
+            n_frames = max(1, len(content) // 1024)
+            for idx in range(0, n_frames, every_n):
+                frame = bytes(content[idx * 1024 : (idx + 1) * 1024])
+                out["path"].append(name)
+                out["frame_idx"].append(idx)
+                out["ts_ms"].append(idx * FRAME_STRIDE_MS)
+                out["frame_bytes"].append(frame)
+                out["frame_len"].append(len(frame))
+        yield pd.DataFrame(out)
+
+
+def frame_samples(
+    spark: SparkSession, glob_path: str, every_n: int = 2
+) -> DataFrame:
+    """binaryFile source → frame-sampling fan-out (one row per kept frame)."""
+    raw = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+    return raw.mapInPandas(
+        lambda it: frame_sample_stub(it, every_n=every_n), schema=FRAME_SCHEMA
+    )
+
+
+#: Resize output: same row count as input, rewritten payload + typed dims.
+RESIZE_SCHEMA = "path string, width int, height int, pixels binary"
+
+
+def resize_stub(
+    batches: Iterator[pd.DataFrame],
+    width: int = 8,
+    height: int = 8,
+    real_decode: bool = False,
+):
+    """mapInPandas stage: (path, content) → fixed-size "pixel" payloads.
+
+    Deterministic fake resize: truncate/zero-pad content to width*height
+    bytes.  Pins the 1→1 rewrite shape (payload replaced, metadata typed),
+    which is identical under a real image library.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real image resizing requires an image library; "
+            "this container intentionally ships the stub path only"
+        )
+    size = width * height
+    for pdf in batches:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "path": pdf["path"].map(lambda p: p.rsplit("/", 1)[-1]),
+                "width": width,
+                "height": height,
+                "pixels": content.map(
+                    lambda b: bytes(b[:size]).ljust(size, b"\x00")
+                ),
+            }
+        )
+
+
+@graded(
+    "f12b_frame_sample",
+    oracle=None,  # binaryFile + python-side framing: no DuckDB analog
+    section="F12,A8,G5",
+    description="frame-sampling fan-out: binary corpus -> one row per kept "
+    "frame (1->N mapInPandas batch shape) + per-frame digest dedup (rows-only)",
+)
+def f12b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lineitem is the largest fixture binary → hundreds of fake frames
+    frames = frame_samples(spark, f"{sf_dir}/lineitem.parquet", every_n=2)
+    # downstream consumer shape: exact frame-level dedup by content digest
+    return (
+        frames.withColumn("frame_sha1", F.sha1("frame_bytes"))
+        .groupBy("frame_sha1")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("frame_idx").alias("first_frame_idx"),
+        )
+        .orderBy("first_frame_idx", "frame_sha1")
+    )

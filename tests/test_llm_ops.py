@@ -164,6 +164,64 @@ def test_multimodal_stub_plumbing(spark):
     assert all(r.fake_width == 1 + ord("P") for r in feats)
 
 
+def test_frame_sample_fanout_shape(spark):
+    """1->N mapInPandas: each binary produces ceil(KiB/every_n) frame rows
+    with exact payload slices and advancing timestamps."""
+    from pulsar_message_filter_spark.operators.multimodal import (
+        FRAME_STRIDE_MS,
+        frame_samples,
+    )
+
+    src = f"{SF_SMOKE}/region.parquet"
+    frames = frame_samples(spark, src, every_n=2).collect()
+    n_bytes = len(open(src, "rb").read())
+    n_frames_total = max(1, n_bytes // 1024)
+    expected_kept = len(range(0, n_frames_total, 2))
+    assert len(frames) == expected_kept
+    by_idx = {r.frame_idx: r for r in frames}
+    assert sorted(by_idx) == list(range(0, n_frames_total, 2))
+    # payload = exact byte slice; timestamps advance one stride per frame
+    raw = open(src, "rb").read()
+    for idx, r in by_idx.items():
+        assert bytes(r.frame_bytes) == raw[idx * 1024 : (idx + 1) * 1024]
+        assert r.ts_ms == idx * FRAME_STRIDE_MS and r.frame_len == len(r.frame_bytes)
+
+
+def test_resize_stub_rewrites_payload(spark):
+    from pulsar_message_filter_spark.operators.multimodal import resize_stub
+
+    raw = spark.read.format("binaryFile").load(f"{SF_SMOKE}/region.parquet").select(
+        "path", "content"
+    )
+    out = raw.mapInPandas(
+        lambda it: resize_stub(it, width=4, height=4),
+        schema="path string, width int, height int, pixels binary",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (4, 4) and len(r.pixels) == 16
+    assert bytes(r.pixels) == open(f"{SF_SMOKE}/region.parquet", "rb").read()[:16]
+
+
+def test_real_decode_paths_are_gated(spark):
+    """The marked extension points must raise, not silently fake, when real
+    decoding is requested."""
+    from pulsar_message_filter_spark.operators.multimodal import (
+        frame_sample_stub,
+        resize_stub,
+    )
+
+    import pandas as pd
+
+    batch = iter([pd.DataFrame({"path": ["x"], "content": [b"abc"]})])
+    with pytest.raises(NotImplementedError):
+        list(frame_sample_stub(batch, real_decode=True))
+    with pytest.raises(NotImplementedError):
+        list(resize_stub(batch, real_decode=True))
+    with pytest.raises(NotImplementedError):
+        list(decode_stub(batch, real_decode=True))
+
+
 def test_multimodal_real_decode_is_marked_todo():
     with pytest.raises(NotImplementedError):
         next(decode_stub(iter([]), real_decode=True))

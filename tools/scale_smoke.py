@@ -1,0 +1,142 @@
+"""Scale smoke: measure how headline queries scale when the FACT tables grow.
+
+The correctness gate runs at sf0.01 and bench at sf0.1 — both overhead-
+dominated on this machine.  This tool answers the 100 TB question the
+small SFs can't: *as data grows with dims fixed, does runtime grow
+linearly (scan-bound plans) or worse (accidental quadratic / skew)?*
+
+Method: replicate sf0.1's fact tables (lineitem, orders, events,
+documents) N× into a scratch dir, shifting primary/foreign keys per copy
+so uniqueness and join fan-out stay realistic (copies of lineitem point at
+the matching copies of orders; dimension FKs — customer, part, supplier —
+keep their original targets, modeling the real case of facts outgrowing
+dims).  Then run a fixed, linear-path query subset and print sec and the
+observed scaling exponent  log(t_N / t_1) / log(N)  per query (1.0 =
+perfectly linear data-bound, ~0 = overhead-bound, >1 = super-linear — a
+red flag).
+
+Quadratic-by-construction ops (all-pairs cosine, MinHash over the whole
+corpus) are excluded on purpose: their scale story is the LSH/banding
+path, measured elsewhere.
+
+Usage::
+
+    python tools/scale_smoke.py            # factors 1,4,16 → SCALING.md table
+    python tools/scale_smoke.py 1 8        # custom factors
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: facts replicated with per-copy key shifts: (table, [key columns to shift])
+FACTS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+#: linear-path headliners: scan/filter/join/agg/window shapes
+QUERIES = [
+    "selector_flagship_window",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q8_market_share",
+    "window_session",
+    "f1_exact_dedup",
+    "f9_tfidf",
+    "stream_stream_join",
+]
+
+KEY_SHIFT = 10_000_000  # beyond every fixture key range
+
+
+def replicate(spark, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.io import load
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        shutil.copy(f"{BASE_SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keys in FACTS.items():
+        # raw read (no ts normalization) so the written parquet keeps the
+        # exact source schema the loader expects — incl. events' nanos ts
+        df = spark.read.parquet(f"{BASE_SF_DIR}/{t}.parquet")
+        copies = [
+            df.select(
+                *[
+                    (F.col(c) + (i * KEY_SHIFT)).alias(c) if c in keys else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(factor)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
+
+    from pulsar_message_filter_spark import registry
+    from pulsar_message_filter_spark.session import get_spark
+
+    spark = get_spark("pmf-scale-smoke")
+    graded = registry.all_graded()
+    root = tempfile.mkdtemp(prefix="pmf_scale_")
+    results: dict[int, dict[str, float]] = {}
+    try:
+        for n in factors:
+            d = os.path.join(root, f"x{n}")
+            replicate(spark, n, d)
+            per: dict[str, float] = {}
+            for q in QUERIES:
+                fn = graded[q].fn
+                # warm once (page cache + JIT after the replicate writes),
+                # then report min of two runs — single post-write runs showed
+                # multi-second transient noise on the first factor/query
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                samples = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                per[q] = round(min(samples), 3)
+            results[n] = per
+            print(f"-- x{n} done: {per}", file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    base = min(factors)
+    rows = []
+    for q in QUERIES:
+        r = {"query": q}
+        for n in factors:
+            r[f"x{n}_sec"] = results[n][q]
+        top = max(factors)
+        if top > base and results[base][q] > 0:
+            r["exponent"] = round(
+                math.log(results[top][q] / results[base][q]) / math.log(top / base), 2
+            )
+        rows.append(r)
+    print(json.dumps({"base_dir": BASE_SF_DIR, "factors": factors, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
