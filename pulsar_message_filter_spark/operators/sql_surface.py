@@ -1,0 +1,113 @@
+"""Shared-dialect SQL surface (SURVEY.md §2.C25/B12 alternate entry path).
+
+The engine's tables are exposed as views (``io.register_temp_views``) so
+users can drive it with ``spark.sql`` instead of the DataFrame API.  The
+queries here make the strongest possible parity statement: **the Spark SQL
+text and the DuckDB oracle SQL are the same string** — one query text,
+two engines, hash-identical results.  That pins down a portable dialect
+subset (ANSI joins, EXISTS/IN subqueries, GROUPING SETS, CASE, CAST,
+TIMESTAMP literals, exact integer-cents arithmetic) that survives engine
+swaps — the practical definition of "standard SQL" for this engine.
+
+Dialect subset rules (what keeps a text bi-runnable, learned from the
+parity traps in tools/check_parity.py):
+
+* alias every output column; CAST integer sums to BIGINT (DuckDB widens
+  to HUGEINT, Spark stays long);
+* no bare timestamp outputs (render or compare only);
+* no engine-specific functions (strftime/date_format, year()'s return
+  width differs — use extract-free shapes or CAST);
+* floats only via the exact-cents pattern (operators/parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pulsar_message_filter_spark.io import register_temp_views
+from pulsar_message_filter_spark.registry import graded
+
+# one query text, two engines — the dict IS both sides
+SHARED_SQL: dict[str, str] = {
+    "sql_shared_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "sql_shared_exists": """
+        SELECT c.c_custkey, c.c_nationkey
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND c.c_acctbal > 0
+    """,
+    "sql_shared_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "sql_shared_in_subquery": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'MACHINERY')
+          AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+    "sql_shared_case_join": """
+        SELECT n.n_name,
+               CAST(sum(CASE WHEN s.s_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+               CAST(sum(CASE WHEN s.s_acctbal <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rest
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+}
+
+
+def _make(name: str, sql: str, section: str, description: str) -> None:
+    @graded(name, oracle=sql, section=section, description=description)
+    def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        register_temp_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    run.__name__ = name
+
+
+_make(
+    "sql_shared_pricing",
+    SHARED_SQL["sql_shared_pricing"],
+    "B12,C11,C1",
+    "shared-dialect SQL: scan+filter+agg — identical text on both engines",
+)
+_make(
+    "sql_shared_exists",
+    SHARED_SQL["sql_shared_exists"],
+    "B12,C25,C6",
+    "shared-dialect SQL: correlated EXISTS — identical text on both engines",
+)
+_make(
+    "sql_shared_grouping_sets",
+    SHARED_SQL["sql_shared_grouping_sets"],
+    "B12,C16",
+    "shared-dialect SQL: GROUPING SETS — identical text on both engines",
+)
+_make(
+    "sql_shared_in_subquery",
+    SHARED_SQL["sql_shared_in_subquery"],
+    "B12,C25",
+    "shared-dialect SQL: IN subquery — identical text on both engines",
+)
+_make(
+    "sql_shared_case_join",
+    SHARED_SQL["sql_shared_case_join"],
+    "B12,C4,D4",
+    "shared-dialect SQL: join + CASE aggregates — identical text on both engines",
+)
