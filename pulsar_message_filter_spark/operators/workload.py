@@ -479,6 +479,78 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @graded(
+    "rollup_two_level",
+    oracle=f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', l_shipdate) AS h,
+                 l_returnflag,
+                 CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS price_c,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1, 2)
+        SELECT CAST(date_trunc('day', h) AS DATE)::VARCHAR AS d,
+               l_returnflag,
+               CAST(sum(price_c) AS BIGINT) AS price_cents,
+               CAST(sum(n) AS BIGINT) AS n_lines
+        FROM hourly GROUP BY 1, 2
+    """,
+    section="C11,E1",
+    description="two-level re-aggregation (continuous-aggregate pattern): "
+    "hourly partials re-aggregated to daily — the decomposable-aggregate "
+    "contract that makes streaming rollups and incremental materialized "
+    "views exact; graded against a direct daily aggregation",
+)
+def rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    hourly = li.groupBy(
+        F.date_trunc("hour", "l_shipdate").alias("h"), "l_returnflag"
+    ).agg(
+        F.sum(cents("l_extendedprice")).alias("price_c"),
+        F.count("*").alias("n"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("d"),
+        "l_returnflag",
+    ).agg(
+        F.sum("price_c").alias("price_cents"),
+        F.sum("n").alias("n_lines"),
+    )
+
+
+@graded(
+    "order_nulls_last",
+    oracle=f"""
+        WITH recent AS (SELECT * FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'),
+             per_cust AS (
+          SELECT c.c_custkey,
+                 max({cents_sql('o.o_totalprice')}) AS max_price_c
+          FROM customer c
+          LEFT JOIN recent o ON c.c_custkey = o.o_custkey
+          GROUP BY 1)
+        SELECT c_custkey, max_price_c
+        FROM per_cust
+        ORDER BY max_price_c ASC NULLS FIRST, c_custkey
+        LIMIT 25
+    """,
+    section="C22,C5",
+    description="explicit null ordering: outer-join-produced NULLs (max over "
+    "an empty group) placed NULLS FIRST with a deterministic id tiebreak — "
+    "the graded top-25 actually contains NULL rows at every SF",
+)
+def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderdate") >= "2000-01-01")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.max(cents("o_totalprice")).alias("max_price_c"))
+    )
+    return per_cust.orderBy(
+        F.col("max_price_c").asc_nulls_first(), "c_custkey"
+    ).limit(25)
+
+
+@graded(
     "q22_idle_customers",
     oracle=f"""
         WITH avgbal AS (SELECT CAST(sum({cents_sql('c_acctbal')}) AS BIGINT) AS s,
