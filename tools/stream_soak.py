@@ -1,0 +1,99 @@
+"""Streaming soak: sustained-rate throughput of the filtering pipeline.
+
+Drives the full verdict pipeline (selector → ACCEPT/REJECT/RESCHEDULE →
+partitioned parquet sink, exactly-once checkpointing) and a stateful
+windowed aggregation (RocksDB state store) from the rate source at a
+target rows/s for a fixed duration, then reports what Structured
+Streaming actually sustained (``processedRowsPerSecond`` over the
+completed micro-batches, warm-up excluded).
+
+This is the TODO.md "streaming soak" in CI-sized form — minutes, not
+hours — and the per-rate JSON line makes regressions diffable::
+
+    python tools/stream_soak.py                    # 20k rows/s, 60 s
+    python tools/stream_soak.py 50000 120          # 50k rows/s, 120 s
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    duration_s = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.session import get_spark
+    from pulsar_message_filter_spark.sources import rate_message_stream
+    from pulsar_message_filter_spark.streaming import filtered_sink_pipeline
+
+    spark = get_spark("pmf-stream-soak")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    root = tempfile.mkdtemp(prefix="pmf_soak_")
+    stream = rate_message_stream(spark, rows_per_second=rate)
+
+    # leg 1: full verdict pipeline → partitioned parquet sink
+    q1 = filtered_sink_pipeline(
+        stream,
+        accept="props.k > 50 AND event_type IN ('purchase', 'error')",
+        reschedule="value >= 150",
+        out_dir=f"{root}/out",
+        checkpoint_dir=f"{root}/ck1",
+    ).start()
+
+    # leg 2: stateful windowed aggregation on the same shape (own source —
+    # rate sources are per-query), RocksDB-backed state
+    agg = (
+        rate_message_stream(spark, rows_per_second=rate)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "5 seconds"), "event_type")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+    )
+    q2 = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ck2")
+        .start()
+    )
+
+    try:
+        time.sleep(duration_s)
+        report = {}
+        for name, q in (("verdict_pipeline", q1), ("stateful_window", q2)):
+            prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            # drop the warm-up half: first batches pay JIT + state-store init
+            tail = prog[len(prog) // 2 :]
+            rps = [p["processedRowsPerSecond"] for p in tail]
+            report[name] = {
+                "batches": len(prog),
+                "sustained_rows_per_sec": round(statistics.median(rps)) if rps else 0,
+                "input_rows_per_sec_target": rate,
+                "backlogged": bool(rps) and statistics.median(rps) < rate * 0.9,
+            }
+    finally:
+        q1.stop()
+        q2.stop()
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {"metric": "stream_soak", "rate_target": rate, "duration_s": duration_s, **report}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
