@@ -100,6 +100,85 @@ def f3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def numpy_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine via Arrow-batched numpy matmul (G5 surface).
+
+    The README's "UDFs are the slow path" rule has one documented
+    exception: dense linear algebra, where one BLAS matmul per Arrow batch
+    beats per-pair ``zip_with`` folds by orders of magnitude (measured in
+    SCALING.md).  Shape:
+
+    * the query block is collected to the driver and closure-broadcast —
+      queries are small by definition (an ANN request batch); the CORPUS
+      never leaves executors;
+    * each corpus partition computes ``Q_norm @ C_batch_norm.T`` and emits
+      only its local top-k rows per query (k × n_queries rows per
+      partition, not the full similarity matrix);
+    * a global ranking window re-ranks the ~partitions×k candidates —
+      exact distributed top-k with no quadratic shuffle.
+
+    Rounded-similarity + neighbor-id ranking keeps results identical to
+    :func:`brute_topk` (float64 matmul vs codegen fold agree at 6 dp).
+    """
+    import numpy as np
+
+    q_rows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def topk_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = q_mat @ c.T  # (n_queries, batch)
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], row[mask]
+                if len(cand_ids) > k:
+                    part = np.argpartition(-cand_sims, k)[:k]
+                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids,
+                        "cos_sim": np.round(cand_sims, round_dp),
+                    }
+                )
+
+    candidates = corpus.select("vec_id", "embedding").mapInPandas(
+        topk_batches, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@graded(
+    "f4_topk_numpy",
+    oracle=None,  # float64-matmul path: same results as f4_topk_cosine at
+    # 6 dp (pytest-pinned), but the Python-side compute is rows-only class
+    section="F4,G5,F14",
+    description="exact top-k cosine via Arrow-batched numpy matmul: "
+    "partition-local top-k then global re-rank — the high-throughput dense "
+    "path (rows-only; equivalence to brute_topk pinned in pytest)",
+)
+def f4_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 30)
+    return numpy_topk(spark, queries, emb, k=10)
+
+
 # ---------------------------------------------------------------------------
 # F4 — top-k similarity search (brute force, oracle-checkable)
 # ---------------------------------------------------------------------------

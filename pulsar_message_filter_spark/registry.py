@@ -79,6 +79,7 @@ def _load_modules() -> None:
     import pulsar_message_filter_spark.operators.relational  # noqa: F401
     import pulsar_message_filter_spark.operators.workload  # noqa: F401
     import pulsar_message_filter_spark.operators.sql_surface  # noqa: F401
+    import pulsar_message_filter_spark.operators.sampling  # noqa: F401
     import pulsar_message_filter_spark.operators.scalar_functions  # noqa: F401
     import pulsar_message_filter_spark.operators.windows  # noqa: F401
     import pulsar_message_filter_spark.operators.dedup  # noqa: F401

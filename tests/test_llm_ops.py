@@ -203,6 +203,61 @@ def test_resize_stub_rewrites_payload(spark):
     assert bytes(r.pixels) == open(f"{SF_SMOKE}/region.parquet", "rb").read()[:16]
 
 
+def test_numpy_topk_matches_jvm_brute_force(spark):
+    """The Arrow/numpy matmul path must produce IDENTICAL top-k results to
+    the pure-Column-algebra brute force (same rounding, same tiebreak)."""
+    from pulsar_message_filter_spark.operators.similarity import numpy_topk
+
+    emb = load(spark, "embeddings", SF_SMOKE)
+    queries = emb.filter(F.col("vec_id") < 10)
+    jvm = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_topk(queries, emb, k=5).collect()
+    }
+    np_path = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in numpy_topk(spark, queries, emb, k=5).collect()
+    }
+    assert jvm == np_path and len(jvm) == 50
+
+
+def test_hash_sample_is_engine_portable_and_stable(spark):
+    """Content-hash sampling: same rows every run, fraction ≈ threshold/256,
+    and DuckDB selects the exact same ids (the portability claim)."""
+    import duckdb
+
+    from pulsar_message_filter_spark.operators.sampling import hash_sample
+
+    orders = load(spark, "orders", SF_SMOKE)
+    ids1 = {r.o_orderkey for r in hash_sample(orders, "o_orderkey", "0d").collect()}
+    ids2 = {r.o_orderkey for r in hash_sample(orders, "o_orderkey", "0d").collect()}
+    assert ids1 == ids2 and 0.02 < len(ids1) / orders.count() < 0.09
+    duck = {
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT o_orderkey FROM read_parquet('{SF_SMOKE}/orders.parquet') "
+            "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'"
+        )
+        .fetchall()
+    }
+    assert ids1 == duck
+
+
+def test_stratified_sample_proportions(spark):
+    from pulsar_message_filter_spark.operators.sampling import sample_stratified
+
+    orders = load(spark, "orders", SF_SMOKE)
+    totals = {r.o_orderstatus: r["count"] for r in orders.groupBy("o_orderstatus").count().collect()}
+    got = {
+        r.o_orderstatus: r["count"]
+        for r in sample_stratified(spark, SF_SMOKE).groupBy("o_orderstatus").count().collect()
+    }
+    for status, frac in (("F", 0.10), ("O", 0.05), ("P", 0.50)):
+        observed = got.get(status, 0) / totals[status]
+        assert abs(observed - frac) < 0.6 * frac + 0.02, (status, observed, frac)
+
+
 def test_real_decode_paths_are_gated(spark):
     """The marked extension points must raise, not silently fake, when real
     decoding is requested."""
