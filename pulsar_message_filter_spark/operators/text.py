@@ -455,3 +455,70 @@ def f6b_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chars_per_token"),
         F.count("*").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F11/F1/C26 composite — the end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f15_curation_pipeline",
+    oracle=r"""
+        WITH scored AS (
+            SELECT *,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS avg_word_len
+            FROM documents
+        ),
+        q AS (
+            SELECT * FROM scored
+            WHERE n_tok >= 5 AND n_tok <= 500
+              AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+              AND CAST(n_distinct AS DOUBLE) / n_tok > 0.3
+        ),
+        d AS (
+            SELECT * FROM q
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM q
+                GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ),
+        s AS (
+            SELECT * FROM d
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        FROM s GROUP BY 1
+    """,
+    section="F11,F1,C26,F6,F10",
+    description="end-to-end curation pipeline: quality filter -> exact dedup "
+    "keep-first -> deterministic 50% content-hash sample -> per-language "
+    "corpus stats — the LLM-data operators composing, every stage "
+    "oracle-checkable (the production shape: each stage is a pure "
+    "DataFrame->DataFrame transform, so the chain scales like its worst "
+    "stage, the content-hash-keyed dedup shuffle)",
+)
+def f15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pulsar_message_filter_spark.operators.dedup import canonical_text
+    from pulsar_message_filter_spark.operators.sampling import hash_sample
+
+    docs = load(spark, "documents", sf_dir)
+    flags = quality_flags(F.col("text"))
+    q = docs.filter(flags["len_ok"] & flags["word_len_ok"] & flags["diversity_ok"])
+    w = Window.partitionBy(canonical_text(F.col("text"))).orderBy("doc_id")
+    d = q.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    s = hash_sample(d, "doc_id", "80")
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
