@@ -102,6 +102,49 @@ def test_salted_join_rejects_outer_modes(spark):
         salted_join(events, small, on=["event_type"], how="full")
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's first line of defense for skewed joins is AQE: a hot key
+    whose partition exceeds the skew threshold must be SPLIT at runtime
+    ('AQEShuffleRead ... skewed' in the final adaptive plan) and still join
+    correctly.  salted_join (tested above) is the manual fallback for when
+    one key outgrows even the split model."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 95% of 300k rows share key 0, with an incompressible payload so
+        # the hot partition's shuffle bytes actually exceed the threshold
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        small = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(small, "k").select(
+            F.count("*").alias("n"), F.sum(F.length("payload")).alias("payload_bytes")
+        )
+        row = j.collect()[0]
+        # matched rows: key 0 = the 285,000 non-multiples of 20 plus id=0
+        # itself; other surviving keys are multiples of 20 below 2,000
+        expected = 285_000 + 1 + sum(1 for i in range(20, 2_000, 20))
+        assert row.n == expected and row.payload_bytes == expected * 64
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_join_spreads_hot_key(spark):
     """The hot key's rows must occupy every salt bucket."""
     events = load(spark, "events", SF_SMOKE)
