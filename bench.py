@@ -38,6 +38,8 @@ HEADLINE = [
     "f13_label_centroids",  # embedding centroids
     "q8_market_share",  # 8-table star join, conditional-aggregate ratio
     "q21_waiting_suppliers",  # double-correlation rewritten as one grouped pass
+    "f15_curation_pipeline",  # end-to-end LLM-data curation chain
+    "f4_topk_numpy",  # Arrow/numpy matmul top-k (the dense-math path)
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -61,6 +63,8 @@ BUDGET_SEC = {
     "f13_label_centroids": 2.0,
     "q8_market_share": 4.0,
     "q21_waiting_suppliers": 4.0,
+    "f15_curation_pipeline": 4.0,
+    "f4_topk_numpy": 4.0,
 }
 
 
