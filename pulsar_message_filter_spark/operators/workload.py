@@ -479,6 +479,45 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @graded(
+    "join_null_safe",
+    oracle="""
+        WITH a AS (SELECT o_orderkey,
+                          CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                               ELSE o_orderpriority END AS prio
+                   FROM orders WHERE o_orderkey < 2000),
+             b AS (SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                               ELSE o_orderpriority END AS prio,
+                          CAST(count(*) AS BIGINT) AS n_all
+                   FROM orders GROUP BY 1)
+        SELECT a.o_orderkey, coalesce(a.prio, 'NULL') AS prio_str, b.n_all
+        FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+    """,
+    section="C4,D4",
+    description="null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other, unlike plain equality's 3VL drop",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    nullable_prio = F.when(
+        F.col("o_orderpriority") == "5-LOW", F.lit(None)
+    ).otherwise(F.col("o_orderpriority"))
+    a = orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", nullable_prio.alias("prio_a")
+    )
+    b = orders.groupBy(nullable_prio.alias("prio_b")).agg(
+        F.count("*").alias("n_all")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("prio_a").eqNullSafe(F.col("prio_b")))
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("prio_a"), F.lit("NULL")).alias("prio_str"),
+            "n_all",
+        )
+    )
+
+
+@graded(
     "rollup_two_level",
     oracle=f"""
         WITH hourly AS (

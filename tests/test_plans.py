@@ -134,6 +134,28 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """§4.2's partition-pruning row, demonstrated (fixtures are single files,
+    so this writes a properly partitioned ingest layout): a date-partitioned
+    events table queried for one day must show a PartitionFilters entry and
+    scan only that day's directory — at 100 TB this is the difference
+    between reading one day and reading three years."""
+    events = load(spark, "events", SF_SMOKE)
+    out = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = plan_str(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "day" in pf[0] and "2024-01-05" in pf[0], plan
+    # and the pruned count matches the unpartitioned predicate
+    expected = events.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05").count()
+    assert df.count() == expected and expected > 0
+
+
 def test_flagship_is_single_codegen_pipeline_per_stage(spark):
     """Selector + window agg should stay inside whole-stage codegen."""
     from pulsar_message_filter_spark.operators.selector_queries import flagship
