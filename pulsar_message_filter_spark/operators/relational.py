@@ -994,6 +994,37 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "agg_unpivot",
+    oracle="""
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        FROM part WHERE p_partkey < 500
+        UNION ALL
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part WHERE p_partkey < 500
+    """,
+    section="C17,C23",
+    description="unpivot/melt (inverse of pivot): wide numeric columns to "
+    "long (key, metric, value) rows — oracle as a manual UNION ALL for parity",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            F.col("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+    )
+    return wide.unpivot(
+        ids="p_partkey",
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # C18 — ranking window functions
 # ---------------------------------------------------------------------------

@@ -629,3 +629,66 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("c_acctbal")) / 100.0).alias("total_bal"),
         )
     )
+
+
+@graded(
+    "q2_min_cost_supplier",
+    oracle=f"""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min({cents_sql('l_extendedprice')}) AS cost_c
+            FROM lineitem GROUP BY 1, 2
+        ), eu AS (
+            SELECT ps.l_partkey AS p_partkey, s.s_name, n.n_name,
+                   s.s_acctbal, ps.cost_c
+            FROM ps
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            JOIN part p     ON ps.l_partkey = p.p_partkey
+            WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+        )
+        SELECT p_partkey, s_name, n_name, s_acctbal, cost_c
+        FROM (SELECT *, min(cost_c) OVER (PARTITION BY p_partkey) AS mc FROM eu)
+        WHERE cost_c = mc
+    """,
+    section="C4,C8,C11,C25",
+    description="min-cost supplier per part (TPC-H Q2 shape): partsupp relation "
+    "derived from lineitem (fixture has no partsupp table), correlated-min "
+    "subquery expressed as a window min — exact integer-cents cost, no float "
+    "boundary",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over the fixture subset.
+
+    The correlated scalar subquery (``cost = (SELECT min(cost) ... WHERE
+    partkey = p_partkey)``) is expressed as a partition-window min over the
+    already-filtered join — one shuffle keyed by part, no per-row subquery.
+    Scale posture: part/supplier/nation/region are broadcast dims; the only
+    fact-side shuffles are the partsupp derivation (partial-aggregated
+    groupBy) and the window partition, both keyed by ~uniform part keys.
+    """
+    ps = (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents("l_extendedprice")).alias("cost_c"))
+    )
+    p = load(spark, "part", sf_dir).filter(F.col("p_size") == 15)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window
+
+    eu = (
+        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal", "cost_c")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eu.withColumn("mc", F.min("cost_c").over(w))
+        .filter(F.col("cost_c") == F.col("mc"))
+        .drop("mc")
+    )
