@@ -124,8 +124,82 @@ def f2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PERM = 16  # minhash permutations
 N_BANDS = 4  # → 4 rows per band; P(candidate | j) = 1-(1-j^4)^4:
 #   j=0.9 → 0.986, j=0.8 → 0.88, j=0.5 → 0.23 — tuned for the ≥0.8
-#   near-dup threshold; double N_PERM for lower thresholds (the knob
-#   trades signature cost for low-similarity recall)
+#   near-dup threshold; for other thresholds use choose_banding() below
+#   (the knob trades signature cost for low-similarity recall)
+
+
+def candidate_probability(jaccard: float, rows_per_band: int, n_bands: int) -> float:
+    """P(a pair with this Jaccard collides in ≥1 band) = 1-(1-j^r)^b.
+
+    The standard LSH S-curve (Broder '97 / MMDS ch.3, public): ``r`` rows
+    per band sharpens precision, ``b`` bands lifts recall.
+    """
+    return 1.0 - (1.0 - jaccard**rows_per_band) ** n_bands
+
+
+def choose_banding(
+    threshold: float,
+    target_recall: float = 0.95,
+    fp_jaccard: float | None = None,
+    max_fp: float = 0.2,
+    max_perm: int = 256,
+) -> tuple[int, int]:
+    """Cheapest ``(n_perm, n_bands)`` meeting a recall target at ``threshold``.
+
+    For each candidate rows-per-band ``r``, the minimal band count is closed
+    form (``b = ceil(log(1-recall) / log(1-threshold^r))``); a banding is
+    feasible only if its false-candidate probability at ``fp_jaccard``
+    (default ``threshold/2``) stays ≤ ``max_fp`` — without that bound the
+    optimum degenerates to 1-row bands, whose S-curve is so shallow that
+    far-below-threshold pairs flood the candidate join.  Among feasible
+    bandings the choice minimizes signature cost ``n_perm = r*b``,
+    tie-broken by the lowest false-candidate probability.
+
+    Note the similarity space: :func:`minhash_near_dups` generates
+    candidates from *shingle*-set Jaccard (contiguous token 3-grams), so
+    the recall guarantee is with respect to shingle similarity — token-set
+    overlap with different token order (template-style corpora) is
+    intentionally not a near-dup signal.
+
+    This is the banding auto-tune knob for :func:`minhash_near_dups`:
+    signature cost (one xxhash64 min-aggregation column per permutation,
+    8 bytes/doc each) scales linearly with ``n_perm``, so at 100 TB the
+    difference between (16, 4) and (188, 47) is ~1.4 KB/doc of shuffled
+    signature state — worth choosing deliberately.
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
+    fp_j = threshold / 2 if fp_jaccard is None else fp_jaccard
+    best: tuple[tuple[int, float], tuple[int, int]] | None = None
+    for r in range(1, max_perm + 1):
+        p_row = threshold**r
+        if p_row >= 1.0:  # threshold ~1: one band of one row suffices
+            b = 1
+        elif p_row == 0.0:  # threshold^r underflowed: no band count helps
+            continue
+        else:
+            # log1p keeps precision where 1-p_row rounds to 1.0 (tiny p_row)
+            b = math.ceil(math.log(1.0 - target_recall) / math.log1p(-p_row))
+        n = r * b
+        if n > max_perm:
+            continue
+        fp = candidate_probability(fp_j, r, b)
+        if fp > max_fp:
+            continue
+        key = (n, fp)
+        if best is None or key < best[0]:
+            best = (key, (n, b))
+    if best is None:
+        raise ValueError(
+            f"no banding within {max_perm} permutations reaches recall "
+            f"{target_recall} at threshold {threshold} with false-candidate "
+            f"probability ≤ {max_fp} at jaccard {fp_j}"
+        )
+    return best[1]
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:
@@ -213,7 +287,9 @@ def minhash_near_dups(
     id_col: str,
     threshold: float = 0.8,
     n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
     estimate_first: bool = True,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Candidates re-checked in two stages, then exact Jaccard ≥ threshold.
 
@@ -235,6 +311,11 @@ def minhash_near_dups(
     ``estimate_first=False`` restores the single-stage exact re-check
     (useful for auditing the estimator itself).
 
+    ``target_recall`` switches banding to auto-tune: ``(n_perm, n_bands)``
+    are chosen by :func:`choose_banding` for the given threshold, overriding
+    the explicit arguments — the low-threshold knob (e.g. threshold 0.5
+    needs far more permutations than the (16, 4) default tuned for ≥0.8).
+
     The signature frame is persisted (memory-and-disk) because three
     branches reuse it — band keys, estimate side A, estimate side B;
     recomputing the shingle-explode + 16-hash aggregation per branch would
@@ -242,12 +323,14 @@ def minhash_near_dups(
     cluster-wide (n_perm longs + id per doc) — cache-friendly by design,
     and the natural checkpoint artifact for incremental dedup runs.
     """
+    if target_recall is not None:
+        n_perm, n_bands = choose_banding(threshold, target_recall)
     sig = minhash_signatures(df, text_col, id_col, n_perm)
     if estimate_first:
         from pyspark import StorageLevel
 
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = _candidates_from_signatures(sig, n_perm)
+    cands = _candidates_from_signatures(sig, n_perm, n_bands)
     if estimate_first:
         sig_a = sig.select(
             F.col("doc").alias("id_a"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(n_perm)]

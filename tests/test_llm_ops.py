@@ -77,6 +77,82 @@ def test_minhash_estimate_prefilter_matches_exact_recheck(spark):
     assert two_stage == exact_only and len(two_stage) >= 80
 
 
+def test_choose_banding_analytics():
+    """The auto-tuner's (n_perm, n_bands) must meet the recall target
+    analytically, cost more permutations at lower thresholds, and keep the
+    S-curve steep (few false candidates at threshold/2)."""
+    from pulsar_message_filter_spark.operators.dedup import (
+        candidate_probability,
+        choose_banding,
+    )
+
+    n8, b8 = choose_banding(0.8, target_recall=0.95)
+    assert n8 % b8 == 0
+    assert candidate_probability(0.8, n8 // b8, b8) >= 0.95
+    n5, b5 = choose_banding(0.5, target_recall=0.95)
+    assert candidate_probability(0.5, n5 // b5, b5) >= 0.95
+    assert n5 > n8, "lower threshold must cost more permutations"
+    # the max_fp bound keeps the S-curve steep at half the threshold
+    assert candidate_probability(0.25, n5 // b5, b5) <= 0.2
+    assert candidate_probability(0.4, n8 // b8, b8) <= 0.2
+    assert n8 // b8 > 1, "fp bound must forbid the degenerate 1-row bands"
+    with pytest.raises(ValueError):
+        choose_banding(1.5)
+    with pytest.raises(ValueError):
+        choose_banding(0.8, target_recall=0.0)
+    with pytest.raises(ValueError):  # infeasible fp budget within max_perm
+        choose_banding(0.5, target_recall=0.95, max_fp=0.01)
+
+
+def test_minhash_auto_tuned_low_threshold_recall(spark):
+    """target_recall auto-banding: at threshold 0.5 (where the (16,4) default
+    S-curve only catches ~23% of pairs) the tuned banding must recover ≥90%
+    of the synthetic moderate-similarity pairs.  Those are made by keeping a
+    60% token *prefix* of each doc — prefix cutting preserves contiguous
+    shingles, so both the shingle-space candidate step and the token-space
+    exact re-check see ≈0.6 Jaccard (template cross-pairs that share tokens
+    in a different order are out of MinHash's similarity space by design)."""
+    docs = load(spark, "documents", SF_SMOKE).limit(60)
+    partial = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, "
+            "greatest(1, cast(size(split(text, ' ')) * 0.6 AS INT))))"
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(partial)
+    toks = corpus.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("t")
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    above_threshold = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    # ground truth = the synthetic prefix pairs that really land ≥ 0.5
+    expected = {p for p in above_threshold if p[1] == p[0] + 10_000}
+    assert len(expected) >= 30
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(
+            corpus, "text", "doc_id", threshold=0.5, target_recall=0.95
+        ).collect()
+    }
+    assert found <= above_threshold, "exact re-check must keep precision at 1.0"
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"auto-tuned minhash recall too low: {recall}"
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     emb = load(spark, "embeddings", SF_SMOKE).filter(F.col("vec_id") < 200)
     brute = {
