@@ -488,6 +488,92 @@ def f4_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=3, n_cells=16, n_probe=3)
 
 
+def ivf_recall_curve(
+    spark: SparkSession,
+    corpus: DataFrame,
+    sample_queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    seed: int = 7,
+) -> list[tuple[int, float]]:
+    """Measured recall@k of :func:`ivf_topk` for every ``n_probe`` in one pass.
+
+    Key property: IVF candidates are re-ranked by the *same* (rounded
+    cosine, neighbor-id) key as the exact search, and the candidate set is
+    a subset of the corpus — so a true top-k neighbor appears in the IVF
+    output iff its cell is probed.  Recall@(k, n_probe) is therefore the
+    fraction of ground-truth neighbors whose index cell ranks within the
+    query's first ``n_probe`` probes, and the whole recall curve falls out
+    of ONE reachability join instead of n_cells re-runs:
+
+    1. ground truth for the query sample via :func:`numpy_topk` (exact,
+       partition-local top-k — no quadratic shuffle);
+    2. every (query, corpus) cell-collision annotated with the probe rank
+       at which it first becomes reachable (equi-join on cell id);
+    3. one aggregation emits recall for every probe depth.
+
+    The output is n_cells rows collected to the driver — at scale the only
+    meaningful costs are the ground-truth pass over the corpus (linear)
+    and the cell join, both sample-bounded on the query side.
+    """
+    probe_all = ivf_assign_np(n_cells, n_cells, seed=seed)
+    index_one = ivf_assign_np(n_cells, 1, seed=seed)
+    truth = numpy_topk(spark, sample_queries, corpus, k).select(
+        "query_id", "neighbor_id"
+    )
+    probes = sample_queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(probe_all(F.col("embedding"))).alias("rank0", "cell"),
+    ).select("query_id", (F.col("rank0") + 1).alias("probe_rank"), "cell")
+    indexed = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(index_one(F.col("embedding")), 1).alias("cell"),
+    )
+    reach = (
+        probes.join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("probe_rank").alias("first_rank"))
+    )
+    curve_row = (
+        truth.join(reach, ["query_id", "neighbor_id"], "left")
+        .agg(
+            *[
+                F.avg(
+                    F.coalesce(F.col("first_rank") <= p, F.lit(False)).cast("double")
+                ).alias(f"r{p}")
+                for p in range(1, n_cells + 1)
+            ]
+        )
+        .collect()[0]
+    )
+    return [(p, float(curve_row[f"r{p}"])) for p in range(1, n_cells + 1)]
+
+
+def ivf_auto_probe(
+    spark: SparkSession,
+    corpus: DataFrame,
+    sample_queries: DataFrame,
+    k: int,
+    target_recall: float = 0.9,
+    n_cells: int = 16,
+    seed: int = 7,
+) -> tuple[int, float]:
+    """Smallest ``n_probe`` whose measured recall@k meets the target.
+
+    Returns ``(n_probe, measured_recall)``.  Always feasible: probing all
+    n_cells reaches every corpus vector (recall 1.0), so the curve ends at
+    1.0 by construction.  Typical use: measure once on a query sample, then
+    run :func:`ivf_topk` fleet-wide with the returned probe depth.
+    """
+    for p, recall in ivf_recall_curve(
+        spark, corpus, sample_queries, k, n_cells, seed
+    ):
+        if recall >= target_recall:
+            return p, recall
+    raise AssertionError("unreachable: recall@n_cells is 1.0 by construction")
+
+
 # ---------------------------------------------------------------------------
 # F5 — KNN majority-label vote
 # ---------------------------------------------------------------------------

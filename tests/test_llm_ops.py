@@ -191,6 +191,45 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.55, f"ivf nn recall too low: {recall}"
 
 
+def test_ivf_recall_curve_and_auto_probe(spark):
+    """The one-pass recall curve must be monotone, end at exactly 1.0
+    (probing all cells reaches the whole corpus), agree with a directly
+    measured ivf_topk recall at the chosen depth, and auto_probe must
+    return the smallest depth meeting the target."""
+    from pulsar_message_filter_spark.operators.similarity import (
+        ivf_auto_probe,
+        ivf_recall_curve,
+        ivf_topk,
+    )
+
+    emb = load(spark, "embeddings", SF_SMOKE).filter(F.col("vec_id") < 200)
+    sample = emb.filter(F.col("vec_id") < 40)
+    k, n_cells = 5, 8
+    curve = ivf_recall_curve(spark, emb, sample, k=k, n_cells=n_cells)
+    recalls = [r for _, r in curve]
+    assert len(curve) == n_cells
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
+    p, measured = ivf_auto_probe(
+        spark, emb, sample, k=k, target_recall=0.8, n_cells=n_cells
+    )
+    assert measured >= 0.8
+    assert all(r < 0.8 for _, r in curve[: p - 1]), "must be the smallest depth"
+    # the curve's prediction matches a direct measurement at depth p
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_topk(sample, emb, k=k).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=k, n_cells=n_cells, n_probe=p)
+        .filter(F.col("query_id") < 40)
+        .collect()
+    }
+    direct = len(truth & got) / len(truth)
+    assert abs(direct - measured) < 0.02, (direct, measured)
+
+
 def test_simhash_near_dup_small_hamming(spark):
     docs = load(spark, "documents", SF_SMOKE).limit(30)
     base = docs.select("doc_id", "text")
