@@ -1,5 +1,9 @@
 """Structured-Streaming layer (SURVEY.md §2.E, §3.3)."""
 
+from pulsar_message_filter_spark.streaming.compaction import (
+    compact_parquet,
+    sink_file_stats,
+)
 from pulsar_message_filter_spark.streaming.pipeline import (
     filtered_sink_pipeline,
     stateful_user_stats,
@@ -10,4 +14,6 @@ __all__ = [
     "filtered_sink_pipeline",
     "windowed_event_counts",
     "stateful_user_stats",
+    "compact_parquet",
+    "sink_file_stats",
 ]

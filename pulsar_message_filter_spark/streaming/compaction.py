@@ -1,0 +1,122 @@
+"""Small-file compaction for (streaming) parquet sink directories.
+
+Structured-Streaming parquet sinks write at least one file per micro-batch
+per partition; at a trigger interval of seconds, a day of output is tens of
+thousands of KB-scale files, and at 100 TB scale the NameNode/listing cost
+and per-file open overhead dominate downstream scans.  The standard
+companion job is a periodic repartition-and-rewrite to ~target-size files —
+this module is that job.
+
+Contract (the safe operating envelope):
+
+* run when no writer is active on the directory (between streaming runs, or
+  on a rolled-over directory).  The source stream's exactly-once bookkeeping
+  lives in its *checkpoint*, not the sink dir, so compaction never disturbs
+  consumption offsets.
+* a streaming sink's ``_spark_metadata`` transaction log is dropped: after
+  compaction the directory is a plain batch-readable parquet dir (the log
+  indexes the pre-compaction files and would make readers resurrect them).
+* the rewrite goes to a temp sibling directory and is swapped in with two
+  renames — on HDFS-like filesystems a rename is atomic; on object stores
+  (no atomic dir rename) point readers at the returned path instead of
+  relying on the swap.
+
+Reference parity note: the snapshot at /root/reference contains only
+README.md:1 (project title); this is a standard companion utility for the
+Structured-Streaming sink layer (SURVEY.md §2.A2/E9), not ported code.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle + Path for any supported scheme (public
+    Hadoop API via the py4j gateway — works for file://, hdfs://, s3a://)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def sink_file_stats(spark: SparkSession, path: str) -> dict:
+    """Data-file count and total bytes of a parquet directory (recursive,
+    skipping hidden/metadata entries — ``_spark_metadata``, ``_SUCCESS``)."""
+    fs, hpath = _fs_and_path(spark, path)
+    n_files = 0
+    total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        parent = st.getPath().getParent().getName()
+        if name.startswith(("_", ".")) or parent == "_spark_metadata":
+            continue
+        n_files += 1
+        total += st.getLen()
+    return {"n_files": n_files, "total_bytes": total}
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files_to_compact: int = 8,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    No-op (``compacted=False``) when the directory already has fewer than
+    ``min_files_to_compact`` files or is already at/below the target file
+    count.  Returns a stats dict either way::
+
+        {"compacted": bool, "files_before": int, "files_after": int,
+         "total_bytes": int, "path": str}
+
+    The rewrite preserves rows exactly (one ``spark.read.parquet`` →
+    ``repartition(n)`` → write cycle; no row-level transformation), and the
+    swap keeps the directory name stable for downstream readers.
+    """
+    before = sink_file_stats(spark, path)
+    n_target = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    if before["n_files"] < min_files_to_compact or before["n_files"] <= n_target:
+        return {
+            "compacted": False,
+            "files_before": before["n_files"],
+            "files_after": before["n_files"],
+            "total_bytes": before["total_bytes"],
+            "path": path,
+        }
+
+    fs, hpath = _fs_and_path(spark, path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    _, htmp = _fs_and_path(spark, tmp)
+    _, hold = _fs_and_path(spark, old)
+    for stale in (htmp, hold):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+
+    # read through the plain file listing, NOT the _spark_metadata log, so
+    # every live data file is carried over even if the log is stale
+    df = spark.read.parquet(path)
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+
+    if not fs.rename(hpath, hold):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(htmp, hpath):
+        # roll back so the directory never disappears
+        fs.rename(hold, hpath)
+        raise IOError(f"compaction swap failed: could not move {tmp} into place")
+    fs.delete(hold, True)
+
+    after = sink_file_stats(spark, path)
+    return {
+        "compacted": True,
+        "files_before": before["n_files"],
+        "files_after": after["n_files"],
+        "total_bytes": after["total_bytes"],
+        "path": path,
+    }

@@ -371,3 +371,52 @@ def test_retry_loop_redelivers_then_dead_letters(spark, tmp_path):
     assert resched_rcs == [0, 1]
     assert dlq_rcs == [2]
     assert counts[:2] == [1, 2]
+
+
+def test_compact_parquet_streaming_sink(spark, tmp_path):
+    """A micro-batched parquet sink produces one small file per trigger;
+    compact_parquet must collapse them to the target count, preserve every
+    row, drop the _spark_metadata log, and leave a plain batch-readable dir."""
+    from pulsar_message_filter_spark.streaming import (
+        compact_parquet,
+        sink_file_stats,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    # 12 input files consumed 1/trigger -> 12 micro-batches -> >=12 sink files
+    for i in range(12):
+        _write_events(
+            spark,
+            [(i * 10 + j, f"2024-01-01 00:{i:02d}:{j:02d}", j, "purchase", 1.0, "{}")
+             for j in range(5)],
+            input_dir,
+        )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(input_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    _run_available(
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "chk")),
+        "compact_src",
+    )
+    before = sink_file_stats(spark, out_dir)
+    assert before["n_files"] >= 12
+    assert (Path(out_dir) / "_spark_metadata").exists()
+    n_rows_before = spark.read.parquet(out_dir).count()
+
+    stats = compact_parquet(spark, out_dir, target_file_bytes=1 << 30)
+    assert stats["compacted"] is True
+    assert stats["files_before"] == before["n_files"]
+    assert stats["files_after"] == 1  # everything fits one 1 GiB target file
+    assert not (Path(out_dir) / "_spark_metadata").exists()
+    assert not Path(out_dir + "__compact_tmp").exists()
+    assert not Path(out_dir + "__compact_old").exists()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_rows_before == 60
+    # idempotent second run is a no-op
+    again = compact_parquet(spark, out_dir, target_file_bytes=1 << 30)
+    assert again["compacted"] is False and again["files_after"] == 1
