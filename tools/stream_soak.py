@@ -69,10 +69,65 @@ def main() -> None:
         .start()
     )
 
+    # leg 3: sustained sessionization over a wide key space (100k keys) —
+    # the RocksDB state-size profile.  Steady per-key traffic keeps one open
+    # session per key, so bounded state == numRowsTotal plateauing at the
+    # key-space size instead of growing with input volume.
+    sess = (
+        rate_message_stream(spark, rows_per_second=rate)
+        .select("ts", (F.col("event_id") % 100_000).alias("user_key"), "value")
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.session_window("ts", "5 seconds"), "user_key")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    q3 = (
+        # session-window aggs only support append mode: rows emit when a
+        # session finalizes past the watermark; state carries open sessions
+        sess.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ck3")
+        .start()
+    )
+
+    def state_profile(q) -> dict:
+        """RocksDB state growth over the observed progress window: the
+        bounded-state claim is 'rows plateau at the live-key count', not
+        'rows track input volume'."""
+        series = []
+        for p in q.recentProgress:
+            for op in p.get("stateOperators") or []:
+                cm = op.get("customMetrics") or {}
+                series.append(
+                    {
+                        "batch": p["batchId"],
+                        "rows": op.get("numRowsTotal"),
+                        "mem_bytes": op.get("memoryUsedBytes"),
+                        "sst_bytes": cm.get("rocksdbTotalSstFilesBytes"),
+                    }
+                )
+        if not series:
+            return {"batches": 0}
+        tail = series[len(series) // 2 :]
+        tail_rows = [s["rows"] for s in tail if s["rows"] is not None]
+        plateau = statistics.median(tail_rows) if tail_rows else 0
+        return {
+            "batches": len(series),
+            "state_rows_first": series[0]["rows"],
+            "state_rows_last": series[-1]["rows"],
+            "state_rows_plateau": plateau,
+            "state_mem_bytes_last": series[-1]["mem_bytes"],
+            "sst_bytes_last": series[-1]["sst_bytes"],
+            "bounded": bool(tail_rows) and series[-1]["rows"] <= plateau * 1.25,
+        }
+
     try:
         time.sleep(duration_s)
         report = {}
-        for name, q in (("verdict_pipeline", q1), ("stateful_window", q2)):
+        for name, q in (
+            ("verdict_pipeline", q1),
+            ("stateful_window", q2),
+            ("sessionization", q3),
+        ):
             prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
             # drop the warm-up half: first batches pay JIT + state-store init
             tail = prog[len(prog) // 2 :]
@@ -83,9 +138,12 @@ def main() -> None:
                 "input_rows_per_sec_target": rate,
                 "backlogged": bool(rps) and statistics.median(rps) < rate * 0.9,
             }
+        report["stateful_window"]["state"] = state_profile(q2)
+        report["sessionization"]["state"] = state_profile(q3)
     finally:
         q1.stop()
         q2.stop()
+        q3.stop()
         shutil.rmtree(root, ignore_errors=True)
 
     print(
