@@ -15,7 +15,8 @@ Contract (the safe operating envelope):
   consumption offsets.
 * a streaming sink's ``_spark_metadata`` transaction log is dropped: after
   compaction the directory is a plain batch-readable parquet dir (the log
-  indexes the pre-compaction files and would make readers resurrect them).
+  indexes only the pre-compaction files, so keeping it would make readers
+  look for data files that no longer exist).
 * the rewrite goes to a temp sibling directory and is swapped in with two
   renames — on HDFS-like filesystems a rename is atomic; on object stores
   (no atomic dir rename) point readers at the returned path instead of
@@ -99,8 +100,10 @@ def compact_parquet(
         if fs.exists(stale):
             fs.delete(stale, True)
 
-    # read through the plain file listing, NOT the _spark_metadata log, so
-    # every live data file is carried over even if the log is stale
+    # NB: when _spark_metadata exists, spark.read.parquet reads through the
+    # sink's transaction log — i.e. the exactly-once committed file set, so
+    # orphan files from failed batches are correctly NOT carried over; the
+    # compacted dir has no log and is read by plain listing thereafter
     df = spark.read.parquet(path)
     df.repartition(n_target).write.mode("overwrite").parquet(tmp)
 
