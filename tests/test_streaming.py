@@ -420,3 +420,38 @@ def test_compact_parquet_streaming_sink(spark, tmp_path):
     # idempotent second run is a no-op
     again = compact_parquet(spark, out_dir, target_file_bytes=1 << 30)
     assert again["compacted"] is False and again["files_after"] == 1
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """E4's Spark-4 variant: dropDuplicatesWithinWatermark keeps dedup state
+    only for the watermark horizon — duplicates arriving within it are
+    dropped even across micro-batches, and state cannot grow unboundedly
+    (the 100 TB posture for stream dedup on an infinite id space)."""
+    input_dir = str(tmp_path / "in")
+    # batch 1: ids 1,2,3 — batch 2 (separate file): dup ids 2,3 + new 4,
+    # all within a 10-minute watermark of each other
+    _write_events(
+        spark,
+        [(i, f"2024-01-01 00:00:{i:02d}", i, "purchase", 1.0, "{}") for i in (1, 2, 3)],
+        input_dir,
+    )
+    _write_events(
+        spark,
+        [(i, f"2024-01-01 00:01:{i:02d}", i, "purchase", 1.0, "{}") for i in (2, 3, 4)],
+        input_dir,
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(input_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = _run_available(
+        stream.writeStream.format("memory").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk")),
+        "dedup_wm_t",
+    )
+    ids = sorted(r.event_id for r in spark.table("dedup_wm_t").collect())
+    assert ids == [1, 2, 3, 4], ids
+    q.stop()
