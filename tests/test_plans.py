@@ -98,6 +98,19 @@ def test_star_join_queries_broadcast_dims(spark):
         assert has_broadcast_hash_join(fn(spark, SF_SMOKE)), fn.__name__
 
 
+def test_q2_broadcasts_dims_and_pushes_filters(spark):
+    """The Q2 shape must broadcast all four dims and push the part-size /
+    region-name predicates into the parquet scans (dim filtering before the
+    fact-side shuffle is what keeps the window partition small at scale)."""
+    from pulsar_message_filter_spark.operators.workload import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_size" in pushed and "r_name" in pushed, pushed
+    assert not has_cartesian_product(df)
+
+
 def test_bucketed_join_avoids_shuffle(spark):
     """F14/§2 scale posture: pre-bucketing both join sides on the key makes
     the join co-located — the physical plan must contain NO Exchange.
