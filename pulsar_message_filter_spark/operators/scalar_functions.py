@@ -496,3 +496,68 @@ def func_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bround(F.col("n_chars") / 7, 2).alias("banker_round"),
         )
     )
+
+
+@graded(
+    "func_string3",
+    oracle="""
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS word1,
+               split_part(p_name, ' ', 2) AS word2,
+               left(p_name, 4) AS l4,
+               right(p_name, 3) AS r3,
+               CAST(ascii(p_name) AS BIGINT) AS first_code,
+               chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS letter,
+               strpos(p_name, 'o') AS pos_o,
+               concat(substring(p_name, 1, 1), 'XX', substring(p_name, 4)) AS overlaid
+        FROM part WHERE p_partkey < 300
+    """,
+    section="D1",
+    description="string family 3: split_part, left/right, ascii/chr, locate, "
+    "overlay (DuckDB lacks overlay -> oracle emulates with substring concat)",
+)
+def func_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.split_part("p_name", F.lit(" "), F.lit(1)).alias("word1"),
+            F.split_part("p_name", F.lit(" "), F.lit(2)).alias("word2"),
+            F.left("p_name", F.lit(4)).alias("l4"),
+            F.right("p_name", F.lit(3)).alias("r3"),
+            F.ascii("p_name").cast("long").alias("first_code"),
+            F.chr(F.lit(65) + (F.col("p_partkey") % 26)).alias("letter"),
+            F.locate("o", F.col("p_name")).cast("long").alias("pos_o"),
+            F.overlay("p_name", F.lit("XX"), F.lit(2)).alias("overlaid"),
+        )
+    )
+
+
+@graded(
+    "func_datetime3",
+    oracle="""
+        SELECT o_orderkey,
+               weekofyear(o_orderdate) AS iso_week,
+               dayofyear(o_orderdate) AS doy,
+               CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+               strftime(o_orderdate, '%Y-%m-%d') AS iso_date
+        FROM orders WHERE o_orderkey < 1000
+    """,
+    section="D2",
+    description="date/time family 3: ISO week / day-of-year / ISO weekday "
+    "(both engines use ISO-8601 week numbering; Spark weekday() is "
+    "0=Monday, DuckDB isodow is 1=Monday -> +1 shim)",
+)
+def func_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+            F.dayofyear("o_orderdate").cast("long").alias("doy"),
+            (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        )
+    )
