@@ -561,3 +561,54 @@ def func_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
         )
     )
+
+
+@graded(
+    "func_array3",
+    oracle="""
+        WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part
+                   WHERE p_partkey < 300)
+        SELECT p_partkey,
+               CAST(coalesce(list_position(toks, 'blue'), 0) AS BIGINT) AS pos_blue,
+               list_filter(toks, x -> x != 'blue') AS no_blue,
+               list_has_any(toks, ['blue', 'red']) AS has_primary,
+               list_append(toks, 'zzz') AS appended,
+               list_prepend('aaa', toks) AS prepended,
+               list_sort(list_distinct(toks || ['widget'])) AS union_widget,
+               list_sort(list_filter(list_distinct(toks),
+                                     x -> NOT list_contains(['blue', 'red'], x)))
+                 AS except_primary,
+               list_transform(toks, x -> length(x)) AS tok_lens,
+               len(list_filter(toks, x -> length(x) > 2)) = len(toks) AS all_long
+        FROM t
+    """,
+    section="D5",
+    description="array family 3: position/remove/overlap/append/prepend/"
+    "union/except/transform/forall (order-sensitive ops sorted on both "
+    "engines; Spark array_position returns 0 for missing vs DuckDB NULL "
+    "-> coalesce shim)",
+)
+def func_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("p_name", " ")
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.array_position(toks, "blue").alias("pos_blue"),
+            F.array_remove(toks, "blue").alias("no_blue"),
+            F.arrays_overlap(toks, F.array(F.lit("blue"), F.lit("red"))).alias(
+                "has_primary"
+            ),
+            F.array_append(toks, F.lit("zzz")).alias("appended"),
+            F.array_prepend(toks, F.lit("aaa")).alias("prepended"),
+            F.sort_array(
+                F.array_distinct(F.array_union(toks, F.array(F.lit("widget"))))
+            ).alias("union_widget"),
+            F.sort_array(
+                F.array_except(toks, F.array(F.lit("blue"), F.lit("red")))
+            ).alias("except_primary"),
+            F.transform(toks, lambda x: F.length(x).cast("long")).alias("tok_lens"),
+            F.forall(toks, lambda x: F.length(x) > 2).alias("all_long"),
+        )
+    )
