@@ -612,3 +612,48 @@ def func_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.forall(toks, lambda x: F.length(x) > 2).alias("all_long"),
         )
     )
+
+
+@graded(
+    "func_map3",
+    oracle="""
+        SELECT p_partkey,
+               CAST(p_size AS BIGINT) AS sz,
+               CAST(length(p_brand) AS BIGINT) AS blen,
+               CAST(CASE WHEN p_size > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN length(p_brand) > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN p_partkey % 100 > 10 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_gt10,
+               ['PK', 'SZ'] AS keys_up,
+               CAST(2 AS BIGINT) AS n_entries
+        FROM part WHERE p_partkey < 300
+    """,
+    section="D6",
+    description="map family 3 (construction side): map_from_arrays, map_concat, "
+    "map_filter, transform_keys, map_entries — scalar outputs so the oracle "
+    "is direct computation (DuckDB MAP extraction semantics vary by version; "
+    "same manual-twin approach as the pivot oracle)",
+)
+def func_map3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m1 = F.map_from_arrays(
+        F.array(F.lit("sz"), F.lit("pk")),
+        F.array(F.col("p_size").cast("long"), (F.col("p_partkey") % 100).cast("long")),
+    )
+    m2 = F.map_concat(
+        m1,
+        F.create_map(F.lit("blen"), F.length("p_brand").cast("long")),
+    )
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.element_at(m2, "sz").alias("sz"),
+            F.element_at(m2, "blen").alias("blen"),
+            F.size(F.map_filter(m2, lambda k, v: v > 10)).cast("long").alias("n_gt10"),
+            F.sort_array(
+                F.map_keys(F.transform_keys(m1, lambda k, v: F.upper(k)))
+            ).alias("keys_up"),
+            F.size(F.map_entries(m1)).cast("long").alias("n_entries"),
+        )
+    )
