@@ -369,12 +369,32 @@ def minhash_near_dups(
     "f2_minhash_lsh",
     oracle=None,  # xxhash64 family is engine-specific (SURVEY §7.4.8)
     section="F2,F14",
-    description="MinHash(32)+LSH(8 bands) near-dup pairs with exact Jaccard "
-    "re-check — the no-cross-join dedup scale path; rows-only",
+    description=f"MinHash({N_PERM})+LSH({N_BANDS} bands) near-dup pairs with "
+    "exact Jaccard re-check — the no-cross-join dedup scale path; rows-only",
 )
 def f2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return minhash_near_dups(docs, "text", "doc_id", threshold=0.8)
+
+
+@graded(
+    "f2_minhash_lsh_tuned",
+    oracle=None,  # xxhash64 family is engine-specific (same class as above)
+    section="F2,F14",
+    description="auto-tuned MinHash+LSH at threshold 0.5: choose_banding "
+    "picks the cheapest (n_perm, n_bands) meeting 0.9 recall with bounded "
+    "false-candidate rate — the tuner exercised end-to-end; rows-only "
+    "(recall ground-truthed in pytest test_llm_ops)",
+)
+def f2_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuner-driven variant of :func:`f2_minhash_lsh`: instead of the
+    (16, 4) banding tuned for jaccard ≥ 0.8, the banding is derived at run
+    time from the (threshold=0.5, recall=0.9) spec — the knob a pipeline
+    owner actually turns when lowering the near-dup bar."""
+    docs = load(spark, "documents", sf_dir)
+    return minhash_near_dups(
+        docs, "text", "doc_id", threshold=0.5, target_recall=0.9
+    )
 
 
 # ---------------------------------------------------------------------------

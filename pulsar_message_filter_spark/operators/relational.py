@@ -99,10 +99,15 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < "1998-01-01")
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > "1996-01-01")
-        .groupBy(
-            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
-        )
+        # group on the native timestamp (8-byte shuffle key, no per-row
+        # formatting); render the string only on the ~|orders| group rows
+        .groupBy("o_orderkey", "o_orderdate")
         .agg((F.sum(revenue_c4) / 10000.0).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )

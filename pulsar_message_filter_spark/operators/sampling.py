@@ -50,15 +50,41 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(orders, "o_orderkey", "0d").select("o_orderkey", "o_orderstatus")
 
 
+def hash_sample_stratified(
+    df: DataFrame, key, strata_col: str, thresholds: dict[str, str]
+) -> DataFrame:
+    """Stratified content-hash sample: per-stratum md5-prefix thresholds
+    give per-key-group fractions (2 hex chars → threshold/256) with the
+    same engine-portable determinism as :func:`hash_sample` — the
+    oracle-checkable counterpart of ``sampleBy``.  Strata not listed get
+    fraction 0.  At scale this is a scan-side filter (no shuffle, no RNG
+    state), and the selection is stable under repartitioning/resume."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    thr = F.lit("00")
+    for stratum, hexval in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(hexval)).otherwise(thr)
+    return df.filter(F.substring(F.md5(key_col.cast("string")), 1, 2) < thr)
+
+
 @graded(
     "sample_stratified",
-    oracle=None,  # sampleBy RNG is engine-specific (same class as C26 seeded)
+    oracle="""
+        SELECT o_orderkey, o_orderstatus
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+              CASE o_orderstatus
+                  WHEN 'F' THEN '1a' WHEN 'O' THEN '0d' WHEN 'P' THEN '80'
+                  ELSE '00'
+              END
+    """,
     section="C26",
-    description="stratified sampleBy: per-status fractions, fixed seed — "
-    "rows-only; proportions ground-truth-tested in pytest",
+    description="stratified content-hash sampling: per-status md5-prefix "
+    "thresholds (F~10%, O~5%, P~50%) select the SAME rows on every engine "
+    "— oracle-checked exactly; the RNG sampleBy API is covered by pytest "
+    "proportion tests (test_llm_ops)",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, "orders", sf_dir)
-    return orders.sampleBy(
-        "o_orderstatus", fractions={"F": 0.10, "O": 0.05, "P": 0.50}, seed=42
+    return hash_sample_stratified(
+        orders, "o_orderkey", "o_orderstatus", {"F": "1a", "O": "0d", "P": "80"}
     ).select("o_orderkey", "o_orderstatus")

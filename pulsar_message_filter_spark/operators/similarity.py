@@ -166,12 +166,25 @@ def numpy_topk(
 
 @graded(
     "f4_topk_numpy",
-    oracle=None,  # float64-matmul path: same results as f4_topk_cosine at
-    # 6 dp (pytest-pinned), but the Python-side compute is rows-only class
+    # float64 matmul agrees with the fold/oracle at 6 dp: exact, not approx —
+    # so it gets the same SQL oracle as f4_topk_cosine at its own bounds
+    oracle=f"""
+        WITH sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_cosine_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 30
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM sims
+        ) WHERE rank <= 10
+    """,
     section="F4,G5,F14",
     description="exact top-k cosine via Arrow-batched numpy matmul: "
     "partition-local top-k then global re-rank — the high-throughput dense "
-    "path (rows-only; equivalence to brute_topk pinned in pytest)",
+    "path; oracle-checked (float64 matmul == fold at 6 dp)",
 )
 def f4_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
@@ -486,6 +499,25 @@ def ivf_topk(
 def f4_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 300)
     return ivf_topk(emb, k=3, n_cells=16, n_probe=3)
+
+
+@graded(
+    "f4_topk_ivf_auto",
+    oracle=None,  # approximate by design (probe depth from measured recall)
+    section="F4,F14",
+    description="auto-probed IVF top-k: ivf_auto_probe measures the recall "
+    "curve on a query sample and picks the smallest n_probe meeting 0.9 "
+    "recall@k, then ivf_topk runs at that depth — the tuner exercised "
+    "end-to-end; rows-only (recall ground-truthed in pytest test_llm_ops)",
+)
+def f4_topk_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuner-driven variant of :func:`f4_topk_ivf`: probe depth is not a
+    hand-picked constant but the measured-recall knob — the calibrate-once,
+    run-fleet-wide pattern for production ANN."""
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 300)
+    sample = emb.filter(F.col("vec_id") < 40)
+    n_probe, _recall = ivf_auto_probe(spark, emb, sample, k=3, target_recall=0.9)
+    return ivf_topk(emb, k=3, n_cells=16, n_probe=n_probe)
 
 
 def ivf_recall_curve(

@@ -178,8 +178,15 @@ def annotate(node: Node, schema: Schema) -> Node:
             if rt != "timestamp":
                 node.right = _coerce(_string_ctx(node.right), "timestamp")
         elif lt == "boolean" or rt == "boolean":
-            if not (lt == rt == "boolean"):
-                raise SelectorTypeError(f"cannot compare {lt} with {rt}")
+            # JMS permits equality of a boolean property with TRUE/FALSE:
+            # a dynamic side reads through Boolean.valueOf (same try-cast as
+            # the bare-identifier predicate form); anything else is ill-typed.
+            node.left = _boolean_ctx(node.left)
+            node.right = _boolean_ctx(node.right)
+            if node.op not in ("=", "<>"):
+                raise SelectorTypeError(
+                    f"boolean comparison supports only = and <>, got {node.op!r}"
+                )
         # else: string/dynamic vs string/dynamic → string comparison as-is
         node.type = "boolean"
         return node

@@ -45,9 +45,22 @@ def pulsar_stream_reader(
 def normalize_pulsar_frame(df: DataFrame) -> DataFrame:
     """Map the connector's frame to the engine's message schema: the
     ``properties`` map is serialized to the JSON ``props`` column the
-    selector compiler resolves against (B9)."""
+    selector compiler resolves against (B9).
+
+    ``event_id`` must be *deterministic across replays* — downstream E4
+    stream dedup keys on it, and a replayed micro-batch (at-least-once
+    source) must produce the same ids or dedup silently fails.  The
+    connector's ``messageId`` (broker-assigned ledger/entry id, stable per
+    message) is the preferred identity; when absent the id is a content/
+    metadata hash.  ``monotonically_increasing_id`` is NOT used: it depends
+    on partition layout and task attempt, so it differs across restarts.
+    """
+    if "messageId" in df.columns:
+        event_id = F.xxhash64("messageId").alias("event_id")
+    else:
+        event_id = F.xxhash64("topic", "key", "eventTime", "value").alias("event_id")
     return df.select(
-        F.monotonically_increasing_id().alias("event_id"),
+        event_id,
         F.col("eventTime").alias("ts"),
         F.xxhash64("key").alias("user_id"),
         F.col("topic").alias("event_type"),

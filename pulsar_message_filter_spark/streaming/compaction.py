@@ -18,9 +18,16 @@ Contract (the safe operating envelope):
   indexes only the pre-compaction files, so keeping it would make readers
   look for data files that no longer exist).
 * the rewrite goes to a temp sibling directory and is swapped in with two
-  renames — on HDFS-like filesystems a rename is atomic; on object stores
-  (no atomic dir rename) point readers at the returned path instead of
-  relying on the swap.
+  renames — on HDFS-like filesystems each rename is atomic, but the *pair*
+  is not: between them the target directory does not exist, so a concurrent
+  reader can see a transient listing failure.  The safe envelope therefore
+  excludes concurrent readers as well as writers during the swap window
+  (microseconds on HDFS); on object stores (no atomic dir rename) point
+  readers at the returned path instead of relying on the swap.
+* the swap is self-healing: a crash between the two renames parks the
+  original data in ``<path>__compact_old`` with ``<path>`` missing; the next
+  :func:`compact_parquet` run detects that state and restores the original
+  directory before doing anything else (see ``_recover_interrupted_swap``).
 
 Reference parity note: the snapshot at /root/reference contains only
 README.md:1 (project title); this is a standard companion utility for the
@@ -61,6 +68,22 @@ def sink_file_stats(spark: SparkSession, path: str) -> dict:
     return {"n_files": n_files, "total_bytes": total}
 
 
+def _recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
+    """Heal a crash between the two swap renames: if ``<path>`` is missing
+    but ``<path>__compact_old`` (the original data, moved aside) exists,
+    rename it back.  The compacted rewrite in ``__compact_tmp`` is discarded
+    — it is a pure rewrite of the same rows, so restoring the original is
+    always safe and the next run simply compacts again.  Returns True if a
+    recovery was performed."""
+    fs, hpath = _fs_and_path(spark, path)
+    _, hold = _fs_and_path(spark, path.rstrip("/") + "__compact_old")
+    if fs.exists(hold) and not fs.exists(hpath):
+        if not fs.rename(hold, hpath):
+            raise IOError(f"compaction recovery failed: could not restore {path}")
+        return True
+    return False
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -80,6 +103,7 @@ def compact_parquet(
     ``repartition(n)`` → write cycle; no row-level transformation), and the
     swap keeps the directory name stable for downstream readers.
     """
+    _recover_interrupted_swap(spark, path)
     before = sink_file_stats(spark, path)
     n_target = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     if before["n_files"] < min_files_to_compact or before["n_files"] <= n_target:

@@ -56,6 +56,29 @@ def route_batch(
     )
 
 
+def write_verdict_epoch(
+    batch: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    accept: Selector | str,
+    reschedule: Selector | str | None = None,
+    retry_delay: str = "5 MINUTES",
+    max_redeliveries: int = 3,
+) -> None:
+    """The idempotent per-epoch sink commit behind
+    :func:`filtered_sink_pipeline`: dynamic partition overwrite keyed by
+    ``epoch_id`` means re-running the same epoch (micro-batch replay after a
+    crash) replaces exactly that epoch's output — no duplicates."""
+    (
+        route_batch(batch, accept, reschedule, retry_delay, max_redeliveries)
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id", "verdict")
+        .parquet(out_dir)
+    )
+
+
 def filtered_sink_pipeline(
     stream: DataFrame,
     accept: Selector | str,
@@ -72,16 +95,18 @@ def filtered_sink_pipeline(
     topic (``sources.pulsar``); RESCHEDULE rows carry a ``not_before``
     visibility timestamp for the retry-topic pattern (SURVEY §7.4.6).
 
-    Checkpointing gives exactly-once: the sink commit is idempotent per
-    epoch (parquet overwrite by batch partition), offsets are WAL'd.
+    Checkpointing gives exactly-once end-to-end: offsets are WAL'd in the
+    checkpoint, and the sink commit is idempotent per epoch — each
+    micro-batch writes under its own ``epoch_id=N`` partition with dynamic
+    partition overwrite, so a replayed epoch (crash after write, before
+    checkpoint commit) overwrites exactly its own partitions instead of
+    appending duplicates.  Readers treat ``epoch_id`` as an opaque
+    bookkeeping partition column (:func:`reingest_due_retries` drops it).
     """
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        (
-            route_batch(batch, accept, reschedule, retry_delay, max_redeliveries)
-            .write.mode("append")
-            .partitionBy("verdict")
-            .parquet(out_dir)
+        write_verdict_epoch(
+            batch, epoch_id, out_dir, accept, reschedule, retry_delay, max_redeliveries
         )
 
     return (
@@ -111,7 +136,7 @@ def reingest_due_retries(spark, out_dir: str, generation: int | None = None) -> 
     if generation is not None:
         due = due.filter(F.col("redelivery_count") == generation)
     return (
-        due.drop("verdict", "not_before")
+        due.drop("verdict", "not_before", "epoch_id")
         .withColumn("redelivery_count", F.col("redelivery_count") + 1)
     )
 

@@ -371,6 +371,21 @@ def test_stratified_sample_proportions(spark):
     for status, frac in (("F", 0.10), ("O", 0.05), ("P", 0.50)):
         observed = got.get(status, 0) / totals[status]
         assert abs(observed - frac) < 0.6 * frac + 0.02, (status, observed, frac)
+    # determinism: the hash selection is identical across materializations
+    ids_a = sorted(r.o_orderkey for r in sample_stratified(spark, SF_SMOKE).collect())
+    ids_b = sorted(r.o_orderkey for r in sample_stratified(spark, SF_SMOKE).collect())
+    assert ids_a == ids_b
+    # the RNG sampleBy API (engine-specific selection, hence not the graded
+    # query) hits the same per-stratum fractions
+    rng = {
+        r.o_orderstatus: r["count"]
+        for r in orders.sampleBy(
+            "o_orderstatus", fractions={"F": 0.10, "O": 0.05, "P": 0.50}, seed=42
+        ).groupBy("o_orderstatus").count().collect()
+    }
+    for status, frac in (("F", 0.10), ("O", 0.05), ("P", 0.50)):
+        observed = rng.get(status, 0) / totals[status]
+        assert abs(observed - frac) < 0.6 * frac + 0.02, (status, observed, frac)
 
 
 def test_real_decode_paths_are_gated(spark):

@@ -147,6 +147,26 @@ def test_boolean_property_coercion(spark):
     assert got2 == [1]
 
 
+def test_boolean_property_equals_literal(spark):
+    # JMS also permits *equality comparison* of a boolean property with the
+    # TRUE/FALSE literals — the dynamic side coerces via Boolean.valueOf
+    # (any non-'true' string is false; a missing property stays UNKNOWN)
+    df = spark.createDataFrame(
+        [(1, '{"armed": "true"}'), (2, '{"armed": "false"}'),
+         (3, '{"armed": "maybe"}'), (4, "{}")],
+        "event_id long, props string",
+    )
+    eq = Selector("props.armed = TRUE", EVENTS_SCHEMA)
+    assert [r.event_id for r in df.filter(eq.column()).collect()] == [1]
+    ne = Selector("props.armed <> TRUE", EVENTS_SCHEMA)
+    assert sorted(r.event_id for r in df.filter(ne.column()).collect()) == [2, 3]
+    fa = Selector("FALSE = props.armed", EVENTS_SCHEMA)
+    assert sorted(r.event_id for r in df.filter(fa.column()).collect()) == [2, 3]
+    # ordering comparisons on booleans remain ill-typed
+    with pytest.raises(SelectorTypeError):
+        Selector("props.armed < TRUE", EVENTS_SCHEMA)
+
+
 def test_string_arith_coerces():
     # dynamic property in arithmetic context → double
     sql = Selector("props.k + 1 > 2").duckdb_sql()

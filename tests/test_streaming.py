@@ -455,3 +455,99 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     ids = sorted(r.event_id for r in spark.table("dedup_wm_t").collect())
     assert ids == [1, 2, 3, 4], ids
     q.stop()
+
+
+def test_verdict_epoch_replay_idempotent(spark, tmp_path):
+    """E10 for the foreachBatch leg: replaying a micro-batch (same epoch_id
+    after a crash-before-checkpoint-commit) must not duplicate rows — the
+    per-epoch dynamic partition overwrite makes the commit idempotent."""
+    from pulsar_message_filter_spark.streaming.pipeline import write_verdict_epoch
+
+    out_dir = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(1, 1, "purchase", 10.0, '{"k": 90}'),
+         (2, 1, "view", 10.0, '{"k": 90}'),
+         (3, 1, "view", 500.0, '{"k": 1}')],
+        "event_id bigint, user_id bigint, event_type string, value double, props string",
+    )
+    accept = "props.k > 50 AND event_type = 'purchase'"
+    write_verdict_epoch(batch, 0, out_dir, accept, reschedule="value >= 150")
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 3
+    # replay the SAME epoch: counts unchanged, ids unchanged
+    write_verdict_epoch(batch, 0, out_dir, accept, reschedule="value >= 150")
+    replay = spark.read.parquet(out_dir)
+    assert replay.count() == 3
+    assert sorted(r.event_id for r in replay.collect()) == [1, 2, 3]
+    # a NEW epoch appends without touching epoch 0
+    batch2 = spark.createDataFrame(
+        [(4, 2, "purchase", 99.0, '{"k": 80}')],
+        "event_id bigint, user_id bigint, event_type string, value double, props string",
+    )
+    write_verdict_epoch(batch2, 1, out_dir, accept, reschedule="value >= 150")
+    both = spark.read.parquet(out_dir)
+    assert both.count() == 4
+    assert sorted(r.event_id for r in both.collect()) == [1, 2, 3, 4]
+
+
+def test_compact_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the data parked in
+    __compact_old with the target path missing; the next compact_parquet run
+    must restore the original directory before proceeding (self-healing)."""
+    import os
+
+    from pulsar_message_filter_spark.streaming import compact_parquet
+
+    out_dir = str(tmp_path / "out")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.repartition(10).write.parquet(out_dir)
+    n_before = spark.read.parquet(out_dir).count()
+
+    # simulate the crash window: first rename done, second never happened
+    os.rename(out_dir, out_dir + "__compact_old")
+    # (a half-written tmp dir may or may not exist; leave one behind)
+    df.limit(1).write.parquet(out_dir + "__compact_tmp")
+    assert not Path(out_dir).exists()
+
+    stats = compact_parquet(spark, out_dir, target_file_bytes=1 << 30)
+    # recovery restored the original 100 rows, then compaction proceeded
+    assert stats["compacted"] is True
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_before == 100
+    assert not Path(out_dir + "__compact_old").exists()
+    assert not Path(out_dir + "__compact_tmp").exists()
+
+
+def test_normalize_pulsar_frame_deterministic_event_id(spark):
+    """A3/E4: event_id must be stable across two materializations of the
+    same frame (replay safety for downstream dedup) — a metadata hash, not
+    monotonically_increasing_id."""
+    from pulsar_message_filter_spark.sources.pulsar import normalize_pulsar_frame
+
+    rows = [
+        (bytearray(b"k1"), bytearray(b"payload-a"), "events", {"p": "1"},
+         "2024-01-01 10:00:00", "2024-01-01 10:00:01"),
+        (bytearray(b"k2"), bytearray(b"payload-bb"), "events", {"p": "2"},
+         "2024-01-01 10:00:02", "2024-01-01 10:00:03"),
+        (bytearray(b"k3"), bytearray(b"payload-ccc"), "orders", {}, 
+         "2024-01-01 10:00:04", "2024-01-01 10:00:05"),
+    ]
+    frame = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, properties map<string,string>, "
+        "eventTime_s string, publishTime_s string",
+    ).select(
+        "key", "value", "topic", "properties",
+        F.to_timestamp("eventTime_s").alias("eventTime"),
+        F.to_timestamp("publishTime_s").alias("publishTime"),
+    )
+    # two materializations under different partition layouts
+    ids_a = sorted(r.event_id for r in normalize_pulsar_frame(frame.repartition(4)).collect())
+    ids_b = sorted(r.event_id for r in normalize_pulsar_frame(frame.repartition(2)).collect())
+    assert ids_a == ids_b
+    assert len(set(ids_a)) == 3  # distinct per message
+    # connector frames carrying messageId use the broker identity instead
+    with_mid = frame.withColumn("messageId", F.col("key"))
+    ids_m1 = sorted(r.event_id for r in normalize_pulsar_frame(with_mid).collect())
+    ids_m2 = sorted(r.event_id for r in normalize_pulsar_frame(with_mid.repartition(3)).collect())
+    assert ids_m1 == ids_m2
