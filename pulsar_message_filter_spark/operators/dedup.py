@@ -239,12 +239,14 @@ def minhash_signatures(
     )
 
 
-def _candidates_from_signatures(
+def _band_keys(
     sig: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) from a signature frame (``doc, m0..``)."""
+    """``(doc, band, key)`` banded hash keys of a signature frame — the
+    equi-join surface for LSH candidate generation (within one corpus or
+    across a batch/history boundary)."""
     rows_per_band = n_perm // n_bands
-    bands = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -263,6 +265,13 @@ def _candidates_from_signatures(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
+
+
+def _candidates_from_signatures(
+    sig: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) from a signature frame (``doc, m0..``)."""
+    bands = _band_keys(sig, n_perm, n_bands)
     a = bands.select(F.col("doc").alias("id_a"), "band", "key")
     b = bands.select(F.col("doc").alias("id_b"), "band", "key")
     return (
@@ -441,3 +450,109 @@ def simhash64(col):
 def f2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F14 — incremental dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    signature_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Dedup a new batch against itself AND every batch that came before,
+    using the persisted signature store as the accumulated history — the
+    operational shape of corpus dedup at 100 TB, where re-deduping the
+    whole corpus per ingest is a non-starter.
+
+    Per call:
+
+    1. signatures of the new batch (one shingle-explode + min-aggregation);
+    2. **within-batch** near-dups via :func:`minhash_near_dups` (full
+       two-stage pipeline incl. exact Jaccard re-check — the batch's token
+       arrays are at hand); keep-first by id;
+    3. **batch-vs-history** candidates via a banded equi-join of the new
+       batch's band keys against the store's (history side is never
+       self-joined); a candidate is a duplicate when the signature-estimate
+       Jaccard (fraction of agreeing minhash components, Broder '97) ≥
+       ``threshold``.  History rows carry signatures only — the exact
+       re-check is traded for O(n_perm) state per historical doc; size
+       ``n_perm`` via :func:`choose_banding` when the estimator's
+       σ = sqrt(j(1-j)/n_perm) matters;
+    4. survivors' signatures are **appended** to the store, so the next
+       batch dedups against them.
+
+    Scale shape: the store grows by O(n_perm · kept docs); the cross join
+    is banded equi-join keyed (band, key) — with a small batch against a
+    huge history, Spark broadcasts the batch side (or AQE picks it at run
+    time).  Re-running an already-ingested batch is harmless for output
+    correctness (its docs now match their own stored signatures and drop
+    as duplicates) but appends duplicate store rows — compact the store
+    periodically with ``dropDuplicates('doc')`` if batches can replay.
+
+    Returns the surviving rows of ``new_docs`` (original columns).
+    """
+    spark = new_docs.sparkSession
+    sig_new = minhash_signatures(new_docs, text_col, id_col, n_perm)
+
+    # (2) within-batch: exact two-stage pipeline, keep the lowest id
+    batch_pairs = minhash_near_dups(
+        new_docs, text_col, id_col, threshold, n_perm, n_bands
+    )
+    drop_in_batch = batch_pairs.select(
+        F.greatest("id_a", "id_b").alias(id_col)
+    ).distinct()
+
+    # (3) vs history (if the store exists yet)
+    try:
+        hist = spark.read.parquet(signature_dir)
+        have_history = True
+    except Exception:
+        have_history = False
+    if have_history:
+        bands_new = _band_keys(sig_new, n_perm, n_bands).select(
+            F.col("doc").alias("new_id"), "band", "key"
+        )
+        bands_hist = _band_keys(hist, n_perm, n_bands).select(
+            F.col("doc").alias("hist_id"), "band", "key"
+        )
+        cands = (
+            bands_new.join(bands_hist, ["band", "key"])
+            .select("new_id", "hist_id")
+            .distinct()
+        )
+        agree = sum(
+            (F.col(f"a{p}") == F.col(f"b{p}")).cast("int") for p in range(n_perm)
+        )
+        sig_a = sig_new.select(
+            F.col("doc").alias("new_id"),
+            *[F.col(f"m{p}").alias(f"a{p}") for p in range(n_perm)],
+        )
+        sig_b = hist.select(
+            F.col("doc").alias("hist_id"),
+            *[F.col(f"m{p}").alias(f"b{p}") for p in range(n_perm)],
+        )
+        drop_vs_hist = (
+            cands.join(sig_a, "new_id")
+            .join(sig_b, "hist_id")
+            .withColumn("__est", agree / F.lit(float(n_perm)))
+            .filter(F.col("__est") >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        drops = drop_in_batch.unionByName(drop_vs_hist).distinct()
+    else:
+        drops = drop_in_batch
+
+    kept = new_docs.join(drops, id_col, "left_anti")
+
+    # (4) persist survivors' signatures for the next batch
+    kept_ids = kept.select(F.col(id_col).alias("doc"))
+    sig_new.join(kept_ids, "doc").write.mode("append").parquet(signature_dir)
+    return kept

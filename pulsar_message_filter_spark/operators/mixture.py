@@ -1,0 +1,143 @@
+"""Training-mixture builder (SURVEY §2.F extension surface; C26/F11 kin).
+
+A pretraining corpus is rarely consumed at its natural domain/language
+proportions: the pipeline owner specifies a *target mixture* (e.g. 50% en,
+20% zh, ...) and the builder derives per-stratum sampling rates that hit it
+— downsampling abundant strata, keeping scarce binding strata whole — then
+selects rows deterministically.
+
+Everything here is exact relational algebra + content-hash selection:
+
+* rates come from per-stratum counts and the target weights (the binding
+  stratum — the one with the least headroom — caps the achievable total);
+* selection reuses the md5-prefix threshold pattern from
+  ``operators/sampling.py``: a doc is kept iff the first 4 hex chars of
+  ``md5(doc_id)`` sort below the stratum's rate threshold.  No RNG state,
+  so the mixture is reproducible across engines, re-runs, and cluster
+  topologies — and therefore oracle-checkable, unlike RNG mixtures.
+
+At 100 TB: the counts pass is one map-side-combinable aggregate; the rates
+frame is k rows (broadcast); selection is a scan-side filter.  No shuffle
+of the corpus at any point, and the same doc set is selected no matter how
+the corpus is partitioned — the property that makes mixtures resumable and
+auditable in production.
+
+Reference parity note: the snapshot at /root/reference contains only
+README.md:1 (project title); this operator follows the public data-mixture
+methodology of LLM-corpus papers (e.g. weighted domain sampling), not
+ported code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+
+#: The graded query's target mixture over ``documents.lang`` — en-heavy with
+#: zh as the binding stratum at sf0.01 (rate 1.0; everything else downsampled).
+DEFAULT_TARGETS: dict[str, float] = {
+    "en": 0.50,
+    "zh": 0.20,
+    "es": 0.15,
+    "de": 0.10,
+    "fr": 0.05,
+}
+
+
+def mixture_rates(
+    df: DataFrame, strata_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Per-stratum keep rates ``(stratum, n, rate)`` for a target mixture.
+
+    The achievable total is capped by the binding stratum:
+    ``n_total = min_s(n_s / t_s)``; then ``rate_s = n_total * t_s / n_s``
+    (≤ 1 by construction, = 1 for the binding stratum up to float
+    rounding).  Strata not in ``targets`` get rate 0 (excluded).
+    """
+    spark = df.sparkSession
+    t = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        f"{strata_col} string, t double",
+    )
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n"))
+    with_t = counts.join(F.broadcast(t), strata_col)
+    cap = with_t.agg(F.min(F.col("n") / F.col("t")).alias("n_total"))
+    return (
+        with_t.crossJoin(F.broadcast(cap))
+        .select(
+            strata_col,
+            "n",
+            (F.col("n_total") * F.col("t") / F.col("n")).alias("rate"),
+        )
+    )
+
+
+def build_training_mixture(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the deterministic row set realizing the target mixture.
+
+    A row survives iff the first 4 hex chars of ``md5(id)`` sort below
+    ``floor(rate * 65536)`` rendered as 4-char lowercase hex — the same
+    engine-portable threshold trick as :func:`sampling.hash_sample`, at
+    1/65536 granularity.  A stratum whose rate reaches 1.0 (the binding
+    stratum when the cap divides out exactly) is kept whole — its threshold
+    would be the 5-hex-char 65536, which no 4-char prefix comparison can
+    express.
+    """
+    rates = mixture_rates(df, strata_col, targets)
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * 65536).cast("bigint"))), 4, "0"
+    )
+    key_col = F.col(id_col) if isinstance(id_col, str) else id_col
+    keep = (F.col("rate") >= 1.0) | (
+        F.substring(F.md5(key_col.cast("string")), 1, 4) < thr
+    )
+    return df.join(F.broadcast(rates), strata_col).filter(keep).drop("n", "rate")
+
+
+@graded(
+    "f16_training_mixture",
+    oracle="""
+        WITH targets(lang, t) AS (
+            -- CAST: bare 0.10 is DECIMAL in DuckDB; rate math must be the
+            -- same IEEE double ops as the Spark side or thresholds drift
+            VALUES ('de', CAST(0.10 AS DOUBLE)), ('en', CAST(0.50 AS DOUBLE)),
+                   ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.05 AS DOUBLE)),
+                   ('zh', CAST(0.20 AS DOUBLE))
+        ),
+        counts AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        ),
+        cap AS (
+            SELECT min(c.n / tg.t) AS n_total
+            FROM counts c JOIN targets tg USING (lang)
+        ),
+        rates AS (
+            SELECT c.lang, (cap.n_total * tg.t / c.n) AS rate
+            FROM counts c JOIN targets tg USING (lang) CROSS JOIN cap
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE r.rate >= 1.0   -- binding stratum kept whole
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+              -- lower(): DuckDB to_hex is uppercase, md5 output is lowercase
+              lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))), 4, '0')
+    """,
+    section="C26,F11,F14",
+    description="training-mixture builder: target lang proportions -> "
+    "per-stratum keep rates (binding stratum whole) -> md5-prefix "
+    "deterministic selection; oracle-checked exactly — the reproducible "
+    "corpus-mixing primitive",
+)
+def f16_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return build_training_mixture(docs, "lang", DEFAULT_TARGETS).select(
+        "doc_id", "lang"
+    )

@@ -88,5 +88,6 @@ def _load_modules() -> None:
     import pulsar_message_filter_spark.operators.multimodal  # noqa: F401
     import pulsar_message_filter_spark.operators.udf_surface  # noqa: F401
     import pulsar_message_filter_spark.operators.features  # noqa: F401
+    import pulsar_message_filter_spark.operators.mixture  # noqa: F401
 
     _LOADED = True

@@ -1,6 +1,7 @@
 """Structured-Streaming layer (SURVEY.md §2.E, §3.3)."""
 
 from pulsar_message_filter_spark.streaming.compaction import (
+    compact_if_needed,
     compact_parquet,
     sink_file_stats,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "filtered_sink_pipeline",
     "windowed_event_counts",
     "stateful_user_stats",
+    "compact_if_needed",
     "compact_parquet",
     "sink_file_stats",
 ]

@@ -147,3 +147,50 @@ def compact_parquet(
         "total_bytes": after["total_bytes"],
         "path": path,
     }
+
+
+def compact_if_needed(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 64,
+    max_avg_file_bytes: int = 32 << 20,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """The scheduling policy around :func:`compact_parquet`: compact only
+    when the directory has drifted into small-file territory.
+
+    Trigger = *both* conditions hold: more than ``max_files`` data files AND
+    mean file size below ``max_avg_file_bytes``.  A directory of many
+    big files is healthy (a large dataset), and a directory of few small
+    files is cheap to scan — only many-and-small pays the rewrite.
+
+    This is the loop body for a periodic companion job next to a streaming
+    sink (run it between micro-batch groups, or from a scheduler while no
+    writer is active — same safe envelope as :func:`compact_parquet`)::
+
+        while True:
+            compact_if_needed(spark, sink_dir)
+            time.sleep(900)
+
+    Returns the :func:`compact_parquet` stats dict, extended with
+    ``{"triggered": bool, "avg_file_bytes": int}``.
+    """
+    _recover_interrupted_swap(spark, path)
+    stats = sink_file_stats(spark, path)
+    avg = stats["total_bytes"] // stats["n_files"] if stats["n_files"] else 0
+    if stats["n_files"] <= max_files or avg >= max_avg_file_bytes:
+        return {
+            "compacted": False,
+            "triggered": False,
+            "files_before": stats["n_files"],
+            "files_after": stats["n_files"],
+            "total_bytes": stats["total_bytes"],
+            "avg_file_bytes": avg,
+            "path": path,
+        }
+    out = compact_parquet(
+        spark, path, target_file_bytes=target_file_bytes, min_files_to_compact=2
+    )
+    out["triggered"] = True
+    out["avg_file_bytes"] = avg
+    return out

@@ -410,3 +410,69 @@ def test_real_decode_paths_are_gated(spark):
 def test_multimodal_real_decode_is_marked_todo():
     with pytest.raises(NotImplementedError):
         next(decode_stub(iter([]), real_decode=True))
+
+
+def test_training_mixture_proportions(spark):
+    """f16: achieved mixture tracks the target weights; the binding stratum
+    (zh at these fixtures) is kept whole; selection is deterministic."""
+    from pulsar_message_filter_spark.operators.mixture import (
+        DEFAULT_TARGETS,
+        build_training_mixture,
+        mixture_rates,
+    )
+
+    docs = load(spark, "documents", SF_SMOKE)
+    rates = {r.lang: r.rate for r in mixture_rates(docs, "lang", DEFAULT_TARGETS).collect()}
+    assert rates["zh"] >= 0.999  # binding stratum
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+
+    picked = build_training_mixture(docs, "lang", DEFAULT_TARGETS)
+    got = {r.lang: r["count"] for r in picked.groupBy("lang").count().collect()}
+    total = sum(got.values())
+    n_zh = docs.filter("lang = 'zh'").count()
+    assert got["zh"] == n_zh  # kept whole, not shaved by the hex threshold
+    for lang, t in DEFAULT_TARGETS.items():
+        achieved = got.get(lang, 0) / total
+        # hash granularity + small strata: generous but shape-preserving tol
+        assert abs(achieved - t) < 0.5 * t + 0.03, (lang, achieved, t)
+    ids_a = sorted(r.doc_id for r in picked.select("doc_id").collect())
+    ids_b = sorted(
+        r.doc_id
+        for r in build_training_mixture(docs, "lang", DEFAULT_TARGETS)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids_a == ids_b
+
+
+def test_minhash_dedup_incremental(spark, tmp_path):
+    """Incremental dedup: batch 2's near-copies of batch-1 docs are dropped
+    against the persisted signature store; fresh docs survive and extend it."""
+    from pulsar_message_filter_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    store = str(tmp_path / "sigs")
+    docs = load(spark, "documents", SF_SMOKE)
+    batch1 = docs.filter(F.col("doc_id") < 40)
+    # batch 1 contains one internal exact dup (id 10_001 copies id 1)
+    dup_in_b1 = batch1.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    kept1 = minhash_dedup_incremental(batch1.unionByName(dup_in_b1), store)
+    # 41 in, minus the synthetic dup AND the fixture's own 8≡12 pair
+    assert kept1.count() == 39
+    assert kept1.filter(F.col("doc_id").isin(10_001, 12)).count() == 0
+
+    # batch 2: 10 exact copies of batch-1 docs (shifted ids) + 10 fresh docs
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    fresh = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+    kept2 = minhash_dedup_incremental(copies.unionByName(fresh), store)
+    ids2 = sorted(r.doc_id for r in kept2.select("doc_id").collect())
+    assert ids2 == list(range(60, 70)), ids2  # all copies dropped vs history
+
+    # the store accumulated signatures for every survivor
+    n_store = spark.read.parquet(store).select("doc").distinct().count()
+    assert n_store == 49

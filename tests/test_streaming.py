@@ -551,3 +551,23 @@ def test_normalize_pulsar_frame_deterministic_event_id(spark):
     ids_m1 = sorted(r.event_id for r in normalize_pulsar_frame(with_mid).collect())
     ids_m2 = sorted(r.event_id for r in normalize_pulsar_frame(with_mid.repartition(3)).collect())
     assert ids_m1 == ids_m2
+
+
+def test_compact_if_needed_policy(spark, tmp_path):
+    """The scheduler wrapper triggers only on many-AND-small directories."""
+    from pulsar_message_filter_spark.streaming import compact_if_needed
+
+    out_dir = str(tmp_path / "out")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(20).write.parquet(out_dir)
+
+    # 20 small files but under the file-count bar -> untouched
+    r = compact_if_needed(spark, out_dir, max_files=64)
+    assert r["triggered"] is False and r["compacted"] is False
+    # over the bar and tiny files -> compacts to 1 target file
+    r = compact_if_needed(spark, out_dir, max_files=10, target_file_bytes=1 << 30)
+    assert r["triggered"] is True and r["compacted"] is True
+    assert r["files_after"] == 1
+    assert spark.read.parquet(out_dir).count() == 1000
+    # healthy afterwards -> no retrigger
+    r = compact_if_needed(spark, out_dir, max_files=10)
+    assert r["triggered"] is False

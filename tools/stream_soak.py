@@ -117,11 +117,43 @@ def main() -> None:
             "state_rows_plateau": plateau,
             "state_mem_bytes_last": series[-1]["mem_bytes"],
             "sst_bytes_last": series[-1]["sst_bytes"],
-            "bounded": bool(tail_rows) and series[-1]["rows"] <= plateau * 1.25,
+            # growth-based: small absolute slack so a handful of open
+            # windows oscillating (e.g. 15→20 rows) doesn't read as growth
+            "bounded": bool(tail_rows)
+            and series[-1]["rows"] <= plateau * 1.25 + 100,
         }
 
+    def sample_state(q) -> dict | None:
+        """One (elapsed, rows, bytes) point from the query's last progress —
+        recentProgress only retains ~100 entries, so long soaks need
+        periodic sampling to cover the whole run, not just the tail."""
+        p = q.lastProgress
+        if not p:
+            return None
+        for op in p.get("stateOperators") or []:
+            cm = op.get("customMetrics") or {}
+            return {
+                "batch": p["batchId"],
+                "rows": op.get("numRowsTotal"),
+                "mem_bytes": op.get("memoryUsedBytes"),
+                "sst_bytes": cm.get("rocksdbTotalSstFilesBytes"),
+            }
+        return None
+
     try:
-        time.sleep(duration_s)
+        # sample the state stores periodically over the whole duration: the
+        # bounded-state claim at hour scale is "the series is flat", which
+        # the tail-window recentProgress cannot show on its own
+        t0 = time.time()
+        sample_every = max(10, min(60, duration_s // 20 or 10))
+        timeline: dict[str, list] = {"stateful_window": [], "sessionization": []}
+        while time.time() - t0 < duration_s:
+            time.sleep(min(sample_every, max(1, duration_s - (time.time() - t0))))
+            for name, q in (("stateful_window", q2), ("sessionization", q3)):
+                s = sample_state(q)
+                if s is not None:
+                    s["elapsed_s"] = round(time.time() - t0)
+                    timeline[name].append(s)
         report = {}
         for name, q in (
             ("verdict_pipeline", q1),
@@ -140,6 +172,23 @@ def main() -> None:
             }
         report["stateful_window"]["state"] = state_profile(q2)
         report["sessionization"]["state"] = state_profile(q3)
+        for name in ("stateful_window", "sessionization"):
+            tl = timeline[name]
+            report[name]["state_timeline"] = tl
+            if len(tl) >= 4:
+                rows = [s["rows"] for s in tl if s["rows"] is not None]
+                # flat = the last quarter's median is within 25% of the
+                # plateau established after warm-up (first quarter excluded)
+                import statistics as _st
+
+                # flat series = last-quarter median within 30% (+slack) of
+                # the mid-run median: linear state growth fails this at any
+                # duration, window-expiry oscillation does not
+                mid = _st.median(rows[len(rows) // 4 : 3 * len(rows) // 4])
+                last_q = _st.median(rows[3 * len(rows) // 4 :])
+                report[name]["state"]["bounded_over_duration"] = (
+                    last_q <= mid * 1.3 + 100
+                )
     finally:
         q1.stop()
         q2.stop()
