@@ -141,3 +141,74 @@ def f16_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_training_mixture(docs, "lang", DEFAULT_TARGETS).select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — token-budget binning for training batches
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col=None,
+    budget: int = 1024,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (training sequences).
+
+    The packing rule is *contiguous fill in id order within a hash bucket*:
+    docs land in ``n_buckets`` deterministic buckets (``id % n_buckets``),
+    and within a bucket the running token total assigns pack boundaries —
+    ``pack_id = floor(exclusive_cumsum / budget)``.  A doc whose tokens
+    straddle a boundary starts in its computed pack (packs can overflow by
+    at most one doc — the standard greedy-fill approximation; truncation/
+    splitting is the tokenizer's concern downstream).
+
+    Why this shape at 100 TB: optimal bin packing is inherently sequential,
+    but bucketed greedy fill is *embarrassingly parallel* — each bucket's
+    cumsum is an independent window over its own partition (one shuffle by
+    bucket, no global ordering), and determinism (id order + hash buckets)
+    makes packs reproducible across runs and engines, so the packing is
+    oracle-checkable and resumable like every other selection step here.
+    """
+    toks = tokens_col if tokens_col is not None else F.size(F.split(F.col("text"), " "))
+    from pyspark.sql import Window
+
+    bucket = (F.col(id_col) % n_buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(F.col(id_col), bucket, toks.cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget),
+        )
+    )
+
+
+@graded(
+    "f17_sequence_packing",
+    oracle="""
+        SELECT doc_id,
+               doc_id % 32 AS bucket,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(floor(
+                   COALESCE(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                       PARTITION BY doc_id % 32 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 1024.0
+               ) AS BIGINT) AS pack_id
+        FROM documents
+    """,
+    section="F6,F14,C20",
+    description="sequence packing: deterministic token-budget bins via "
+    "per-hash-bucket exclusive running sum (1024-token packs) — the "
+    "parallel greedy-fill batch builder; oracle-checked exactly",
+)
+def f17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return pack_sequences(docs, budget=1024, n_buckets=32)

@@ -476,3 +476,31 @@ def test_minhash_dedup_incremental(spark, tmp_path):
     # the store accumulated signatures for every survivor
     n_store = spark.read.parquet(store).select("doc").distinct().count()
     assert n_store == 49
+
+
+def test_pack_sequences_budget_property(spark):
+    """f17: within every pack, the tokens *before* the last doc fit the
+    budget (greedy fill overflows by at most the straddling doc), packs are
+    contiguous in id order per bucket, and the assignment is deterministic."""
+    from pulsar_message_filter_spark.operators.mixture import pack_sequences
+
+    docs = load(spark, "documents", SF_SMOKE)
+    packed = pack_sequences(docs, budget=1024, n_buckets=32)
+    rows = packed.collect()
+    by_pack: dict[tuple, list] = {}
+    for r in rows:
+        by_pack.setdefault((r.bucket, r.pack_id), []).append(r)
+    assert len(by_pack) > 10
+    for (_, _), members in by_pack.items():
+        members.sort(key=lambda r: r.doc_id)
+        # exclusive prefix within the pack stays under budget
+        run = 0
+        for m in members[:-1]:
+            run += m.n_tokens
+        assert run < 1024 + members[-1].n_tokens
+        # all but the straddler fit: total minus last < budget
+        assert sum(m.n_tokens for m in members[:-1]) < 1024
+    again = pack_sequences(docs, budget=1024, n_buckets=32).collect()
+    assert sorted((r.doc_id, r.pack_id) for r in again) == sorted(
+        (r.doc_id, r.pack_id) for r in rows
+    )
