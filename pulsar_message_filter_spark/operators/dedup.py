@@ -556,3 +556,34 @@ def minhash_dedup_incremental(
     kept_ids = kept.select(F.col(id_col).alias("doc"))
     sig_new.join(kept_ids, "doc").write.mode("append").parquet(signature_dir)
     return kept
+
+
+@graded(
+    "f18_incremental_dedup",
+    oracle=None,  # decisions mix exact Jaccard (in-batch) with
+    # signature-estimate (vs history): engine-specific hash family
+    section="F1,F2,F14",
+    description="incremental dedup demo: ingest docs <40 into a fresh "
+    "signature store, then dedup a second batch (10 copies + docs 60-69) "
+    "against it — returns batch-2 survivors; rows-only (deterministic: "
+    "fresh store per call, seeded hashes)",
+)
+def f18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives :func:`minhash_dedup_incremental` end-to-end through the
+    graded surface: batch 1 seeds the store, batch 2 (exact copies of
+    batch-1 docs under new ids, plus fresh docs) dedups against it.  The
+    expected survivor set is exactly the fresh docs — pinned in pytest
+    ``test_minhash_dedup_incremental`` with the same construction."""
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="pmf_sigstore_")
+    docs = load(spark, "documents", sf_dir)
+    batch1 = docs.filter(F.col("doc_id") < 40)
+    minhash_dedup_incremental(batch1, store).count()  # materialize ingest 1
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    fresh = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+    kept = minhash_dedup_incremental(copies.unionByName(fresh), store)
+    return kept.select("doc_id", "lang", "source")
