@@ -212,3 +212,88 @@ def pack_sequences(
 def f17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return pack_sequences(docs, budget=1024, n_buckets=32)
+
+
+@graded(
+    "f19_curation_to_packing",
+    oracle="""
+        WITH scored AS (
+            SELECT *,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS avg_word_len
+            FROM documents
+        ),
+        q AS (
+            SELECT * FROM scored
+            WHERE n_tok >= 5 AND n_tok <= 500
+              AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+              AND CAST(n_distinct AS DOUBLE) / n_tok > 0.3
+        ),
+        d AS (
+            SELECT * FROM q
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM q
+                GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ),
+        targets(lang, t) AS (
+            VALUES ('de', CAST(0.10 AS DOUBLE)), ('en', CAST(0.50 AS DOUBLE)),
+                   ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.05 AS DOUBLE)),
+                   ('zh', CAST(0.20 AS DOUBLE))
+        ),
+        counts AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+        cap AS (SELECT min(c.n / tg.t) AS n_total
+                FROM counts c JOIN targets tg USING (lang)),
+        rates AS (SELECT c.lang, (cap.n_total * tg.t / c.n) AS rate
+                  FROM counts c JOIN targets tg USING (lang) CROSS JOIN cap),
+        m AS (
+            SELECT d.* FROM d JOIN rates r USING (lang)
+            WHERE r.rate >= 1.0
+               OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+                  lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))), 4, '0')
+        ),
+        p AS (
+            SELECT doc_id,
+                   doc_id % 32 AS bucket,
+                   CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(floor(
+                       COALESCE(sum(CAST(n_tok AS BIGINT)) OVER (
+                           PARTITION BY doc_id % 32 ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) / 1024.0
+                   ) AS BIGINT) AS pack_id
+            FROM m
+        )
+        SELECT bucket, pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM p GROUP BY 1, 2
+    """,
+    section="F11,F1,C26,F6,F14,C20",
+    description="curation-to-batches chain: quality filter -> exact dedup "
+    "keep-first -> target-lang mixture -> 1024-token sequence packing -> "
+    "per-pack stats; every stage deterministic and the whole chain "
+    "oracle-checked — the full training-data preparation shape",
+)
+def f19_curation_to_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production pipeline in one plan: each stage is a pure
+    DataFrame→DataFrame transform, so Catalyst fuses the filters/projections
+    and the only shuffles are the dedup window (content-hash keyed), the
+    mixture's k-row counts aggregate, and the pack window (bucket keyed)."""
+    from pyspark.sql import Window
+
+    from pulsar_message_filter_spark.operators.dedup import canonical_text
+    from pulsar_message_filter_spark.operators.text import quality_flags
+
+    docs = load(spark, "documents", sf_dir)
+    flags = quality_flags(F.col("text"))
+    q = docs.filter(flags["len_ok"] & flags["word_len_ok"] & flags["diversity_ok"])
+    w = Window.partitionBy(canonical_text(F.col("text"))).orderBy("doc_id")
+    d = q.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    m = build_training_mixture(d, "lang", DEFAULT_TARGETS)
+    p = pack_sequences(m, budget=1024, n_buckets=32)
+    return p.groupBy("bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
