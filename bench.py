@@ -40,6 +40,7 @@ HEADLINE = [
     "q21_waiting_suppliers",  # double-correlation rewritten as one grouped pass
     "f15_curation_pipeline",  # end-to-end LLM-data curation chain
     "f4_topk_numpy",  # Arrow/numpy matmul top-k (the dense-math path)
+    "f19_curation_to_packing",  # quality->dedup->mixture->packing chain
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -65,6 +66,7 @@ BUDGET_SEC = {
     "q21_waiting_suppliers": 4.0,
     "f15_curation_pipeline": 4.0,
     "f4_topk_numpy": 4.0,
+    "f19_curation_to_packing": 5.5,
 }
 
 

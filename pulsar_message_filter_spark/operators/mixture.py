@@ -64,14 +64,18 @@ def mixture_rates(
     )
     counts = df.groupBy(strata_col).agg(F.count("*").alias("n"))
     with_t = counts.join(F.broadcast(t), strata_col)
-    cap = with_t.agg(F.min(F.col("n") / F.col("t")).alias("n_total"))
-    return (
-        with_t.crossJoin(F.broadcast(cap))
-        .select(
-            strata_col,
-            "n",
-            (F.col("n_total") * F.col("t") / F.col("n")).alias("rate"),
-        )
+    # the cap is ONE scalar over a k-row aggregate — collect it and inline
+    # as a literal (the same legitimate O(1) driver collect as a centroid
+    # matrix).  Leaving it as a crossJoin'd subplan makes every consumer of
+    # the rates frame re-run the entire upstream pipeline for the cap
+    # branch — for a curated stream that is a full extra corpus pass.
+    n_total = with_t.agg(
+        F.min(F.col("n") / F.col("t")).alias("n_total")
+    ).collect()[0]["n_total"]
+    return with_t.select(
+        strata_col,
+        "n",
+        (F.lit(float(n_total)) * F.col("t") / F.col("n")).alias("rate"),
     )
 
 
