@@ -67,3 +67,78 @@ def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> No
     oracle's view names exactly."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format ingestion (A-surface breadth: CSV / JSON-lines / ORC)
+# ---------------------------------------------------------------------------
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched batch reader with the engine's ingestion defaults.
+
+    The operational rules encoded here (they matter at 100 TB, where a
+    malformed row must not kill a 10-hour job, and schema inference over
+    object storage is an extra full pass):
+
+    * ``schema`` should be passed explicitly for text formats — inference
+      costs one complete read of the data before the real one, and silently
+      widens types on dirty data.  Parquet/ORC carry their own schema.
+    * CSV/JSON read in ``PERMISSIVE`` mode with a ``_corrupt_record``
+      column, so malformed rows are routed (the DLQ pattern, B13/A6)
+      instead of thrown.
+    * CSV defaults: header, RFC-4180 quoting.  JSON is JSON-lines (one
+      object per line — the only splittable JSON layout).
+    """
+    fmt = fmt.lower()
+    if fmt not in ("parquet", "orc", "csv", "json"):
+        raise ValueError(f"unsupported format {fmt!r}")
+    configure(spark)
+    reader = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        if schema is None and fmt == "csv":
+            reader = reader.option("inferSchema", "true")
+    if schema is not None:
+        # text formats get the corrupt-record column appended so PERMISSIVE
+        # mode has somewhere to park malformed rows
+        from pyspark.sql.types import StringType, StructType
+
+        if fmt in ("csv", "json") and isinstance(schema, StructType):
+            if "_corrupt_record" not in schema.fieldNames():
+                schema = schema.add("_corrupt_record", StringType())
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE-mode read into (clean, corrupt) frames — the batch
+    twin of streaming verdict routing (A6): corrupt rows keep only the raw
+    record for the reject sink, clean rows drop the bookkeeping column.
+
+    The input is persisted first: Spark disallows queries whose referenced
+    columns are only the internal corrupt-record column on a *raw* text
+    scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the
+    split reads the frame twice anyway.  At scale, prefer routing both
+    verdicts in ONE pass (``foreachBatch`` + partitioned write, the B13
+    shape) over this two-pass convenience."""
+    if "_corrupt_record" not in df.columns:
+        return df, df.limit(0).select(F.lit(None).cast("string").alias("_corrupt_record"))
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, corrupt

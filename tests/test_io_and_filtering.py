@@ -78,3 +78,50 @@ def test_fanout_matches_individual_filters(spark):
         expected = events.filter(Selector(text).column()).count()
         assert views[name].count() == expected, name
         assert views[name].columns == events.columns
+
+
+def test_read_any_formats_roundtrip(spark, tmp_path):
+    """A-surface breadth: the same documents rows survive a round-trip
+    through CSV, JSON-lines, and ORC via read_any with an explicit schema."""
+    from pulsar_message_filter_spark.io import read_any
+
+    docs = load(spark, "documents", SF_SMOKE).select("doc_id", "lang", "n_chars").limit(200)
+    expected = sorted((r.doc_id, r.lang, r.n_chars) for r in docs.collect())
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    from pyspark.sql.types import _parse_datatype_string
+
+    for fmt in ("csv", "json", "orc"):
+        path = str(tmp_path / fmt)
+        docs.write.format(fmt).option("header", "true").save(path)
+        got = read_any(
+            spark, path, fmt,
+            schema=_parse_datatype_string(schema) if fmt != "orc" else None,
+        )
+        rows = sorted(
+            (r.doc_id, r.lang, r.n_chars)
+            for r in got.select("doc_id", "lang", "n_chars").collect()
+        )
+        assert rows == expected, fmt
+
+
+def test_read_any_routes_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE ingestion: malformed JSON lines land in _corrupt_record
+    and split_corrupt routes them DLQ-style instead of failing the job."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from pulsar_message_filter_spark.io import read_any, split_corrupt
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "lang": "en"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "lang": "fr"}\n'
+        '{"doc_id": broken\n'
+    )
+    df = read_any(
+        spark, str(p), "json", schema=_parse_datatype_string("doc_id bigint, lang string")
+    )
+    clean, corrupt = split_corrupt(df)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+    bad = [r._corrupt_record for r in corrupt.collect()]
+    assert len(bad) == 2 and "THIS IS NOT JSON" in bad
