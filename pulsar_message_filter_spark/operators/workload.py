@@ -113,11 +113,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
     )
     base = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        # broadcast the selective part filter FIRST: it prunes lineitem on
+        # the scan side, so the expensive l_orderkey join moves ~p_type
+        # selectivity fewer rows — the semi-join-pushdown shape that
+        # dominates q8 cost at scale
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))
         .select(
