@@ -76,6 +76,7 @@ def test_all_non_udf_queries_stay_jvm_side(spark):
         "g5_map_in_pandas", "g6_udtf_shingles",
         # deliberate vectorized-UDF operators
         "f2_simhash", "f12_multimodal_features", "f4_topk_lsh", "f4_topk_ivf",
+        "f4_topk_ivf_auto",  # auto-probed variant of f4_topk_ivf
     }
     offenders = []
     for name, g in registry.all_graded().items():
