@@ -587,3 +587,127 @@ def f18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
     kept = minhash_dedup_incremental(copies.unionByName(fresh), store)
     return kept.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F14 — near-dup clusters: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive closure of a near-dup pair graph: ``(node, cluster_id)``
+    with ``cluster_id`` = the minimum node id in the component.
+
+    Pair emitters (:func:`minhash_near_dups`, :func:`f2_jaccard_pairs`)
+    find *edges*; an actual dedup decision needs *components* — A≈B and
+    B≈C must collapse to one survivor even when A≈C was never emitted.
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    shape — e.g. the "hash-to-min" family, public literature).  Each round
+    every node adopts ``min(own label, neighbor labels)``; convergence
+    takes O(diameter) rounds, and near-dup components are short chains in
+    practice (the `max_iterations` bound is a safety rail, hit only by a
+    pathological 2^20-long chain).  Each round is one join + one
+    aggregation, both keyed on node id — the same shuffle partitioning
+    every round, no quadratic anything.  The driver-side loop carries only
+    a converged/not flag per round (an O(1) ``count``), labels stay
+    distributed; each round's label frame is ``localCheckpoint``-ed —
+    without lineage truncation the plan doubles per round and the driver
+    OOMs analyzing it long before the data is a problem (on a real
+    cluster with an unreliable-executor concern, swap in
+    ``checkpoint()`` against the checkpoint dir).
+
+    Input: ``(id_a, id_b)`` rows (any extra columns ignored); undirected.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(edges["a"].alias("node2"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lab").alias("cluster_id"))
+
+
+
+@graded(
+    "f20_dedup_clusters",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+            FROM documents WHERE doc_id < 120
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                     / len(list_distinct(a.t || b.t)) > 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        )
+        SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY 1
+    """,
+    section="F1,F2,F14",
+    description="near-dup clusters: exact-Jaccard pair graph (docs <120) -> "
+    "distributed min-label-propagation connected components; oracle = "
+    "recursive-CTE transitive closure — pairs become dedup decisions",
+)
+def f20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac > 0.5)
+        .select("id_a", "id_b")
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

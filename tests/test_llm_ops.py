@@ -504,3 +504,29 @@ def test_pack_sequences_budget_property(spark):
     assert sorted((r.doc_id, r.pack_id) for r in again) == sorted(
         (r.doc_id, r.pack_id) for r in rows
     )
+
+
+def test_connected_components_transitivity(spark):
+    """A≈B and B≈C collapse into one cluster even with no A≈C edge;
+    disjoint components keep distinct labels; chain depth converges."""
+    from pulsar_message_filter_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # component 1: chain 1-2-3-4 (no shortcut edges)
+        [(1, 2), (2, 3), (3, 4),
+         # component 2: clique-ish 10-11, 10-12
+         (10, 11), (10, 12),
+         # component 3: single edge
+         (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # a long chain still converges (min label walks one hop per round, the
+    # iteration bound must cover the diameter)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 115)], "id_a bigint, id_b bigint"
+    )
+    labels = {r.node: r.cluster_id for r in connected_components(chain).collect()}
+    assert set(labels.values()) == {100}
