@@ -711,3 +711,34 @@ def f20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+def dedup_near(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    target_recall: float | None = None,
+) -> DataFrame:
+    """The complete near-dup dedup operator: MinHash/LSH pairs →
+    connected components → keep the minimum-id doc per cluster.
+
+    This is the composition a pipeline actually runs (pairs alone
+    under-delete: A≈B, B≈C with no A≈C edge must still collapse to one
+    survivor).  Cost = the pair pipeline (band-key equi-join, no cross
+    join) + O(component diameter) label-propagation rounds over just the
+    paired nodes — docs with no near-dup never enter the component step.
+
+    Returns the surviving rows of ``df`` (original columns).
+    """
+    pairs = minhash_near_dups(
+        df, text_col, id_col, threshold, n_perm, n_bands,
+        target_recall=target_recall,
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

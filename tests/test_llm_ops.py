@@ -530,3 +530,22 @@ def test_connected_components_transitivity(spark):
     )
     labels = {r.node: r.cluster_id for r in connected_components(chain).collect()}
     assert set(labels.values()) == {100}
+
+
+def test_dedup_near_collapses_transitive_chains(spark):
+    """dedup_near keeps exactly one survivor per near-dup component, even
+    when the duplicate relation is only transitively connected."""
+    from pulsar_message_filter_spark.operators.dedup import dedup_near
+
+    docs = load(spark, "documents", SF_SMOKE).filter(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 90)
+    )
+    # two extra exact copies of doc 60 under new ids: component {60, a, b}
+    extra = docs.filter(F.col("doc_id") == 60)
+    chain = extra.select((F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang", "source", "n_chars").unionByName(
+        extra.select((F.col("doc_id") + 20_000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    )
+    kept = dedup_near(docs.unionByName(chain), threshold=0.8)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert 60 in ids and 10_060 not in ids and 20_060 not in ids
+    assert len(ids) == 30  # fresh range 60..89 has no internal near-dups

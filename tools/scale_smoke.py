@@ -59,6 +59,11 @@ QUERIES = [
     "f1_exact_dedup",
     "f9_tfidf",
     "stream_stream_join",
+    # round-2 training-pipeline chain: counts-pass + select-pass mixture,
+    # bucket-window packing, and the full curation chain
+    "f16_training_mixture",
+    "f17_sequence_packing",
+    "f19_curation_to_packing",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
