@@ -465,6 +465,7 @@ def minhash_dedup_incremental(
     threshold: float = 0.8,
     n_perm: int = N_PERM,
     n_bands: int = N_BANDS,
+    epoch_id: int | None = None,
 ) -> DataFrame:
     """Dedup a new batch against itself AND every batch that came before,
     using the persisted signature store as the accumulated history — the
@@ -491,10 +492,19 @@ def minhash_dedup_incremental(
     Scale shape: the store grows by O(n_perm · kept docs); the cross join
     is banded equi-join keyed (band, key) — with a small batch against a
     huge history, Spark broadcasts the batch side (or AQE picks it at run
-    time).  Re-running an already-ingested batch is harmless for output
-    correctness (its docs now match their own stored signatures and drop
-    as duplicates) but appends duplicate store rows — compact the store
-    periodically with ``dropDuplicates('doc')`` if batches can replay.
+    time).
+
+    **Replay safety (`epoch_id`)**: for at-least-once callers (a streaming
+    ``foreachBatch``), pass the micro-batch's epoch.  The store is then
+    partitioned by ``ingest_epoch`` and written with dynamic partition
+    overwrite, and the history read EXCLUDES the current epoch — so a
+    replayed batch neither matches its own first-attempt signatures (which
+    would drop every row and overwrite the epoch with nothing) nor
+    duplicates store rows.  Without ``epoch_id`` (ad-hoc batch ingest) the
+    store append is not idempotent: a re-run of the same batch drops all
+    its rows as duplicates of the stored signatures — correct output, but
+    compact the store with ``dropDuplicates('doc')`` if that pattern
+    matters.
 
     Returns the surviving rows of ``new_docs`` (original columns).
     """
@@ -509,9 +519,12 @@ def minhash_dedup_incremental(
         F.greatest("id_a", "id_b").alias(id_col)
     ).distinct()
 
-    # (3) vs history (if the store exists yet)
+    # (3) vs history (if the store exists yet); under epoch-aware replay,
+    # the current epoch's own first-attempt rows are not history
     try:
         hist = spark.read.parquet(signature_dir)
+        if epoch_id is not None and "ingest_epoch" in hist.columns:
+            hist = hist.filter(F.col("ingest_epoch") != int(epoch_id))
         have_history = True
     except Exception:
         have_history = False
@@ -554,7 +567,19 @@ def minhash_dedup_incremental(
 
     # (4) persist survivors' signatures for the next batch
     kept_ids = kept.select(F.col(id_col).alias("doc"))
-    sig_new.join(kept_ids, "doc").write.mode("append").parquet(signature_dir)
+    kept_sigs = sig_new.join(kept_ids, "doc")
+    if epoch_id is not None:
+        (
+            kept_sigs.withColumn("ingest_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_epoch")
+            .parquet(signature_dir)
+        )
+    else:
+        kept_sigs.withColumn("ingest_epoch", F.lit(-1)).write.mode("append").parquet(
+            signature_dir
+        )
     return kept
 
 

@@ -116,6 +116,49 @@ def filtered_sink_pipeline(
     )
 
 
+def streaming_dedup_pipeline(
+    doc_stream: DataFrame,
+    signature_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+):
+    """Streaming corpus dedup (E-series × F1/F2): each micro-batch of
+    documents is deduped against itself AND every prior batch via the
+    persisted signature store, survivors land in an epoch-partitioned
+    parquet sink.
+
+    Exactly-once end-to-end despite TWO stateful effects per batch: both
+    the survivor write and the signature-store write are epoch-keyed
+    dynamic partition overwrites, and the store's history read excludes
+    the current epoch (see ``minhash_dedup_incremental(epoch_id=...)``) —
+    so a replayed micro-batch reproduces its first attempt bit-for-bit
+    instead of deleting its own rows as self-duplicates.
+    """
+    from pulsar_message_filter_spark.operators.dedup import minhash_dedup_incremental
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        kept = minhash_dedup_incremental(
+            batch, signature_dir, text_col, id_col, threshold,
+            epoch_id=int(epoch_id),
+        )
+        (
+            kept.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def reingest_due_retries(spark, out_dir: str, generation: int | None = None) -> DataFrame:
     """The retry-topic consumer leg: RESCHEDULEd rows whose visibility time
     has arrived, redelivery count incremented, ready to union back into
