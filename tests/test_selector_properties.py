@@ -101,6 +101,12 @@ def test_differential_wide_grammar(spark, duck):
         "value BETWEEN 0 AND 50 OR value BETWEEN 150 AND 200",
         "NOT (props.absent > 0) OR props.absent IS NULL",
         "event_type IN ('click','purchase') AND NOT (user_id IN (2,4,6))",
+        # boolean-literal equality (JMS Boolean.valueOf coercion, both
+        # dotted and bare property forms; absent property → UNKNOWN)
+        "props.k = TRUE OR value > 150",
+        "props.missing <> FALSE AND value < 50",
+        "armed = TRUE OR event_type = 'click'",
+        "NOT (flagged = FALSE) AND props.k IS NOT NULL",
     ]
     for _ in range(20):
         lo = rng.randint(0, 99)
