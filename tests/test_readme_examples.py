@@ -18,3 +18,25 @@ def test_quickstart_batch(spark):
     verdicts = route(events, accept=sel, reschedule="value >= 150")
     assert set(verdicts) == {"ACCEPT", "REJECT", "RESCHEDULE"}
     assert sum(df.count() for df in verdicts.values()) == events.count()
+
+
+def test_quickstart_curation(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark import load
+    from pulsar_message_filter_spark.operators.dedup import dedup_near
+    from pulsar_message_filter_spark.operators.mixture import (
+        build_training_mixture,
+        pack_sequences,
+    )
+
+    docs = load(spark, "documents", SF_ORACLE)
+    unique = dedup_near(docs, threshold=0.8)
+    assert 0 < unique.count() <= docs.count()
+    mixed = build_training_mixture(
+        unique, "lang", {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
+    )
+    assert 0 < mixed.count() < unique.count()
+    packs = pack_sequences(mixed, budget=1024)
+    assert packs.filter(F.col("pack_id") < 0).count() == 0
+    assert packs.count() == mixed.count()
