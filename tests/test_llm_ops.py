@@ -549,3 +549,49 @@ def test_dedup_near_collapses_transitive_chains(spark):
     ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
     assert 60 in ids and 10_060 not in ids and 20_060 not in ids
     assert len(ids) == 30  # fresh range 60..89 has no internal near-dups
+
+
+def test_int8_topk_recall_vs_brute_force(spark):
+    """f21: int8-quantized scoring with exact rerank must recover the true
+    nearest neighbor for ≥90% of queries, and the approximate cosine must
+    sit within quantization error of the exact one."""
+    from pulsar_message_filter_spark.operators.similarity import (
+        brute_topk,
+        int8_cosine,
+        int8_topk,
+        quantize_int8,
+    )
+
+    emb = load(spark, "embeddings", SF_SMOKE).filter(F.col("vec_id") < 200)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_topk(emb, emb, k=1).filter(F.col("rank") == 1).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in int8_topk(emb, emb, k=1).filter(F.col("rank") == 1).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, f"int8+rerank nn recall too low: {recall}"
+
+    # quantization error bound: |approx - exact| small on random pairs
+    a = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
+        quantize_int8(F.col("embedding")).alias("qa"),
+    )
+    b = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
+        quantize_int8(F.col("embedding")).alias("qb"),
+    )
+    from pulsar_message_filter_spark.operators.similarity import cosine
+
+    errs = (
+        a.crossJoin(b)
+        .select(
+            (F.abs(int8_cosine(F.col("qa"), F.col("qb"))
+                   - cosine(F.col("ea"), F.col("eb")))).alias("err")
+        )
+        .agg(F.max("err").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert errs < 0.02, f"int8 cosine error too large: {errs}"
