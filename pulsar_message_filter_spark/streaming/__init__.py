@@ -7,12 +7,14 @@ from pulsar_message_filter_spark.streaming.compaction import (
 )
 from pulsar_message_filter_spark.streaming.pipeline import (
     filtered_sink_pipeline,
+    streaming_dedup_pipeline,
     stateful_user_stats,
     windowed_event_counts,
 )
 
 __all__ = [
     "filtered_sink_pipeline",
+    "streaming_dedup_pipeline",
     "windowed_event_counts",
     "stateful_user_stats",
     "compact_if_needed",
