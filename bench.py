@@ -41,6 +41,7 @@ HEADLINE = [
     "f15_curation_pipeline",  # end-to-end LLM-data curation chain
     "f4_topk_numpy",  # Arrow/numpy matmul top-k (the dense-math path)
     "f19_curation_to_packing",  # quality->dedup->mixture->packing chain
+    "f21_topk_int8",  # int8-quantized ANN with exact rerank
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -67,6 +68,7 @@ BUDGET_SEC = {
     "f15_curation_pipeline": 4.0,
     "f4_topk_numpy": 4.0,
     "f19_curation_to_packing": 5.5,
+    "f21_topk_int8": 4.0,
 }
 
 

@@ -739,12 +739,21 @@ def quantize_int8(emb: Column) -> Column:
 
     Returns a struct column ``(q: array<tinyint>, scale: double)`` where
     ``v_i ≈ q_i * scale`` for the L2-normalized vector.
+
+    Expression shape matters here: the naive normalize-then-quantize
+    nests three array folds (norm inside unit inside amax inside the
+    per-element round), and Catalyst inlines each referenced fold into
+    every element of the outer transform — ~64³ duplicated ops per row
+    (measured ~30 ms/row).  The normalization CANCELS algebraically
+    (``(v_i/n) / (max|v|/n) = v_i / max|v|``), so the quantized codes
+    depend only on the raw components and one amax fold, and the
+    normalization enters once, in the scalar ``scale``.
     """
-    n = norm(emb)
-    unit = F.transform(emb, lambda x: x.cast("double") / n)
-    amax = F.array_max(F.transform(unit, lambda x: F.abs(x)))
-    q = F.transform(unit, lambda x: F.round(x / amax * 127).cast("tinyint"))
-    return F.struct(q.alias("q"), (amax / 127).alias("scale"))
+    amax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        emb, lambda x: F.round(x.cast("double") / amax * 127).cast("tinyint")
+    )
+    return F.struct(q.alias("q"), (amax / (norm(emb) * 127)).alias("scale"))
 
 
 def int8_cosine(qa: Column, qb: Column) -> Column:
@@ -772,16 +781,22 @@ def int8_topk(
     with the exact float cosine — the standard quantize-then-rerank shape:
     cheap scan over everything, exact math over a k-sized remainder.
     """
+    # materialize the quantized frames (localCheckpoint): without the
+    # barrier Catalyst inlines the whole quantize expression into every
+    # reference inside the pair-scoring lambda — 64 copies per zip_with
+    # element, a compile-time/execution blowup measured at ~40× on the
+    # fixture.  Operationally this IS the index-build step: quantize the
+    # corpus once, store int8 arrays, serve many query batches from them.
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         quantize_int8(F.col("embedding")).alias("qq"),
-    )
+    ).localCheckpoint(eager=True)
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         quantize_int8(F.col("embedding")).alias("cq"),
-    )
+    ).localCheckpoint(eager=True)
     pool = 4 * k
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
     cands = (
