@@ -1,0 +1,270 @@
+"""F-series: n-gram corpus operators — contamination, repetition, span dedup.
+
+Three training-data-pipeline operators built on one shared primitive
+(contiguous token n-grams as a generated array column):
+
+* **f22 benchmark decontamination** — flag training documents whose
+  n-grams overlap a held-out benchmark slice (the standard eval-leakage
+  check run before LLM training).
+* **f23 repetition profile** — within-document duplicate-n-gram ratios
+  (the Gopher/C4 "repetitious text" signal at n-gram granularity).
+* **f24 exact substring-span dedup** — document pairs sharing a
+  fixed-width token span, the distributed approximation of suffix-array
+  substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+  Language Models Better").
+
+Everything is built-in Column algebra (split / sequence / transform /
+slice / explode) — no Python in the hot path, so n-gram generation stays
+inside whole-stage codegen and rides the parquet scan.
+
+Scale notes (100 TB):
+
+* n-gram explosion is a generator, not a shuffle — rows fan out inside
+  the scan stage; only the aggregations/joins shuffle.
+* f22 broadcasts the benchmark n-gram set (a held-out benchmark is small
+  by definition; for a multi-GB benchmark switch the hint to a shuffle
+  join on the gram).
+* f24's library form (:func:`span_pairs`) joins on ``xxhash64(span)`` so
+  the shuffle carries 8-byte keys instead of ~100-byte strings; the
+  graded query joins on the span string itself so the DuckDB oracle is
+  bit-exact (at 64-bit hash width, collisions at corpus scale are
+  ~n²/2⁶⁵ — acceptable for dedup, not for the correctness gate).
+* All emitted metrics are exact int64s; threshold decisions are
+  cross-multiplied integers (``cont*10 >= total``), never float ratios —
+  bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+
+#: Benchmark slice for the graded decontamination query: a fixed set of
+#: sources plays the role of the held-out eval suite.
+BENCH_SOURCES = ("src0", "src1", "src2")
+CONTAM_N = 4  # n-gram width for contamination
+SPAN_WIDTH = 15  # token-span width for substring dedup
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Contiguous ``n``-token grams of a whitespace-tokenized text column.
+
+    Pure Column algebra: ``sequence`` over start offsets + ``slice`` +
+    ``concat_ws``.  Guarded so texts shorter than ``n`` tokens yield an
+    empty array (Spark's ``sequence(1, k)`` is *descending* for k < 1,
+    which would silently emit garbage grams).
+    """
+    toks = F.split(text, " ")
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(doc_id, source, gram) — one row per n-gram occurrence."""
+    return (
+        load(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(token_ngrams(F.col("text"), n)).alias("gram"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F22 — benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f22_contamination",
+    oracle=f"""
+        WITH ng AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - {CONTAM_N - 1}, 0)),
+                       i -> array_to_string((string_split(text,' '))[i:i+{CONTAM_N - 1}], ' '))) AS gram
+            FROM documents
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM ng WHERE source IN {BENCH_SOURCES!r}
+        ),
+        train AS (
+            SELECT doc_id, count(DISTINCT gram) AS total_grams
+            FROM ng WHERE source NOT IN {BENCH_SOURCES!r} GROUP BY 1
+        ),
+        hits AS (
+            SELECT n.doc_id, count(DISTINCT n.gram) AS contaminated_grams
+            FROM ng n JOIN bench USING (gram)
+            WHERE n.source NOT IN {BENCH_SOURCES!r}
+            GROUP BY 1
+        )
+        SELECT t.doc_id,
+               t.total_grams,
+               h.contaminated_grams,
+               CAST(h.contaminated_grams * 10 >= t.total_grams AS INT) AS flag_10pct
+        FROM train t JOIN hits h USING (doc_id)
+    """,
+    section="F2,F6",
+    description="benchmark decontamination: training docs sharing "
+    f"{CONTAM_N}-grams with the held-out benchmark sources (broadcast "
+    "benchmark-gram set; exact integer overlap counts)",
+)
+def f22_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs that leak benchmark n-grams.
+
+    The benchmark's distinct-gram set is broadcast (eval suites are MBs,
+    not TBs), so the only shuffle is the per-doc distinct aggregation —
+    keyed by doc_id, uniform, map-side combinable.
+    """
+    grams = _doc_grams(spark, sf_dir, CONTAM_N)
+    bench = (
+        grams.filter(F.col("source").isin(*BENCH_SOURCES)).select("gram").distinct()
+    )
+    train = grams.filter(~F.col("source").isin(*BENCH_SOURCES))
+    totals = train.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("total_grams")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("contaminated_grams"))
+    )
+    return totals.join(hits, "doc_id").select(
+        "doc_id",
+        "total_grams",
+        "contaminated_grams",
+        (F.col("contaminated_grams") * 10 >= F.col("total_grams"))
+        .cast("int")
+        .alias("flag_10pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F23 — within-document repetition profile
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f23_repetition_profile",
+    oracle="""
+        WITH bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 1, 0)),
+                       i -> array_to_string((string_split(text,' '))[i:i+1], ' '))) AS gram
+            FROM documents
+        ),
+        per_gram AS (
+            SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               count(*) AS n_distinct_bigrams,
+               CAST(max(c) AS BIGINT) AS top_bigram_count,
+               CAST(sum(c) - count(*) AS BIGINT) AS dup_bigrams,
+               CAST((sum(c) - count(*)) * 5 >= sum(c) AS INT) AS flag_repetitive
+        FROM per_gram GROUP BY 1
+    """,
+    section="F11,F6",
+    description="Gopher-style within-doc repetition: duplicate-bigram mass "
+    "and top-bigram share as exact integers (flag at dup fraction >= 20%)",
+)
+def f23_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-bigram profile.
+
+    Two map-side-combinable aggregations keyed by (doc_id, gram) then
+    doc_id — both uniform keys.  No joins; at 100 TB this is a single
+    shuffle of (doc_id, gram) partial counts.
+    """
+    bg = _doc_grams(spark, sf_dir, 2).drop("source")
+    per_gram = bg.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        (F.sum("c") - F.count("*")).alias("dup_bigrams"),
+        ((F.sum("c") - F.count("*")) * 5 >= F.sum("c"))
+        .cast("int")
+        .alias("flag_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F24 — exact substring-span dedup (distributed suffix-dedup approximation)
+# ---------------------------------------------------------------------------
+
+
+def span_pairs(docs: DataFrame, width: int = SPAN_WIDTH) -> DataFrame:
+    """Document pairs sharing >=1 exact ``width``-token span — scale path.
+
+    Joins on ``xxhash64(span)`` so the shuffle carries 8-byte keys; the
+    span string never leaves the map side.  Output: (doc_a, doc_b,
+    n_shared_spans).  Collision risk at 64 bits is ~n²/2⁶⁵ — fine for
+    dedup decisions.
+    """
+    spans = docs.select(
+        "doc_id", F.explode(token_ngrams(F.col("text"), width)).alias("span")
+    ).select("doc_id", F.xxhash64("span").alias("h"))
+    a = spans.alias("a")
+    b = spans.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.h").alias("h"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("h").alias("n_shared_spans"))
+    )
+
+
+@graded(
+    "f24_span_dedup",
+    oracle=f"""
+        WITH spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - {SPAN_WIDTH - 1}, 0)),
+                       i -> array_to_string((string_split(text,' '))[i:i+{SPAN_WIDTH - 1}], ' '))) AS span
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a,
+               b.doc_id AS doc_b,
+               count(DISTINCT a.span) AS n_shared_spans
+        FROM spans a JOIN spans b ON a.span = b.span AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    section="F1,F2",
+    description=f"exact substring dedup: doc pairs sharing a {SPAN_WIDTH}-token "
+    "span (distributed suffix-dedup approximation; graded form joins on the "
+    "span string for oracle exactness, span_pairs() hashes for scale)",
+)
+def f24_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    spans = docs.select(
+        "doc_id", F.explode(token_ngrams(F.col("text"), SPAN_WIDTH)).alias("span")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.span").alias("span"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("span").alias("n_shared_spans"))
+    )

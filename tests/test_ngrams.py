@@ -1,0 +1,77 @@
+"""Tests for n-gram corpus operators (contamination / repetition / span dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.ngrams import (
+    SPAN_WIDTH,
+    f22_contamination,
+    f23_repetition_profile,
+    f24_span_dedup,
+    span_pairs,
+    token_ngrams,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_token_ngrams_exact_and_short_text_guard(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("a",)], ["text"]
+    ).select(token_ngrams(F.col("text"), 3).alias("g"))
+    got = [r.g for r in df.collect()]
+    assert got[0] == ["a b c", "b c d"]
+    # shorter than n: empty array, never a descending-sequence artifact
+    assert got[1] == []
+    assert got[2] == []
+
+
+def test_repetition_profile_exact_counts(spark):
+    # "x x x x y": bigrams = [x x, x x, x x, x y] -> top=3, dup=2 of 4
+    spark.createDataFrame(
+        [(1, "x x x x y", "en", "srcT", 9)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.mode("overwrite").parquet("/tmp/ngrams_fixture/documents.parquet")
+    row = f23_repetition_profile(spark, "/tmp/ngrams_fixture").collect()[0]
+    assert (row.n_bigrams, row.n_distinct_bigrams) == (4, 2)
+    assert (row.top_bigram_count, row.dup_bigrams) == (3, 2)
+    assert row.flag_repetitive == 1  # 2*5 >= 4
+
+
+def test_contamination_counts_against_recompute(spark):
+    out = f22_contamination(spark, SF_SMOKE)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows, "fixture should contain contaminated docs"
+    for r in rows.values():
+        assert 0 < r.contaminated_grams <= r.total_grams
+        assert r.flag_10pct == int(r.contaminated_grams * 10 >= r.total_grams)
+    # benchmark docs themselves are never flagged as contaminated training docs
+    bench_ids = {
+        r.doc_id
+        for r in load(spark, "documents", SF_SMOKE)
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+        .select("doc_id")
+        .collect()
+    }
+    assert not bench_ids & set(rows)
+
+
+def test_span_dedup_finds_synthetic_near_dups(spark):
+    pairs = f24_span_dedup(spark, SF_SMOKE).collect()
+    assert pairs, "fixture near-dups share >=1 full span"
+    for p in pairs:
+        assert p.doc_a < p.doc_b and p.n_shared_spans >= 1
+
+
+def test_span_pairs_hash_path_matches_string_join(spark):
+    docs = load(spark, "documents", SF_SMOKE)
+    hashed = {
+        (r.doc_a, r.doc_b, r.n_shared_spans)
+        for r in span_pairs(docs, SPAN_WIDTH).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, r.n_shared_spans)
+        for r in f24_span_dedup(spark, SF_SMOKE).collect()
+    }
+    assert hashed == exact
