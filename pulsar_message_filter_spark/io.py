@@ -4,11 +4,13 @@ The ten driver-generated tables (TESTDATA.md, FIXTURES.md) are the engine's
 batch inputs; ``events`` doubles as the message-stream analog (SURVEY.md
 §1.2).  The loader owns the two type quirks so no query ever sees them:
 
-1. ``events.ts`` is parquet ``TIMESTAMP(NANOS)`` → read as bigint epoch-nanos
-   (with the nanosAsLong conf), then truncated to microseconds with integer
-   division (``ts div 1000``) — exact, no double round-trip — and converted
-   to ``TimestampType``.  The DuckDB oracle reads the same column natively as
-   ``TIMESTAMP_NS``; truncation to µs matches ``epoch_us()`` semantics.
+1. ``events.ts`` has shipped as either parquet ``TIMESTAMP(NANOS)`` (reads
+   as bigint epoch-nanos under the nanosAsLong conf; truncated to µs with
+   exact integer division) or ``TIMESTAMP(MICROS)`` (reads as
+   ``timestamp_ntz``; cast to ``TimestampType`` — value-preserving under the
+   UTC session timezone).  The loader sniffs the physical type so every
+   query downstream sees one canonical ``TimestampType`` µs column, matching
+   the DuckDB oracle's ``epoch_us()`` semantics in both generations.
 2. ``o_orderdate`` / ``l_shipdate`` arrive as ``timestamp_ntz`` and are left
    untouched (tz-naive on both engines — FIXTURES.md quirk 2).
 
@@ -50,10 +52,18 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # bigint epoch-nanos → µs (exact integer division) → TimestampType.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
+        from pyspark.sql.types import LongType, TimestampType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # bigint epoch-nanos → µs (exact integer division) → TimestampType.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        elif not isinstance(ts_type, TimestampType):
+            # timestamp_ntz (µs parquet) → TimestampType; UTC session tz makes
+            # this a pure type relabel, no wall-clock shift.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
