@@ -1,0 +1,141 @@
+"""Behavioral analytics over the event stream — cohorts and attribution.
+
+The two reports every product-analytics deployment of a message/event
+engine runs (SURVEY.md §2 C/E breadth on the ``events`` table):
+
+* **cohort_retention** — users bucketed by first-seen day, then the
+  distinct-active grid (cohort_day × day_offset) with exact counts and
+  an IEEE-exact retention ratio.
+* **attribution_first_touch** — revenue attributed to each user's first
+  event type (first-touch model): deterministic row_number pick of the
+  first event, then one broadcast-friendly join onto purchases.
+
+Cross-engine parity: all counts are exact int64s; the retention ratio is
+a single double division of identical integers (bit-identical IEEE on
+both engines — no rounding step); revenue aggregates in integer cents
+(`parity.cents`); first-event ties break on (ts, event_id) so the pick
+is total-ordered.
+
+Scale notes (100 TB):
+
+* Both queries shuffle on ``user_id`` — the natural, uniform key.  The
+  firsts/actives aggregations are map-side combinable; at 1000 executors
+  the cohort grid is tiny (days × offsets) and the per-user firsts frame
+  is one row per user — broadcastable if users fit, otherwise the join
+  stays co-partitioned on user_id with no extra exchange (AQE picks
+  this up from the shared partitioning).
+* The retention grid's second aggregation is keyed by (cohort_day,
+  day_offset) — hundreds of groups, so the final shuffle is negligible;
+  skew cannot arise because the key space is bounded by the calendar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.parity import cents, cents_sql
+from pulsar_message_filter_spark.registry import graded
+
+
+def cohort_grid(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset) → distinct active users + cohort size.
+
+    Generic form over any frame with ``user_id`` and ``ts`` columns."""
+    firsts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grid = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    return grid.join(sizes, "cohort_day")
+
+
+@graded(
+    "cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY 1
+        ),
+        active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        grid AS (
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM active a JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1
+        )
+        SELECT CAST(g.cohort_day AS VARCHAR) AS cohort_day,
+               g.day_offset, g.n_active, s.cohort_size,
+               CAST(g.n_active AS DOUBLE) / s.cohort_size AS retention
+        FROM grid g JOIN sizes s USING (cohort_day)
+    """,
+    section="C4,C11,D2",
+    description="day-cohort retention grid: first-seen cohorts x day offset "
+    "with exact distinct-active counts and IEEE-exact retention ratio "
+    "(user_id-keyed shuffles only; grid bounded by the calendar)",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    return cohort_grid(events).select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+@graded(
+    "attribution_first_touch",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id, event_type AS first_touch
+            FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        )
+        SELECT f.first_touch,
+               count(*) AS n_purchases,
+               CAST(sum({cents_sql('e.value')}) AS BIGINT) AS revenue_cents
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1
+    """,
+    section="C18,C4,C11",
+    description="first-touch revenue attribution: deterministic first-event "
+    "pick per user (row_number over ts,event_id) joined onto purchases; "
+    "integer-cents revenue",
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    firsts = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(cents("value")).alias("revenue_cents"),
+        )
+    )
