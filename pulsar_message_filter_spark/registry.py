@@ -138,5 +138,7 @@ def _load_modules() -> None:
     import pulsar_message_filter_spark.operators.scrub  # noqa: F401
     import pulsar_message_filter_spark.operators.profiling  # noqa: F401
     import pulsar_message_filter_spark.operators.behavior  # noqa: F401
+    import pulsar_message_filter_spark.operators.timeseries  # noqa: F401
+    import pulsar_message_filter_spark.operators.cdc  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,93 @@
+"""Tests for time-series gap-fill and CDC snapshot-diff/upsert operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.cdc import (
+    cdc_snapshot_diff,
+    snapshot_diff,
+    upsert_latest,
+)
+from pulsar_message_filter_spark.operators.timeseries import (
+    gapfill_hourly,
+    timeseries_gapfill,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_gapfill_dense_grid_and_zero_fill(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "a", 1.0),
+            ("2024-01-01 03:20:00", "a", 2.0),
+            ("2024-01-01 01:00:00", "b", 5.0),
+        ],
+        ["ts_s", "event_type", "value"],
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    rows = {(r.hour, r.event_type): r for r in gapfill_hourly(df).collect()}
+    # spine: 4 hours x 2 types = 8 rows, no gaps
+    assert len(rows) == 8
+    # empty bucket: zero count, forward-filled value
+    gap = rows[("2024-01-01 01:00:00", "a")]
+    assert gap.n_events == 0 and gap.filled_cents == 100
+    # before first observation: zero (nothing to carry)
+    pre = rows[("2024-01-01 00:00:00", "b")]
+    assert pre.n_events == 0 and pre.filled_cents == 0
+    # new observation replaces the carried value
+    late = rows[("2024-01-01 03:00:00", "a")]
+    assert late.n_events == 1 and late.filled_cents == 200
+
+
+def test_graded_gapfill_covers_full_calendar(spark):
+    out = timeseries_gapfill(spark, SF_SMOKE).collect()
+    types = {r.event_type for r in out}
+    hours_per_type = len(out) / len(types)
+    assert hours_per_type == int(hours_per_type)  # perfect grid
+    assert all(r.n_events >= 0 and r.filled_cents >= 0 for r in out)
+    ev = load(spark, "events", SF_SMOKE)
+    assert sum(r.n_events for r in out) == ev.count()
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25), (3, "c", 30), (4, "d", 40)], ["k", "s", "v"]
+    )
+    out = {r.k: r.change for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert out == {1: "deleted", 2: "changed", 4: "inserted"}  # 3 unchanged → dropped
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    old = spark.createDataFrame([(1, None), (2, None)], "k int, v string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    out = {r.k: r.change for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert out == {2: "changed"}  # NULL == NULL must not flag row 1
+
+
+def test_graded_cdc_diff_counts(spark):
+    orders = load(spark, "orders", SF_SMOKE)
+    n_ins = orders.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 10 != 0)).count()
+    n_del = orders.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 0)).count()
+    rows = cdc_snapshot_diff(spark, SF_SMOKE).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.change, 0)
+        by[r.change] += 1
+    assert by["inserted"] == n_ins
+    assert by["deleted"] == n_del
+    assert by["changed"] > 0
+    changed = [r for r in rows if r.change == "changed"]
+    assert all(r.new_price_cents - r.old_price_cents == 100 for r in changed)
+
+
+def test_upsert_latest_picks_highest_version(spark):
+    log = spark.createDataFrame(
+        [(1, 1, "v1"), (1, 3, "v3"), (1, 2, "v2"), (2, 1, "w1")],
+        ["k", "version", "payload"],
+    )
+    out = {r.k: r.payload for r in upsert_latest(log, "k", "version").collect()}
+    assert out == {1: "v3", 2: "w1"}

@@ -64,6 +64,13 @@ QUERIES = [
     "f16_training_mixture",
     "f17_sequence_packing",
     "f19_curation_to_packing",
+    # round-3 additions: scan-side scrubbing/profiling + user-keyed analytics
+    # (f24_span_dedup is excluded by design: pair-output op, its scale story
+    # is span_pairs' hash-keyed join, same class as the LSH path)
+    "f22_contamination",
+    "f25_pii_scrub",
+    "f27_shard_balance",
+    "cohort_retention",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
