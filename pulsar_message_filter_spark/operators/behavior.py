@@ -139,3 +139,49 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("revenue_cents"),
         )
     )
+
+
+@graded(
+    "path_transitions",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id) AS dst
+            FROM events
+        ),
+        counts AS (
+            SELECT src, dst, count(*) AS n
+            FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+               CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+        FROM counts
+    """,
+    section="C19,C18,C11",
+    description="event path analysis: per-user next-event transition matrix "
+    "(lead over ts,event_id) with exact counts and IEEE-exact transition "
+    "probabilities",
+)
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition matrix of consecutive events per user.
+
+    One user-keyed window (lead) + one bounded-key aggregation; the
+    probability normalization is a window over src — at most
+    |event_type|² groups, so the final stages are negligible at any
+    scale.  The only real shuffle is the user_id exchange the lead
+    window needs, shared with every other per-user analytic here."""
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
+    )
