@@ -36,13 +36,25 @@ def test_duplicate_keys_and_orphans(spark):
     assert [r.k for r in orphans] == [3]
 
 
-def test_graded_dq_report_is_clean_on_fixtures(spark):
+def test_graded_dq_report_matches_fixture_reality(spark):
     row = dq_violation_report(spark, SF_SMOKE).collect()[0]
-    # driver fixtures are clean by construction — the report proves it
+    # range/null/FK rules are clean on the driver fixtures…
     assert row.bad_quantity == 0
+    assert row.bad_discount == 0
     assert row.null_shipdate == 0
+    assert row.price_lt_qty == 0
     assert row.orphan_orderkeys == 0
-    assert row.duplicate_line_keys == 0
+    # …but (l_orderkey, l_linenumber) is genuinely NOT unique in the
+    # synthetic lineitem — the report surfaces a real data characteristic,
+    # which is exactly its job.  Cross-check against a direct recount.
+    li = load(spark, "lineitem", SF_SMOKE)
+    expect = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert row.duplicate_line_keys == expect > 0
 
 
 def test_path_transitions_probabilities_normalize(spark):
