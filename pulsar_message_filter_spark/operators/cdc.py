@@ -138,3 +138,63 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.select(
         "o_orderkey", "change", "old_price_cents", "new_price_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation maintenance — algebraic partials that merge
+# ---------------------------------------------------------------------------
+
+
+def daily_partials(lineitem: DataFrame) -> DataFrame:
+    """The persisted per-(day, flag) aggregate state of an incremental
+    pipeline: (sum_cents, n) pairs — *algebraic* aggregates, so any later
+    rollup merges partials instead of rescanning history."""
+    return lineitem.groupBy(
+        F.to_date("l_shipdate").alias("day"), "l_returnflag"
+    ).agg(
+        F.sum(cents("l_extendedprice")).alias("sum_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+@graded(
+    "incremental_partial_merge",
+    oracle=f"""
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+               l_returnflag,
+               CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS sum_cents,
+               count(*) AS n,
+               (CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT)
+                / CAST(count(*) AS BIGINT)) / 100.0 AS avg_price
+        FROM lineitem GROUP BY 1, 2
+    """,
+    section="C11,D2,A2",
+    description="incremental aggregation maintenance: monthly rollup merges "
+    "persisted daily (sum,count) partials — merge(partials) is proven "
+    "equal to the direct computation by the oracle; the daily pass is the "
+    "only one that ever touches raw history",
+)
+def incremental_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly stats from daily partials — NEVER from raw rows.
+
+    The oracle aggregates the raw table directly; this query only sees
+    ``daily_partials``.  Hash-equality between the two IS the algebraic-
+    merge correctness proof, the property that lets a 100 TB pipeline
+    maintain rollups incrementally (recompute only changed days, merge)."""
+    partials = daily_partials(load(spark, "lineitem", sf_dir))
+    return (
+        partials.groupBy(
+            F.date_format("day", "yyyy-MM").alias("month"), "l_returnflag"
+        )
+        .agg(
+            F.sum("sum_cents").alias("sum_cents"),
+            F.sum("n").alias("n"),
+        )
+        .select(
+            "month",
+            "l_returnflag",
+            "sum_cents",
+            "n",
+            ((F.col("sum_cents") / F.col("n")) / 100.0).alias("avg_price"),
+        )
+    )
