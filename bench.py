@@ -42,6 +42,11 @@ HEADLINE = [
     "f4_topk_numpy",  # Arrow/numpy matmul top-k (the dense-math path)
     "f19_curation_to_packing",  # quality->dedup->mixture->packing chain
     "f21_topk_int8",  # int8-quantized ANN with exact rerank
+    "f22_contamination",  # benchmark decontamination (n-gram explode + joins)
+    "f25_pii_scrub",  # scan-side regex redaction
+    "cohort_retention",  # user-keyed behavioral analytics
+    "timeseries_gapfill",  # dense spine + forward-fill windows
+    "cdc_snapshot_diff",  # full-outer snapshot diff
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -69,6 +74,11 @@ BUDGET_SEC = {
     "f4_topk_numpy": 4.0,
     "f19_curation_to_packing": 5.5,
     "f21_topk_int8": 4.0,
+    "f22_contamination": 5.0,
+    "f25_pii_scrub": 2.0,
+    "cohort_retention": 2.0,
+    "timeseries_gapfill": 2.0,
+    "cdc_snapshot_diff": 2.0,
 }
 
 
