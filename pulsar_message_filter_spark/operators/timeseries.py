@@ -80,6 +80,70 @@ def gapfill_hourly(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     )
 
 
+def rolling_zscore(
+    daily: DataFrame,
+    key_col: str,
+    order_col: str,
+    n_col: str = "n",
+    lookback: int = 6,
+    min_obs: int = 3,
+) -> DataFrame:
+    """Trailing-window z-score of a per-(bucket, key) integer metric.
+
+    The moments come from *integer* rolling sums (Σn, Σn², count over the
+    trailing frame, current row excluded), so mean/variance derive from
+    exact int64s and the final ``(n - mean)/sqrt(var)`` is the same IEEE
+    computation on every engine — unlike ``stddev_samp``, whose
+    Welford-vs-naive accumulation differs across engines and partition
+    orders.  Rows with fewer than ``min_obs`` trailing points or zero
+    variance yield NULL z."""
+    w = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-lookback, -1)
+    n = F.col(n_col)
+    s1 = F.sum(n).over(w)
+    s2 = F.sum(n * n).over(w)
+    c = F.count(n).over(w)
+    num = c * s2 - s1 * s1
+    z = (n - s1.cast("double") / c) / F.sqrt(num.cast("double") / (c * (c - 1)))
+    return daily.select("*", F.when((c >= min_obs) & (num > 0), z).alias("z"))
+
+
+@graded(
+    "anomaly_rolling_zscore",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        rolled AS (
+            SELECT day, event_type, n,
+                   sum(n) OVER w AS s1,
+                   sum(n * n) OVER w AS s2,
+                   count(n) OVER w AS c
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, event_type, n,
+               CASE WHEN c >= 3 AND c * s2 - s1 * s1 > 0
+                    THEN (n - CAST(s1 AS DOUBLE) / c)
+                         / sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE) / (c * (c - 1)))
+               END AS z
+        FROM rolled
+    """,
+    section="C20,C19,D3",
+    description="rolling-window anomaly scores: trailing 6-day z of daily "
+    "event counts from integer-exact moments (sum/sumsq/count frames) -- "
+    "bit-identical IEEE across engines, no stddev accumulation drift",
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    daily = events.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return rolling_zscore(daily, "event_type", "day")
+
+
 @graded(
     "timeseries_gapfill",
     oracle=f"""

@@ -84,6 +84,48 @@ def test_graded_cdc_diff_counts(spark):
     assert all(r.new_price_cents - r.old_price_cents == 100 for r in changed)
 
 
+def test_rolling_zscore_exact_math_and_null_guards(spark):
+    from pulsar_message_filter_spark.operators.timeseries import rolling_zscore
+
+    rows = [("a", f"2024-01-{d:02d}", n) for d, n in
+            [(1, 10), (2, 10), (3, 10), (4, 10), (5, 50)]]
+    rows += [("b", f"2024-01-{d:02d}", 7) for d in range(1, 6)]  # constant: var 0
+    daily = spark.createDataFrame(rows, ["event_type", "day", "n"])
+    out = {(r.event_type, r.day): r.z for r in
+           rolling_zscore(daily, "event_type", "day").collect()}
+    # first two rows: fewer than min_obs trailing points
+    assert out[("a", "2024-01-01")] is None and out[("a", "2024-01-03")] is None
+    # spike day: trailing = [10,10,10,10] -> mean 10, var 0 -> NULL (guard)
+    assert out[("a", "2024-01-05")] is None
+    # constant series: variance 0 everywhere
+    assert all(v is None for (t, _), v in out.items() if t == "b")
+    # non-degenerate check: make day-4 computable with real variance
+    daily2 = spark.createDataFrame(
+        [("a", "2024-01-01", 10), ("a", "2024-01-02", 14),
+         ("a", "2024-01-03", 12), ("a", "2024-01-04", 30)],
+        ["event_type", "day", "n"],
+    )
+    z = {r.day: r.z for r in rolling_zscore(daily2, "event_type", "day").collect()}
+    import math
+    mean, var = 12.0, 4.0  # trailing [10,14,12]: mean 12, sample var 4
+    assert abs(z["2024-01-04"] - (30 - mean) / math.sqrt(var)) < 1e-12
+
+
+def test_graded_anomaly_zscore_warmup_nulls(spark):
+    from pulsar_message_filter_spark.operators.timeseries import (
+        anomaly_rolling_zscore,
+    )
+
+    rows = anomaly_rolling_zscore(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        # warm-up: fewer than 3 trailing points -> NULL z
+        assert series[0].z is None and series[1].z is None and series[2].z is None
+        assert any(r.z is not None for r in series[3:])
+
+
 def test_upsert_latest_picks_highest_version(spark):
     log = spark.createDataFrame(
         [(1, 1, "v1"), (1, 3, "v3"), (1, 2, "v2"), (2, 1, "w1")],
