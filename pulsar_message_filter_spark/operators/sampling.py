@@ -17,7 +17,7 @@ Three tiers by reproducibility:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
@@ -88,3 +88,99 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_stratified(
         orders, "o_orderkey", "o_orderstatus", {"F": "1a", "O": "0d", "P": "80"}
     ).select("o_orderkey", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Train/validation/test splitting and label-balanced downsampling
+# ---------------------------------------------------------------------------
+
+
+def train_val_test_split(
+    df: DataFrame, key, bounds: tuple[str, str] = ("e6", "f3")
+) -> DataFrame:
+    """Deterministic 3-way split by md5-prefix ranges: < bounds[0] → train,
+    [bounds[0], bounds[1]) → val, >= bounds[1] → test.
+
+    Defaults give ~90/5/5.  Content-addressed, so a document lands in the
+    SAME split on every engine, every re-run, every topology — the
+    property that prevents silent train/test leakage when a 100 TB corpus
+    is re-sharded or incrementally extended (new docs join splits
+    consistently; existing docs never migrate)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = F.substring(F.md5(key_col.cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(h < bounds[0], "train").when(h < bounds[1], "val").otherwise("test"),
+    )
+
+
+@graded(
+    "f29_train_val_test_split",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM tagged GROUP BY 1
+    """,
+    section="C26,F14,D8",
+    description="deterministic train/val/test split (~90/5/5) by md5-prefix "
+    "range: content-addressed split membership is stable across engines, "
+    "re-runs, and re-sharding -- the anti-leakage property; per-split "
+    "count and char-mass report",
+)
+def f29_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def label_balanced_sample(df: DataFrame, label_col: str, key, k: int) -> DataFrame:
+    """Up to ``k`` rows per label, picked by md5 rank — a deterministic,
+    engine-portable balanced downsample (class rebalancing for training).
+
+    One keyed window per label; the md5 order is uniform within each
+    label, so this is an unbiased without-replacement sample that every
+    engine reproduces bit-for-bit (row_number over a distinct md5 key is
+    total-ordered — no RNG, no tie ambiguity)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(label_col).orderBy(F.md5(key_col.cast("string")))
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+@graded(
+    "f30_label_balanced_sample",
+    oracle="""
+        SELECT label, vec_id
+        FROM (
+            SELECT label, vec_id,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY md5(CAST(vec_id AS VARCHAR))) AS r
+            FROM embeddings
+        ) WHERE r <= 40
+    """,
+    section="C21,C26,F13",
+    description="label-balanced downsample: up to 40 vectors per label by "
+    "md5 rank (total-ordered, no RNG) -- deterministic class rebalancing, "
+    "same rows on every engine and topology",
+)
+def f30_label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir).select("label", "vec_id")
+    return label_balanced_sample(emb, "label", "vec_id", 40).select("label", "vec_id")

@@ -120,3 +120,35 @@ def test_graded_shard_balance_covers_all_docs(spark):
     assert sum(r.total_weight for r in out) == (
         docs.agg(F.sum("n_chars")).collect()[0][0]
     )
+
+
+def test_train_val_test_split_partitions_and_is_stable(spark):
+    from pulsar_message_filter_spark.operators.sampling import train_val_test_split
+
+    docs = load(spark, "documents", SF_SMOKE).select("doc_id")
+    a = {r.doc_id: r.split for r in train_val_test_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in train_val_test_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # split membership survives re-sharding
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 5 * (c["val"] + c["test"])  # ~90/5/5
+
+
+def test_label_balanced_sample_caps_every_label(spark):
+    from pulsar_message_filter_spark.operators.sampling import label_balanced_sample
+
+    emb = load(spark, "embeddings", SF_SMOKE).select("label", "vec_id")
+    out = label_balanced_sample(emb, "label", "vec_id", 10)
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    full = {r.label: r.n for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    for label, n in counts.items():
+        assert n == min(10, full[label])
+    # deterministic: same pick twice
+    s1 = sorted(map(tuple, out.collect()))
+    s2 = sorted(map(tuple, label_balanced_sample(emb, "label", "vec_id", 10).collect()))
+    assert s1 == s2
