@@ -142,5 +142,6 @@ def _load_modules() -> None:
     import pulsar_message_filter_spark.operators.cdc  # noqa: F401
     import pulsar_message_filter_spark.operators.quality  # noqa: F401
     import pulsar_message_filter_spark.operators.fuzzy  # noqa: F401
+    import pulsar_message_filter_spark.operators.throttle  # noqa: F401
 
     _LOADED = True

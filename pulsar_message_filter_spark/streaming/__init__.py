@@ -9,6 +9,7 @@ from pulsar_message_filter_spark.streaming.pipeline import (
     filtered_sink_pipeline,
     streaming_dedup_pipeline,
     stateful_user_stats,
+    throttle_stateful,
     windowed_event_counts,
 )
 
@@ -17,6 +18,7 @@ __all__ = [
     "streaming_dedup_pipeline",
     "windowed_event_counts",
     "stateful_user_stats",
+    "throttle_stateful",
     "compact_if_needed",
     "compact_parquet",
     "sink_file_stats",

@@ -252,6 +252,56 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+_THROTTLE_STATE = "tokens double, last_us long"
+_THROTTLE_OUT = "user_id bigint, n_passed long, n_throttled long"
+
+
+def _token_bucket(rate_per_s: float, burst: float):
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tokens, last_us = state.get if state.exists else (burst, 0)
+        passed = throttled = 0
+        for pdf in batches:
+            # deterministic arrival order inside the batch
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us in pdf["ts_us"]:
+                if last_us:
+                    tokens = min(burst, tokens + (ts_us - last_us) / 1e6 * rate_per_s)
+                last_us = int(ts_us)
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    passed += 1
+                else:
+                    throttled += 1
+        state.update((float(tokens), int(last_us)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_passed": [passed], "n_throttled": [throttled]}
+        )
+
+    return update
+
+
+def throttle_stateful(
+    stream: DataFrame, rate_per_s: float = 1.0, burst: float = 5.0
+) -> DataFrame:
+    """Per-key token-bucket rate limiter carried across micro-batches (E8).
+
+    Event-time driven: refill is computed from the event timestamps
+    themselves (``ts_us``), so replaying the same stream yields the same
+    verdict counts — wall-clock-driven buckets would not be replay-safe.
+    Expects columns ``user_id``, ``ts_us`` (int64 µs), ``event_id``.
+    The batch/exact windowed twin is
+    :func:`operators.throttle.throttle_per_key_window`."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _token_bucket(rate_per_s, burst),
+        outputStructType=_THROTTLE_OUT,
+        stateStructType=_THROTTLE_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def redelivery_counter_tws(stream: DataFrame) -> DataFrame:
     """E8 on the Spark 4 ``transformWithStateInPandas`` API: per-user
     redelivery counter — the state primitive behind RESCHEDULE bookkeeping

@@ -69,3 +69,27 @@ def test_path_transitions_probabilities_normalize(spark):
     ev = load(spark, "events", SF_SMOKE)
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.n for r in rows) == ev.count() - n_users  # one less pair per user
+
+
+def test_throttle_batch_verdicts_deterministic(spark):
+    from pulsar_message_filter_spark.operators.throttle import (
+        throttle_per_key_window,
+        throttle_per_user_hour,
+    )
+
+    events = load(spark, "events", SF_SMOKE)
+    tagged = throttle_per_key_window(events, "user_id", "ts", "event_id", 3)
+    # per (user, hour): at most 3 ACCEPTs, and ACCEPTs are the earliest rows
+    agg = (
+        tagged.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.when(F.col("verdict") == "ACCEPT", 1).otherwise(0)).alias("acc"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for r in agg:
+        assert r.acc == min(3, r.n)
+    out1 = sorted(map(tuple, throttle_per_user_hour(spark, SF_SMOKE).collect()))
+    out2 = sorted(map(tuple, throttle_per_user_hour(spark, SF_SMOKE).collect()))
+    assert out1 == out2

@@ -641,3 +641,56 @@ def test_streaming_dedup_pipeline_cross_batch_and_replay(spark, tmp_path):
     # and the store did not grow (epoch partition was overwritten, not appended)
     sig_docs = spark.read.parquet(sig_dir).select("doc").count()
     assert sig_docs == n_before
+
+
+def test_throttle_stateful_token_bucket_across_batches(spark, tmp_path):
+    """E8/B13: event-time token bucket carries tokens across micro-batches.
+
+    rate=1/s, burst=2.  Batch 1: three events in the same second -> the
+    first two consume the burst, the third throttles.  Batch 2 (10 s
+    later): bucket refilled to burst, both events pass."""
+    from pulsar_message_filter_spark.streaming import throttle_stateful
+
+    input_dir = str(tmp_path / "in")
+    Path(input_dir).mkdir()
+    stream = file_message_stream(spark, input_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    q = (
+        throttle_stateful(stream, rate_per_s=1.0, burst=2.0)
+        .writeStream.format("memory")
+        .outputMode("update")
+        .queryName("throttle_t")
+        .start()
+    )
+    try:
+        _write_events(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+                (2, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+                (3, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+            ],
+            input_dir,
+        )
+        q.processAllAvailable()
+        first = {
+            (r.user_id): (r.n_passed, r.n_throttled)
+            for r in spark.table("throttle_t").collect()
+        }
+        _write_events(
+            spark,
+            [
+                (4, "2024-01-01 10:00:10", 7, "click", 1.0, "{}"),
+                (5, "2024-01-01 10:00:10", 7, "click", 1.0, "{}"),
+            ],
+            input_dir,
+        )
+        q.processAllAvailable()
+        rows = spark.table("throttle_t").collect()
+    finally:
+        q.stop()
+    assert first[7] == (2, 1)  # burst=2 consumed, third throttled
+    # second batch: 10 s * 1/s refill capped at burst=2 -> both pass
+    last = rows[-1]
+    assert (last.n_passed, last.n_throttled) == (2, 0)
