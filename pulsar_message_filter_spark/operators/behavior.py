@@ -142,6 +142,69 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @graded(
+    "attribution_linear",
+    oracle=f"""
+        WITH touches AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type != 'purchase'
+        ),
+        purchases AS (
+            SELECT user_id, event_id, {cents_sql('value')} AS v_cents,
+                   epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        joined AS (
+            SELECT p.event_id AS p_id, p.v_cents, t.event_type,
+                   count(*) OVER (PARTITION BY p.event_id) AS n_touches
+            FROM purchases p JOIN touches t
+              ON p.user_id = t.user_id AND t.ts_us < p.ts_us
+        )
+        SELECT event_type AS channel,
+               count(*) AS n_credits,
+               CAST(sum((v_cents * 1000) // n_touches) AS BIGINT) AS credit_millicents
+        FROM joined GROUP BY 1
+    """,
+    section="C18,C4,C11",
+    description="linear multi-touch attribution: each purchase's value is "
+    "split equally across ALL prior touches of the user (integer "
+    "millicents division -- exact, no float allocation drift)",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every prior touch shares the credit equally.
+
+    The join is user-keyed (purchases ⋈ touches co-partition on
+    user_id); per-purchase touch counts come from a window over the
+    joined frame, not a second join.  Credit is allocated in integer
+    millicents via int division — engine-exact, unlike a double split
+    that drifts in the last bit when touch counts differ."""
+    events = load(spark, "events", sf_dir)
+    touches = events.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        cents("value").alias("v_cents"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    joined = purchases.join(touches, "user_id").filter(F.col("t_us") < F.col("p_us"))
+    wp = Window.partitionBy("p_id")
+    credited = joined.select(
+        "channel",
+        "v_cents",
+        F.count("*").over(wp).alias("n_touches"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_credits"),
+        F.sum(F.expr("(v_cents * 1000) div n_touches"))
+        .cast("long")
+        .alias("credit_millicents"),
+    )
+
+
+@graded(
     "path_transitions",
     oracle="""
         WITH pairs AS (

@@ -32,6 +32,23 @@ def test_cohort_sizes_partition_users(spark):
     assert sum(sizes.values()) == n_users
 
 
+def test_attribution_linear_credit_bounded_by_revenue(spark):
+    from pulsar_message_filter_spark.operators.behavior import attribution_linear
+
+    events = load(spark, "events", SF_SMOKE)
+    purchases = events.filter(F.col("event_type") == "purchase")
+    # only purchases with >=1 prior touch contribute credit
+    rows = attribution_linear(spark, SF_SMOKE).collect()
+    assert rows
+    total_credit = sum(r.credit_millicents for r in rows)
+    total_revenue_mc = (
+        purchases.agg(F.sum(cents("value") * 1000)).collect()[0][0]
+    )
+    # integer splitting loses at most (n_touches - 1) millicents per purchase
+    assert 0 < total_credit <= total_revenue_mc
+    assert {r.channel for r in rows} <= {"click", "view", "signup", "error"}
+
+
 def test_attribution_conserves_purchases_and_revenue(spark):
     events = load(spark, "events", SF_SMOKE)
     purchases = events.filter(F.col("event_type") == "purchase")
