@@ -268,3 +268,70 @@ def f24_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("span").alias("n_shared_spans"))
     )
+
+
+@graded(
+    "f31_neardup_degree_profile",
+    oracle=f"""
+        WITH spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - {SPAN_WIDTH - 1}, 0)),
+                       i -> array_to_string((string_split(text,' '))[i:i+{SPAN_WIDTH - 1}], ' '))) AS span
+            FROM documents
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM spans a JOIN spans b ON a.span = b.span AND a.doc_id < b.doc_id
+        ),
+        degrees AS (
+            SELECT doc_id, count(*) AS degree FROM (
+                SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+                UNION ALL
+                SELECT doc_b AS doc_id, doc_a AS partner FROM pairs
+            ) GROUP BY 1
+        )
+        SELECT COALESCE(dg.degree, 0) AS degree,
+               count(*) AS n_docs
+        FROM documents d LEFT JOIN degrees dg USING (doc_id)
+        GROUP BY 1
+    """,
+    section="F2,F1,C11",
+    description="near-dup graph degree profile: per-doc partner counts over "
+    "the shared-span pair graph (degree 0 = unique docs included) -- the "
+    "triage report that decides whether dedup needs the transitive-"
+    "closure pass (f20) or pairwise removal suffices",
+)
+def f31_neardup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup graph degrees.
+
+    High-degree nodes are template/boilerplate clusters (one survivor per
+    cluster via f20's connected components); degree-1 tails are simple
+    pair dedup.  The pair graph reuses the span equi-join; the degree agg
+    is doc-keyed and uniform.  Docs with no partner appear as degree 0
+    via the left join against the full corpus."""
+    docs = load(spark, "documents", sf_dir)
+    spans = docs.select(
+        "doc_id", F.explode(token_ngrams(F.col("text"), SPAN_WIDTH)).alias("span")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    degrees = edges.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return (
+        docs.select("doc_id")
+        .join(degrees, "doc_id", "left")
+        .groupBy(F.coalesce("degree", F.lit(0)).alias("degree"))
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -75,3 +75,14 @@ def test_span_pairs_hash_path_matches_string_join(spark):
         for r in f24_span_dedup(spark, SF_SMOKE).collect()
     }
     assert hashed == exact
+
+
+def test_neardup_degree_profile_accounts_every_doc(spark):
+    from pulsar_message_filter_spark.operators.ngrams import (
+        f31_neardup_degree_profile,
+    )
+
+    rows = f31_neardup_degree_profile(spark, SF_SMOKE).collect()
+    docs = load(spark, "documents", SF_SMOKE)
+    assert sum(r.n_docs for r in rows) == docs.count()  # degree-0 docs included
+    assert all(r.degree >= 0 for r in rows)
