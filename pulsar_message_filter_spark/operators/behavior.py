@@ -248,3 +248,131 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped strict funnel (view -> click -> purchase, in order)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # same sessionization gap as window_session
+
+
+@graded(
+    "funnel_session_strict",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                        OR lag(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_type, ts_us,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered
+        ),
+        v AS (
+            SELECT user_id, sid, min(ts_us) AS v_us
+            FROM sessions WHERE event_type = 'view' GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT s.user_id, s.sid, min(s.ts_us) AS c_us
+            FROM sessions s JOIN v ON s.user_id = v.user_id AND s.sid = v.sid
+            WHERE s.event_type = 'click' AND s.ts_us > v.v_us
+            GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT s.user_id, s.sid, min(s.ts_us) AS p_us
+            FROM sessions s JOIN c ON s.user_id = c.user_id AND s.sid = c.sid
+            WHERE s.event_type = 'purchase' AND s.ts_us > c.c_us
+            GROUP BY 1, 2
+        ),
+        staged AS (
+            SELECT all_s.user_id, all_s.sid,
+                   CASE WHEN p.p_us IS NOT NULL THEN 3
+                        WHEN c.c_us IS NOT NULL THEN 2
+                        WHEN v.v_us IS NOT NULL THEN 1
+                        ELSE 0 END AS stage
+            FROM (SELECT DISTINCT user_id, sid FROM sessions) all_s
+            LEFT JOIN v ON all_s.user_id = v.user_id AND all_s.sid = v.sid
+            LEFT JOIN c ON all_s.user_id = c.user_id AND all_s.sid = c.sid
+            LEFT JOIN p ON all_s.user_id = p.user_id AND all_s.sid = p.sid
+        )
+        SELECT stage, count(*) AS n_sessions FROM staged GROUP BY 1
+    """,
+    section="E3,C19,C4",
+    description="session-scoped strict funnel: view -> click -> purchase in "
+    "strict event-time order inside 30-min sessions (gaps-and-islands); "
+    "per-stage session counts.  All joins co-partition on (user, session)",
+)
+def funnel_session_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel inside behavioral sessions.
+
+    Stage semantics: a click counts only AFTER the session's first view;
+    a purchase only after that qualified click — the strict-order form
+    that plain per-session existence checks get wrong (purchase-then-
+    view sessions must NOT convert).
+
+    Shape: one user-keyed window pass sessionizes; three aggregates and
+    three left joins all share the (user_id, sid) key, so after the
+    first exchange everything is co-partitioned — no data moves again.
+    At 100 TB sessionization is the same exchange every other per-user
+    analytic here reuses."""
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(
+                (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) >= _GAP_US)
+                | F.lag(F.unix_micros("ts")).over(w).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .withColumn("sid", F.sum("new_session").over(wcum))
+    )
+    keys = ["user_id", "sid"]
+    v = (
+        sessions.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("ts_us").alias("v_us"))
+    )
+    c = (
+        sessions.join(v, keys)
+        .filter((F.col("event_type") == "click") & (F.col("ts_us") > F.col("v_us")))
+        .groupBy(*keys)
+        .agg(F.min("ts_us").alias("c_us"))
+    )
+    p = (
+        sessions.join(c, keys)
+        .filter((F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("c_us")))
+        .groupBy(*keys)
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    staged = (
+        sessions.select(*keys)
+        .distinct()
+        .join(v, keys, "left")
+        .join(c, keys, "left")
+        .join(p, keys, "left")
+        .select(
+            F.when(F.col("p_us").isNotNull(), 3)
+            .when(F.col("c_us").isNotNull(), 2)
+            .when(F.col("v_us").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage")
+        )
+    )
+    return staged.groupBy("stage").agg(F.count("*").alias("n_sessions"))

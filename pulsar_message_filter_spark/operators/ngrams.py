@@ -146,6 +146,47 @@ def f22_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "f22b_contamination_approx",
+    oracle=None,  # HLL sketch counts are engine-specific -> rows-only
+    section="F2,C12",
+    description="f22's 100 TB escape hatch: approx_count_distinct (HLL) for "
+    "the per-doc gram counts -- the exact countDistinct shuffle (scale "
+    "exponent 0.45, SCALING.md) becomes a fixed-width sketch merge; "
+    "rows-only by design, with the exact twin as pytest ground truth",
+)
+def f22b_contamination_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate decontamination for corpus scale.
+
+    Identical pipeline to :func:`f22_contamination` with HLL sketches
+    (2% rsd) replacing exact distinct counts: the per-doc aggregation
+    becomes mergeable fixed-width state, eliminating the gram-value
+    shuffle that dominates f22's scale exponent.  The 10% flag threshold
+    tolerates the sketch error for every non-borderline doc; pytest
+    bounds the disagreement against the exact twin."""
+    grams = _doc_grams(spark, sf_dir, CONTAM_N)
+    bench = (
+        grams.filter(F.col("source").isin(*BENCH_SOURCES)).select("gram").distinct()
+    )
+    train = grams.filter(~F.col("source").isin(*BENCH_SOURCES))
+    totals = train.groupBy("doc_id").agg(
+        F.approx_count_distinct("gram", 0.02).alias("total_grams")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.approx_count_distinct("gram", 0.02).alias("contaminated_grams"))
+    )
+    return totals.join(hits, "doc_id").select(
+        "doc_id",
+        "total_grams",
+        "contaminated_grams",
+        (F.col("contaminated_grams") * 10 >= F.col("total_grams"))
+        .cast("int")
+        .alias("flag_10pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # F23 — within-document repetition profile
 # ---------------------------------------------------------------------------

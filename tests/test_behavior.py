@@ -59,3 +59,42 @@ def test_attribution_conserves_purchases_and_revenue(spark):
     assert sum(r.revenue_cents for r in rows) == expect_cents
     types = {r[0] for r in events.select("event_type").distinct().collect()}
     assert {r.first_touch for r in rows} <= types
+
+
+def test_funnel_session_strict_stage_monotonicity(spark):
+    from pulsar_message_filter_spark.operators.behavior import funnel_session_strict
+
+    rows = {r.stage: r.n_sessions for r in funnel_session_strict(spark, SF_SMOKE).collect()}
+    assert sum(rows.values()) > 0
+    assert set(rows) <= {0, 1, 2, 3}
+
+
+def test_funnel_session_strict_order_enforced(spark):
+    """purchase-then-view session must NOT convert; view->click->purchase must."""
+    from pulsar_message_filter_spark.operators.behavior import funnel_session_strict
+
+    rows = [
+        # user 1: strict chain inside one session -> stage 3
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 9.0, "{}"),
+        # user 2: purchase BEFORE view -> stage 1 (view only)
+        (4, "2024-01-01 10:00:00", 2, "purchase", 9.0, "{}"),
+        (5, "2024-01-01 10:01:00", 2, "view", 1.0, "{}"),
+        # user 3: view then click, no purchase -> stage 2
+        (6, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+        (7, "2024-01-01 10:01:00", 3, "click", 1.0, "{}"),
+        # user 4: clicks only -> stage 0
+        (8, "2024-01-01 10:00:00", 4, "click", 1.0, "{}"),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts_s", "user_id", "event_type", "value", "props"])
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    tmp = "/tmp/funnel_fixture"
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    got = {r.stage: r.n_sessions for r in funnel_session_strict(spark, tmp).collect()}
+    assert got == {3: 1, 1: 1, 2: 1, 0: 1}

@@ -86,3 +86,26 @@ def test_neardup_degree_profile_accounts_every_doc(spark):
     docs = load(spark, "documents", SF_SMOKE)
     assert sum(r.n_docs for r in rows) == docs.count()  # degree-0 docs included
     assert all(r.degree >= 0 for r in rows)
+
+
+def test_contamination_approx_agrees_with_exact(spark):
+    from pulsar_message_filter_spark.operators.ngrams import (
+        f22_contamination,
+        f22b_contamination_approx,
+    )
+
+    exact = {r.doc_id: r for r in f22_contamination(spark, SF_SMOKE).collect()}
+    approx = {r.doc_id: r for r in f22b_contamination_approx(spark, SF_SMOKE).collect()}
+    assert set(approx) == set(exact)  # same docs surface (joins are exact)
+    # HLL at 2% rsd: counts within 10% of exact for these cardinalities
+    for d, e in exact.items():
+        a = approx[d]
+        assert abs(a.total_grams - e.total_grams) <= max(3, 0.1 * e.total_grams)
+        assert abs(a.contaminated_grams - e.contaminated_grams) <= max(
+            3, 0.1 * e.contaminated_grams
+        )
+    # flag agreement on non-borderline docs (>20% margin from threshold)
+    for d, e in exact.items():
+        margin = abs(e.contaminated_grams * 10 - e.total_grams)
+        if margin > 0.2 * e.total_grams:
+            assert approx[d].flag_10pct == e.flag_10pct
