@@ -250,6 +250,67 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "rolling_active_users",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        bounds AS (
+            SELECT max(CAST(ts AS DATE)) AS max_day FROM events
+        ),
+        contrib AS (
+            SELECT user_id,
+                   day + x.o * INTERVAL 1 DAY AS target_day,
+                   x.o AS o
+            FROM daily, (SELECT unnest(generate_series(0, 6)) AS o) x
+        )
+        SELECT CAST(CAST(target_day AS DATE) AS VARCHAR) AS day,
+               count(DISTINCT user_id) AS wau,
+               count(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau
+        FROM contrib, bounds
+        WHERE target_day <= bounds.max_day
+        GROUP BY 1
+    """,
+    section="C12,C19,D5",
+    description="rolling 7-day active users (WAU) + DAU per day via the "
+    "explode-offset technique -- sliding DISTINCT is not a window frame; "
+    "each (user, day) contributes to 7 target days, then one exact "
+    "distinct agg per day.  The scale-standard rewrite",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per calendar day.
+
+    Sliding COUNT(DISTINCT) has no window-frame form on any engine; the
+    distributed rewrite materializes each (user, day) activity row once
+    per day it influences (7 rows — a generator, not a shuffle) and runs
+    ONE exact distinct aggregation keyed by target day.  At 100 TB the
+    fan-out factor equals the window length — bounded, predictable — and
+    the aggregation key (day) is calendar-bounded, so the heavy lifting
+    stays in map-side partials over the user dimension."""
+    events = load(spark, "events", sf_dir)
+    daily = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    max_day = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    contrib = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+    ).select(
+        "user_id", "o", F.date_add("day", F.col("o")).alias("target_day")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(max_day))
+        .filter(F.col("target_day") <= F.col("max_day"))
+        .groupBy(F.col("target_day").cast("string").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.countDistinct(
+                F.when(F.col("o") == 0, F.col("user_id"))
+            ).alias("dau"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped strict funnel (view -> click -> purchase, in order)
 # ---------------------------------------------------------------------------

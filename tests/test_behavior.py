@@ -98,3 +98,24 @@ def test_funnel_session_strict_order_enforced(spark):
     df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
     got = {r.stage: r.n_sessions for r in funnel_session_strict(spark, tmp).collect()}
     assert got == {3: 1, 1: 1, 2: 1, 0: 1}
+
+
+def test_rolling_active_users_wau_geq_dau_and_day1_equality(spark):
+    from pulsar_message_filter_spark.operators.behavior import rolling_active_users
+
+    rows = sorted(rolling_active_users(spark, SF_SMOKE).collect(), key=lambda r: r.day)
+    assert rows
+    assert all(r.wau >= r.dau for r in rows)
+    # first observed day: trailing window contains only that day
+    events = load(spark, "events", SF_SMOKE)
+    first_day_dau = (
+        events.select("user_id", F.to_date("ts").alias("d"))
+        .filter(F.col("d") == rows[0].day)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0].wau == rows[0].dau == first_day_dau
+    # WAU can never exceed the total user population
+    n_users = events.select("user_id").distinct().count()
+    assert all(r.wau <= n_users for r in rows)
