@@ -46,7 +46,12 @@ def snapshot_diff(
 
     Output: one row per key present in either snapshot with ``change`` ∈
     {'inserted','deleted','changed'} (unchanged rows are dropped) and the
-    old/new values of every compared column."""
+    old/new values of every compared column.
+
+    ``key`` is assumed unique within each snapshot (the CDC contract); a
+    duplicated key multiplies through the join — run
+    :func:`upsert_latest` (or `quality.duplicate_keys` to audit) first
+    when diffing raw change logs."""
     o = old.select(key, *compare_cols).alias("o")
     n = new.select(key, *compare_cols).alias("n")
     joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
