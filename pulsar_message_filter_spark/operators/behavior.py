@@ -437,3 +437,117 @@ def funnel_session_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return staged.groupBy("stage").agg(F.count("*").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap and share-of-total reports
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "activity_heatmap",
+    oracle="""
+        SELECT CAST(extract(isodow FROM ts) AS INT) AS dow,
+               CAST(extract(hour FROM ts) AS INT) AS hour,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    section="C11,D2",
+    description="day-of-week x hour activity heatmap with exact event and "
+    "distinct-user counts (ISO dow: Monday=1 on both engines -- Spark's "
+    "weekday()+1, dodging the dayofweek Sunday-first trap)",
+)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap cells.  ISO day-of-week is the portable choice:
+    Spark ``dayofweek`` is Sunday=1 while DuckDB ``dow`` is Sunday=0 —
+    both engines agree only on ISO numbering (Monday=1)."""
+    events = load(spark, "events", sf_dir)
+    return events.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@graded(
+    "share_of_total",
+    oracle=f"""
+        WITH per_type AS (
+            SELECT event_type,
+                   CAST(sum({cents_sql('value')}) AS BIGINT) AS v_cents
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, v_cents,
+               CAST(v_cents AS DOUBLE) / sum(v_cents) OVER () AS share
+        FROM per_type
+    """,
+    section="C19,C11",
+    description="percent-of-total report (ratio_to_report): per-type value "
+    "share via an unpartitioned window over the k-row aggregate -- the "
+    "window runs on aggregated rows, never on raw data, so the global "
+    "frame is k rows, not a single-partition scan of the corpus",
+)
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global-window trap, done right: computing shares with a window
+    over RAW rows collapses everything to one partition (WindowExec
+    warns).  Aggregating first makes the unpartitioned window see only
+    |event_type| rows — negligible at any corpus size."""
+    events = load(spark, "events", sf_dir)
+    per_type = events.groupBy("event_type").agg(
+        F.sum(cents("value")).alias("v_cents")
+    )
+    w = Window.partitionBy()
+    return per_type.select(
+        "event_type",
+        "v_cents",
+        (F.col("v_cents").cast("double") / F.sum("v_cents").over(w)).alias("share"),
+    )
+
+
+@graded(
+    "cohort_retention_monthly",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey, min(date_trunc('month', CAST(o_orderdate AS DATE))) AS cm
+            FROM orders GROUP BY 1
+        ),
+        active AS (
+            SELECT DISTINCT o_custkey,
+                   date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+            FROM orders
+        )
+        SELECT strftime(f.cm, '%Y-%m') AS cohort_month,
+               CAST((extract(year FROM a.m) - extract(year FROM f.cm)) * 12
+                    + (extract(month FROM a.m) - extract(month FROM f.cm)) AS BIGINT)
+                   AS month_offset,
+               count(DISTINCT a.o_custkey) AS n_active
+        FROM active a JOIN firsts f USING (o_custkey)
+        GROUP BY 1, 2
+    """,
+    section="C4,C11,D2",
+    description="monthly customer cohorts over the 1995-2001 order history: "
+    "integer year*12+month offset arithmetic (identical on both engines -- "
+    "months_between's fractional semantics are the trap avoided)",
+)
+def cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.to_date("o_orderdate"))).alias("cm")
+    )
+    active = orders.select(
+        "o_custkey", F.date_trunc("month", F.to_date("o_orderdate")).alias("m")
+    ).distinct()
+    off = (
+        (F.year("m") - F.year("cm")) * 12 + (F.month("m") - F.month("cm"))
+    ).cast("long")
+    return (
+        active.join(firsts, "o_custkey")
+        .groupBy(
+            F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+            off.alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )

@@ -119,3 +119,33 @@ def test_rolling_active_users_wau_geq_dau_and_day1_equality(spark):
     # WAU can never exceed the total user population
     n_users = events.select("user_id").distinct().count()
     assert all(r.wau <= n_users for r in rows)
+
+
+def test_activity_heatmap_mass_and_iso_dow_range(spark):
+    from pulsar_message_filter_spark.operators.behavior import activity_heatmap
+
+    rows = activity_heatmap(spark, SF_SMOKE).collect()
+    events = load(spark, "events", SF_SMOKE)
+    assert sum(r.n for r in rows) == events.count()
+    assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)
+
+
+def test_share_of_total_sums_to_one(spark):
+    from pulsar_message_filter_spark.operators.behavior import share_of_total
+
+    rows = share_of_total(spark, SF_SMOKE).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    assert all(0 < r.share < 1 for r in rows)
+
+
+def test_monthly_cohort_offsets_nonnegative_and_offset0_full(spark):
+    from pulsar_message_filter_spark.operators.behavior import (
+        cohort_retention_monthly,
+    )
+
+    rows = cohort_retention_monthly(spark, SF_SMOKE).collect()
+    assert all(r.month_offset >= 0 for r in rows)
+    orders = load(spark, "orders", SF_SMOKE)
+    n_cust = orders.select("o_custkey").distinct().count()
+    zero = [r for r in rows if r.month_offset == 0]
+    assert sum(r.n_active for r in zero) == n_cust  # every customer in its cohort month
