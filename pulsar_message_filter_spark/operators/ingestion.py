@@ -1,0 +1,93 @@
+"""Graded surface for multi-format ingestion with corrupt-row routing.
+
+``io.read_any`` / ``io.split_corrupt`` implement the A-surface rules
+(PERMISSIVE text reads, `_corrupt_record` DLQ routing, explicit schemas);
+this module puts them on the graded surface: the query materializes a
+deterministic CSV corpus — with every ``doc_id % 11 == 0`` line malformed
+(non-numeric id, so the declared LongType conversion fails) — reads it
+back PERMISSIVE, routes, and reports exact clean/corrupt counts.
+
+Rows-only by design: CSV error recovery is parser-specific (DuckDB's
+``ignore_errors`` recovers a different row subset than Spark's PERMISSIVE
+mode on the same bytes), so no cross-engine oracle exists for the corrupt
+partition — the pytest asserts the exact expected counts instead (we
+control exactly which lines are malformed).
+
+Scale notes: the CSV write/read here is fixture plumbing; the graded
+shape — schema-first PERMISSIVE scan, one-pass verdict split, per-source
+aggregation — is exactly the 100 TB ingest front door (A6/B13's DLQ
+pattern applied to the batch perimeter).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from pulsar_message_filter_spark.io import load, read_any, split_corrupt
+from pulsar_message_filter_spark.registry import graded
+
+_CSV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def _write_fixture_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic CSV with doc_id%11 rows malformed (unterminated quote).
+
+    Written once per (sf_dir) under the system temp dir; rewritten only if
+    absent so repeated graded runs are cheap and stable."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"pmf_ingest_{tag}.csv")
+    if os.path.exists(path):
+        return path
+    rows = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+        .collect()
+    )
+    with open(path, "w") as f:
+        f.write("doc_id,source,lang\n")
+        for r in rows:
+            if r.doc_id % 11 == 0:
+                # non-numeric id: schema LongType conversion fails -> the
+                # whole raw line lands in _corrupt_record (PERMISSIVE)
+                f.write(f"id-{r.doc_id},{r.source},{r.lang}\n")
+            else:
+                f.write(f"{r.doc_id},{r.source},{r.lang}\n")
+    return path
+
+
+@graded(
+    "a_ingest_corrupt_routing",
+    oracle=None,  # CSV error recovery is parser-specific -> rows-only
+    section="A8,A6,B13",
+    description="multi-format ingestion front door: schema-first PERMISSIVE "
+    "CSV read with _corrupt_record DLQ routing (doc_id%11 lines malformed "
+    "by construction), exact clean/corrupt counts per source; rows-only "
+    "because CSV error recovery differs per parser (pytest pins counts)",
+)
+def a_ingest_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _write_fixture_csv(spark, sf_dir)
+    raw = read_any(spark, path, "csv", schema=_CSV_SCHEMA)
+    clean, corrupt = split_corrupt(raw)
+    per_source = clean.groupBy("source").agg(F.count("*").alias("n_clean"))
+    totals = per_source.agg(
+        F.sum("n_clean").alias("n_clean_total"),
+        F.count("*").alias("n_sources"),
+    )
+    n_corrupt = corrupt.count()
+    return totals.select(
+        "n_clean_total",
+        "n_sources",
+        F.lit(n_corrupt).cast("long").alias("n_corrupt_total"),
+    )
