@@ -45,16 +45,20 @@ def _write_fixture_csv(spark: SparkSession, sf_dir: str) -> str:
 
     Written once per (sf_dir) under the system temp dir; rewritten only if
     absent so repeated graded runs are cheap and stable."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"pmf_ingest_{tag}.csv")
-    if os.path.exists(path):
-        return path
     rows = (
         load(spark, "documents", sf_dir)
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
         .collect()
     )
+    # cache key includes a corpus fingerprint so a regenerated testdata set
+    # (the driver rewrote /root/testdata once already) never reuses a stale
+    # fixture file
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    fp = f"{len(rows)}_{rows[-1].doc_id if rows else 0}"
+    path = os.path.join(tempfile.gettempdir(), f"pmf_ingest_{tag}_{fp}.csv")
+    if os.path.exists(path):
+        return path
     with open(path, "w") as f:
         f.write("doc_id,source,lang\n")
         for r in rows:
