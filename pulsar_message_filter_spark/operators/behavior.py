@@ -551,3 +551,81 @@ def cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("o_custkey").alias("n_active"))
     )
+
+
+@graded(
+    "session_top_paths",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                        OR lag(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_type, ts_us, event_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered
+        ),
+        paths AS (
+            SELECT user_id, sid,
+                   string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+            FROM sessions GROUP BY 1, 2
+        )
+        SELECT path, count(*) AS n_sessions
+        FROM paths GROUP BY 1 HAVING count(*) >= 3
+    """,
+    section="C15,C19,E3",
+    description="frequent session paths: per-session ordered event-type "
+    "sequences (total order ts,event_id -- array_sort of structs, no "
+    "window needed) counted across the corpus; >=3 threshold instead of "
+    "LIMIT so ties cannot make the result set engine-dependent",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The click-path report: which exact event sequences recur?
+
+    Path assembly uses ``array_sort(collect_list(struct(ts, id, type)))``
+    — the struct sort gives the total order without a window pass, and
+    collect_list is bounded by session length (watermark-bounded in the
+    streaming twin).  Both aggregations key on uniform ids."""
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.sum(
+            F.when(
+                (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) >= _GAP_US)
+                | F.lag(F.unix_micros("ts")).over(w).isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .over(wcum)
+        .alias("sid"),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 3)
+    )

@@ -149,3 +149,14 @@ def test_monthly_cohort_offsets_nonnegative_and_offset0_full(spark):
     n_cust = orders.select("o_custkey").distinct().count()
     zero = [r for r in rows if r.month_offset == 0]
     assert sum(r.n_active for r in zero) == n_cust  # every customer in its cohort month
+
+
+def test_session_top_paths_thresholded_and_ordered(spark):
+    from pulsar_message_filter_spark.operators.behavior import session_top_paths
+
+    rows = session_top_paths(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.n_sessions >= 3 for r in rows)
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        assert set(r.path.split(">")) <= types
