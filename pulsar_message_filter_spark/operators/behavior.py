@@ -629,3 +629,60 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sessions"))
         .filter(F.col("n_sessions") >= 3)
     )
+
+
+@graded(
+    "rfm_segmentation",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders
+        ),
+        per_cust AS (
+            SELECT o_custkey,
+                   max(CAST(o_orderdate AS DATE)) AS last_d,
+                   count(*) AS n_orders,
+                   CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) AS m_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(date_diff('day', last_d, bounds.max_d) // 365 AS BIGINT) AS r_years,
+               CAST(n_orders // 5 AS BIGINT) AS f_bucket,
+               CAST(m_cents // 100000000 AS BIGINT) AS m_bucket,
+               count(*) AS n_customers,
+               CAST(sum(m_cents) AS BIGINT) AS segment_cents
+        FROM per_cust, bounds
+        GROUP BY 1, 2, 3
+    """,
+    section="C11,D2,D3",
+    description="RFM customer segmentation: recency (years since last "
+    "order vs corpus max date), frequency (orders//5), monetary "
+    "(cents//1e8 = $1M buckets) -- all integer floor-division bucketing, "
+    "no ntile (rank ties are engine-dependent; fixed thresholds are not)",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment cells over (recency, frequency, monetary) buckets.
+
+    Bucket arithmetic is exact integer floor division — deliberately NOT
+    ntile: quantile bucketing of tied values depends on engine sort
+    stability, while fixed thresholds are reproducible everywhere.  The
+    corpus max date is a broadcast 1-row bound, same as the WAU cap."""
+    orders = load(spark, "orders", sf_dir)
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("max_d"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("m_cents"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("datediff(max_d, last_d) div 365").cast("long").alias("r_years"),
+            F.expr("n_orders div 5").cast("long").alias("f_bucket"),
+            F.expr("m_cents div 100000000").cast("long").alias("m_bucket"),
+            "m_cents",
+        )
+        .groupBy("r_years", "f_bucket", "m_bucket")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("m_cents").cast("long").alias("segment_cents"),
+        )
+    )

@@ -160,3 +160,15 @@ def test_session_top_paths_thresholded_and_ordered(spark):
     types = {"view", "click", "purchase", "signup", "error"}
     for r in rows:
         assert set(r.path.split(">")) <= types
+
+
+def test_rfm_segmentation_partitions_customers_exactly(spark):
+    from pulsar_message_filter_spark.operators.behavior import rfm_segmentation
+
+    rows = rfm_segmentation(spark, SF_SMOKE).collect()
+    orders = load(spark, "orders", SF_SMOKE)
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    total_cents = orders.agg(F.sum(cents("o_totalprice"))).collect()[0][0]
+    assert sum(r.segment_cents for r in rows) == total_cents
+    assert all(r.r_years >= 0 and r.f_bucket >= 0 and r.m_bucket >= 0 for r in rows)
