@@ -376,3 +376,116 @@ def f31_neardup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("degree", F.lit(0)).alias("degree"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# F33 — quality-dominated survivor pick over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def survivor_pick(
+    pairs: DataFrame, quality: DataFrame, id_col: str = "doc_id", q_col: str = "n_chars"
+) -> DataFrame:
+    """Per-doc keep/remove decision over an undirected near-dup pair graph.
+
+    Rule (deterministic, single-pass, SQL-expressible): a doc is removed
+    iff at least one partner *dominates* it — higher ``q_col``, or equal
+    ``q_col`` with a smaller id (total order, so every connected pair
+    removes at least one side and the per-component quality maximum always
+    survives).  Unlike the transitive-closure pick
+    (:func:`~pulsar_message_filter_spark.operators.dedup.connected_components`),
+    this needs NO iteration: one edge expansion + one join to the quality
+    column + one doc-keyed aggregation, all equi-shuffles on the doc id.
+
+    Input ``pairs``: ``(doc_a, doc_b)``; ``quality``: ``(id_col, q_col)``.
+    Output: ``(doc_id, n_partners, n_dominators, kept)`` for every doc
+    that appears in the pair graph.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias(id_col), F.col("doc_b").alias("partner")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias(id_col), F.col("doc_a").alias("partner"))
+    )
+    mine = quality.select(F.col(id_col), F.col(q_col).alias("_my_q"))
+    theirs = quality.select(
+        F.col(id_col).alias("partner"), F.col(q_col).alias("_partner_q")
+    )
+    dominated = (
+        F.col("_partner_q") > F.col("_my_q")
+    ) | ((F.col("_partner_q") == F.col("_my_q")) & (F.col("partner") < F.col(id_col)))
+    return (
+        edges.join(mine, id_col)
+        .join(theirs, "partner")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_partners"),
+            F.sum(dominated.cast("long")).alias("n_dominators"),
+            (F.sum(dominated.cast("long")) == 0).cast("int").alias("kept"),
+        )
+    )
+
+
+@graded(
+    "f33_dedup_survivor_pick",
+    oracle=f"""
+        WITH spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - {SPAN_WIDTH - 1}, 0)),
+                       i -> array_to_string((string_split(text,' '))[i:i+{SPAN_WIDTH - 1}], ' '))) AS span
+            FROM documents
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM spans a JOIN spans b ON a.span = b.span AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS partner FROM pairs
+        ),
+        j AS (
+            SELECT e.doc_id,
+                   CASE WHEN p.n_chars > d.n_chars
+                         OR (p.n_chars = d.n_chars AND e.partner < e.doc_id)
+                        THEN 1 ELSE 0 END AS dom
+            FROM edges e
+            JOIN documents d ON e.doc_id = d.doc_id
+            JOIN documents p ON e.partner = p.doc_id
+        )
+        SELECT doc_id,
+               count(*) AS n_partners,
+               CAST(sum(dom) AS BIGINT) AS n_dominators,
+               CAST(sum(dom) = 0 AS INT) AS kept
+        FROM j GROUP BY 1
+    """,
+    section="F1,F2,C4,C11",
+    description="dedup survivor pick: docs in the shared-span pair graph "
+    "keep/remove by quality domination (longer n_chars wins, smaller id "
+    "breaks ties) — the non-iterative alternative to the f20 "
+    "connected-components pick; one edge expansion + doc-keyed agg",
+)
+def f33_dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded form over the f24 span-pair graph with ``n_chars`` quality.
+
+    The per-component quality maximum is never dominated, so at least one
+    doc per near-dup component survives; every other doc with a dominating
+    partner is dropped in one pass.  Residual chains (B removed for A,
+    C removed for B but not A) err on the *remove* side — acceptable for
+    dedup, and the reason the iterative f20 pick also exists."""
+    docs = load(spark, "documents", sf_dir)
+    spans = docs.select(
+        "doc_id", F.explode(token_ngrams(F.col("text"), SPAN_WIDTH)).alias("span")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return survivor_pick(pairs, docs.select("doc_id", "n_chars"))

@@ -109,3 +109,36 @@ def test_contamination_approx_agrees_with_exact(spark):
         margin = abs(e.contaminated_grams * 10 - e.total_grams)
         if margin > 0.2 * e.total_grams:
             assert approx[d].flag_10pct == e.flag_10pct
+
+
+def test_survivor_pick_component_max_always_survives(spark):
+    from pulsar_message_filter_spark.operators.ngrams import survivor_pick
+
+    # chain component {1-2, 2-3} with quality 3>2>1, plus an equal-quality
+    # pair {10, 11} where the smaller id must win the tie-break
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (10, 5), (11, 5)], ["doc_id", "n_chars"]
+    )
+    rows = {r.doc_id: r for r in survivor_pick(pairs, quality).collect()}
+    assert rows[3].kept == 1 and rows[3].n_dominators == 0  # component max
+    assert rows[1].kept == 0 and rows[2].kept == 0
+    assert rows[10].kept == 1 and rows[11].kept == 0  # tie -> smaller id
+    assert rows[2].n_partners == 2  # chain middle sees both neighbors
+
+
+def test_survivor_pick_graded_marks_component_best(spark):
+    from pulsar_message_filter_spark.operators.ngrams import (
+        f33_dedup_survivor_pick,
+    )
+
+    docs = load(spark, "documents", SF_SMOKE)
+    rows = f33_dedup_survivor_pick(spark, SF_SMOKE).collect()
+    assert rows, "fixture near-dups populate the pair graph"
+    kept = sum(r.kept for r in rows)
+    assert 0 < kept < len(rows)  # at least one survivor, at least one removal
+    # every removed doc names >=1 dominator; every kept doc names none
+    for r in rows:
+        assert (r.kept == 1) == (r.n_dominators == 0)
