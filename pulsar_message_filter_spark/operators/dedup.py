@@ -767,3 +767,189 @@ def dedup_near(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# F1/F14 — Bloom-filter membership prefilter for incremental exact dedup
+# ---------------------------------------------------------------------------
+#
+# The incremental-ingest shape at 100 TB: a new batch must be deduped
+# against a multi-billion-row history.  A full anti-join shuffles the whole
+# batch against the whole history; a Bloom filter built over the history's
+# content hashes turns that into
+#
+#   1. one distributed build pass over history (map-side partial filters,
+#      OR-reduced by word index — a groupBy on at most m/64 keys),
+#   2. a broadcast of the finished filter (m/64 longs; 2^20 bits = 16 KiB),
+#   3. a map-only membership test on the batch — definite-new rows (the
+#      vast majority when dup rates are low) never shuffle at all,
+#   4. an exact confirm join for the maybe-present candidates only.
+#
+# Bloom filters have NO false negatives, so step 3 never drops a real
+# duplicate and the final result is bit-identical to the exact anti-join —
+# which is why the graded query below can be oracle-checked even though a
+# probabilistic structure sits in the middle.
+
+BLOOM_NUM_BITS = 1 << 20  # 16 KiB filter for the graded corpus slice
+BLOOM_K = 5  # hash probes per key
+
+
+def _bloom_positions(h, num_bits: int, k: int):
+    """k probe positions per hash via double hashing (Kirsch–Mitzenmacher).
+
+    ``h`` is an int64 numpy array (xxhash64 output); arithmetic wraps in
+    uint64, mirroring the JVM's two's-complement — deterministic across
+    build and probe sides.
+    """
+    import numpy as np
+
+    hu = h.astype(np.uint64, copy=False)
+    h1 = hu % np.uint64(num_bits)
+    h2 = ((hu >> np.uint64(33)) | np.uint64(1)) % np.uint64(num_bits)
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(num_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    hashed: DataFrame,
+    hash_col: str = "h",
+    num_bits: int = BLOOM_NUM_BITS,
+    k: int = BLOOM_K,
+):
+    """Build a Bloom filter over an int64 hash column, distributed.
+
+    Each partition packs its local bit contributions into 64-bit words via
+    ``mapInPandas`` and emits only the NONZERO (word_idx, word) pairs; a
+    single ``groupBy(word_idx).agg(bit_or)`` OR-reduces them.  The only
+    driver materialization is the finished word table — at most
+    ``num_bits/64`` rows regardless of history size (the same bounded-
+    collect contract as the k-means centroid matrix).
+
+    Returns a numpy uint64 array of length ``num_bits // 64``.
+    """
+    import numpy as np
+
+    n_words = num_bits // 64
+
+    def partition_words(batches):
+        local = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy(dtype=np.int64, na_value=0)
+            for pos in _bloom_positions(h, num_bits, k):
+                np.bitwise_or.at(
+                    local, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        idx = np.nonzero(local)[0]
+        yield pd.DataFrame(
+            {"word_idx": idx.astype("int64"),
+             "word": local[idx].view(np.int64)}
+        )
+
+    words = (
+        hashed.select(hash_col)
+        .mapInPandas(partition_words, "word_idx long, word long")
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    filt = np.zeros(n_words, dtype=np.uint64)
+    for r in words:
+        filt[r["word_idx"]] = np.uint64(r["word"])
+    return filt
+
+
+def bloom_maybe_contains(
+    filt, num_bits: int = BLOOM_NUM_BITS, k: int = BLOOM_K
+):
+    """Vectorized membership-test pandas UDF over an int64 hash column.
+
+    The filter rides to executors inside the UDF closure (m/64 longs —
+    16 KiB at 2^20 bits; for multi-GiB filters switch to
+    ``SparkContext.broadcast``).  Guaranteed true for every inserted key;
+    false positives at the standard ``(1-e^{-kn/m})^k`` rate.
+    """
+    import numpy as np
+
+    words = filt.copy()
+
+    @pandas_udf("boolean")
+    def maybe(h: pd.Series) -> pd.Series:
+        arr = h.to_numpy(dtype=np.int64, na_value=0)
+        ok = np.ones(len(arr), dtype=bool)
+        for pos in _bloom_positions(arr, num_bits, k):
+            bits = (
+                words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))
+            ) & np.uint64(1)
+            ok &= bits.astype(bool)
+        return pd.Series(ok)
+
+    return maybe
+
+
+def bloom_dedup_incremental(
+    new_batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = BLOOM_NUM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Rows of ``new_batch`` whose canonical text does NOT appear in
+    ``history`` — exact anti-join semantics at prefiltered cost.
+
+    Definite-new rows pass on the map side; only Bloom-positive candidates
+    pay the exact confirm join (left_anti on the canonical text), and the
+    history side of that join is filtered by the SAME membership test, so
+    both confirm inputs are candidate-sized.  No false negatives ⇒ output
+    == plain ``new_batch.join(history, text, "left_anti")``.
+    """
+    canon = canonical_text(F.col(text_col))
+    new_h = new_batch.withColumn("__h", F.xxhash64(canon))
+    hist_h = history.withColumn("__h", F.xxhash64(canonical_text(F.col(text_col))))
+    filt = bloom_build(hist_h, "__h", num_bits, k)
+    maybe = bloom_maybe_contains(filt, num_bits, k)
+    flagged = new_h.withColumn("__maybe", maybe(F.col("__h")))
+    definite_new = flagged.filter(~F.col("__maybe"))
+    candidates = flagged.filter(F.col("__maybe"))
+    hist_keys = (
+        hist_h.filter(maybe(F.col("__h")))
+        .select(canonical_text(F.col(text_col)).alias("__canon"))
+        .distinct()
+    )
+    confirmed_new = candidates.withColumn("__canon", canon).join(
+        hist_keys, "__canon", "left_anti"
+    )
+    return definite_new.drop("__h", "__maybe").unionByName(
+        confirmed_new.drop("__h", "__maybe", "__canon")
+    )
+
+
+@graded(
+    "f34_bloom_prefilter_dedup",
+    oracle="""
+        SELECT n.doc_id, n.source, n.n_chars
+        FROM documents n
+        WHERE n.doc_id % 2 = 1
+          AND NOT EXISTS (
+              SELECT 1 FROM documents h
+              WHERE h.doc_id % 2 = 0
+                AND trim(regexp_replace(lower(h.text), '\\s+', ' ', 'g'))
+                  = trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g'))
+          )
+    """,
+    section="F1,F14,G2,G5",
+    description="Bloom-prefiltered incremental dedup: odd-id batch vs "
+    "even-id history; distributed filter build (mapInPandas word packing + "
+    "bit_or reduce), broadcast membership test, exact confirm join for "
+    "candidates only — no false negatives, so the result is hash-identical "
+    "to the plain anti-join the oracle runs",
+)
+def f34_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = bloom_dedup_incremental(batch, history)
+    return kept.select("doc_id", "source", "n_chars")

@@ -614,3 +614,53 @@ def test_quality_weighted_keep_rates_track_quality(spark):
     # determinism: md5_byte is stable and in range
     vals = [r.b for r in docs.select(md5_byte("doc_id").alias("b")).collect()]
     assert all(0 <= v <= 255 for v in vals)
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    import numpy as np
+
+    from pulsar_message_filter_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = spark.range(0, 2000).select(F.xxhash64("id").alias("h"))
+    filt = bloom_build(members, "h")
+    maybe = bloom_maybe_contains(filt)
+    # every inserted key tests positive
+    hits = members.withColumn("m", maybe(F.col("h"))).filter(~F.col("m")).count()
+    assert hits == 0
+    # non-members: fp rate well under 1% at 2^20 bits / 2000 keys
+    others = spark.range(1_000_000, 1_010_000).select(F.xxhash64("id").alias("h"))
+    fps = others.withColumn("m", maybe(F.col("h"))).filter(F.col("m")).count()
+    assert fps < 100
+
+
+def test_bloom_dedup_matches_exact_anti_join(spark):
+    from pulsar_message_filter_spark.operators.dedup import (
+        bloom_dedup_incremental,
+        canonical_text,
+    )
+
+    docs = load(spark, "documents", SF_SMOKE)
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    # odd-id batch plus exact copies of two history docs under fresh ids —
+    # guarantees the dup path fires regardless of fixture content
+    copies = history.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 90_001).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(copies)
+    got = {r.doc_id for r in bloom_dedup_incremental(batch, history).collect()}
+    hist_keys = history.select(
+        canonical_text(F.col("text")).alias("__canon")
+    ).distinct()
+    want = {
+        r.doc_id
+        for r in batch.withColumn("__canon", canonical_text(F.col("text")))
+        .join(hist_keys, "__canon", "left_anti")
+        .collect()
+    }
+    assert got == want
+    assert len(want) < batch.count()  # the planted copies were removed
+    assert not any(d > 90_000 for d in got)
