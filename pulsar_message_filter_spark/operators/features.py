@@ -141,3 +141,70 @@ def kmeans_lite(
 def kmeans_lite_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     return kmeans_lite(emb, k=8, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# winsorized (percentile-clipped) robust aggregation (exact)
+# ---------------------------------------------------------------------------
+
+
+def winsorize(
+    df: DataFrame,
+    value: Column,
+    group: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Clip ``value`` (an int64 column) to its per-group [lo, hi]
+    percentiles, floored to integers so downstream sums stay exact.
+
+    Two passes: one grouped exact-percentile aggregation (small output —
+    one row per group, broadcast back), then a map-only clip.  The floor
+    keeps every clipped value an int64, so the winsorized sum is
+    bit-identical across engines and partition orders — robust statistics
+    without float-summation drift.
+    """
+    bounds = df.groupBy(group).agg(
+        F.floor(F.percentile(value, F.lit(lo))).alias("_p_lo"),
+        F.floor(F.percentile(value, F.lit(hi))).alias("_p_hi"),
+    )
+    return df.join(F.broadcast(bounds), group).withColumn(
+        "_clipped", F.least(F.greatest(value, F.col("_p_lo")), F.col("_p_hi"))
+    )
+
+
+@graded(
+    "feature_winsorize",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT event_type,
+                   CAST(floor(quantile_cont({cents_sql('value')}, 0.05)) AS BIGINT) AS p_lo,
+                   CAST(floor(quantile_cont({cents_sql('value')}, 0.95)) AS BIGINT) AS p_hi
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               CAST(sum(least(greatest({cents_sql('e.value')}, b.p_lo), b.p_hi)) AS BIGINT)
+                   AS winsorized_sum_cents,
+               CAST(sum(CASE WHEN {cents_sql('e.value')} < b.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(sum(CASE WHEN {cents_sql('e.value')} > b.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high
+        FROM events e JOIN bounds b USING (event_type)
+        GROUP BY 1
+    """,
+    section="F13,C11,C14",
+    description="winsorized robust aggregation: per-type values clipped to "
+    "exact [p05, p95] (floored to integer cents, so the clipped sum is "
+    "bit-exact); outlier-resistant feature totals + clip counts",
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    c = cents("value")
+    clipped = winsorize(events.withColumn("_c", c), F.col("_c"), "event_type")
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("_clipped").alias("winsorized_sum_cents"),
+        F.sum((F.col("_c") < F.col("_p_lo")).cast("long")).alias("n_clipped_low"),
+        F.sum((F.col("_c") > F.col("_p_hi")).cast("long")).alias("n_clipped_high"),
+    )

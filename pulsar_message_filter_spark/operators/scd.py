@@ -121,3 +121,90 @@ def scd2_asof_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch SCD2: version chains longer than two
+# ---------------------------------------------------------------------------
+
+_EPOCH_BOUNDS = (_LO, "1995-01-01 00:00:00", "1996-07-01 00:00:00", _SPLIT, _HI)
+
+
+def _multi_epoch_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four chained SCD2 versions per customer (epochs 0-3).
+
+    Change rule per epoch e >= 1: customers with ``(c_custkey + e) % 3 = 0``
+    get the segment renamed to ``<segment>/v<e>`` for that epoch only —
+    so a single customer's chain mixes real changes, reversions to the
+    base value, and no-op versions (the three shapes a long SCD2 chain
+    exhibits in practice).
+    """
+    c = load(spark, "customer", sf_dir)
+    versions = []
+    for e in range(4):
+        seg = F.col("c_mktsegment")
+        if e >= 1:
+            seg = F.when(
+                (F.col("c_custkey") + e) % 3 == 0,
+                F.concat(F.col("c_mktsegment"), F.lit(f"/v{e}")),
+            ).otherwise(F.col("c_mktsegment"))
+        versions.append(
+            c.select(
+                "c_custkey",
+                F.lit(e).alias("epoch"),
+                seg.alias("segment"),
+                F.to_timestamp(F.lit(_EPOCH_BOUNDS[e])).alias("valid_from"),
+                F.to_timestamp(F.lit(_EPOCH_BOUNDS[e + 1])).alias("valid_to"),
+            )
+        )
+    out = versions[0]
+    for v in versions[1:]:
+        out = out.unionAll(v)
+    return out
+
+
+def _multi_epoch_dim_sql() -> str:
+    parts = []
+    for e in range(4):
+        seg = (
+            "c_mktsegment"
+            if e == 0
+            else f"CASE WHEN (c_custkey + {e}) % 3 = 0 "
+            f"THEN c_mktsegment || '/v{e}' ELSE c_mktsegment END"
+        )
+        parts.append(
+            f"SELECT c_custkey, {e} AS epoch, {seg} AS segment, "
+            f"TIMESTAMP '{_EPOCH_BOUNDS[e]}' AS valid_from, "
+            f"TIMESTAMP '{_EPOCH_BOUNDS[e + 1]}' AS valid_to FROM customer"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@graded(
+    "scd2_multi_epoch",
+    oracle=f"""
+        WITH dim AS ({_multi_epoch_dim_sql()})
+        SELECT d.epoch, d.segment,
+               count(*) AS n_orders,
+               CAST(sum({cents_sql('o.o_totalprice')}) AS BIGINT) AS revenue_cents
+        FROM orders o JOIN dim d
+          ON o.o_custkey = d.c_custkey
+         AND d.valid_from <= o.o_orderdate AND o.o_orderdate < d.valid_to
+        GROUP BY 1, 2
+    """,
+    section="C9,C10,C4,D2",
+    description="SCD2 with a 4-version chain per key (changes, reversions, "
+    "and no-op versions): orders matched to the epoch valid at order date; "
+    "revenue by (epoch, historical segment).  Closed-open intervals chain "
+    "without double-matching — every order hits exactly one version",
+)
+def scd2_multi_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate", "o_totalprice"
+    )
+    dim = _multi_epoch_customers(spark, sf_dir)
+    joined = scd2_join(orders, dim, "c_custkey", "o_orderdate")
+    return joined.groupBy("epoch", "segment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("revenue_cents"),
+    )

@@ -522,3 +522,62 @@ def f15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F36 — token-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy (nats) of the token distribution.
+
+    ``H = ln(n) - Σ c·ln(c) / n`` over exact int64 token counts — the two
+    float ops (ln, divide) run on identical integers in any engine, so the
+    6-dp rounding is stable.  Low entropy = repetitive/boilerplate text
+    (the SlimPajama/Gopher "mostly the same token" signal); high entropy
+    on short docs = noise.  One explode + two doc-keyed aggregations, no
+    UDFs — at 100 TB this is a map-side-combinable shuffle on doc_id.
+    """
+    counts = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+@graded(
+    "f36_token_entropy",
+    oracle="""
+        WITH counts AS (
+            SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct_tokens,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+        FROM counts GROUP BY 1
+    """,
+    section="F6,F11,C11",
+    description="token-entropy quality signal: per-doc Shannon entropy of "
+    "the token distribution from exact integer counts (ln/divide on "
+    "identical int64s on both engines, 6-dp rounded) — the repetitive-"
+    "boilerplate detector entropy-thresholded pipelines use",
+)
+def f36_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy(load(spark, "documents", sf_dir))

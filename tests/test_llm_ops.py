@@ -664,3 +664,33 @@ def test_bloom_dedup_matches_exact_anti_join(spark):
     assert got == want
     assert len(want) < batch.count()  # the planted copies were removed
     assert not any(d > 90_000 for d in got)
+
+
+def test_token_entropy_known_values(spark):
+    from pulsar_message_filter_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert rows[1].entropy_nats == 0.0  # single repeated token
+    import math
+
+    assert abs(rows[2].entropy_nats - round(math.log(4), 6)) < 1e-9  # uniform
+    assert abs(rows[3].entropy_nats - round(math.log(2), 6)) < 1e-9
+    assert rows[2].n_distinct_tokens == 4 and rows[1].n_tokens == 4
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    from pulsar_message_filter_spark.operators.features import winsorize
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 101)] + [("a", 100000)],
+        ["g", "v"],
+    )
+    out = winsorize(df, F.col("v"), "g")
+    top = out.agg(F.max("_clipped"), F.min("_clipped")).collect()[0]
+    # the 100000 outlier is pulled down to p95; minimum clipped up to p05
+    assert top[0] <= 96 and top[1] >= 5
+    # clip bounds are integers => sums stay exact int64
+    assert dict(out.dtypes)["_clipped"] == "bigint"

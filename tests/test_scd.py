@@ -45,3 +45,32 @@ def test_graded_scd2_every_order_matches_once(spark):
     # both epochs are represented (orders span the 1998 split)
     assert any(r.segment.endswith("/v2") for r in rows)
     assert any(not r.segment.endswith("/v2") for r in rows)
+
+
+def test_scd2_multi_epoch_partitions_orders_exactly_once(spark):
+    from pulsar_message_filter_spark.operators.scd import (
+        _multi_epoch_customers,
+        scd2_multi_epoch,
+    )
+
+    rows = scd2_multi_epoch(spark, SF_SMOKE).collect()
+    n_orders = load(spark, "orders", SF_SMOKE).count()
+    # chained closed-open intervals: every order matched exactly once
+    assert sum(r.n_orders for r in rows) == n_orders
+    # smoke orders all post-date 1995, so epoch 0 may legitimately be empty
+    epochs = {r.epoch for r in rows}
+    assert epochs <= {0, 1, 2, 3} and {1, 2, 3} <= epochs
+    # epoch-tagged segments only appear in their own epoch
+    for r in rows:
+        if "/v" in r.segment:
+            assert r.segment.endswith(f"/v{r.epoch}")
+    # version chains really chain: each customer's 4 versions tile [LO, HI)
+    dim = _multi_epoch_customers(spark, SF_SMOKE)
+    bad = (
+        dim.alias("a")
+        .join(dim.alias("b"), "c_custkey")
+        .filter(F.col("a.epoch") + 1 == F.col("b.epoch"))
+        .filter(F.col("a.valid_to") != F.col("b.valid_from"))
+        .count()
+    )
+    assert bad == 0
