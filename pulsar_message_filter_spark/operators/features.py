@@ -15,7 +15,7 @@ driver between iterations — the legitimate scalar-sized collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
@@ -207,4 +207,48 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_clipped").alias("winsorized_sum_cents"),
         F.sum((F.col("_c") < F.col("_p_lo")).cast("long")).alias("n_clipped_low"),
         F.sum((F.col("_c") > F.col("_p_hi")).cast("long")).alias("n_clipped_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# equal-frequency binning (per-group ntile)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "feature_quantile_bins",
+    oracle=f"""
+        WITH binned AS (
+            SELECT event_type,
+                   {cents_sql('value')} AS c,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY {cents_sql('value')}, event_id) AS quartile
+            FROM events
+        )
+        SELECT event_type, quartile,
+               count(*) AS n,
+               min(c) AS min_cents,
+               max(c) AS max_cents,
+               CAST(sum(c) AS BIGINT) AS sum_cents
+        FROM binned GROUP BY 1, 2
+    """,
+    section="C18,F13,C11",
+    description="equal-frequency binning: per-type value quartiles via "
+    "ntile with a total order (cents, event_id tie-break — deterministic "
+    "across engines); bin boundaries + exact integer sums.  Partitioned "
+    "by the group key, so the sort is per-key, never global",
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    return (
+        events.select("event_type", "event_id", cents("value").alias("c"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+            F.sum("c").alias("sum_cents"),
+        )
     )

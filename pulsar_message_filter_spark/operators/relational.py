@@ -1413,3 +1413,63 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(fraction=0.05, seed=42)
         .select("o_orderkey", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# C13 (depth) — exact correlation/covariance from integer power sums
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_corr_exact",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                          * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sxx,
+                   CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                          * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                          * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, n,
+               round(sxy / n - (sx / n) * (sy / n), 4) AS cov_pop,
+               round((sxy / n - (sx / n) * (sy / n))
+                     / sqrt((sxx / n - (sx / n) * (sx / n))
+                          * (syy / n - (sy / n) * (sy / n))), 6) AS corr
+        FROM s
+    """,
+    section="C13",
+    description="exact Pearson correlation + covariance (quantity-cents vs "
+    "floored-dollar price) from integer power sums — one grouped pass, "
+    "deterministic across engines/partitionings where the built-in "
+    "streaming corr estimator is not.  Dollar (not cent) scaling on the "
+    "price keeps sum(y*y) within int64 out to ~sf100",
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    x = cents("l_quantity")
+    y = F.floor("l_extendedprice").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    cov = F.col("sxy") / F.col("n") - mx * my
+    varx = F.col("sxx") / F.col("n") - mx * mx
+    vary = F.col("syy") / F.col("n") - my * my
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 4).alias("cov_pop"),
+        F.round(cov / F.sqrt(varx * vary), 6).alias("corr"),
+    )

@@ -187,3 +187,54 @@ def g6_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, s.shingle FROM g6_docs, LATERAL shingler(text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 — mapInArrow: zero-copy Arrow-batch transform
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "g5b_map_in_arrow",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(text) AS BIGINT) AS text_len,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id < 100
+    """,
+    section="G5",
+    description="mapInArrow partition transform: pyarrow.compute kernels "
+    "(utf8_length / split_pattern / list_value_length) on the raw Arrow "
+    "batch — no pandas materialization at all, the cheapest Python-side "
+    "path when the logic is expressible in Arrow kernels",
+)
+def g5b_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow twin of g5: same per-doc features computed with
+    ``pyarrow.compute`` kernels directly on each ``RecordBatch``.  Skips
+    the Arrow→pandas→Arrow round-trip ``mapInPandas`` pays, which matters
+    when batches are wide or string-heavy (pandas object arrays)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def features(batches):
+        for batch in batches:
+            doc_id = batch.column(batch.schema.get_field_index("doc_id"))
+            text = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int64(),
+                    ),
+                ],
+                ["doc_id", "text_len", "n_tokens"],
+            )
+
+    return (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .mapInArrow(features, "doc_id bigint, text_len bigint, n_tokens bigint")
+    )

@@ -694,3 +694,32 @@ def test_winsorize_clips_to_group_percentiles(spark):
     assert top[0] <= 96 and top[1] >= 5
     # clip bounds are integers => sums stay exact int64
     assert dict(out.dtypes)["_clipped"] == "bigint"
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from pulsar_message_filter_spark.operators.features import (
+        feature_quantile_bins,
+    )
+
+    rows = feature_quantile_bins(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, bins in by_type.items():
+        assert {b.quartile for b in bins} == {1, 2, 3, 4}
+        sizes = [b.n for b in bins]
+        assert max(sizes) - min(sizes) <= 1, f"{t}: ntile must balance bins"
+        ordered = sorted(bins, key=lambda b: b.quartile)
+        for lo, hi in zip(ordered, ordered[1:]):
+            assert lo.max_cents <= hi.min_cents  # bins tile the value range
+
+
+def test_map_in_arrow_matches_map_in_pandas(spark):
+    from pulsar_message_filter_spark.operators.udf_surface import (
+        g5_map_in_pandas,
+        g5b_map_in_arrow,
+    )
+
+    arrow = {r.doc_id: r.n_tokens for r in g5b_map_in_arrow(spark, SF_SMOKE).collect()}
+    pandas_ = {r.doc_id: r.n_tokens for r in g5_map_in_pandas(spark, SF_SMOKE).collect()}
+    assert arrow == pandas_

@@ -108,3 +108,15 @@ def test_random_filter_aggregates_match_duckdb(spark, seed):
                 ).fetchall()[0]
             )
         assert got == want, f"mismatch for: {sql_pred}"
+
+
+def test_agg_corr_exact_bounds_and_signs(spark):
+    from pulsar_message_filter_spark.operators.relational import agg_corr_exact
+    from tests.conftest import SF_SMOKE
+
+    rows = agg_corr_exact(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+        # cov and corr must agree in sign (corr = cov / positive stds)
+        assert (r.corr > 0) == (r.cov_pop > 0)
