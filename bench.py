@@ -47,6 +47,8 @@ HEADLINE = [
     "cohort_retention",  # user-keyed behavioral analytics
     "timeseries_gapfill",  # dense spine + forward-fill windows
     "cdc_snapshot_diff",  # full-outer snapshot diff
+    "f34_bloom_prefilter_dedup",  # bloom build + membership + confirm join
+    "cdc_table_checksum",  # anti-entropy md5 fingerprint scan
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -79,6 +81,8 @@ BUDGET_SEC = {
     "cohort_retention": 2.0,
     "timeseries_gapfill": 2.0,
     "cdc_snapshot_diff": 2.0,
+    "f34_bloom_prefilter_dedup": 2.0,
+    "cdc_table_checksum": 2.0,
 }
 
 

@@ -203,3 +203,73 @@ def incremental_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("sum_cents") / F.col("n")) / 100.0).alias("avg_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-engine table fingerprinting (anti-entropy checksum)
+# ---------------------------------------------------------------------------
+
+
+def table_checksum(
+    df: DataFrame, key_cols: Sequence[str], group: str | None = None
+) -> DataFrame:
+    """Order-insensitive content fingerprint: ``sum(int32(md5(row)))``.
+
+    Canonical row string = ``concat_ws('|', key_cols)`` (use integer-typed
+    columns to dodge float/date rendering drift); the md5 prefix is
+    decoded to a 32-bit int and summed — commutative, so the result is
+    identical for ANY partitioning/replica ordering, and md5 is
+    bit-identical in every engine.  Two replicas disagree ⇒ their
+    checksums differ with probability ~1 (a 2^-32-per-group collision
+    floor); this is the anti-entropy primitive used to verify a CDC
+    mirror WITHOUT shipping rows.  Map-side-combinable aggregate — at
+    100 TB the comparison costs one scan per side and ships one row per
+    group.
+    """
+    canon = F.concat_ws("|", *key_cols)
+    h32 = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    grouped = df.groupBy(F.col(group)) if group else df.groupBy()
+    return grouped.agg(
+        F.count("*").alias("n_rows"), F.sum(h32).alias("checksum")
+    )
+
+
+def checksum_sql(canon_cols: str, table: str, group: str | None = None) -> str:
+    """DuckDB twin of :func:`table_checksum` (md5-prefix hex decode via
+    positional digit arithmetic — no conv() in DuckDB)."""
+    h32 = (
+        "list_sum(list_transform(generate_series(1,8), i -> "
+        f"(strpos('0123456789abcdef', substr(md5(concat_ws('|', {canon_cols})),i,1)) - 1)"
+        " * (16**(8-i))))"
+    )
+    sel = f"{group}, " if group else ""
+    grp = f" GROUP BY {group}" if group else ""
+    return (
+        f"SELECT {sel}count(*) AS n_rows, "
+        f"CAST(sum({h32}) AS BIGINT) AS checksum FROM {table}{grp}"
+    )
+
+
+@graded(
+    "cdc_table_checksum",
+    oracle=checksum_sql(
+        f"o_orderkey, o_custkey, {cents_sql('o_totalprice')}",
+        "orders",
+        group="o_orderpriority",
+    ),
+    section="F14,C11,D8",
+    description="anti-entropy table fingerprint: per-priority order count + "
+    "commutative sum of 32-bit md5 row digests (integer canonical string) "
+    "— verifies a CDC mirror matches the source without shipping rows; "
+    "identical in any engine / partition order",
+)
+def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_custkey",
+        cents("o_totalprice").alias("tp_cents"),
+    )
+    return table_checksum(
+        orders, ["o_orderkey", "o_custkey", "tp_cents"], group="o_orderpriority"
+    )

@@ -133,3 +133,21 @@ def test_upsert_latest_picks_highest_version(spark):
     )
     out = {r.k: r.payload for r in upsert_latest(log, "k", "version").collect()}
     assert out == {1: "v3", 2: "w1"}
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    from pulsar_message_filter_spark.operators.cdc import table_checksum
+
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("v")
+    )
+    tampered = base.withColumn(
+        "v", F.when(F.col("id") == 500, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    a = table_checksum(base, ["id", "v"]).collect()[0]
+    b = table_checksum(tampered, ["id", "v"]).collect()[0]
+    assert a.n_rows == b.n_rows == 1000
+    assert a.checksum != b.checksum
+    # order-insensitive: a reshuffled replica fingerprints identically
+    c = table_checksum(base.repartition(7), ["id", "v"]).collect()[0]
+    assert c.checksum == a.checksum
