@@ -811,22 +811,19 @@ def _bloom_positions(h, num_bits: int, k: int):
     ]
 
 
-def bloom_build(
+def bloom_word_contributions(
     hashed: DataFrame,
     hash_col: str = "h",
     num_bits: int = BLOOM_NUM_BITS,
     k: int = BLOOM_K,
-):
-    """Build a Bloom filter over an int64 hash column, distributed.
+) -> DataFrame:
+    """Distributed Bloom build, as a DataFrame of nonzero (word_idx, word).
 
     Each partition packs its local bit contributions into 64-bit words via
-    ``mapInPandas`` and emits only the NONZERO (word_idx, word) pairs; a
-    single ``groupBy(word_idx).agg(bit_or)`` OR-reduces them.  The only
-    driver materialization is the finished word table — at most
-    ``num_bits/64`` rows regardless of history size (the same bounded-
-    collect contract as the k-means centroid matrix).
-
-    Returns a numpy uint64 array of length ``num_bits // 64``.
+    ``mapInPandas`` and emits only the NONZERO pairs; a single
+    ``groupBy(word_idx).agg(bit_or)`` OR-reduces them.  The result is the
+    filter in relational form — persist it (e.g. per ingest epoch) and
+    OR-reduce stored contributions later instead of rescanning history.
     """
     import numpy as np
 
@@ -847,17 +844,43 @@ def bloom_build(
              "word": local[idx].view(np.int64)}
         )
 
-    words = (
+    return (
         hashed.select(hash_col)
         .mapInPandas(partition_words, "word_idx long, word long")
         .groupBy("word_idx")
         .agg(F.bit_or("word").alias("word"))
-        .collect()
     )
-    filt = np.zeros(n_words, dtype=np.uint64)
-    for r in words:
-        filt[r["word_idx"]] = np.uint64(r["word"])
+
+
+def words_to_filter(rows, num_bits: int = BLOOM_NUM_BITS):
+    """Materialize collected (word_idx, word) rows into the uint64 array."""
+    import numpy as np
+
+    filt = np.zeros(num_bits // 64, dtype=np.uint64)
+    for r in rows:
+        filt[r["word_idx"]] |= np.uint64(np.int64(r["word"]))
     return filt
+
+
+def bloom_build(
+    hashed: DataFrame,
+    hash_col: str = "h",
+    num_bits: int = BLOOM_NUM_BITS,
+    k: int = BLOOM_K,
+):
+    """Build a Bloom filter over an int64 hash column, distributed.
+
+    See :func:`bloom_word_contributions` for the execution shape.  The
+    only driver materialization is the finished word table — at most
+    ``num_bits/64`` rows regardless of history size (the same bounded-
+    collect contract as the k-means centroid matrix).
+
+    Returns a numpy uint64 array of length ``num_bits // 64``.
+    """
+    return words_to_filter(
+        bloom_word_contributions(hashed, hash_col, num_bits, k).collect(),
+        num_bits,
+    )
 
 
 def bloom_maybe_contains(

@@ -347,3 +347,111 @@ def redelivery_counter_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def bloom_dedup_pipeline(
+    doc_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int | None = None,
+    k: int | None = None,
+):
+    """Streaming EXACT dedup against all history via a persisted Bloom
+    filter (E-series × F1/F14): survivors of each micro-batch land in an
+    epoch-partitioned sink, and the filter itself is maintained as stored
+    per-epoch word contributions.
+
+    Unlike :func:`streaming_dedup_pipeline` (MinHash store, near-dup),
+    history membership here never rescans historical *documents*: each
+    batch OR-reduces the stored word tables (≤ epochs × m/64 tiny rows)
+    to rebuild the filter, map-side drops definite-new rows, and only
+    Bloom-positive candidates touch the key store — read with a broadcast
+    semi-join on the candidate hashes (bucket the store by hash on a real
+    deployment).  Bloom false positives are resolved by that exact
+    confirm, so output semantics are exactly "first occurrence wins".
+
+    Exactly-once: all three writes (survivors, keys, words) are
+    epoch-keyed dynamic partition overwrites, and every read excludes the
+    current epoch — a replayed micro-batch reproduces its first attempt.
+    """
+    import os
+
+    from pulsar_message_filter_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_NUM_BITS,
+        bloom_maybe_contains,
+        bloom_word_contributions,
+        canonical_text,
+        dedup_exact,
+        words_to_filter,
+    )
+
+    m = num_bits or BLOOM_NUM_BITS
+    kk = k or BLOOM_K
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        e = int(epoch_id)
+        canon = canonical_text(F.col(text_col))
+        batch_d = dedup_exact(batch, text_col, id_col).withColumn(
+            "__h", F.xxhash64(canon)
+        )
+
+        words_dir = os.path.join(store_dir, "words")
+        keys_dir = os.path.join(store_dir, "keys")
+        try:
+            hist_words = (
+                spark.read.parquet(words_dir)
+                .filter(F.col("epoch_id") < e)
+                .groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+                .collect()
+            )
+        except Exception:
+            hist_words = []
+
+        if hist_words:
+            maybe = bloom_maybe_contains(words_to_filter(hist_words, m), m, kk)
+            flagged = batch_d.withColumn("__maybe", maybe(F.col("__h")))
+            definite = flagged.filter(~F.col("__maybe"))
+            cands = flagged.filter(F.col("__maybe"))
+            hist_keys = (
+                spark.read.parquet(keys_dir)
+                .filter(F.col("epoch_id") < e)
+                .join(F.broadcast(cands.select("__h").distinct()), "__h")
+                .select("__canon")
+                .distinct()
+            )
+            confirmed = cands.withColumn("__canon", canon).join(
+                hist_keys, "__canon", "left_anti"
+            )
+            kept = definite.drop("__maybe").unionByName(
+                confirmed.drop("__maybe", "__canon")
+            )
+        else:
+            kept = batch_d
+
+        def epoch_write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("epoch_id", F.lit(e))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(path)
+            )
+
+        kept = kept.localCheckpoint(eager=True)  # one compute, three writes
+        epoch_write(kept.drop("__h"), out_dir)
+        epoch_write(
+            kept.select("__h", canon.alias("__canon")).distinct(), keys_dir
+        )
+        epoch_write(bloom_word_contributions(kept, "__h", m, kk), words_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

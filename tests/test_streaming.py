@@ -694,3 +694,52 @@ def test_throttle_stateful_token_bucket_across_batches(spark, tmp_path):
     # second batch: 10 s * 1/s refill capped at burst=2 -> both pass
     last = rows[-1]
     assert (last.n_passed, last.n_throttled) == (2, 0)
+
+
+def test_bloom_dedup_pipeline_first_occurrence_wins(spark, tmp_path):
+    """E-series × F1/F14: the persisted-Bloom streaming dedup drops exact
+    duplicates across micro-batches without ever rescanning historical
+    documents (filter = OR-reduced stored word tables)."""
+    import time as _time
+
+    from pulsar_message_filter_spark.streaming.pipeline import bloom_dedup_pipeline
+
+    input_dir = str(tmp_path / "in")
+    schema = "doc_id bigint, text string"
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    write_docs([(i, f"doc number {i}") for i in range(1, 11)])
+    write_docs(
+        [(i, f"doc number {i}") for i in range(11, 16)]
+        + [(100 + i, f"doc number {i}") for i in range(1, 6)]  # dups of b1
+    )
+    write_docs(
+        [(200 + i, f"doc number {i}") for i in (11, 12)]  # dups of b2
+        + [(16, "doc number 16")]
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = bloom_dedup_pipeline(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == list(range(1, 17)), ids
+    # the key store holds exactly one entry per distinct text
+    keys = spark.read.parquet(str(tmp_path / "store/keys"))
+    assert keys.select("__canon").distinct().count() == 16
