@@ -71,6 +71,14 @@ QUERIES = [
     "f25_pii_scrub",
     "f27_shard_balance",
     "cohort_retention",
+    # round-4 additions: bloom-prefiltered incremental dedup (build + probe
+    # + confirm), anti-entropy checksum scan, exact corr power sums, and
+    # token entropy (explode + doc-keyed agg).  f33 is excluded like f24:
+    # pair-output op whose scale story is the hashed span_pairs join.
+    "f34_bloom_prefilter_dedup",
+    "cdc_table_checksum",
+    "agg_corr_exact",
+    "f36_token_entropy",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
