@@ -181,3 +181,65 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_hourly(load(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# per-key OLS trend slope (exact power sums)
+# ---------------------------------------------------------------------------
+
+#: hours-since-epoch anchor (2024-01-01 00:00 UTC) — keeps x small so the
+#: integer power sums stay far inside int64 (x ~ 10^3 at fixture dates)
+_TREND_ANCHOR_H = 473_352
+
+
+@graded(
+    "timeseries_trend_slope",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(epoch_us(ts) // 1000000 // 3600 - {_TREND_ANCHOR_H}) AS BIGINT) AS sx,
+                   CAST(sum({cents_sql('value')}) AS BIGINT) AS sy,
+                   CAST(sum((epoch_us(ts) // 1000000 // 3600 - {_TREND_ANCHOR_H})
+                          * (epoch_us(ts) // 1000000 // 3600 - {_TREND_ANCHOR_H})) AS BIGINT) AS sxx,
+                   CAST(sum((epoch_us(ts) // 1000000 // 3600 - {_TREND_ANCHOR_H})
+                          * {cents_sql('value')}) AS BIGINT) AS sxy
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_cents_per_hour,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+                   AS intercept_cents
+        FROM s
+    """,
+    section="F13,C13,D2",
+    description="per-type OLS trend: value-vs-time slope and intercept from "
+    "exact integer power sums (hour-granularity x anchored at 2024-01-01 "
+    "keeps every sum inside int64 out to ~sf100) — the drift/trend monitor "
+    "for pipeline metrics, deterministic across engines",
+)
+def timeseries_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One grouped pass: five integer sums per event_type, then the closed-
+    form least-squares line in double on identical int64s (same shape as
+    agg_moments_exact / agg_corr_exact)."""
+    events = load(spark, "events", sf_dir)
+    x = (F.unix_timestamp("ts") / 3600).cast("long") - _TREND_ANCHOR_H
+    y = cents("value")
+    s = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept_cents"
+        ),
+    )

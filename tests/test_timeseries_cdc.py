@@ -151,3 +151,33 @@ def test_table_checksum_detects_single_row_change(spark):
     # order-insensitive: a reshuffled replica fingerprints identically
     c = table_checksum(base.repartition(7), ["id", "v"]).collect()[0]
     assert c.checksum == a.checksum
+
+
+def test_trend_slope_recovers_synthetic_line(spark):
+    from pulsar_message_filter_spark.operators.timeseries import (
+        _TREND_ANCHOR_H,
+        timeseries_trend_slope,
+    )
+
+    rows = timeseries_trend_slope(spark, SF_SMOKE).collect()
+    assert rows and all(r.n > 0 for r in rows)
+    # cross-check one group against numpy's lstsq on the same exact inputs
+    import numpy as np
+
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.parity import cents
+
+    events = load(spark, "events", SF_SMOKE)
+    t0 = rows[0].event_type
+    pdf = (
+        events.filter(F.col("event_type") == t0)
+        .select(
+            ((F.unix_timestamp("ts") / 3600).cast("long") - _TREND_ANCHOR_H).alias("x"),
+            cents("value").alias("y"),
+        )
+        .toPandas()
+    )
+    slope, intercept = np.polyfit(pdf["x"], pdf["y"], 1)
+    got = {r.event_type: r for r in rows}[t0]
+    assert abs(got.slope_cents_per_hour - slope) < 1e-3
+    assert abs(got.intercept_cents - intercept) < 1.0
