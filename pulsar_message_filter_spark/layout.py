@@ -1,0 +1,105 @@
+"""Data-layout operators — the write-side half of the 100 TB story.
+
+Query speed at scale is mostly decided *before* the query runs, by how
+the data was written:
+
+* :func:`write_range_partitioned` — range-partition + sort-within on a
+  filter column so every parquet file covers a narrow, disjoint value
+  band.  Scans with a predicate on that column then skip whole files on
+  footer min/max stats (row-group pruning) — the poor-man's z-order for
+  the single-column case, pure built-in Spark.
+* :func:`write_bucketed` / :func:`bucketed_join` — persist both sides of
+  a repeated join bucketed by the join key; Spark then hash-joins
+  bucket-to-bucket with NO shuffle exchange on either side.  This is the
+  canonical layout for a fact table joined on the same key every day.
+* :func:`file_value_bounds` — read back per-file min/max from the
+  parquet footers (pyarrow) to *prove* the skipping contract instead of
+  asserting it by faith; used by the layout tests.
+
+Everything here is plain ``DataFrameWriter`` configuration — the point
+is codifying the layout contracts and making them testable, not wrapping
+Spark.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` so parquet files tile ``order_col`` into disjoint bands.
+
+    ``repartitionByRange`` samples range bounds and shuffles once;
+    ``sortWithinPartitions`` makes every row group internally ordered, so
+    both file-level AND row-group-level min/max pruning bite.  At 100 TB
+    pick ``n_files`` from the target file size (~128-512 MiB each), not a
+    constant.
+    """
+    (
+        df.repartitionByRange(n_files, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_value_bounds(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file (file, min, max) for ``column`` straight from parquet
+    footers — zero data pages read, exactly what a scan's file-skipping
+    decision sees."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == column
+            )
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((name, lo, hi))
+    return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    Bucketing pre-applies the join/agg hash partitioning at write time;
+    every later join or aggregation on ``bucket_col`` between tables with
+    the same bucket count reads co-located buckets and skips the shuffle
+    entirely (see :func:`bucketed_join` and the no-Exchange plan test).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — shuffle-free."""
+    return spark.table(left_table).join(spark.table(right_table), on)
