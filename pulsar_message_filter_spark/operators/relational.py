@@ -1473,3 +1473,38 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov, 4).alias("cov_pop"),
         F.round(cov / F.sqrt(varx * vary), 6).alias("corr"),
     )
+
+
+@graded(
+    "window_value_functions",
+    oracle="""
+        SELECT o_orderkey,
+               first_value(o_orderkey) OVER w AS first_k,
+               last_value(o_orderkey) OVER w AS last_k,
+               nth_value(o_orderkey, 2) OVER w AS second_k
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    section="C19",
+    description="window value functions: first_value / last_value / "
+    "nth_value over a full-partition frame with a total order "
+    "(o_orderdate, o_orderkey tie-break) — deterministic across engines",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_k"),
+            F.last("o_orderkey").over(w).alias("last_k"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_k"),
+        )
+    )

@@ -657,3 +657,68 @@ def func_map3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.map_entries(m1)).cast("long").alias("n_entries"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D3b — bitwise scalar + aggregate family
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_bitwise",
+    oracle="""
+        SELECT p_partkey,
+               p_partkey & 255 AS low_byte,
+               p_partkey | 4096 AS with_flag,
+               xor(p_partkey, 1365) AS xored,
+               p_partkey << 3 AS shl3,
+               p_partkey >> 2 AS shr2,
+               ~p_partkey AS inverted,
+               CAST(bit_count(p_partkey) AS INT) AS popcount
+        FROM part WHERE p_partkey < 500
+    """,
+    section="D3,D8",
+    description="bitwise scalar family: and/or/xor masks, shifts, "
+    "complement, popcount — exact int64 ops, identical in every engine",
+)
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("p_partkey")
+    return (
+        load(spark, "part", sf_dir)
+        .filter(k < 500)
+        .select(
+            "p_partkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(1365)).alias("xored"),
+            F.shiftleft(k, 3).cast("long").alias("shl3"),
+            F.shiftright(k, 2).cast("long").alias("shr2"),
+            F.bitwise_not(k).alias("inverted"),
+            F.bit_count(k).alias("popcount"),
+        )
+    )
+
+
+@graded(
+    "agg_bitwise",
+    oracle="""
+        SELECT p_brand,
+               bit_and(p_size) AS size_and,
+               bit_or(p_size) AS size_or,
+               bit_xor(p_size) AS size_xor
+        FROM part GROUP BY 1
+    """,
+    section="C11,D3",
+    description="bitwise aggregates bit_and/bit_or/bit_xor per group — "
+    "commutative+associative, so partition-order-proof by construction",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "part", sf_dir)
+        .groupBy("p_brand")
+        .agg(
+            F.bit_and("p_size").alias("size_and"),
+            F.bit_or("p_size").alias("size_or"),
+            F.bit_xor("p_size").alias("size_xor"),
+        )
+    )
