@@ -54,3 +54,27 @@ def test_coverage_md_in_sync():
     # every graded query name appears in the map
     missing = [n for n in graded if f"`{n}`" not in text]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_driver_window_is_maximally_hash_checked():
+    """Rotation-protocol guard: the driver grades the FIRST 50 queries()
+    entries per round, so that window must contain only oracle-checked
+    queries that are not yet driver-verified (while any such remain) —
+    a mis-rotation here silently wastes a whole round of verification."""
+    from pulsar_message_filter_spark import registry
+
+    g = registry.all_graded()
+    names = list(g)
+    unverified_oracle = [
+        n
+        for n, q in g.items()
+        if q.oracle is not None and n not in registry._DRIVER_VERIFIED
+    ]
+    window = names[: min(50, len(names))]
+    if len(unverified_oracle) >= 50:
+        assert all(
+            g[n].oracle is not None and n not in registry._DRIVER_VERIFIED
+            for n in window
+        ), "window must be unverified+oracle-checked while enough remain"
+    else:
+        assert set(unverified_oracle) <= set(window)
