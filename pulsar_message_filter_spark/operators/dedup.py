@@ -976,3 +976,89 @@ def f34_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     kept = bloom_dedup_incremental(batch, history)
     return kept.select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# F14 — PageRank-lite over the near-dup pair graph (iterative representative)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_lite(
+    pairs: DataFrame, iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph.
+
+    The second iterative-algorithm representative next to
+    :func:`connected_components` (label propagation) and k-means: each
+    round is one rank-to-edges equi-join + one destination-keyed sum —
+    the same node-id shuffle partitioning every round, nothing quadratic,
+    nothing collected (the driver loop carries only the iteration
+    counter).  ``localCheckpoint`` truncates lineage per round exactly as
+    in connected_components.
+
+    Input: ``(id_a, id_b)`` undirected edges.  Output: ``(node, rank)``
+    with ranks summing to the node count (uniform personalization).
+    Deterministic given (graph, iters, damping) up to float-sum order —
+    rows-only under the driver contract like every iterative op here.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges.join(degrees, "src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # rank mass check is the caller's: sum(rank) == n_nodes within float eps
+    return ranks.withColumn("n_nodes", F.lit(n_nodes))
+
+
+@graded(
+    "pagerank_neardup_hubs",
+    oracle=None,  # iterative float fixpoint — rows-only per driver contract
+    section="F14,F2",
+    description="PageRank-lite (5 damped iterations) over the exact-Jaccard "
+    "near-dup graph (docs <120, the f20 pair graph): template/boilerplate "
+    "hubs rank highest — per-round cost is one keyed join + one keyed sum",
+)
+def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac > 0.5)
+        .select("id_a", "id_b")
+    )
+    return pagerank_lite(pairs).select(
+        "node", F.round("rank", 6).alias("rank"), "n_nodes"
+    )

@@ -723,3 +723,17 @@ def test_map_in_arrow_matches_map_in_pandas(spark):
     arrow = {r.doc_id: r.n_tokens for r in g5b_map_in_arrow(spark, SF_SMOKE).collect()}
     pandas_ = {r.doc_id: r.n_tokens for r in g5_map_in_pandas(spark, SF_SMOKE).collect()}
     assert arrow == pandas_
+
+
+def test_pagerank_lite_mass_and_hub_ordering(spark):
+    from pulsar_message_filter_spark.operators.dedup import pagerank_lite
+
+    # star graph: hub 0 connected to 1..6, plus an isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(10, 11)], ["id_a", "id_b"]
+    )
+    rows = pagerank_lite(pairs, iters=10).collect()
+    ranks = {r.node: r.rank for r in rows}
+    assert abs(sum(ranks.values()) - len(ranks)) < 1e-6  # mass conserved
+    assert ranks[0] > max(ranks[i] for i in range(1, 7))  # hub dominates
+    assert abs(ranks[10] - ranks[11]) < 1e-9  # symmetric pair ties
