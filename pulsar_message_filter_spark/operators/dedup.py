@@ -1062,3 +1062,59 @@ def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_lite(pairs).select(
         "node", F.round("rank", 6).alias("rank"), "n_nodes"
     )
+
+
+# ---------------------------------------------------------------------------
+# F2 — asymmetric containment (doc-inside-doc duplication)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f37_containment_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+               len(list_intersect(a.t, b.t)) AS n_shared,
+               len(a.t) AS n_small,
+               round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / len(a.t), 6)
+                   AS containment
+        FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+        WHERE len(list_intersect(a.t, b.t)) * 5 >= len(a.t) * 4
+    """,
+    section="F2,F1",
+    description="asymmetric containment pairs: |A∩B|/|A| >= 0.8 (integer "
+    "cross-multiplied threshold) — catches a document embedded inside a "
+    "larger one, which symmetric Jaccard misses when sizes differ; the "
+    "quote/snippet-dedup signal (Broder's containment, public)",
+)
+def f37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed pairs (small ⊂ big): containment of A's token set in B.
+
+    Sample-bounded all-pairs form for the oracle; the scale path is the
+    same LSH candidate join as :func:`minhash_near_dups` — containment is
+    estimated from the same signatures (E[minhash match] rescaled by the
+    size ratio), so candidates come for free and only the exact re-check
+    changes.  Threshold compares integers cross-multiplied (×5 vs ×4),
+    never a float ratio."""
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
+    )
+    a = docs.select(F.col("doc_id").alias("id_small"), F.col("t").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_big"), F.col("t").alias("tb"))
+    shared = F.size(F.array_intersect("ta", "tb"))
+    return (
+        a.join(b, F.col("id_small") != F.col("id_big"))
+        .select(
+            "id_small",
+            "id_big",
+            shared.cast("long").alias("n_shared"),
+            F.size("ta").cast("long").alias("n_small"),
+            F.round(shared.cast("double") / F.size("ta"), 6).alias("containment"),
+        )
+        .filter(F.col("n_shared") * 5 >= F.col("n_small") * 4)
+    )

@@ -77,6 +77,10 @@ def test_all_non_udf_queries_stay_jvm_side(spark):
         # deliberate vectorized-UDF operators
         "f2_simhash", "f12_multimodal_features", "f4_topk_lsh", "f4_topk_ivf",
         "f4_topk_ivf_auto",  # auto-probed variant of f4_topk_ivf
+        "g5b_map_in_arrow",  # the Arrow twin of g5
+        # bloom membership test is a deliberate vectorized pandas UDF; the
+        # filter build is mapInPandas by design (word packing)
+        "f34_bloom_prefilter_dedup",
     }
     offenders = []
     for name, g in registry.all_graded().items():
