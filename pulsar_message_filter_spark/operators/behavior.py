@@ -686,3 +686,54 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m_cents").cast("long").alias("segment_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap profile (dwell-time distribution)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "interevent_gap_profile",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) // 1000000
+                     - lag(epoch_us(ts) // 1000000)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+            FROM events
+        )
+        SELECT CAST(floor(log2(gap_s + 1)) AS BIGINT) AS gap_bucket_log2,
+               count(*) AS n_gaps,
+               min(gap_s) AS min_gap_s,
+               max(gap_s) AS max_gap_s
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY 1
+    """,
+    section="C19,D2,C11",
+    description="inter-event gap profile: per-user consecutive-event gaps "
+    "in exact integer seconds (lag over a total order), bucketed by "
+    "floor(log2(gap+1)) — the dwell-time / bot-cadence distribution that "
+    "drives session-timeout and rate-limit tuning",
+)
+def interevent_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user-keyed window pass (each user's series sorts locally after
+    one keyed exchange — never a global sort), then a tiny bucket agg.
+    log2 on an exact int64+1 is the same double op on both engines; the
+    floor result is re-cast to int, so the output is hash-exact."""
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gaps = events.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy(
+            F.floor(F.log2(F.col("gap_s") + 1)).cast("long").alias("gap_bucket_log2")
+        )
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
