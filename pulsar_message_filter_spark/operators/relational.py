@@ -1508,3 +1508,56 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("o_orderkey", 2).over(w).alias("second_k"),
         )
     )
+
+
+@graded(
+    "agg_gini_exact",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT c_mktsegment,
+                   {cents_sql('o_totalprice')} AS v,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY {cents_sql('o_totalprice')}, o_orderkey) AS i
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS total_cents,
+               round((2.0 * sum(i * v)) / (count(*) * sum(v))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked GROUP BY 1
+    """,
+    section="C11,C18,C13",
+    description="exact Gini coefficient of revenue concentration per "
+    "segment: rank-weighted integer-cents sums over a total order "
+    "(price, orderkey tie-break) — the inequality/concentration measure, "
+    "deterministic across engines; one keyed window + one grouped agg",
+)
+def agg_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted values.
+
+    Both Σ(i·xᵢ) and Σx are exact int64 sums (rank × cents stays well
+    inside int64: rank ≤ 10⁸ would need cents ≤ 10¹⁰ to overflow); the
+    final expression is the same double arithmetic on identical integers
+    in either engine."""
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("v")
+    )
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("v", "o_orderkey")
+    ranked = joined.select(
+        "c_mktsegment", "v", F.row_number().over(w).alias("i")
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("total_cents"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("v")))
+            / (F.count("*") * F.sum("v"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

@@ -65,3 +65,42 @@ def test_csv_and_json_round_trip_agree(spark, tmp_path):
     a = sorted(tuple(r) for r in from_csv.collect())
     b = sorted(tuple(r) for r in from_json.collect())
     assert a == b and len(a) == docs.count()
+
+
+def test_schema_evolution_merge_across_file_generations(spark, tmp_path):
+    """Lake reality: files written before a column existed must still read
+    alongside new-schema files — mergeSchema unifies, old rows get nulls,
+    and filters on the new column stay correct."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(0, 50).selectExpr("id AS doc_id", "'en' AS lang")
+    v1.write.parquet(path)
+    v2 = spark.range(50, 80).selectExpr(
+        "id AS doc_id", "'de' AS lang", "id * 10 AS quality"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"doc_id", "lang", "quality"}
+    assert merged.count() == 80
+    assert merged.filter(F.col("quality").isNull()).count() == 50  # v1 rows
+    assert merged.filter(F.col("quality") >= 500).count() == 30
+
+
+def test_observe_metrics_piggyback_on_the_write(spark):
+    """df.observe: DQ counters computed inside the same job as the action —
+    no second scan for row counts / null counts (the 100 TB audit trick)."""
+    from pyspark.sql import Observation
+
+    docs = load(spark, "documents", SF_SMOKE)
+    obs = Observation("dq")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+        F.min("n_chars").alias("min_chars"),
+    )
+    n = observed.write.format("noop").mode("overwrite").save() or observed.count()
+    got = obs.get
+    assert got["n_rows"] == docs.count()
+    assert got["null_texts"] == 0
+    assert got["min_chars"] >= 0
