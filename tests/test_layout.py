@@ -65,3 +65,64 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_zorder_value_interleaves_bits():
+    from pulsar_message_filter_spark.layout import zorder_value
+
+    # morton(x=0b11, y=0b01) = y1 x1 y0 x0 = 0 1 1 1 = 7
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    row = (
+        spark.createDataFrame([(3, 1)], ["a", "b"])
+        .select(zorder_value("a", "b", bits=4).alias("z"))
+        .collect()[0]
+    )
+    assert row.z == 7
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files must give BOTH filter columns narrow per-file value
+    bands, so either predicate skips files on footer stats; a 1-D sorted
+    layout only achieves that for its sort column."""
+    from pulsar_message_filter_spark.layout import (
+        file_value_bounds,
+        write_range_partitioned,
+        write_zordered,
+    )
+
+    # z-order assumes dimensions of comparable bit width (the docstring's
+    # "range-rank normalization") — mod both keys into the same 7-bit domain
+    li = load(spark, "lineitem", SF_SMOKE).select(
+        (F.col("l_orderkey") % 128).alias("ka"),
+        (F.col("l_partkey") % 128).alias("kb"),
+        "l_quantity",
+    )
+    z_path, lin_path = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(li, z_path, "ka", "kb", n_files=16, bits=7)
+    write_range_partitioned(li, lin_path, "ka", n_files=16)
+
+    def mean_band_frac(path, col, domain):
+        bounds = [b for b in file_value_bounds(path, col) if b[1] is not None]
+        return sum(hi - lo for _, lo, hi in bounds) / len(bounds) / domain
+
+    # normalize to each column's ACTUAL domain (the smoke fixture's partkey
+    # space is far smaller than the modulus)
+    dom = {
+        c: (
+            li.agg(F.max(c) - F.min(c)).collect()[0][0] or 1
+        )
+        for c in ("ka", "kb")
+    }
+    # z-order: both dimensions' per-file bands are a fraction of the domain
+    assert mean_band_frac(z_path, "ka", dom["ka"]) < 0.7
+    assert mean_band_frac(z_path, "kb", dom["kb"]) < 0.7
+    # 1-D layout: its sort column is tight but the other column is ~full-range
+    assert mean_band_frac(lin_path, "ka", dom["ka"]) < 0.3
+    assert mean_band_frac(lin_path, "kb", dom["kb"]) > 0.8
+    # and z-order beats the 1-D layout on the second dimension
+    assert mean_band_frac(z_path, "kb", dom["kb"]) < mean_band_frac(
+        lin_path, "kb", dom["kb"]
+    )
+    # content unchanged
+    assert spark.read.parquet(z_path).count() == li.count()
