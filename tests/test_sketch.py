@@ -1,0 +1,41 @@
+"""Count-min sketch contracts: one-sided error, mergeability, and accuracy
+on heavy hitters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.sketch import cms_build, cms_estimate
+from tests.conftest import SF_SMOKE
+
+
+def test_cms_never_undercounts_and_is_tight_for_heavy_hitters(spark):
+    events = load(spark, "events", SF_SMOKE)
+    sketch = cms_build(events, "user_id")
+    true = events.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    keys = true.select("user_id")
+    est = cms_estimate(sketch, keys, "user_id")
+    joined = est.join(true, "user_id").collect()
+    assert joined
+    n_total = events.count()
+    for r in joined:
+        assert r.est >= r.true_cnt  # one-sided error, always
+        # CMS bound: overshoot <= 2N/width with high probability
+        assert r.est - r.true_cnt <= 2 * n_total / 1024 + 1
+
+
+def test_cms_partials_merge_by_addition(spark):
+    events = load(spark, "events", SF_SMOKE)
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_build(half_a, "user_id")
+        .unionByName(cms_build(half_b, "user_id"))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    single = cms_build(events, "user_id")
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in single.collect())
+    assert a == b  # addition IS the sketch merge
