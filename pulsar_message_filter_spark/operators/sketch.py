@@ -132,3 +132,111 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(events, "user_id")
     keys = events.filter(F.col("user_id") < 40).select("user_id").distinct()
     return cms_estimate(sketch, keys, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog, relationally (same deterministic-hash trick as the CMS)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007, public)
+#: linear congruential rounds alone leave the leading-zero statistic badly
+#: biased (a*k mod p has structured high bits for consecutive keys, and rho
+#: reads exactly those bits) — measured +70%% estimate bias.  The fix is a
+#: Wang/Jenkins-style avalanche mix (xor-shift + multiply-mod rounds),
+#: which lands the estimator inside its theoretical ±1.04/√m band; every
+#: step is exact int64 arithmetic expressible in both engines.
+_HLL_A, _HLL_B = 999_983, 524_287
+_HLL_MULT = 73_244_475
+
+
+def hll_registers(df: DataFrame, key_col: str, m: int = _HLL_M) -> DataFrame:
+    """Register table ``(register, max_rho)`` of an HLL sketch over a key.
+
+    ``hash31 = (a·key+b) mod p``; low bits pick the register, and rho =
+    leading-zero rank of the remaining 25 bits (1-based).  ``max`` per
+    register is the whole sketch state — mergeable by ``max`` exactly as
+    the CMS merges by sum.  floor(log2(w)) on ints ≤ 2^25 is exact in
+    double, so every register value is engine-identical.
+    """
+    h = (F.col(key_col) * _HLL_A + _HLL_B) % _P
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = (h * _HLL_MULT) % _P
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = (h * _HLL_MULT) % _P
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    w = (h / m).cast("long")
+    rho = F.when(w > 0, 25 - F.floor(F.log2(w))).otherwise(F.lit(26))
+    return (
+        df.select((h % m).alias("register"), rho.cast("long").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+@graded(
+    "hll_distinct_users",
+    oracle=f"""
+        WITH h0 AS (
+            SELECT (user_id * {_HLL_A} + {_HLL_B}) % {_P} AS hv FROM events
+        ),
+        h1 AS (SELECT (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM h0),
+        h2 AS (SELECT (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT xor(hv, hv >> 16) AS hv FROM h2),
+        regs AS (
+            SELECT hv % {_HLL_M} AS register,
+                   max(CASE WHEN hv // {_HLL_M} > 0
+                            THEN 25 - floor(log2(hv // {_HLL_M}))
+                            ELSE 26 END) AS max_rho
+            FROM h GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS registers_hit,
+               round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                     / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*))), 4)
+                   AS hll_estimate,
+               (SELECT count(DISTINCT user_id) FROM events) AS true_distinct
+        FROM regs
+    """,
+    section="C12,F14,D8",
+    description="HyperLogLog, relationally: distinct-user estimate from a "
+    "64-register max-rho table built with the same literal hash family as "
+    "the CMS — mergeable by per-register max, and hash-exact across "
+    "engines (deterministic family, exact int log2) so even the estimate "
+    "has an oracle; true count alongside for the error story",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    regs = hll_registers(events, "user_id")
+    true_distinct = events.select("user_id").distinct().count()
+    # empty registers contribute 2^0 = 1 each (rho 0) to the harmonic sum
+    return regs.agg(
+        F.count("*").alias("registers_hit"),
+        F.round(
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                + (F.lit(_HLL_M) - F.count("*"))
+            ),
+            4,
+        ).alias("hll_estimate"),
+    ).withColumn("true_distinct", F.lit(true_distinct).cast("long"))
+
+
+def hll_estimate_from_registers(rows, m: int = _HLL_M) -> float:
+    """Canonical HLL estimate incl. the small-range linear-counting branch.
+
+    ``rows`` is the collected (register, max_rho) table.  Raw estimate =
+    α·m²/Σ2^−Mⱼ (empty registers contribute 2⁰); when the raw estimate is
+    ≤ 2.5m and some registers are empty, the standard correction
+    ``m·ln(m/V)`` (V = empty registers) replaces it — without it the raw
+    estimator over-counts badly for n ≪ m (Flajolet et al. 2007 §4).
+    """
+    import math
+
+    hit = len(rows)
+    s = sum(2.0 ** -r["max_rho"] for r in rows) + (m - hit)
+    raw = _HLL_ALPHA * m * m / s
+    empty = m - hit
+    if raw <= 2.5 * m and empty > 0:
+        return m * math.log(m / empty)
+    return raw

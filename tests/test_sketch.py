@@ -39,3 +39,34 @@ def test_cms_partials_merge_by_addition(spark):
     a = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in single.collect())
     assert a == b  # addition IS the sketch merge
+
+
+def test_hll_estimate_within_error_band_and_merges_by_max(spark):
+    from pulsar_message_filter_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    events = load(spark, "events", SF_SMOKE)
+    true = events.select("user_id").distinct().count()
+    regs = hll_registers(events, "user_id")
+    rows = regs.collect()
+    import math
+
+    m = 64
+    # smoke has n << m: the linear-counting branch must engage and land close
+    est = hll_estimate_from_registers([r.asDict() for r in rows], m)
+    assert abs(est - true) / true < 2.5 * 1.04 / math.sqrt(m), (est, true)
+
+    # mergeability: per-register max of split sketches == single-pass sketch
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_registers(half_a, "user_id")
+        .unionByName(hll_registers(half_b, "user_id"))
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in rows)
+    assert a == b
