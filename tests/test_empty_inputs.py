@@ -1,0 +1,79 @@
+"""Empty-input robustness: every core operator must return an empty frame
+with the right schema — not crash — when a filter upstream leaves nothing.
+At 100 TB an empty partition/day/source is routine, and a pipeline that
+dies on it pages someone at 3am."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from tests.conftest import SF_SMOKE
+
+
+def _empty_docs(spark):
+    return load(spark, "documents", SF_SMOKE).filter(F.col("doc_id") < 0)
+
+
+def test_dedup_ops_on_empty_corpus(spark):
+    from pulsar_message_filter_spark.operators.dedup import (
+        connected_components,
+        dedup_exact,
+        minhash_near_dups,
+        pagerank_lite,
+    )
+
+    empty = _empty_docs(spark)
+    assert dedup_exact(empty, "text", "doc_id").count() == 0
+    assert minhash_near_dups(empty, "text", "doc_id").count() == 0
+    no_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(no_pairs).count() == 0
+    assert pagerank_lite(no_pairs).count() == 0
+
+
+def test_bloom_ops_on_empty_sides(spark):
+    from pulsar_message_filter_spark.operators.dedup import (
+        bloom_build,
+        bloom_dedup_incremental,
+    )
+
+    docs = load(spark, "documents", SF_SMOKE).limit(20)
+    empty = _empty_docs(spark)
+    # empty history: everything in the batch survives
+    assert bloom_dedup_incremental(docs, empty).count() == 20
+    # empty batch: nothing out, no crash
+    assert bloom_dedup_incremental(empty, docs).count() == 0
+    # empty build yields the all-zero filter
+    filt = bloom_build(empty.select(F.xxhash64("text").alias("h")))
+    assert int(filt.sum()) == 0
+
+
+def test_sketches_and_stats_on_empty_input(spark):
+    from pulsar_message_filter_spark.operators.ngrams import survivor_pick
+    from pulsar_message_filter_spark.operators.features import winsorize
+    from pulsar_message_filter_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        hll_registers,
+    )
+    from pulsar_message_filter_spark.operators.text import token_entropy
+
+    empty_events = load(spark, "events", SF_SMOKE).filter(F.col("event_id") < 0)
+    assert cms_build(empty_events, "user_id").count() == 0
+    assert hll_registers(empty_events, "user_id").count() == 0
+    # probing an empty sketch returns 0 estimates (coalesced), not nulls
+    keys = spark.createDataFrame([(1,), (2,)], ["user_id"])
+    ests = cms_estimate(cms_build(empty_events, "user_id"), keys, "user_id").collect()
+    assert sorted(r.est for r in ests) == [0, 0]
+    assert token_entropy(_empty_docs(spark)).count() == 0
+    assert (
+        winsorize(
+            empty_events.select("event_type", F.lit(1).cast("long").alias("v")),
+            F.col("v"),
+            "event_type",
+        ).count()
+        == 0
+    )
+    no_pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    quality = spark.createDataFrame([(1, 10)], ["doc_id", "n_chars"])
+    assert survivor_pick(no_pairs, quality).count() == 0

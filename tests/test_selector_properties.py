@@ -126,3 +126,51 @@ def test_differential_wide_grammar(spark, duck):
             ).fetchall()
         }
         assert spark_ids == duck_ids, f"diverged: {text}"
+
+
+def test_survivor_pick_always_keeps_component_max(spark):
+    """Property (seeded randomized): on ANY pair graph, a doc with maximum
+    quality in its connected component (tie-break smallest id) is never
+    removed by the single-pass domination rule."""
+    from pulsar_message_filter_spark.operators.ngrams import survivor_pick
+
+    rng = random.Random(23)
+    for trial in range(8):
+        n_nodes = rng.randint(4, 28)
+        n_edges = rng.randint(1, 40)
+        pairs = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n_nodes), rng.randrange(n_nodes))
+                    for _ in range(n_edges)
+                )
+                if a != b
+            }
+        )
+        if not pairs:
+            continue
+        qualities = [rng.randint(0, 50) for _ in range(n_nodes)]
+        pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+        nodes = sorted({n for p in pairs for n in p})
+        qdf = spark.createDataFrame(
+            [(n, qualities[n]) for n in nodes], ["doc_id", "n_chars"]
+        )
+        rows = {r.doc_id: r for r in survivor_pick(pdf, qdf).collect()}
+
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comps = {}
+        for n in nodes:
+            comps.setdefault(find(n), []).append(n)
+        for members in comps.values():
+            best = max(members, key=lambda n: (qualities[n], -n))
+            assert rows[best].kept == 1, (trial, members, best)
