@@ -49,6 +49,9 @@ HEADLINE = [
     "cdc_snapshot_diff",  # full-outer snapshot diff
     "f34_bloom_prefilter_dedup",  # bloom build + membership + confirm join
     "cdc_table_checksum",  # anti-entropy md5 fingerprint scan
+    "cms_user_event_counts",  # relational count-min sketch build + probe
+    "hll_distinct_users",  # relational HLL distinct estimate
+    "agg_gini_exact",  # rank-weighted concentration (window + agg)
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -83,6 +86,9 @@ BUDGET_SEC = {
     "cdc_snapshot_diff": 2.0,
     "f34_bloom_prefilter_dedup": 2.0,
     "cdc_table_checksum": 2.0,
+    "cms_user_event_counts": 2.0,
+    "hll_distinct_users": 2.0,
+    "agg_gini_exact": 2.0,
 }
 
 

@@ -79,6 +79,11 @@ QUERIES = [
     "cdc_table_checksum",
     "agg_corr_exact",
     "f36_token_entropy",
+    # round-4 late additions (first ladder pass due round 5): relational
+    # sketches (cell/register-bounded aggs) and the rank-weighted Gini
+    "cms_user_event_counts",
+    "hll_distinct_users",
+    "agg_gini_exact",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
