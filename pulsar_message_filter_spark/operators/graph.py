@@ -1,0 +1,162 @@
+"""Distributed graph analytics over co-occurrence graphs (SURVEY.md §2.F14
+scale patterns; complements the iterative ops in dedup.py —
+``connected_components`` label propagation and ``pagerank_neardup_hubs``).
+
+Triangle counting is the canonical "looks quadratic, isn't" distributed
+graph kernel: the naive wedge join explodes on hub nodes (a node of degree
+d contributes d² wedge candidates), so at 100 TB the standard fix is
+**degree orientation** (Cohen 2009; Suri & Vassilvitskii "MapReduce
+triangle counting", WWW 2011 — public): orient every undirected edge from
+its lower-(degree, id) endpoint to the higher one.  The oriented
+out-degree is bounded by O(√m) regardless of skew, so the wedge join's
+fan-out is bounded per node — hub nodes stop being quadratic hot keys.
+Each triangle {a ≺ b ≺ c} (≺ = the degree-then-id total order) is counted
+exactly once: as the wedge (b, c) at its smallest vertex a closed by the
+oriented edge b→c.
+
+Everything is DataFrame algebra: two self-equi-joins on int keys (shuffle
+on node id, AQE-skew-splittable) and one semi-join — no UDF, no driver
+state.  The triangle count is orientation-invariant, so the DuckDB oracle
+uses the plain a<b<c triple-join form; matching counts across two
+*different* algorithms is a stronger check than re-running the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Distinct undirected co-occurrence edges (u < v): items appearing in
+    the same group.  The self-join is keyed by ``group_col`` — per-group
+    fan-out is C(group size, 2), fine for bounded baskets (orders average
+    ~4 parts); for heavy groups, cap or sample the group upstream."""
+    pairs = df.select(group_col, item_col).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(b, group_col)
+        .filter(F.col(f"a.{item_col}") < F.col(f"b.{item_col}"))
+        .select(
+            F.col(f"a.{item_col}").alias("u"),
+            F.col(f"b.{item_col}").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Node degrees of an undirected (u < v) edge set."""
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("deg"))
+
+
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Orient each edge from its lower-(deg, id) endpoint to the higher —
+    the O(√m)-out-degree transformation that makes the wedge join safe on
+    skewed (hub-heavy) graphs."""
+    deg = degrees(edges)
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("sdeg"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count via degree-oriented wedge join.
+
+    Wedges are enumerated at each triangle's ≺-smallest vertex (bounded
+    out-degree), ordered (b ≺ c) so each candidate appears once, then
+    closed by a semi-join against the oriented edge list.  Three shuffles
+    total (degree agg, wedge join on src, closing join on (b, c)) — the
+    100 TB shape; no node ever materializes a d² candidate set where d is
+    its full undirected degree."""
+    o = orient_by_degree(edges).persist()
+    e1 = o.select(
+        F.col("src"),
+        F.col("dst").alias("b"),
+        F.col("ddeg").alias("bdeg"),
+    )
+    e2 = o.select(
+        F.col("src"),
+        F.col("dst").alias("c"),
+        F.col("ddeg").alias("cdeg"),
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("bdeg") < F.col("cdeg"))
+        | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return wedges.join(closing, ["b", "c"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+@graded(
+    "graph_triangle_count",
+    oracle="""
+        WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY 1
+        ),
+        tri AS (
+            SELECT count(*) AS t
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               (3.0 * (SELECT t FROM tri))
+                   / (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+                   AS global_clustering
+    """,
+    section="C4,C11,F14",
+    description="exact triangle count on the part co-purchase graph via "
+    "degree-oriented wedge join (O(sqrt m) out-degree bound — the "
+    "skew-safe distributed shape); oracle runs the naive a<b<c triple "
+    "join, so matching counts cross-checks two different algorithms",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    deg = degrees(edges)
+    tri = triangle_count(edges)
+    summary = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+        )
+    )
+    return summary.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        ((F.lit(3.0) * F.col("n_triangles")) / F.col("n_wedges")).alias(
+            "global_clustering"
+        ),
+    )

@@ -184,3 +184,79 @@ def label_balanced_sample(df: DataFrame, label_col: str, key, k: int) -> DataFra
 def f30_label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir).select("label", "vec_id")
     return label_balanced_sample(emb, "label", "vec_id", 40).select("label", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (deterministic A-ES)
+# ---------------------------------------------------------------------------
+
+#: (n_chars threshold, weight) tiers — weights are POWERS OF TWO on purpose:
+#: the A-ES key u^(1/w) then reduces to sqrt chains (u, sqrt(u),
+#: sqrt(sqrt(u))), and IEEE sqrt is correctly rounded — bit-identical on
+#: every engine — whereas pow() is libm-dependent.  Determinism survives
+#: the float path.
+_WEIGHT_TIERS = ((300, 4), (150, 2))  # else 1
+
+
+def weighted_sample_keys(df, key, weight_col):
+    """Efraimidis–Spirakis A-ES selection key: ``u^(1/w)`` with the uniform
+    ``u`` derived from md5 (content-addressed, engine-portable — same trick
+    as :func:`hash_sample`) instead of RNG.  Taking the top-k keys yields a
+    weighted sample WITHOUT replacement where inclusion odds scale with
+    ``w``; because u and the sqrt chain are bit-exact everywhere, the
+    SAME rows are picked by any engine, re-run, or topology."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h32 = F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col)
+    return (
+        F.when(w == 4, F.sqrt(F.sqrt(u)))
+        .when(w == 2, F.sqrt(u))
+        .otherwise(u)
+        .alias("sel_key")
+    )
+
+
+@graded(
+    "sample_weighted_deterministic",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars >= 300 THEN 4
+                        WHEN n_chars >= 150 THEN 2 ELSE 1 END AS weight,
+                   (CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                        * (16 ** (8 - i)))) AS BIGINT) + 0.5) / 4294967296.0 AS u
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id, weight,
+                   CASE WHEN weight = 4 THEN sqrt(sqrt(u))
+                        WHEN weight = 2 THEN sqrt(u) ELSE u END AS sel_key
+            FROM h
+        )
+        SELECT doc_id, weight, sel_key
+        FROM (SELECT *, row_number() OVER (ORDER BY sel_key DESC) AS r FROM keyed)
+        WHERE r <= 60
+    """,
+    section="C26,D8,F14",
+    description="weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-ES): selection key u^(1/w) with md5-derived u and power-of-two "
+    "weights so the float path is sqrt-only (correctly rounded IEEE) — "
+    "deterministic top-60 docs, longer docs ~4x likelier; same rows on "
+    "every engine, no RNG state",
+)
+def sample_weighted_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by selection key: at scale this is a TakeOrdered (partition-
+    local top-k then merge of k-row heaps), not a global sort."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    w = F.lit(1)
+    for thr, tier_w in reversed(_WEIGHT_TIERS):
+        w = F.when(F.col("n_chars") >= thr, F.lit(tier_w)).otherwise(w)
+    keyed = docs.withColumn("weight", w).select(
+        "doc_id", "weight", weighted_sample_keys(docs, "doc_id", "weight")
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — partition-local
+    # top-k heaps merged on the driver, never a global sort/window
+    return keyed.orderBy(F.col("sel_key").desc()).limit(60)

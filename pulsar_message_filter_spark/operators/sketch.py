@@ -27,7 +27,7 @@ product stays far inside int64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
@@ -240,3 +240,87 @@ def hll_estimate_from_registers(rows, m: int = _HLL_M) -> float:
     if raw <= 2.5 * m and empty > 0:
         return m * math.log(m / empty)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram → quantile estimates
+# ---------------------------------------------------------------------------
+
+_QH_WIDTH = 4096  # power of two: price/4096 is EXACT in binary floating point
+
+
+def histogram_bins(df: DataFrame, col: str, width: int = _QH_WIDTH) -> DataFrame:
+    """Fixed-width histogram — the simplest mergeable quantile sketch.
+    Partial histograms from any partition/day/shard merge by summing bin
+    counts (a plain groupBy SUM), which is what makes this the 100 TB
+    percentile-monitoring shape: one map-side-combined shuffle of at most
+    ``range/width`` rows, no per-row state, no sorted pass."""
+    b = F.floor(F.col(col) / width).cast("long").alias("bin")
+    return df.groupBy(b).agg(F.count("*").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, quantiles: list[float], width: int = _QH_WIDTH
+) -> DataFrame:
+    """Linear-interpolated quantile estimates from a bin histogram.
+
+    Deterministic float math on identical operands (integer cumulative
+    counts, one multiply, one divide) — bit-identical across engines, so
+    unlike RNG/stream-order sketches this estimator is oracle-checkable
+    with no rounding at all."""
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    qs = None
+    for q in quantiles:
+        row = F.lit(float(q)).alias("p")
+        qs = c.select(row, "bin", "cnt", "cum", "n") if qs is None else qs.unionAll(
+            c.select(row, "bin", "cnt", "cum", "n")
+        )
+    target = F.col("p") * F.col("n")
+    return (
+        qs.filter((F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target))
+        .select(
+            "p",
+            (
+                F.col("bin") * width
+                + width * (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+            ).alias("est"),
+        )
+    )
+
+
+@graded(
+    "quantile_histogram_estimate",
+    oracle=f"""
+        WITH hist AS (
+            SELECT CAST(floor(l_extendedprice / {_QH_WIDTH}) AS BIGINT) AS bin,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1
+        ),
+        c AS (
+            SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin) AS cum,
+                   sum(cnt) OVER () AS n
+            FROM hist
+        ),
+        q AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+        SELECT p,
+               bin * {_QH_WIDTH}
+                 + {_QH_WIDTH} * (p * n - (cum - cnt)) / cnt AS est
+        FROM q JOIN c ON cum >= p * n AND (cum - cnt) < p * n
+    """,
+    section="C14,C11,F14",
+    description="mergeable fixed-bin histogram quantiles (p50/p90/p99 of "
+    "extendedprice): partial histograms merge by summing counts — the "
+    "distributed percentile-rollup shape; power-of-two bin width keeps "
+    "the float path exact, so estimates are hash-identical cross-engine "
+    "with NO rounding",
+)
+def quantile_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return histogram_quantiles(histogram_bins(li, "l_extendedprice"), [0.5, 0.9, 0.99])

@@ -581,3 +581,60 @@ def token_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 )
 def f36_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(load(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal — likelihood-based quality scoring
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document average unigram surprisal (bits/token): fit a unigram
+    LM on the corpus itself (token counts / total) in one grouped pass,
+    then score every document by ``avg(log2(N / c_term))`` — the cheap,
+    fully-relational stand-in for perplexity filtering in LLM-data
+    curation (high surprisal ⇒ rare-token-heavy docs: gibberish, boiler-
+    plate explosions, wrong-language fragments).
+
+    Scale: one explode + vocab groupBy (map-side combined), then a
+    token→count join that Spark broadcasts while the vocab fits (natural-
+    language vocab grows ~O(corpus^0.5), Heaps' law, so it fits far longer
+    than the corpus does), and a final doc-keyed agg.  No UDF anywhere."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(counts, "term")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.avg(F.log2(F.col("n").cast("double") / F.col("c"))), 4).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
+
+
+@graded(
+    "f38_unigram_surprisal",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT doc_id, count(*) AS n_tok,
+               round(avg(log2(CAST(n AS DOUBLE) / c)), 4) AS avg_surprisal
+        FROM toks JOIN cnt USING (term) CROSS JOIN tot
+        GROUP BY 1
+    """,
+    section="F6,F11,C11",
+    description="unigram-LM surprisal per doc (bits/token): corpus-fit "
+    "token probabilities, then avg log2(N/c) — the relational perplexity "
+    "proxy for likelihood-based quality filtering; explode + broadcast "
+    "vocab join + doc-keyed agg, no UDF",
+)
+def f38_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    return unigram_surprisal(docs)

@@ -243,3 +243,57 @@ def timeseries_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted activity scoring (step decay)
+# ---------------------------------------------------------------------------
+
+_DECAY_ASOF = "2024-02-01"
+#: weekly step-decay weights ×8 so every weight is an INTEGER: 8 (this
+#: week), 4, 2, 1 (older).  cents × {8,4,2,1} stays exact int64, so the
+#: per-user score is order-independent and hash-exact on any engine — the
+#: same reason parity.cents exists.  Powers of two = an 8× fixed-point
+#: rendering of 1, 1/2, 1/4, 1/8 half-life-per-week decay.
+_DECAY_STEPS = ((8, 8), (16, 4), (24, 2))  # (< days, weight×8); else 1
+
+
+def decay_weight_x8(days_col):
+    """Step-decay weight ×8 as an integer Column (halves each week)."""
+    w = F.lit(1)
+    for lt, wx8 in reversed(_DECAY_STEPS):
+        w = F.when(days_col < lt, F.lit(wx8)).otherwise(w)
+    return w
+
+
+@graded(
+    "decay_score_asof",
+    oracle=f"""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum({cents_sql("value")} *
+                        CASE WHEN datediff('day', CAST(ts AS DATE),
+                                           DATE '{_DECAY_ASOF}') < 8 THEN 8
+                             WHEN datediff('day', CAST(ts AS DATE),
+                                           DATE '{_DECAY_ASOF}') < 16 THEN 4
+                             WHEN datediff('day', CAST(ts AS DATE),
+                                           DATE '{_DECAY_ASOF}') < 24 THEN 2
+                             ELSE 1 END) AS BIGINT) AS score_x8_cents
+        FROM events GROUP BY 1
+    """,
+    section="C11,D2,F14",
+    description="per-user recency score with weekly step decay (weights "
+    "8/4/2/1 in 8x fixed point): integer cents x integer weights keeps the "
+    "score exact int64 — order-independent, mergeable, hash-exact across "
+    "engines; the engagement/recency-scoring primitive without float decay "
+    "drift",
+)
+def decay_score_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single grouped pass; the weight is a CASE on an integer day gap, so
+    the whole aggregate stays inside whole-stage codegen with map-side
+    partial sums — at 100 TB this is one shuffle keyed by user_id."""
+    events = load(spark, "events", sf_dir)
+    d = F.datediff(F.lit(_DECAY_ASOF).cast("date"), F.col("ts").cast("date"))
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents("value") * decay_weight_x8(d)).cast("long").alias("score_x8_cents"),
+    )

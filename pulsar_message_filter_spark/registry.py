@@ -182,5 +182,6 @@ def _load_modules() -> None:
     import pulsar_message_filter_spark.operators.scd  # noqa: F401
     import pulsar_message_filter_spark.operators.ingestion  # noqa: F401
     import pulsar_message_filter_spark.operators.sketch  # noqa: F401
+    import pulsar_message_filter_spark.operators.graph  # noqa: F401
 
     _LOADED = True
