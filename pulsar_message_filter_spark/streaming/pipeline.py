@@ -455,3 +455,108 @@ def bloom_dedup_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def survivor_pick_pipeline(
+    doc_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+):
+    """Streaming NEAR-dup removal via the f33 survivor pick (E-series ×
+    F2/F33): per micro-batch, docs sharing a token span with an already-
+    kept document are dropped (history wins — kept docs are immutable),
+    and within the batch the quality-domination rule of
+    :func:`~pulsar_message_filter_spark.operators.ngrams.survivor_pick`
+    keeps only undominated docs.  Survivors and their spans land in
+    epoch-keyed dynamic partition overwrites, so a replayed micro-batch
+    reproduces its first attempt (exactly-once, same discipline as
+    :func:`bloom_dedup_pipeline`).
+
+    The history probe is an equi-join on the span string against the
+    stored kept-span table — never a rescan of historical documents.  At
+    100 TB the span store is bucketed by span hash so the probe is a
+    co-located join; a Bloom prefilter over span hashes (exactly the
+    :func:`bloom_dedup_pipeline` word-table trick) can drop
+    definitely-new spans map-side before the store is touched.
+    """
+    import os
+
+    from pulsar_message_filter_spark.operators.ngrams import (
+        SPAN_WIDTH,
+        survivor_pick,
+        token_ngrams,
+    )
+
+    spans_dir = os.path.join(store_dir, "spans")
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        e = int(epoch_id)
+        batch = batch.localCheckpoint(eager=True)
+        spans = batch.select(
+            F.col(id_col),
+            F.explode(token_ngrams(F.col(text_col), SPAN_WIDTH)).alias("span"),
+        )
+
+        try:
+            hist_spans = (
+                spark.read.parquet(spans_dir)
+                .filter(F.col("epoch_id") < e)
+                .select("span")
+            )
+        except Exception:
+            hist_spans = None
+
+        if hist_spans is not None:
+            dup_of_hist = (
+                spans.join(hist_spans, "span", "left_semi").select(id_col).distinct()
+            )
+            fresh = batch.join(dup_of_hist, id_col, "left_anti")
+            fresh_spans = spans.join(dup_of_hist, id_col, "left_anti")
+        else:
+            fresh, fresh_spans = batch, spans
+
+        a, b = fresh_spans.alias("a"), fresh_spans.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.span") == F.col("b.span"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .distinct()
+        )
+        verdicts = survivor_pick(pairs, fresh.select(id_col, quality_col), id_col, quality_col)
+        dominated = verdicts.filter(F.col("kept") == 0).select(id_col)
+        kept = fresh.join(dominated, id_col, "left_anti").localCheckpoint(eager=True)
+
+        def epoch_write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("epoch_id", F.lit(e))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(path)
+            )
+
+        epoch_write(kept, out_dir)
+        epoch_write(
+            kept.select(
+                F.col(id_col),
+                F.explode(token_ngrams(F.col(text_col), SPAN_WIDTH)).alias("span"),
+            ).select("span").distinct(),
+            spans_dir,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -743,3 +743,65 @@ def test_bloom_dedup_pipeline_first_occurrence_wins(spark, tmp_path):
     # the key store holds exactly one entry per distinct text
     keys = spark.read.parquet(str(tmp_path / "store/keys"))
     assert keys.select("__canon").distinct().count() == 16
+
+
+def test_survivor_pick_pipeline_cross_batch_neardup(spark, tmp_path):
+    """E-series × F33: streaming near-dup removal — history wins across
+    micro-batches (span overlap with a kept doc drops the newcomer), and
+    within a batch the quality-domination pick keeps the longer doc."""
+    import time as _time
+
+    from pulsar_message_filter_spark.streaming.pipeline import survivor_pick_pipeline
+
+    input_dir = str(tmp_path / "in")
+    schema = "doc_id bigint, text string, n_chars bigint"
+
+    def doc(i, text):
+        return (i, text, len(text))
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        _time.sleep(1.1)
+
+    # SPAN_WIDTH=15 tokens: `base` is a 15-token span shared by near-dups
+    base = " ".join(f"w{i}" for i in range(15))
+    other = " ".join(f"x{i}" for i in range(16))
+    fresh2 = " ".join(f"y{i}" for i in range(16))
+    # batch 1: doc 1 and its shorter near-dup doc 2 (share the `base`
+    # span); doc 3 unrelated
+    write_docs(
+        [
+            doc(1, base + " extra tail words here"),
+            doc(2, base),
+            doc(3, other),
+        ]
+    )
+    # batch 2: doc 4 shares the `base` span with kept doc 1 → dropped by
+    # history; doc 5 is fresh
+    write_docs(
+        [
+            doc(4, base + " totally different continuation"),
+            doc(5, fresh2),
+        ]
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = survivor_pick_pipeline(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # doc 2 dominated in-batch by doc 1; doc 4 span-matches kept history
+    assert ids == [1, 3, 5], ids
