@@ -1217,3 +1217,112 @@ def containment_pairs(
         "containment",
         F.round(F.col("n_shared").cast("double") / F.col("n_small"), 6),
     )
+
+
+# ---------------------------------------------------------------------------
+# F39 — prefix-filtered EXACT set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard(
+    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All pairs with Jaccard(token sets) > ``threshold`` — EXACT results
+    through prefix filtering (Chaudhuri et al. SSJoin, ICDE 2006 /
+    Xiao et al. PPJoin, WWW 2008 — public), the scale-correct alternative
+    to both the quadratic all-pairs join and the *approximate* MinHash
+    route (:func:`minhash_lsh_candidates` trades recall; this trades
+    nothing).
+
+    Theorem behind the filter: order every token set by one global total
+    order (ascending corpus frequency, then token — rarest first); if
+    ``J(A,B) ≥ t`` then A and B must share at least one token inside each
+    set's first ``|s| − ⌈t·|s|⌉ + 1`` tokens.  So candidate generation is
+    an equi-join on PREFIX tokens only — and because prefixes start with
+    the rarest tokens, candidate lists are short precisely where naive
+    token joins explode (stopword-like tokens never enter a prefix at
+    realistic thresholds and set sizes).
+
+    Shape at 100 TB: one token-frequency pass (map-side combined), one
+    per-doc window to rank tokens (keyed by doc — no global sort), one
+    equi-join on (prefix token) for candidates, one intersection count +
+    exact Jaccard on candidates only.  No UDF; no similarity math until
+    the candidate set is already frequency-pruned.
+
+    Caveat: pruning power comes from vocabulary skew (rare tokens make
+    selective prefixes).  On a tiny uniform vocabulary — like the
+    synthetic fixture corpus — prefixes stay universal and candidates
+    degenerate toward all pairs; results remain exact either way
+    (pytest demonstrates ~Zipf pruning; the graded oracle checks
+    exactness).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).distinct()
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("df"))
+
+    w = Window.partitionBy(id_col).orderBy("df", "term")
+    ranked = (
+        toks.join(freq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(id_col, "term")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    ta = toks.select(F.col(id_col).alias("id_a"), "term")
+    tb = toks.select(F.col(id_col).alias("id_b"), "term")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+@graded(
+    "f39_prefix_filter_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(a.t || b.t)) AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(a.t || b.t)) > 0.5
+    """,
+    section="F2,C4,C11",
+    description="prefix-filtered EXACT set-similarity join (PPJoin): "
+    "Jaccard>0.5 pairs over the FULL corpus — candidates only from "
+    "rarest-token prefixes (no-false-negative theorem), exact verify on "
+    "candidates; oracle is the naive quadratic all-pairs join, so two "
+    "different algorithms must agree exactly",
+)
+def f39_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    return prefix_filter_jaccard(docs, 0.5)

@@ -84,9 +84,56 @@ QUERIES = [
     "cms_user_event_counts",
     "hll_distinct_users",
     "agg_gini_exact",
+    # round-5 additions: step-decay scoring (one user-keyed agg), mergeable
+    # histogram quantiles (bounded bin agg), unigram surprisal (explode +
+    # vocab join + doc agg).  graph_triangle_count is excluded by design:
+    # replication densifies a FIXED part node set, so wedge work grows
+    # superlinearly by graph math, not by plan defect (its skew story is
+    # the degree-orientation bound, pytest-proven on the star graph).
+    "decay_score_asof",
+    "quantile_histogram_estimate",
+    "f38_unigram_surprisal",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
+
+
+def zorder_prune_fractions(spark, sf_dir: str, factor: int) -> dict:
+    """The z-order ladder leg: write this factor's events z-ordered by
+    (user_id, hour), then measure from parquet FOOTER stats what fraction
+    of files a selective filter on EACH dimension could skip.  The 100 TB
+    claim under test: multi-dimensional clustering keeps per-file min/max
+    bands narrow on BOTH filter columns as data (and file count) grows —
+    pruning fractions should hold roughly flat up the ladder."""
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.layout import file_value_bounds, write_zordered
+
+    out = os.path.join(sf_dir, "events_zordered")
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        ((F.unix_timestamp("ts") / 3600).cast("long") % 100_000).alias("hour"),
+        "event_type",
+        "value",
+    )
+    n_files = 8 * factor  # hold rows-per-file constant up the ladder
+    write_zordered(ev, out, "user_id", "hour", n_files=n_files, bits=16)
+
+    def prune_frac(column: str, lo: int, hi: int) -> float:
+        bounds = file_value_bounds(out, column)
+        hit = sum(1 for _, mn, mx in bounds if not (mx < lo or mn > hi))
+        return round(1 - hit / len(bounds), 3)
+
+    # a ~13%-wide band on each dimension (users 0..150·f shifts; hours)
+    u_lo, u_hi = 40, 60
+    hrs = sorted({mn for _, mn, _ in file_value_bounds(out, "hour")})
+    h_lo = hrs[0]
+    return {
+        "n_files": n_files,
+        "user_prune_frac": prune_frac("user_id", u_lo, u_hi),
+        "hour_prune_frac": prune_frac("hour", h_lo + 100, h_lo + 200),
+    }
 
 
 def replicate(spark, factor: int, out_dir: str) -> None:
@@ -126,6 +173,7 @@ def main() -> None:
     graded = registry.all_graded()
     root = tempfile.mkdtemp(prefix="pmf_scale_")
     results: dict[int, dict[str, float]] = {}
+    layouts: dict[int, dict] = {}
     try:
         for n in factors:
             d = os.path.join(root, f"x{n}")
@@ -144,7 +192,8 @@ def main() -> None:
                     samples.append(time.time() - t0)
                 per[q] = round(min(samples), 3)
             results[n] = per
-            print(f"-- x{n} done: {per}", file=sys.stderr)
+            layouts[n] = zorder_prune_fractions(spark, d, n)
+            print(f"-- x{n} done: {per} layout={layouts[n]}", file=sys.stderr)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -160,7 +209,16 @@ def main() -> None:
                 math.log(results[top][q] / results[base][q]) / math.log(top / base), 2
             )
         rows.append(r)
-    print(json.dumps({"base_dir": BASE_SF_DIR, "factors": factors, "rows": rows}))
+    print(
+        json.dumps(
+            {
+                "base_dir": BASE_SF_DIR,
+                "factors": factors,
+                "rows": rows,
+                "zorder_ladder": {f"x{n}": layouts[n] for n in factors if n in layouts},
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
