@@ -324,3 +324,88 @@ def histogram_quantiles(
 def quantile_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
     return histogram_quantiles(histogram_bins(li, "l_extendedprice"), [0.5, 0.9, 0.99])
+
+
+def hll_registers_by(df: DataFrame, key_col: str, group_cols: list, m: int = _HLL_M) -> DataFrame:
+    """Per-group HLL register tables — one tiny (≤ m rows) sketch per
+    group, built in a single grouped pass.  Same hash family as
+    :func:`hll_registers`."""
+    h = (F.col(key_col) * _HLL_A + _HLL_B) % _P
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = (h * _HLL_MULT) % _P
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = (h * _HLL_MULT) % _P
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    w = (h / m).cast("long")
+    rho = F.when(w > 0, 25 - F.floor(F.log2(w))).otherwise(F.lit(26))
+    projected = df.select(
+        *group_cols, (h % m).alias("register"), rho.cast("long").alias("rho")
+    )
+    group_names = [c for c in projected.columns if c not in ("register", "rho")]
+    return projected.groupBy(*group_names, "register").agg(
+        F.max("rho").alias("max_rho")
+    )
+
+
+def _hll_estimate_cols(registers_hit, rho_harmonic_sum, m: int = _HLL_M):
+    """α·m² / (Σ2^−Mⱼ + empty) on already-aggregated columns."""
+    return F.round(
+        F.lit(_HLL_ALPHA * m * m) / (rho_harmonic_sum + (F.lit(m) - registers_hit)), 4
+    )
+
+
+@graded(
+    "hll_windowed_merge",
+    oracle=f"""
+        WITH h0 AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   (user_id * {_HLL_A} + {_HLL_B}) % {_P} AS hv FROM events
+        ),
+        h1 AS (SELECT day, (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM h0),
+        h2 AS (SELECT day, (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT day, xor(hv, hv >> 16) AS hv FROM h2),
+        day_regs AS (
+            SELECT day, hv % {_HLL_M} AS register,
+                   max(CASE WHEN hv // {_HLL_M} > 0
+                            THEN 25 - floor(log2(hv // {_HLL_M}))
+                            ELSE 26 END) AS max_rho
+            FROM h GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT register, max(max_rho) AS max_rho FROM day_regs GROUP BY 1
+        )
+        SELECT (SELECT count(*) FROM day_regs) AS n_partial_rows,
+               (SELECT count(DISTINCT day) FROM day_regs) AS n_windows,
+               (SELECT round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                       / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*))), 4)
+                FROM merged) AS merged_estimate,
+               (SELECT count(DISTINCT user_id) FROM events) AS true_distinct
+    """,
+    section="C12,E1,F14",
+    description="HLL mergeability across time windows, as a graded "
+    "invariant: per-day register tables (one tiny sketch per window) "
+    "merged by per-register MAX give the whole-range estimate — the "
+    "rollup shape that lets 100 TB distinct-count dashboards keep only "
+    "m-row partials per window instead of raw keys; deterministic family "
+    "so the merged estimate itself is oracle-checked",
+)
+def hll_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    day_regs = hll_registers_by(
+        events, "user_id", [F.col("ts").cast("date").alias("day")]
+    ).persist()
+    merged = day_regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    true_distinct = events.select("user_id").distinct().count()
+    est = merged.agg(
+        F.count("*").alias("__hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__hsum"),
+    ).select(_hll_estimate_cols(F.col("__hit"), F.col("__hsum")).alias("merged_estimate"))
+    counts = day_regs.agg(
+        F.count("*").alias("n_partial_rows"),
+        F.countDistinct("day").alias("n_windows"),
+    )
+    return (
+        counts.crossJoin(est)
+        .withColumn("true_distinct", F.lit(true_distinct).cast("long"))
+        .select("n_partial_rows", "n_windows", "merged_estimate", "true_distinct")
+    )

@@ -70,3 +70,28 @@ def test_hll_estimate_within_error_band_and_merges_by_max(spark):
     a = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in rows)
     assert a == b
+
+
+def test_hll_window_merge_equals_whole_range_sketch(spark):
+    """Mergeability invariant: per-day register tables merged by MAX are
+    EXACTLY the whole-range register table (same max_rho per register)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.sketch import (
+        hll_registers,
+        hll_registers_by,
+    )
+
+    events = load(spark, "events", "/root/testdata/sf0.001")
+    whole = {(r.register, r.max_rho) for r in hll_registers(events, "user_id").collect()}
+    merged = {
+        (r.register, r.max_rho)
+        for r in hll_registers_by(
+            events, "user_id", [F.col("ts").cast("date").alias("day")]
+        )
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    assert merged == whole and len(whole) > 0
