@@ -842,3 +842,191 @@ def int8_topk(
 def f21_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     return int8_topk(emb.filter(F.col("vec_id") < 30), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# F40 — truncated-dimension (Matryoshka-style) retrieval recall
+# ---------------------------------------------------------------------------
+
+
+def truncated_recall(
+    queries: DataFrame, corpus: DataFrame, k: int, trunc_dim: int
+) -> DataFrame:
+    """Recall@k of top-k retrieval using only the first ``trunc_dim``
+    embedding dimensions, against full-dimension brute-force truth.
+
+    The 100 TB rationale: prefix-truncated embeddings (Matryoshka-style
+    training, Kusupati et al. 2022 — public) cut index memory and dot-
+    product FLOPs ~dim/trunc_dim×; this operator MEASURES what that costs
+    in recall on your own corpus before you commit the index build.  Both
+    rankings are plain relational brute-force here (broadcast queries,
+    deterministic rounded-sim rank), so the measurement itself is
+    oracle-checkable; at scale the truncated leg runs through the same
+    LSH/IVF candidate generation as any other embedding search.
+    """
+    full = brute_topk(queries, corpus, k).select(
+        "query_id", "neighbor_id"
+    )
+    tq = queries.select("vec_id", F.slice("embedding", 1, trunc_dim).alias("embedding"))
+    tc = corpus.select("vec_id", F.slice("embedding", 1, trunc_dim).alias("embedding"))
+    trunc = brute_topk(tq, tc, k).select("query_id", "neighbor_id")
+    overlap = full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        full.groupBy("query_id")
+        .agg(F.count("*").alias("__k"))
+        .join(
+            overlap.groupBy("query_id").agg(F.count("*").alias("n_overlap")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / F.col("__k")).alias("recall_at_k"),
+        )
+    )
+
+
+def _trunc_topk_sql(emb_expr: str, dim: int, where: str, k: int) -> str:
+    """Oracle top-k rank table over (possibly sliced) embeddings."""
+    cos = (
+        f"(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(q.{emb_expr}[i] AS DOUBLE) * CAST(c.{emb_expr}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(q.{emb_expr}[i] AS DOUBLE) * CAST(q.{emb_expr}[i] AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(c.{emb_expr}[i] AS DOUBLE) * CAST(c.{emb_expr}[i] AS DOUBLE))))))"
+    )
+    return f"""
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos}, 6) DESC, c.vec_id) AS r
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE {where}
+        ) WHERE r <= {k}
+    """
+
+
+@graded(
+    "f40_matryoshka_recall",
+    oracle=f"""
+        WITH full_k AS ({_trunc_topk_sql("embedding", EMB_DIM, "q.vec_id < 20", 10)}),
+        trunc_k AS ({_trunc_topk_sql("embedding", 16, "q.vec_id < 20", 10)}),
+        hits AS (
+            SELECT f.query_id, count(*) AS n_overlap
+            FROM full_k f JOIN trunc_k t
+              ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+            GROUP BY 1
+        )
+        SELECT f.query_id,
+               CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               coalesce(h.n_overlap, 0) / count(*) AS recall_at_k
+        FROM full_k f LEFT JOIN hits h ON f.query_id = h.query_id
+        GROUP BY 1, h.n_overlap
+    """,
+    section="F4,F13,F14",
+    description="Matryoshka truncation audit: recall@10 of 16-dim-prefix "
+    "retrieval vs full 64-dim truth for 20 queries — measures the "
+    "memory/FLOPs-vs-recall trade of truncated embedding indexes on the "
+    "actual corpus; both legs deterministic brute rank, oracle-checked",
+)
+def f40_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return truncated_recall(emb.filter(F.col("vec_id") < 20), emb, k=10, trunc_dim=16)
+
+
+# ---------------------------------------------------------------------------
+# F41 — reciprocal rank fusion of two retrieval signals
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard damping constant (Cormack et al. 2009, public)
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int) -> DataFrame:
+    """Fuse two (query_id, neighbor_id, rank) tables by reciprocal rank:
+    ``score = Σ 1/(60 + rank_i)`` over the signals that retrieved the
+    candidate (Cormack/Clarke/Büttcher RRF, SIGIR 2009 — public).  Scale
+    shape: a full outer join on (query, neighbor) — both sides are
+    already k-bounded per query, so the fusion input is ≤ 2k rows per
+    query regardless of corpus size; the expensive part stays in the
+    per-signal retrievers."""
+    a = ranked_a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    b = ranked_b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    fused = a.join(b, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(1 / (F.lit(_RRF_K) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1 / (F.lit(_RRF_K) + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "neighbor_id")
+    return fused.withColumn("fused_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("fused_rank") <= k
+    )
+
+
+def l2_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Top-k by squared L2 distance (exact; ranking differs from cosine
+    when norms vary — that difference is what fusion exploits)."""
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    d2 = (
+        dot(F.col("qe"), F.col("qe"))
+        - 2 * dot(F.col("qe"), F.col("ce"))
+        + dot(F.col("ce"), F.col("ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(d2, 6).alias("dist2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@graded(
+    "f41_rrf_fusion",
+    oracle=f"""
+        WITH cos_k AS ({_trunc_topk_sql("embedding", EMB_DIM, "q.vec_id < 10", 10).replace("SELECT query_id, neighbor_id FROM (", "SELECT query_id, neighbor_id, r FROM (")}),
+        l2_k AS (
+            SELECT query_id, neighbor_id, r FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           round({_dot_sql('q.embedding', 'q.embedding')}
+                                 - 2 * {_dot_sql('q.embedding', 'c.embedding')}
+                                 + {_dot_sql('c.embedding', 'c.embedding')}, 6) ASC,
+                           c.vec_id) AS r
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE r <= 10
+        ),
+        fused AS (
+            SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                   coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+                   coalesce(1.0 / ({_RRF_K} + a.r), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + b.r), 0.0) AS rrf_score
+            FROM cos_k a FULL OUTER JOIN l2_k b
+              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rrf_score, fused_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rrf_score DESC, neighbor_id)
+                          AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= 5
+    """,
+    section="F4,C5,C18",
+    description="reciprocal rank fusion (RRF, k=60) of cosine-rank and "
+    "L2-rank retrieval for 10 queries, fused top-5: the standard "
+    "multi-signal retrieval combiner, k-bounded fusion join so cost "
+    "stays in the per-signal retrievers; deterministic and oracle-checked",
+)
+def f41_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cos_k = brute_topk(queries, emb, k=10)
+    l2_k = l2_topk(queries, emb, k=10)
+    return rrf_fuse(cos_k, l2_k, k=5)

@@ -171,3 +171,29 @@ def test_prefix_filter_prunes_candidates(spark):
         .count()
     )
     assert n_cands < n * (n - 1) / 2 * 0.25, (n_cands, n)
+
+
+def test_truncated_recall_is_perfect_at_full_dim(spark):
+    from pulsar_message_filter_spark.operators.similarity import truncated_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = truncated_recall(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, trunc_dim=64
+    ).collect()
+    assert len(out) == 5
+    assert all(r.recall_at_k == 1.0 for r in out)
+
+
+def test_rrf_prefers_candidates_found_by_both_signals(spark):
+    from pulsar_message_filter_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    got = {r.neighbor_id: r.fused_rank for r in rrf_fuse(a, b, 3).collect()}
+    # 101 appears in both lists → top fused rank despite never ranking #1+#1
+    assert got[101] == 1
+    assert set(got) == {100, 101, 102}
