@@ -273,3 +273,91 @@ def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(
         orders, ["o_orderkey", "o_custkey", "tp_cents"], group="o_orderpriority"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (delta-apply vs full recompute)
+# ---------------------------------------------------------------------------
+
+
+def agg_delta(changes: DataFrame, group_col: str) -> DataFrame:
+    """Collapse a change log into per-group aggregate deltas.
+
+    ``changes`` rows carry ``(group_col, dn, dcents)``: inserts ``(+1,
+    +cents)``, deletes ``(−1, −cents)``, updates ``(0, new−old)``.  The
+    groupBy SUM is the whole maintenance algebra for SUM/COUNT views —
+    map-side combinable, output bounded by touched groups, never by
+    history size."""
+    return changes.groupBy(group_col).agg(
+        F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents")
+    )
+
+
+def apply_agg_delta(base_agg: DataFrame, delta: DataFrame, group_col: str) -> DataFrame:
+    """Merge aggregate deltas into a materialized SUM/COUNT view.
+
+    Full-outer join (new groups appear, emptied groups drop out via the
+    ``n > 0`` filter), then plain integer addition — at 100 TB this
+    touches only changed groups instead of rescanning the fact history,
+    which is the entire point of maintaining the view incrementally."""
+    merged = base_agg.join(delta, group_col, "full_outer").select(
+        group_col,
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce("total_cents", F.lit(0)) + F.coalesce("dcents", F.lit(0))).alias(
+            "total_cents"
+        ),
+    )
+    return merged.filter(F.col("n_orders") > 0)
+
+
+@graded(
+    "ivm_agg_maintenance",
+    oracle=f"""
+        WITH post AS (
+            SELECT o_custkey,
+                   CASE WHEN o_orderkey % 10 = 3
+                        THEN {cents_sql("o_totalprice")} + 500
+                        ELSE {cents_sql("o_totalprice")} END AS cents
+            FROM orders WHERE o_orderkey % 10 <> 7
+            UNION ALL
+            SELECT o_custkey, {cents_sql("o_totalprice")} AS cents
+            FROM orders WHERE o_orderkey % 10 = 1
+        )
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM post GROUP BY 1
+    """,
+    section="C11,C5,F14",
+    description="incremental view maintenance: a per-customer COUNT/SUM "
+    "view maintained by delta application (inserts +1/+cents, deletes "
+    "-1/-cents, updates 0/new-old) from a deterministic change log — the "
+    "oracle RECOMPUTES the view from the post-change table, so the "
+    "delta algebra must agree with a from-scratch rebuild",
+)
+def ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change log synthesized deterministically from orders: keys %10==7
+    deleted, %10==3 price +5.00, %10==1 re-inserted as new orders."""
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("c")
+    )
+    base_agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum("c").alias("total_cents")
+    )
+    k = F.col("o_orderkey") % 10
+    deletes = orders.filter(k == 7).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-F.col("c")).alias("dcents")
+    )
+    updates = orders.filter(k == 3).select(
+        "o_custkey", F.lit(0).alias("dn"), F.lit(500).alias("dcents")
+    )
+    inserts = orders.filter(k == 1).select(
+        "o_custkey", F.lit(1).alias("dn"), F.col("c").alias("dcents")
+    )
+    delta = agg_delta(deletes.unionByName(updates).unionByName(inserts), "o_custkey")
+    return apply_agg_delta(base_agg, delta, "o_custkey").select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )

@@ -160,3 +160,91 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_clustering"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-hop reachability (the recursive-CTE gap, closed iteratively)
+# ---------------------------------------------------------------------------
+
+
+def khop_counts(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Per-seed node counts at each minimum hop distance ≤ ``max_hops``.
+
+    Spark has no recursive CTE; the engine idiom is driver-side iteration
+    over DataFrame joins — each hop is one equi-join frontier expansion
+    plus an anti-join against the visited set (exactly the Pregel/BFS
+    superstep, expressed relationally).  The loop bound is a Python int,
+    so the plan is a fixed DAG of ``max_hops`` joins — no unbounded
+    recursion, checkpoint-able between supersteps on long chains.
+
+    The DuckDB oracle uses a genuine ``WITH RECURSIVE`` walk with min-hop
+    aggregation — matching counts cross-check the iterative relational
+    BFS against real recursion.
+
+    Scale: frontier and visited are (seed, node) sets shuffled on node —
+    the standard distributed BFS; on power-law graphs the visited
+    anti-join keeps the frontier from re-expanding hubs every superstep.
+    """
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    visited = seeds.select(
+        F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        expanded = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = expanded.join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+        frontier = fresh.withColumn("hop", F.lit(hop)).localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return (
+        visited.groupBy("seed", "hop")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+@graded(
+    "graph_khop_reachability",
+    oracle="""
+        WITH RECURSIVE pl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        walk(seed, node, hop) AS (
+            SELECT l_partkey, l_partkey, 0 FROM (
+                SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey < 5
+            )
+            UNION ALL
+            SELECT w.seed, e.v, w.hop + 1
+            FROM walk w JOIN e ON w.node = e.u
+            WHERE w.hop < 2
+        ),
+        minhop AS (
+            SELECT seed, node, min(hop) AS hop FROM walk GROUP BY 1, 2
+        )
+        SELECT seed, hop, count(*) AS n_nodes
+        FROM minhop GROUP BY 1, 2
+    """,
+    section="C4,C6,F14",
+    description="bounded 2-hop BFS reachability on the part co-purchase "
+    "graph from seed parts <5: iterative frontier-join BFS (the Spark "
+    "answer to recursive CTEs) vs a genuine WITH RECURSIVE min-hop walk "
+    "in the oracle — two different algorithms must agree",
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = (
+        li.filter(F.col("l_partkey") < 5)
+        .select(F.col("l_partkey").alias("seed"))
+        .distinct()
+    )
+    return khop_counts(edges, seeds, max_hops=2)

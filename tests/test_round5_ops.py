@@ -197,3 +197,30 @@ def test_rrf_prefers_candidates_found_by_both_signals(spark):
     # 101 appears in both lists → top fused rank despite never ranking #1+#1
     assert got[101] == 1
     assert set(got) == {100, 101, 102}
+
+
+def test_khop_counts_on_path_graph(spark):
+    from pulsar_message_filter_spark.operators.graph import khop_counts
+
+    # path 0-1-2-3-4, seed 0: hop0={0} hop1={1} hop2={2}
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    got = {(r.hop): r.n_nodes for r in khop_counts(e, seeds, 2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_ivm_delta_apply_equals_recompute(spark):
+    from pulsar_message_filter_spark.operators.cdc import agg_delta, apply_agg_delta
+
+    base = spark.createDataFrame(
+        [(1, 2, 1000), (2, 1, 500)], "g long, n_orders long, total_cents long"
+    )
+    # delete g=2's only row; add a row to g=1; new group g=3
+    changes = spark.createDataFrame(
+        [(2, -1, -500), (1, 1, 250), (3, 1, 99)], "g long, dn long, dcents long"
+    )
+    got = {
+        r.g: (r.n_orders, r.total_cents)
+        for r in apply_agg_delta(base, agg_delta(changes, "g"), "g").collect()
+    }
+    assert got == {1: (3, 1250), 3: (1, 99)}  # g=2 emptied out
