@@ -409,3 +409,166 @@ def hll_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("true_distinct", F.lit(true_distinct).cast("long"))
         .select("n_partial_rows", "n_windows", "merged_estimate", "true_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted order statistics (weighted median)
+# ---------------------------------------------------------------------------
+
+
+def weighted_median(
+    df: DataFrame, group_col: str, value_cents, weight, order_tiebreak: list
+) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total weight.
+
+    One keyed window (ordered cumulative weight — integer-exact) and one
+    grouped MIN; the answer is invariant to tie order among equal values,
+    so the result is deterministic on any engine.  At scale this is the
+    exact-but-shuffled path; the mergeable approximation for dashboards
+    is :func:`histogram_quantiles`."""
+    w_tot = Window.partitionBy(group_col)
+    staged = df.select(
+        F.col(group_col),
+        value_cents.alias("__v"),
+        weight.alias("__w"),
+        *order_tiebreak,
+    ).select(
+        group_col,
+        "__v",
+        F.sum("__w").over(
+            Window.partitionBy(group_col).orderBy("__v", *[c for c in order_tiebreak])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cw"),
+        F.sum("__w").over(w_tot).alias("__tw"),
+    )
+    return (
+        staged.filter(F.col("__cw") >= 0.5 * F.col("__tw"))
+        .groupBy(group_col)
+        .agg(F.min("__v").alias("weighted_median_cents"))
+    )
+
+
+@graded(
+    "agg_weighted_median",
+    oracle="""
+        WITH staged AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                   sum(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                                l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag) AS tw
+            FROM lineitem
+        )
+        SELECT l_returnflag, min(v) AS weighted_median_cents
+        FROM staged WHERE cw >= 0.5 * tw GROUP BY 1
+    """,
+    section="C14,C20,C11",
+    description="quantity-weighted median price per returnflag: integer "
+    "cumulative weights over a keyed ordered window, answer invariant to "
+    "tie order — exact weighted order statistic, deterministic cross-"
+    "engine (the mergeable approx twin is quantile_histogram_estimate)",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    from pulsar_message_filter_spark.operators.parity import cents
+
+    return weighted_median(
+        li,
+        "l_returnflag",
+        cents("l_extendedprice"),
+        F.col("l_quantity").cast("long"),
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL audience overlap (inclusion–exclusion on mergeable sketches)
+# ---------------------------------------------------------------------------
+
+
+def _hll_regs_sql(where: str) -> str:
+    """Register-table SQL over filtered events (same avalanche chain)."""
+    return f"""(
+        WITH h0 AS (
+            SELECT (user_id * {_HLL_A} + {_HLL_B}) % {_P} AS hv
+            FROM events {where}
+        ),
+        h1 AS (SELECT (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM h0),
+        h2 AS (SELECT (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT xor(hv, hv >> 16) AS hv FROM h2)
+        SELECT hv % {_HLL_M} AS register,
+               max(CASE WHEN hv // {_HLL_M} > 0
+                        THEN 25 - floor(log2(hv // {_HLL_M}))
+                        ELSE 26 END) AS max_rho
+        FROM h GROUP BY 1
+    )"""
+
+
+_HLL_EST_SQL = (
+    f"round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / "
+    f"(sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*))), 4)"
+)
+
+
+def hll_estimate_col(regs: DataFrame) -> DataFrame:
+    """Single-row estimate frame from a register table."""
+    return regs.agg(
+        _hll_estimate_cols(F.count("*"), F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))))
+        .alias("est")
+    )
+
+
+@graded(
+    "hll_audience_overlap",
+    oracle=f"""
+        WITH est_a AS (SELECT {_HLL_EST_SQL} AS e FROM {_hll_regs_sql("WHERE event_type = 'click'")}),
+        est_b AS (SELECT {_HLL_EST_SQL} AS e FROM {_hll_regs_sql("WHERE event_type = 'purchase'")}),
+        est_u AS (SELECT {_HLL_EST_SQL} AS e FROM {_hll_regs_sql("WHERE event_type IN ('click', 'purchase')")}),
+        truth AS (
+            SELECT CAST(count(*) AS BIGINT) AS true_overlap FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+        )
+        SELECT (SELECT e FROM est_a) AS est_click,
+               (SELECT e FROM est_b) AS est_purchase,
+               (SELECT e FROM est_u) AS est_union,
+               round((SELECT e FROM est_a) + (SELECT e FROM est_b)
+                     - (SELECT e FROM est_u), 4) AS est_overlap,
+               (SELECT true_overlap FROM truth) AS true_overlap
+    """,
+    section="C12,C24,F14",
+    description="audience overlap by inclusion-exclusion on HLL sketches: "
+    "est(click)+est(purchase)-est(click∪purchase) — the sketch-union trick "
+    "that answers intersection questions from per-segment partials alone "
+    "(no raw-key join at query time); deterministic family so the "
+    "estimates themselves are oracle-checked, exact INTERSECT alongside",
+)
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    buys = events.filter(F.col("event_type") == "purchase")
+    both = events.filter(F.col("event_type").isin("click", "purchase"))
+    est_a = hll_estimate_col(hll_registers(clicks, "user_id")).withColumnRenamed("est", "est_click")
+    est_b = hll_estimate_col(hll_registers(buys, "user_id")).withColumnRenamed("est", "est_purchase")
+    est_u = hll_estimate_col(hll_registers(both, "user_id")).withColumnRenamed("est", "est_union")
+    truth = clicks.select("user_id").intersect(buys.select("user_id")).count()
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .select(
+            "est_click",
+            "est_purchase",
+            "est_union",
+            F.round(
+                F.col("est_click") + F.col("est_purchase") - F.col("est_union"), 4
+            ).alias("est_overlap"),
+            F.lit(truth).cast("long").alias("true_overlap"),
+        )
+    )

@@ -297,3 +297,71 @@ def decay_score_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(cents("value") * decay_weight_x8(d)).cast("long").alias("score_x8_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep — max concurrency
+# ---------------------------------------------------------------------------
+
+
+def max_concurrency(
+    intervals: DataFrame, key_col: str, start_col: str, end_col: str
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per key, via the
+    sweep-line trick: explode each interval into a ``+1`` event at start
+    and a ``−1`` at end, order by ``(time, delta)`` inside the key (ends
+    sort before starts at the same instant — half-open semantics), and
+    take the max of the running sum.
+
+    Relational all the way: one union, one keyed ordered window, one max.
+    At 1000 executors each key's sweep sorts locally after a single keyed
+    exchange; no global ordering exists anywhere, which is what makes
+    this the distributed version of the classic O(n log n) scan."""
+    starts = intervals.select(
+        F.col(key_col), F.col(start_col).alias("t"), F.lit(1).alias("d")
+    )
+    ends = intervals.select(
+        F.col(key_col), F.col(end_col).alias("t"), F.lit(-1).alias("d")
+    )
+    w = Window.partitionBy(key_col).orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        starts.unionByName(ends)
+        .select(F.col(key_col), F.sum("d").over(w).alias("open"))
+        .groupBy(key_col)
+        .agg(F.max("open").cast("long").alias("max_concurrent"))
+    )
+
+
+@graded(
+    "interval_max_concurrency",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, ts AS t, 1 AS d FROM events
+            UNION ALL
+            SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d FROM events
+        ),
+        swept AS (
+            SELECT event_type,
+                   sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                                ROWS UNBOUNDED PRECEDING) AS open
+            FROM pts
+        )
+        SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent
+        FROM swept GROUP BY 1
+    """,
+    section="C20,E3,F14",
+    description="sweep-line max concurrency: peak simultaneously-open "
+    "5-minute event intervals per type via +1/-1 point explosion and a "
+    "keyed running sum — the capacity-planning primitive (peak sessions, "
+    "peak connections) with no interval self-join",
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    iv = events.select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    return max_concurrency(iv, "event_type", "start_ts", "end_ts")

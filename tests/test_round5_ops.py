@@ -224,3 +224,39 @@ def test_ivm_delta_apply_equals_recompute(spark):
         for r in apply_agg_delta(base, agg_delta(changes, "g"), "g").collect()
     }
     assert got == {1: (3, 1250), 3: (1, 99)}  # g=2 emptied out
+
+
+def test_max_concurrency_hand_case(spark):
+    from pulsar_message_filter_spark.operators.timeseries import max_concurrency
+
+    # k=a: [0,10) [5,15) [9,12) → peak 3; half-open: [0,5)+[5,10) → no overlap
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 9, 12),
+        ("b", 0, 5), ("b", 5, 10),
+    ]
+    iv = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {r.k: r.max_concurrent for r in max_concurrency(iv, "k", "s", "e").collect()}
+    assert got == {"a": 3, "b": 1}
+
+
+def test_weighted_median_hand_case(spark):
+    from pulsar_message_filter_spark.operators.sketch import weighted_median
+
+    # values 10(w1), 20(w1), 30(w10): half of 12 = 6 → median 30
+    rows = [(1, "g", 10, 1), (2, "g", 20, 1), (3, "g", 30, 10)]
+    df = spark.createDataFrame(rows, "id long, g string, v long, w long")
+    got = weighted_median(
+        df, "g", F.col("v"), F.col("w"), [F.col("id")]
+    ).collect()
+    assert got[0].weighted_median_cents == 30
+
+
+def test_hll_overlap_estimate_near_truth(spark):
+    from pulsar_message_filter_spark.operators.sketch import hll_audience_overlap
+
+    row = hll_audience_overlap(spark, "/root/testdata/sf0.01").collect()[0]
+    # 64 registers → ±13% theoretical; inclusion–exclusion compounds it,
+    # so accept a loose band — the point is the sketch algebra, pinned
+    # exactly by the oracle; this asserts it's in the right ballpark
+    assert row.true_overlap > 0
+    assert 0.4 * row.true_overlap <= row.est_overlap <= 1.9 * row.true_overlap
