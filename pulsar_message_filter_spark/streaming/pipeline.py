@@ -560,3 +560,66 @@ def survivor_pick_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def ivm_view_pipeline(
+    change_stream: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "o_custkey",
+):
+    """Streaming incremental view maintenance (E-series × C11/F14): a
+    materialized per-group COUNT/SUM view kept current by applying each
+    micro-batch's aggregate deltas — never recomputing from history.
+
+    The change stream carries ``(group_col, dn, dcents)`` rows (inserts
+    ``+1/+cents``, deletes ``−1/−cents``, updates ``0/new−old``; see
+    :func:`~pulsar_message_filter_spark.operators.cdc.agg_delta`).  Each
+    epoch writes the UPDATED view as an epoch-keyed partition — the read
+    side takes the max epoch, so a replayed micro-batch overwrites its
+    own partition and converges to the same state (exactly-once by
+    idempotent overwrite, same discipline as :func:`bloom_dedup_pipeline`).
+
+    Scale: per-batch work is (touched groups) — bounded by batch size,
+    never view size; the merge is a keyed full-outer join, shuffled on
+    the group key.  On a real deployment the view store is a keyed table
+    (Delta/Iceberg MERGE or a bucketed parquet) so the join co-locates.
+    """
+    import os
+
+    from pulsar_message_filter_spark.operators.cdc import agg_delta, apply_agg_delta
+
+    state_dir = os.path.join(view_dir, "state")
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        e = int(epoch_id)
+        delta = agg_delta(batch, group_col)
+        try:
+            prior = spark.read.parquet(state_dir).filter(F.col("epoch_id") < e)
+            max_e = prior.agg(F.max("epoch_id")).collect()[0][0]
+            base = (
+                prior.filter(F.col("epoch_id") == max_e).drop("epoch_id")
+                if max_e is not None
+                else None
+            )
+        except Exception:
+            base = None
+        if base is None:
+            base = delta.sparkSession.createDataFrame(
+                [], f"{group_col} long, n_orders long, total_cents long"
+            )
+        updated = apply_agg_delta(base, delta, group_col).localCheckpoint(eager=True)
+        (
+            updated.withColumn("epoch_id", F.lit(e))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(state_dir)
+        )
+
+    return (
+        change_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

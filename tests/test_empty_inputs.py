@@ -77,3 +77,46 @@ def test_sketches_and_stats_on_empty_input(spark):
     no_pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     quality = spark.createDataFrame([(1, 10)], ["doc_id", "n_chars"])
     assert survivor_pick(no_pairs, quality).count() == 0
+
+
+def test_round5_ops_on_empty_input(spark):
+    from pulsar_message_filter_spark.operators.cdc import agg_delta, apply_agg_delta
+    from pulsar_message_filter_spark.operators.dedup import prefix_filter_jaccard
+    from pulsar_message_filter_spark.operators.graph import (
+        cooccurrence_edges,
+        khop_counts,
+        triangle_count,
+    )
+    from pulsar_message_filter_spark.operators.sketch import (
+        histogram_bins,
+        histogram_quantiles,
+        weighted_median,
+    )
+    from pulsar_message_filter_spark.operators.text import unigram_surprisal
+    from pulsar_message_filter_spark.operators.timeseries import max_concurrency
+
+    empty_docs = _empty_docs(spark)
+    assert prefix_filter_jaccard(empty_docs).count() == 0
+    assert unigram_surprisal(empty_docs).count() == 0
+
+    no_edges = spark.createDataFrame([], "u bigint, v bigint")
+    assert triangle_count(no_edges).collect()[0].n_triangles == 0
+    no_groups = spark.createDataFrame([], "g bigint, item bigint")
+    assert cooccurrence_edges(no_groups, "g", "item").count() == 0
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    # seeds with no edges: only hop-0 rows survive
+    got = khop_counts(no_edges, seeds, 2).collect()
+    assert [(r.hop, r.n_nodes) for r in got] == [(0, 1)]
+
+    no_vals = spark.createDataFrame([], "x double")
+    hist = histogram_bins(no_vals, "x")
+    assert histogram_quantiles(hist, [0.5]).count() == 0
+    no_w = spark.createDataFrame([], "id long, g string, v long, w long")
+    assert weighted_median(no_w, "g", F.col("v"), F.col("w"), [F.col("id")]).count() == 0
+
+    no_iv = spark.createDataFrame([], "k string, s long, e long")
+    assert max_concurrency(no_iv, "k", "s", "e").count() == 0
+
+    base = spark.createDataFrame([], "g long, n_orders long, total_cents long")
+    chg = spark.createDataFrame([], "g long, dn long, dcents long")
+    assert apply_agg_delta(base, agg_delta(chg, "g"), "g").count() == 0

@@ -183,3 +183,34 @@ def test_flagship_is_single_codegen_pipeline_per_stage(spark):
     # and no Python evaluation anywhere in the plan (UDF-free hot path)
     assert "BatchEvalPython" not in plan_str(df)
     assert "ArrowEvalPython" not in plan_str(df)
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """A-ES weighted sampling must compile to partition-local top-k
+    (TakeOrderedAndProject), never a global sort or single-partition
+    window."""
+    from pulsar_message_filter_spark.operators.sampling import (
+        sample_weighted_deterministic,
+    )
+
+    assert uses_take_ordered(sample_weighted_deterministic(spark, SF_SMOKE))
+
+
+def test_triangle_count_has_no_cartesian(spark):
+    """Wedge join and closing join are equi-joins on node ids."""
+    from pulsar_message_filter_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    li = load(spark, "lineitem", SF_SMOKE)
+    tri = triangle_count(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    assert not has_cartesian_product(tri)
+
+
+def test_prefix_filter_has_no_cartesian(spark):
+    """PPJoin candidate generation is an equi-join on prefix tokens."""
+    from pulsar_message_filter_spark.operators.dedup import prefix_filter_jaccard
+
+    docs = load(spark, "documents", SF_SMOKE)
+    assert not has_cartesian_product(prefix_filter_jaccard(docs))

@@ -805,3 +805,45 @@ def test_survivor_pick_pipeline_cross_batch_neardup(spark, tmp_path):
     ids = sorted(r.doc_id for r in out.select("doc_id").collect())
     # doc 2 dominated in-batch by doc 1; doc 4 span-matches kept history
     assert ids == [1, 3, 5], ids
+
+
+def test_ivm_view_pipeline_maintains_agg_across_batches(spark, tmp_path):
+    """E-series × C11/F14: the materialized COUNT/SUM view is maintained
+    by per-batch delta application — inserts, updates, and deletes across
+    micro-batches converge to the same state a full recompute would give."""
+    import time as _time
+
+    from pulsar_message_filter_spark.streaming.pipeline import ivm_view_pipeline
+
+    input_dir = str(tmp_path / "in")
+    schema = "o_custkey bigint, dn bigint, dcents bigint"
+
+    def write_changes(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        _time.sleep(1.1)
+
+    # batch 1: inserts for groups 1 and 2
+    write_changes([(1, 1, 100), (1, 1, 200), (2, 1, 50)])
+    # batch 2: update group 1 (+25), delete group 2's only order, new group 3
+    write_changes([(1, 0, 25), (2, -1, -50), (3, 1, 999)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = ivm_view_pipeline(
+        stream, str(tmp_path / "view"), str(tmp_path / "chk")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    state = spark.read.parquet(str(tmp_path / "view/state"))
+    last = state.agg(F.max("epoch_id")).collect()[0][0]
+    view = {
+        r.o_custkey: (r.n_orders, r.total_cents)
+        for r in state.filter(F.col("epoch_id") == last).collect()
+    }
+    assert view == {1: (2, 325), 3: (1, 999)}  # group 2 emptied out
