@@ -248,3 +248,80 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return khop_counts(edges, seeds, max_hops=2)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association (support / lift)
+# ---------------------------------------------------------------------------
+
+
+def basket_lift(
+    baskets: DataFrame, group_col: str, item_col: str, min_pair_count: int
+) -> DataFrame:
+    """Pairwise association strength over baskets: for items co-occurring
+    in ≥ ``min_pair_count`` baskets, ``lift = P(ab)/(P(a)P(b))`` computed
+    as the exact integer cross-ratio ``n_ab·N / (n_a·n_b)``.
+
+    The pair join is the same group-keyed self-join as
+    :func:`cooccurrence_edges` (bounded basket fan-out); item counts
+    broadcast onto the pair table.  The min-support filter runs BEFORE
+    the count join — at 100 TB the long tail of 1-basket pairs never
+    reaches the join, which is the difference between Apriori's candidate
+    pruning and a blowup."""
+    pairs = baskets.select(group_col, item_col).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    pair_counts = (
+        a.join(b, group_col)
+        .filter(F.col(f"a.{item_col}") < F.col(f"b.{item_col}"))
+        .groupBy(
+            F.col(f"a.{item_col}").alias("u"), F.col(f"b.{item_col}").alias("v")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    item_counts = pairs.groupBy(item_col).agg(F.count("*").alias("n_item"))
+    n_baskets = pairs.select(group_col).distinct().count()
+    return (
+        pair_counts.join(
+            F.broadcast(item_counts.select(F.col(item_col).alias("u"),
+                                           F.col("n_item").alias("n_a"))), "u")
+        .join(
+            F.broadcast(item_counts.select(F.col(item_col).alias("v"),
+                                           F.col("n_item").alias("n_b"))), "v")
+        .select(
+            "u", "v", "n_ab", "n_a", "n_b",
+            ((F.col("n_ab") * F.lit(n_baskets)) / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )
+
+
+@graded(
+    "basket_lift_pairs",
+    oracle="""
+        WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pair_counts AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_ab
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        ),
+        item_counts AS (SELECT l_partkey, count(*) AS n_item FROM pl GROUP BY 1),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM pl)
+        SELECT u, v, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+               (n_ab * n_baskets) / (ia.n_item * ib.n_item) AS lift
+        FROM pair_counts
+        JOIN item_counts ia ON ia.l_partkey = u
+        JOIN item_counts ib ON ib.l_partkey = v
+        CROSS JOIN n
+        ORDER BY lift DESC, u, v LIMIT 20
+    """,
+    section="C4,C11,C22,F14",
+    description="market-basket lift: top-20 part pairs by n_ab*N/(n_a*n_b) "
+    "with min-support pruning before the count join (the Apriori "
+    "anti-blowup), broadcast item counts, TakeOrdered top-k — exact "
+    "integer cross-ratio, deterministic tiebreak",
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    out = basket_lift(li, "l_orderkey", "l_partkey", min_pair_count=3)
+    return out.orderBy(F.desc("lift"), "u", "v").limit(20)

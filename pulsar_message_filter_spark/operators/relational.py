@@ -1561,3 +1561,36 @@ def agg_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@graded(
+    "agg_mode_exact",
+    oracle="""
+        SELECT o_custkey, o_orderpriority AS modal_priority, n
+        FROM (
+            SELECT o_custkey, o_orderpriority, count(*) AS n,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY count(*) DESC, o_orderpriority) AS r
+            FROM orders GROUP BY 1, 2
+        ) WHERE r = 1
+    """,
+    section="C11,C18",
+    description="exact per-group mode with deterministic tiebreak: most "
+    "frequent order priority per customer (count desc, value asc) — the "
+    "two-level groupBy + rank idiom that replaces a non-deterministic "
+    "mode() on any engine",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count per (group, value), then rank-1 per group: both shuffles are
+    keyed (group, value) then (group) — map-side combined, no value-list
+    materialization per group, skew-safe for bounded value domains."""
+    orders = load(spark, "orders", sf_dir)
+    counts = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("modal_priority"), "n")
+    )

@@ -260,3 +260,31 @@ def test_hll_overlap_estimate_near_truth(spark):
     # exactly by the oracle; this asserts it's in the right ballpark
     assert row.true_overlap > 0
     assert 0.4 * row.true_overlap <= row.est_overlap <= 1.9 * row.true_overlap
+
+
+def test_basket_lift_hand_case(spark):
+    from pulsar_message_filter_spark.operators.graph import basket_lift
+
+    # 4 baskets; items 1,2 co-occur in 2 of them; item 3 everywhere
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (20, 1), (20, 2), (20, 3),
+        (30, 3),
+        (40, 3), (40, 1),
+    ]
+    df = spark.createDataFrame(rows, "b long, item long")
+    got = {(r.u, r.v): r for r in basket_lift(df, "b", "item", 1).collect()}
+    r12 = got[(1, 2)]
+    # lift(1,2) = n_ab*N/(n_a*n_b) = 2*4/(3*2) = 4/3 > 1 (associated)
+    assert (r12.n_ab, r12.n_a, r12.n_b) == (2, 3, 2)
+    assert abs(r12.lift - 4 / 3) < 1e-12
+    # item 3 is universal → lift(1,3) = 3*4/(3*4) = 1.0 (independent)
+    assert got[(1, 3)].lift == 1.0
+
+
+def test_mode_exact_tiebreak_is_deterministic(spark):
+    from pulsar_message_filter_spark.operators.relational import agg_mode_exact
+
+    out = agg_mode_exact(spark, "/root/testdata/sf0.001")
+    # exactly one modal row per customer
+    assert out.groupBy("o_custkey").count().filter("count > 1").count() == 0
