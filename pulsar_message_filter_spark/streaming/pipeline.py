@@ -15,6 +15,7 @@ from typing import Iterator
 
 import pandas as pd
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState
@@ -410,7 +411,7 @@ def bloom_dedup_pipeline(
                 .agg(F.bit_or("word").alias("word"))
                 .collect()
             )
-        except Exception:
+        except AnalysisException:  # path not yet created (first epoch)
             hist_words = []
 
         if hist_words:
@@ -508,7 +509,7 @@ def survivor_pick_pipeline(
                 .filter(F.col("epoch_id") < e)
                 .select("span")
             )
-        except Exception:
+        except AnalysisException:  # path not yet created (first epoch)
             hist_spans = None
 
         if hist_spans is not None:
@@ -580,6 +581,14 @@ def ivm_view_pipeline(
     own partition and converges to the same state (exactly-once by
     idempotent overwrite, same discipline as :func:`bloom_dedup_pipeline`).
 
+    A one-row-per-epoch manifest records every processed epoch, because a
+    dynamic partition overwrite of an EMPTY view writes no files: without
+    the manifest, an epoch that empties the view would be invisible to
+    the next epoch's max-epoch lookup and its deltas silently lost.  Only
+    a missing path reads as "no prior state" (``AnalysisException``);
+    any other storage failure propagates and fails the micro-batch so
+    the checkpoint retries it — never silently resetting the view.
+
     Scale: per-batch work is (touched groups) — bounded by batch size,
     never view size; the merge is a keyed full-outer join, shuffled on
     the group key.  On a real deployment the view store is a keyed table
@@ -590,25 +599,34 @@ def ivm_view_pipeline(
     from pulsar_message_filter_spark.operators.cdc import agg_delta, apply_agg_delta
 
     state_dir = os.path.join(view_dir, "state")
+    manifest_dir = os.path.join(view_dir, "manifest")
+    empty_schema = f"{group_col} long, n_orders long, total_cents long"
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         e = int(epoch_id)
         delta = agg_delta(batch, group_col)
         try:
-            prior = spark.read.parquet(state_dir).filter(F.col("epoch_id") < e)
-            max_e = prior.agg(F.max("epoch_id")).collect()[0][0]
-            base = (
-                prior.filter(F.col("epoch_id") == max_e).drop("epoch_id")
-                if max_e is not None
-                else None
+            max_e = (
+                spark.read.parquet(manifest_dir)
+                .filter(F.col("epoch_id") < e)
+                .agg(F.max("epoch_id"))
+                .collect()[0][0]
             )
-        except Exception:
-            base = None
-        if base is None:
-            base = delta.sparkSession.createDataFrame(
-                [], f"{group_col} long, n_orders long, total_cents long"
-            )
+        except AnalysisException:
+            max_e = None
+        if max_e is None:
+            base = spark.createDataFrame([], empty_schema)
+        else:
+            try:
+                base = (
+                    spark.read.parquet(state_dir)
+                    .filter(F.col("epoch_id") == max_e)
+                    .drop("epoch_id")
+                )
+            except AnalysisException:
+                # every prior epoch's view was empty → no state files exist
+                base = spark.createDataFrame([], empty_schema)
         updated = apply_agg_delta(base, delta, group_col).localCheckpoint(eager=True)
         (
             updated.withColumn("epoch_id", F.lit(e))
@@ -616,6 +634,14 @@ def ivm_view_pipeline(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch_id")
             .parquet(state_dir)
+        )
+        (
+            updated.agg(F.count("*").alias("n_groups"))
+            .withColumn("epoch_id", F.lit(e))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(manifest_dir)
         )
 
     return (

@@ -136,8 +136,6 @@ def test_prefix_filter_prunes_candidates(spark):
     covered by the graded oracle on the fixture)."""
     import random
 
-    from pyspark.sql import Window
-
     rng = random.Random(7)
     vocab = [f"t{i}" for i in range(2000)]
     # Zipf-ish: token i drawn with weight 1/(i+1)
@@ -145,31 +143,15 @@ def test_prefix_filter_prunes_candidates(spark):
     rows = [
         (d, " ".join(rng.choices(vocab, weights=weights, k=30))) for d in range(300)
     ]
+    from pulsar_message_filter_spark.operators.dedup import prefix_candidates
+
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     n = docs.count()
     toks = docs.select(
         F.col("doc_id"), F.explode(F.split("text", " ")).alias("term")
     ).distinct()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = toks.groupBy("term").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "term")
-    prefix = (
-        toks.join(freq, "term")
-        .withColumn("rnk", F.row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(F.col("rnk") <= F.col("sz") - F.ceil(0.5 * F.col("sz")) + 1)
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    n_cands = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select("a.doc_id", "b.doc_id")
-        .distinct()
-        .count()
-    )
+    n_cands = prefix_candidates(toks, sizes, 0.5).count()
     assert n_cands < n * (n - 1) / 2 * 0.25, (n_cands, n)
 
 

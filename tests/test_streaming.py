@@ -847,3 +847,46 @@ def test_ivm_view_pipeline_maintains_agg_across_batches(spark, tmp_path):
         for r in state.filter(F.col("epoch_id") == last).collect()
     }
     assert view == {1: (2, 325), 3: (1, 999)}  # group 2 emptied out
+
+
+def test_ivm_view_pipeline_survives_emptied_view(spark, tmp_path):
+    """Regression: an epoch that empties the ENTIRE view writes no state
+    partition (dynamic overwrite of zero rows) — the manifest must still
+    record it, so deleted groups stay deleted instead of resurrecting
+    from the stale previous epoch."""
+    import time as _time
+
+    from pulsar_message_filter_spark.streaming.pipeline import ivm_view_pipeline
+
+    input_dir = str(tmp_path / "in")
+    schema = "o_custkey bigint, dn bigint, dcents bigint"
+
+    def write_changes(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        _time.sleep(1.1)
+
+    write_changes([(1, 1, 100)])          # batch 1: insert g1
+    write_changes([(1, -1, -100)])        # batch 2: delete g1 → view EMPTY
+    write_changes([(2, 1, 77)])           # batch 3: insert g2
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = ivm_view_pipeline(
+        stream, str(tmp_path / "view"), str(tmp_path / "chk")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    manifest = spark.read.parquet(str(tmp_path / "view/manifest"))
+    last = manifest.agg(F.max("epoch_id")).collect()[0][0]
+    state = spark.read.parquet(str(tmp_path / "view/state"))
+    view = {
+        r.o_custkey: (r.n_orders, r.total_cents)
+        for r in state.filter(F.col("epoch_id") == last).collect()
+    }
+    assert view == {2: (1, 77)}, view  # g1 must NOT resurrect

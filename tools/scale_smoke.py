@@ -93,6 +93,13 @@ QUERIES = [
     "decay_score_asof",
     "quantile_histogram_estimate",
     "f38_unigram_surprisal",
+    # round-5 late additions: keyed-window weighted median, sweep-line
+    # concurrency (2n points, keyed window), two-level mode agg.
+    # basket_lift_pairs / graph_* excluded like triangle count: pair ops
+    # on a densifying fixed node set are superlinear by graph math.
+    "agg_weighted_median",
+    "interval_max_concurrency",
+    "agg_mode_exact",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
@@ -111,9 +118,13 @@ def zorder_prune_fractions(spark, sf_dir: str, factor: int) -> dict:
     from pulsar_message_filter_spark.layout import file_value_bounds, write_zordered
 
     out = os.path.join(sf_dir, "events_zordered")
+    # both z-dims must fit zorder_value's 16-bit lanes: user_id is small at
+    # every packaged sf, and the hour is anchored to the fixture epoch
+    # (2024-01-01, same anchor as timeseries_trend_slope) so it spans
+    # 0..~720·months — no silent high-bit truncation, no 2^16 wraparound
     ev = load(spark, "events", sf_dir).select(
         "user_id",
-        ((F.unix_timestamp("ts") / 3600).cast("long") % 100_000).alias("hour"),
+        ((F.unix_timestamp("ts") / 3600).cast("long") - 473_352).alias("hour"),
         "event_type",
         "value",
     )
