@@ -1523,7 +1523,8 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment,
                count(*) AS n,
                CAST(sum(v) AS BIGINT) AS total_cents,
-               round((2.0 * sum(i * v)) / (count(*) * sum(v))
+               round((2.0 * CAST(sum(i * v) AS DOUBLE))
+                       / (CAST(count(*) AS DOUBLE) * CAST(sum(v) AS DOUBLE))
                      - (count(*) + 1.0) / count(*), 6) AS gini
         FROM ranked GROUP BY 1
     """,
@@ -1536,10 +1537,13 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted values.
 
-    Both Σ(i·xᵢ) and Σx are exact int64 sums (rank × cents stays well
-    inside int64: rank ≤ 10⁸ would need cents ≤ 10¹⁰ to overflow); the
-    final expression is the same double arithmetic on identical integers
-    in either engine."""
+    Σ(i·xᵢ) is a SUM of up-to-10¹⁴ terms, so it leaves int64 around
+    n≈10⁵·(10⁷-cent values)·64× replication — the x64 ladder found this.
+    Spark therefore sums in decimal(38,0) (exact 128-bit partial aggs),
+    matching DuckDB's automatic HUGEINT sum; both render to DOUBLE of the
+    same exact integer, so the final expression is still the identical
+    double arithmetic on identical values.  Σx and the denominator are
+    multiplied in double for the same reason (n·Σx ≈ 8×10¹⁹ at x64)."""
     orders = load(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey", cents("o_totalprice").alias("v")
     )
@@ -1551,12 +1555,13 @@ def agg_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = joined.select(
         "c_mktsegment", "v", F.row_number().over(w).alias("i")
     )
+    iv = F.col("i").cast("decimal(38,0)") * F.col("v")
     return ranked.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         F.sum("v").alias("total_cents"),
         F.round(
-            (2.0 * F.sum(F.col("i") * F.col("v")))
-            / (F.count("*") * F.sum("v"))
+            (2.0 * F.sum(iv).cast("double"))
+            / (F.count("*").cast("double") * F.sum("v").cast("double"))
             - (F.count("*") + 1.0) / F.count("*"),
             6,
         ).alias("gini"),
