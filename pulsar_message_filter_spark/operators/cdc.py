@@ -361,3 +361,105 @@ def ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("total_cents").cast("long").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact proration — largest-remainder allocation
+# ---------------------------------------------------------------------------
+
+
+def allocate_largest_remainder(
+    lines: DataFrame,
+    group_col: str,
+    line_col: str,
+    weight_cents: str,
+    total_cents: str,
+) -> DataFrame:
+    """Distribute each group's integer total across its lines proportionally
+    to integer weights so the per-group allocations sum EXACTLY to the
+    total (largest-remainder / Hamilton method — public apportionment
+    algorithm; the billing/settlement primitive naive rounding gets wrong
+    by ±n cents per group).
+
+    Pure integer algebra: ``base_i = ⌊T·wᵢ / W⌋``; the leftover
+    ``T − Σbaseᵢ`` cents go one each to the lines with the largest
+    remainders ``(T·wᵢ) mod W`` (line-id tiebreak — total order, so the
+    result is deterministic on every engine).  Two keyed windows, no
+    floats anywhere.  At 100 TB both windows partition by the group key —
+    per-group line counts are bounded, so no skew surprises."""
+    W = Window.partitionBy(group_col)
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.desc("__rem"), F.col(line_col)
+    )
+    staged = (
+        lines.withColumn("__w_sum", F.sum(weight_cents).over(W))
+        .withColumn(
+            "__base",
+            F.expr(f"({total_cents} * {weight_cents}) div __w_sum"),
+        )
+        .withColumn(
+            "__rem",
+            F.expr(f"({total_cents} * {weight_cents}) % __w_sum"),
+        )
+        .withColumn("__base_sum", F.sum("__base").over(W))
+        .withColumn("__shortfall", F.col(total_cents) - F.col("__base_sum"))
+        .withColumn("__r", F.row_number().over(w_rank))
+    )
+    return staged.select(
+        group_col,
+        line_col,
+        (
+            F.col("__base")
+            + F.when(F.col("__r") <= F.col("__shortfall"), 1).otherwise(0)
+        ).cast("long").alias("alloc_cents"),
+    )
+
+
+@graded(
+    "alloc_largest_remainder",
+    oracle=f"""
+        WITH lines AS (
+            SELECT l_orderkey, l_linenumber,
+                   {cents_sql("l_extendedprice")} AS w,
+                   {cents_sql("o_totalprice")} AS t
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_orderkey < 3000
+        ),
+        staged AS (
+            SELECT l_orderkey, l_linenumber, t,
+                   (t * w) // sum(w) OVER (PARTITION BY l_orderkey) AS base,
+                   (t * w) % sum(w) OVER (PARTITION BY l_orderkey) AS rem
+            FROM lines
+        ),
+        ranked AS (
+            SELECT *,
+                   sum(base) OVER (PARTITION BY l_orderkey) AS base_sum,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY rem DESC, l_linenumber) AS r
+            FROM staged
+        )
+        SELECT l_orderkey, l_linenumber,
+               CAST(base + CASE WHEN r <= t - base_sum THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_cents
+        FROM ranked
+    """,
+    section="C11,C18,C20,F14",
+    description="exact proration: distribute each order's total across its "
+    "lines by extendedprice weight with largest-remainder rounding — "
+    "per-order allocations sum EXACTLY to the total (pytest-pinned "
+    "invariant), pure integer windows, deterministic tiebreak",
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 3000)
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", cents("o_totalprice").alias("t")
+    )
+    lines = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        cents("l_extendedprice").alias("w"),
+        "t",
+    )
+    return allocate_largest_remainder(lines, "l_orderkey", "l_linenumber", "w", "t")

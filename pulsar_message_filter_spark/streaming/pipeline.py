@@ -649,3 +649,71 @@ def ivm_view_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def sketch_rollup_pipeline(
+    event_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+):
+    """Streaming sketch rollups (E-series × C12/F14): each micro-batch
+    appends its own tiny CMS cell table and HLL register table as
+    epoch-keyed partitions; readers merge on read — SUM over CMS cells,
+    MAX over HLL registers — to answer "events per key" and "distinct
+    keys" over ANY epoch range without touching raw events again.
+
+    This is the monitoring-rollup shape at 100 TB: per-epoch state is
+    bounded (≤ depth×width + m rows) no matter the batch size, the store
+    grows linearly in EPOCHS not events, and merge-on-read is a grouped
+    aggregation over a few thousand tiny rows.  Exactly-once by the same
+    epoch-keyed dynamic overwrite discipline as every sink in this
+    module: a replayed micro-batch rewrites its own partitions
+    bit-for-bit (the sketch builds are deterministic — literal hash
+    families, no RNG).
+    """
+    import os
+
+    from pulsar_message_filter_spark.operators.sketch import cms_build, hll_registers
+
+    cms_dir = os.path.join(store_dir, "cms")
+    hll_dir = os.path.join(store_dir, "hll")
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+
+        def epoch_write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("epoch_id", F.lit(e))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(path)
+            )
+
+        batch = batch.localCheckpoint(eager=True)  # one compute, two sketches
+        epoch_write(cms_build(batch, key_col), cms_dir)
+        epoch_write(hll_registers(batch, key_col), hll_dir)
+
+    return (
+        event_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def read_sketch_rollup(spark, store_dir: str, epochs=None):
+    """Merge-on-read over the sketch store: returns ``(cms_cells,
+    hll_registers)`` DataFrames merged across the selected epochs (all
+    epochs when ``epochs`` is None) — pass the results to
+    ``operators.sketch.cms_estimate`` / the HLL estimate formula."""
+    import os
+
+    cms = spark.read.parquet(os.path.join(store_dir, "cms"))
+    hll = spark.read.parquet(os.path.join(store_dir, "hll"))
+    if epochs is not None:
+        cms = cms.filter(F.col("epoch_id").isin(list(epochs)))
+        hll = hll.filter(F.col("epoch_id").isin(list(epochs)))
+    merged_cms = cms.groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+    merged_hll = hll.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    return merged_cms, merged_hll

@@ -270,3 +270,31 @@ def test_mode_exact_tiebreak_is_deterministic(spark):
     out = agg_mode_exact(spark, "/root/testdata/sf0.001")
     # exactly one modal row per customer
     assert out.groupBy("o_custkey").count().filter("count > 1").count() == 0
+
+
+def test_allocation_sums_exactly_to_total(spark):
+    from pulsar_message_filter_spark.operators.cdc import allocate_largest_remainder
+
+    # adversarial thirds: 100 cents over 3 equal weights → 34/33/33
+    rows = [(1, 1, 1, 100), (1, 2, 1, 100), (1, 3, 1, 100),
+            (2, 1, 2, 7), (2, 2, 3, 7)]
+    lines = spark.createDataFrame(rows, "g long, ln long, w long, t long")
+    out = allocate_largest_remainder(lines, "g", "ln", "w", "t").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.alloc_cents)
+    assert sorted(by_g[1]) == [33, 33, 34]
+    assert sum(by_g[2]) == 7
+    # and on the real fixture: per-order sums equal the order total exactly
+    from pulsar_message_filter_spark.operators.cdc import alloc_largest_remainder
+    alloc = alloc_largest_remainder(spark, "/root/testdata/sf0.001")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    totals = alloc.groupBy("l_orderkey").agg(F.sum("alloc_cents").alias("s"))
+    joined = totals.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("t"),
+        ),
+        "l_orderkey",
+    )
+    assert joined.filter(F.col("s") != F.col("t")).count() == 0

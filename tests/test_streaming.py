@@ -890,3 +890,50 @@ def test_ivm_view_pipeline_survives_emptied_view(spark, tmp_path):
         for r in state.filter(F.col("epoch_id") == last).collect()
     }
     assert view == {2: (1, 77)}, view  # g1 must NOT resurrect
+
+
+def test_sketch_rollup_pipeline_merges_to_batch_truth(spark, tmp_path):
+    """E-series × C12: per-epoch CMS/HLL partials merged on read equal the
+    sketches built over ALL events in one batch pass — the mergeability
+    contract, end-to-end through the streaming store."""
+    import time as _time
+
+    from pulsar_message_filter_spark.operators.sketch import cms_build, hll_registers
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        read_sketch_rollup,
+        sketch_rollup_pipeline,
+    )
+
+    input_dir = str(tmp_path / "in")
+    schema = "event_id bigint, user_id bigint"
+
+    def write_events(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        _time.sleep(1.1)
+
+    b1 = [(i, i % 7) for i in range(50)]
+    b2 = [(100 + i, i % 13) for i in range(50)]
+    write_events(b1)
+    write_events(b2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = sketch_rollup_pipeline(
+        stream, str(tmp_path / "store"), str(tmp_path / "chk")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    merged_cms, merged_hll = read_sketch_rollup(spark, str(tmp_path / "store"))
+    whole = spark.createDataFrame(b1 + b2, schema)
+    truth_cms = {(r.row, r.cell): r.cnt for r in cms_build(whole, "user_id").collect()}
+    truth_hll = {
+        (r.register): r.max_rho for r in hll_registers(whole, "user_id").collect()
+    }
+    assert {(r.row, r.cell): r.cnt for r in merged_cms.collect()} == truth_cms
+    assert {r.register: r.max_rho for r in merged_hll.collect()} == truth_hll
