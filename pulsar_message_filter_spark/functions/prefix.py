@@ -1,0 +1,73 @@
+"""Distributed prefix sums — keyed running totals that stay parallel when
+the key has LOW cardinality.
+
+``Window.partitionBy(key).orderBy(...)`` puts every row of a key into ONE
+task; with 3–5 distinct keys over 10⁸+ rows that is a handful of serial
+multi-GB sorts — the x64 scale ladder measured ``agg_weighted_median``
+at exponent 0.90 (near-linear wall-clock in data) for exactly this
+reason.  The classic fix is the two-phase parallel prefix sum (Blelloch
+scan, distributed form):
+
+1. range-partition by ``(key, order...)`` so the global order is split
+   across MANY partitions, each sorted locally in parallel;
+2. compute per-(partition, key) local running sums + per-partition
+   totals (the totals table is tiny: partitions × keys rows);
+3. the global cum of a row = its local cum + the summed totals of all
+   earlier partitions of its key — one broadcast join.
+
+Exactness: the cum of each row depends only on the TOTAL ORDER
+``(key, order...)`` (include a tiebreak so it is total), never on where
+the sampled range boundaries fall — so results are bit-stable across
+runs, partition counts, and engines even though ``repartitionByRange``
+samples its boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    sum_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Add ``out_col`` = exact per-``group_col`` running sum of ``sum_col``
+    over the total order ``order_cols`` (caller must include a tiebreak),
+    computed with the two-phase parallel scan described in the module
+    docstring.  Output also keeps a ``__ptot``-derived ``group_total``
+    column (the per-group grand total) since every prefix-sum consumer
+    needs it and it is free here."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = [F.col(group_col)] + [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parted = df.repartitionByRange(n, *keys).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("__lcum", F.sum(sum_col).over(w_local))
+    totals = local.groupBy("__pid", group_col).agg(F.sum(sum_col).alias("__ptot"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(group_col)
+    offsets = totals.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__ptot").over(w_tot).alias("group_total"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn(out_col, F.col("__lcum") + F.col("__off"))
+        .drop("__lcum", "__pid")
+    )

@@ -313,24 +313,26 @@ def max_concurrency(
     sort before starts at the same instant — half-open semantics), and
     take the max of the running sum.
 
-    Relational all the way: one union, one keyed ordered window, one max.
-    At 1000 executors each key's sweep sorts locally after a single keyed
-    exchange; no global ordering exists anywhere, which is what makes
-    this the distributed version of the classic O(n log n) scan."""
+    Relational all the way: one union, one distributed prefix sum, one
+    max.  The running sum uses ``functions.prefix.distributed_prefix_sum``
+    rather than a plain keyed window: sweep keys are usually
+    low-cardinality (here: 5 event types), and a keyed window would
+    serialize each key's 2n points into one task (the x64 ladder measured
+    exponent 0.59 before this change) — the two-phase scan keeps every
+    sort partition-parallel while the running sum stays exact."""
+    from pulsar_message_filter_spark.functions.prefix import distributed_prefix_sum
+
     starts = intervals.select(
         F.col(key_col), F.col(start_col).alias("t"), F.lit(1).alias("d")
     )
     ends = intervals.select(
         F.col(key_col), F.col(end_col).alias("t"), F.lit(-1).alias("d")
     )
-    w = Window.partitionBy(key_col).orderBy("t", "d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    swept = distributed_prefix_sum(
+        starts.unionByName(ends), key_col, ["t", "d"], "d", out_col="open"
     )
-    return (
-        starts.unionByName(ends)
-        .select(F.col(key_col), F.sum("d").over(w).alias("open"))
-        .groupBy(key_col)
-        .agg(F.max("open").cast("long").alias("max_concurrent"))
+    return swept.groupBy(key_col).agg(
+        F.max("open").cast("long").alias("max_concurrent")
     )
 
 

@@ -298,3 +298,34 @@ def test_allocation_sums_exactly_to_total(spark):
         "l_orderkey",
     )
     assert joined.filter(F.col("s") != F.col("t")).count() == 0
+
+
+def test_distributed_prefix_sum_equals_plain_window(spark):
+    """The two-phase parallel scan must produce EXACTLY the cum sums a
+    single-task keyed window would — on a low-cardinality key, across
+    many partitions."""
+    import random
+
+    from pyspark.sql import Window
+    from pulsar_message_filter_spark.functions.prefix import distributed_prefix_sum
+
+    rng = random.Random(11)
+    rows = [
+        (rng.choice(["a", "b", "c"]), i, rng.randint(1, 9))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, w long").repartition(16)
+    got = {
+        (r.k, r.o): (r.cum, r.group_total)
+        for r in distributed_prefix_sum(df, "k", ["o"], "w").collect()
+    }
+    w = Window.partitionBy("k").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want_rows = df.select(
+        "k", "o",
+        F.sum("w").over(w).alias("cum"),
+        F.sum("w").over(Window.partitionBy("k")).alias("tot"),
+    ).collect()
+    want = {(r.k, r.o): (r.cum, r.tot) for r in want_rows}
+    assert got == want
