@@ -112,7 +112,7 @@ def test_round5_ops_on_empty_input(spark):
     hist = histogram_bins(no_vals, "x")
     assert histogram_quantiles(hist, [0.5]).count() == 0
     no_w = spark.createDataFrame([], "id long, g string, v long, w long")
-    assert weighted_median(no_w, "g", F.col("v"), F.col("w"), [F.col("id")]).count() == 0
+    assert weighted_median(no_w, "g", F.col("v"), F.col("w")).count() == 0
 
     no_iv = spark.createDataFrame([], "k string, s long, e long")
     assert max_concurrency(no_iv, "k", "s", "e").count() == 0

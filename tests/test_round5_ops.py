@@ -227,9 +227,7 @@ def test_weighted_median_hand_case(spark):
     # values 10(w1), 20(w1), 30(w10): half of 12 = 6 → median 30
     rows = [(1, "g", 10, 1), (2, "g", 20, 1), (3, "g", 30, 10)]
     df = spark.createDataFrame(rows, "id long, g string, v long, w long")
-    got = weighted_median(
-        df, "g", F.col("v"), F.col("w"), [F.col("id")]
-    ).collect()
+    got = weighted_median(df, "g", F.col("v"), F.col("w")).collect()
     assert got[0].weighted_median_cents == 30
 
 
