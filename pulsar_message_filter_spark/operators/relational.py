@@ -1599,3 +1599,39 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__r") == 1)
         .select("o_custkey", F.col("o_orderpriority").alias("modal_priority"), "n")
     )
+
+
+@graded(
+    "global_dense_ids",
+    oracle="""
+        SELECT o_orderkey, global_id FROM (
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                       AS global_id
+            FROM orders
+        ) WHERE o_orderkey < 2000
+    """,
+    section="C18,C22,F14",
+    description="global contiguous row ids over a total order WITHOUT a "
+    "single-partition window: constant-group distributed prefix sum of 1s "
+    "(range partition -> parallel local row_numbers -> tiny offset "
+    "broadcast) — the scalable zipWithIndex; oracle is the plain global "
+    "row_number, so both algorithms must assign identical ids",
+)
+def global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``row_number() OVER (ORDER BY ...)`` forces every row through ONE
+    task (Spark even warns).  The distributed prefix sum assigns the
+    identical ids with all sorts partition-parallel — the standard
+    re-id/compaction primitive for 100 TB tables (stable ids for
+    training-example manifests, densified join keys, file ordinals)."""
+    from pulsar_message_filter_spark.functions.prefix import distributed_prefix_sum
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", F.lit(0).alias("__g"), F.lit(1).alias("__one")
+    )
+    ids = distributed_prefix_sum(
+        orders, "__g", ["o_orderdate", "o_orderkey"], "__one", out_col="global_id"
+    )
+    return ids.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", F.col("global_id").cast("long").alias("global_id")
+    )

@@ -575,3 +575,74 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(truth).cast("long").alias("true_overlap"),
         )
     )
+
+
+def weighted_quantiles(
+    df: DataFrame, group_col: str, value_cents, weight, quantiles: list
+) -> DataFrame:
+    """Generalizes :func:`weighted_median` to any quantile list: one
+    per-value weight aggregation + ONE distributed prefix sum, then each
+    requested quantile reads the same cum table (a literal-array explode,
+    not another scan).  Exact integer cum weights; smallest value whose
+    inclusive cumulative weight reaches ``q·total`` per group."""
+    from pulsar_message_filter_spark.functions.prefix import distributed_prefix_sum
+
+    per_value = (
+        df.select(F.col(group_col), value_cents.alias("__v"), weight.alias("__w"))
+        .groupBy(group_col, "__v")
+        .agg(F.sum("__w").alias("__w"))
+    )
+    cum = distributed_prefix_sum(per_value, group_col, ["__v"], "__w", out_col="__cw")
+    qs = cum.select(
+        group_col,
+        "__v",
+        "__cw",
+        "group_total",
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("p"),
+    )
+    return (
+        qs.filter(F.col("__cw") >= F.col("p") * F.col("group_total"))
+        .groupBy(group_col, "p")
+        .agg(F.min("__v").alias("weighted_q_cents"))
+    )
+
+
+@graded(
+    "agg_weighted_quantiles",
+    oracle="""
+        WITH per_value AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                   sum(CAST(l_quantity AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT l_returnflag, v,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM per_value
+        ),
+        q AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p)
+        SELECT l_returnflag, p, min(v) AS weighted_q_cents
+        FROM c CROSS JOIN q
+        WHERE cw >= p * tw
+        GROUP BY 1, 2
+    """,
+    section="C14,C20,F14",
+    description="quantity-weighted price quantiles (p25/p50/p75/p90) per "
+    "returnflag: one per-value aggregation + one distributed prefix sum "
+    "serves ALL quantile points — exact integer order statistics at "
+    "mergeable-histogram cost",
+)
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_message_filter_spark.operators.parity import cents
+
+    li = load(spark, "lineitem", sf_dir)
+    return weighted_quantiles(
+        li,
+        "l_returnflag",
+        cents("l_extendedprice"),
+        F.col("l_quantity").cast("long"),
+        [0.25, 0.5, 0.75, 0.9],
+    )

@@ -367,3 +367,79 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
     )
     return max_concurrency(iv, "event_type", "start_ts", "end_ts")
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation (seasonality / drift detection)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "timeseries_autocorr",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS h,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, x,
+                   lag(x) OVER (PARTITION BY event_type ORDER BY h) AS y
+            FROM hourly
+        ),
+        s AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM lagged WHERE y IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, n,
+               round((sxy / n - (sx / n) * (sy / n))
+                     / sqrt((sxx / n - (sx / n) * (sx / n))
+                          * (syy / n - (sy / n) * (sy / n))), 6) AS autocorr_lag1
+        FROM s
+    """,
+    section="C13,C19,D2",
+    description="lag-1 autocorrelation of the hourly revenue series per "
+    "event type: hourly integer-cents rollup (the heavy, map-side pass), "
+    "then lag + Pearson power sums over the CALENDAR-bounded series — "
+    "seasonality/drift detection whose window state never grows with "
+    "event volume, only with hours",
+)
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed window here is safe at any data scale: it orders HOURS
+    (bounded by the calendar), not events — the aggregation collapsed
+    volume first.  Same integer-power-sum exactness as
+    :func:`timeseries_trend_slope` / ``agg_corr_exact``."""
+    events = load(spark, "events", sf_dir)
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.sum(cents("value")).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.withColumn("y", F.lag("x").over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    cov = F.col("sxy") / F.col("n") - mx * my
+    varx = F.col("sxx") / F.col("n") - mx * mx
+    vary = F.col("syy") / F.col("n") - my * my
+    return s.select(
+        "event_type",
+        "n",
+        F.round(cov / F.sqrt(varx * vary), 6).alias("autocorr_lag1"),
+    )
