@@ -38,9 +38,16 @@ def distributed_prefix_sum(
     """Add ``out_col`` = exact per-``group_col`` running sum of ``sum_col``
     over the total order ``order_cols`` (caller must include a tiebreak),
     computed with the two-phase parallel scan described in the module
-    docstring.  Output also keeps a ``__ptot``-derived ``group_total``
-    column (the per-group grand total) since every prefix-sum consumer
-    needs it and it is free here."""
+    docstring.  Output also carries a ``group_total`` column (the
+    per-group grand total) since every prefix-sum consumer needs it and
+    it is free here.
+
+    Reserved internal names the input must not already contain:
+    ``__pid``, ``__lcum``, ``__off``, ``group_total``."""
+    reserved = {"__pid", "__lcum", "__off", "group_total"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"distributed_prefix_sum reserved columns present: {clash}")
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(group_col)] + [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -53,7 +60,9 @@ def distributed_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = parted.withColumn("__lcum", F.sum(sum_col).over(w_local))
-    totals = local.groupBy("__pid", group_col).agg(F.sum(sum_col).alias("__ptot"))
+    # totals come from `parted`, NOT `local`: the branch then needs only a
+    # map-side-combinable aggregate instead of re-running the sort+window
+    totals = parted.groupBy("__pid", group_col).agg(F.sum(sum_col).alias("__ptot"))
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("__pid")
@@ -69,5 +78,5 @@ def distributed_prefix_sum(
     return (
         local.join(F.broadcast(offsets), ["__pid", group_col])
         .withColumn(out_col, F.col("__lcum") + F.col("__off"))
-        .drop("__lcum", "__pid")
+        .drop("__lcum", "__pid", "__off")
     )

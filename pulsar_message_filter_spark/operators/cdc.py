@@ -381,36 +381,45 @@ def allocate_largest_remainder(
     algorithm; the billing/settlement primitive naive rounding gets wrong
     by ±n cents per group).
 
-    Pure integer algebra: ``base_i = ⌊T·wᵢ / W⌋``; the leftover
-    ``T − Σbaseᵢ`` cents go one each to the lines with the largest
-    remainders ``(T·wᵢ) mod W`` (line-id tiebreak — total order, so the
-    result is deterministic on every engine).  Two keyed windows, no
-    floats anywhere.  At 100 TB both windows partition by the group key —
-    per-group line counts are bounded, so no skew surprises."""
+    Pure integer algebra on the MAGNITUDE of the total: ``base_i =
+    ⌊|T|·wᵢ / W⌋``; the leftover ``|T| − Σbaseᵢ`` cents go one each to
+    the lines with the largest remainders ``(|T|·wᵢ) mod W`` (line-id
+    tiebreak — total order, so the result is deterministic on every
+    engine); the sign of T is re-applied at the end.  Working on |T|
+    matters because integer ``div`` truncates TOWARD ZERO: applied to a
+    negative total directly, bases overshoot and the shortfall top-up can
+    never fire (a credit memo of −100 over 3 equal weights would sum to
+    −99).  A group whose weight sum is zero (fully-discounted lines)
+    falls back to equal weights, so its total is still distributed
+    instead of dividing by zero.  Two keyed windows, no floats anywhere;
+    per-group line counts are bounded, so no skew surprises at scale."""
     W = Window.partitionBy(group_col)
     w_rank = Window.partitionBy(group_col).orderBy(
         F.desc("__rem"), F.col(line_col)
     )
+    raw_w_sum = F.sum(weight_cents).over(W)
     staged = (
-        lines.withColumn("__w_sum", F.sum(weight_cents).over(W))
+        lines.withColumn("__sign", F.when(F.col(total_cents) < 0, -1).otherwise(1))
+        .withColumn("__t", F.abs(F.col(total_cents)))
         .withColumn(
-            "__base",
-            F.expr(f"({total_cents} * {weight_cents}) div __w_sum"),
+            "__w", F.when(raw_w_sum == 0, F.lit(1)).otherwise(F.col(weight_cents))
         )
-        .withColumn(
-            "__rem",
-            F.expr(f"({total_cents} * {weight_cents}) % __w_sum"),
-        )
+        .withColumn("__w_sum", F.sum("__w").over(W))
+        .withColumn("__base", F.expr("(__t * __w) div __w_sum"))
+        .withColumn("__rem", F.expr("(__t * __w) % __w_sum"))
         .withColumn("__base_sum", F.sum("__base").over(W))
-        .withColumn("__shortfall", F.col(total_cents) - F.col("__base_sum"))
+        .withColumn("__shortfall", F.col("__t") - F.col("__base_sum"))
         .withColumn("__r", F.row_number().over(w_rank))
     )
     return staged.select(
         group_col,
         line_col,
         (
-            F.col("__base")
-            + F.when(F.col("__r") <= F.col("__shortfall"), 1).otherwise(0)
+            F.col("__sign")
+            * (
+                F.col("__base")
+                + F.when(F.col("__r") <= F.col("__shortfall"), 1).otherwise(0)
+            )
         ).cast("long").alias("alloc_cents"),
     )
 

@@ -436,19 +436,10 @@ def weighted_median(
        task (the x64 ladder measured exponent 0.90 before these fixes).
 
     Integer weights keep it exact; the mergeable approximation for
-    dashboards is :func:`histogram_quantiles`."""
-    from pulsar_message_filter_spark.functions.prefix import distributed_prefix_sum
-
-    per_value = (
-        df.select(F.col(group_col), value_cents.alias("__v"), weight.alias("__w"))
-        .groupBy(group_col, "__v")
-        .agg(F.sum("__w").alias("__w"))
-    )
-    cum = distributed_prefix_sum(per_value, group_col, ["__v"], "__w", out_col="__cw")
-    return (
-        cum.filter(F.col("__cw") >= 0.5 * F.col("group_total"))
-        .groupBy(group_col)
-        .agg(F.min("__v").alias("weighted_median_cents"))
+    dashboards is :func:`histogram_quantiles`.  Delegates to
+    :func:`weighted_quantiles` at q=0.5 — one pipeline to maintain."""
+    return weighted_quantiles(df, group_col, value_cents, weight, [0.5]).select(
+        group_col, F.col("weighted_q_cents").alias("weighted_median_cents")
     )
 
 

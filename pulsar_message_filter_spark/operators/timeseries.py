@@ -390,10 +390,11 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         s AS (
             SELECT event_type, count(*) AS n,
-                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                   CAST(sum(x * x) AS BIGINT) AS sxx,
-                   CAST(sum(y * y) AS BIGINT) AS syy,
-                   CAST(sum(x * y) AS BIGINT) AS sxy
+                   CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy
             FROM lagged WHERE y IS NOT NULL GROUP BY 1
         )
         SELECT event_type, n,
@@ -412,8 +413,12 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keyed window here is safe at any data scale: it orders HOURS
     (bounded by the calendar), not events — the aggregation collapsed
-    volume first.  Same integer-power-sum exactness as
-    :func:`timeseries_trend_slope` / ``agg_corr_exact``."""
+    volume first.  Power sums are decimal(38,0) (Spark) / HUGEINT
+    (DuckDB): hourly cents squared leaves int64 around x64-scale traffic
+    — the same overflow class the x64 ladder caught in agg_gini_exact
+    (bound the SUM, not the term).  Both engines render the exact
+    128-bit sums to DOUBLE of the same integer, so the final Pearson
+    arithmetic stays bit-identical."""
     events = load(spark, "events", sf_dir)
     hourly = (
         events.groupBy(
@@ -425,13 +430,15 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = hourly.withColumn("y", F.lag("x").over(w)).filter(
         F.col("y").isNotNull()
     )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     s = lagged.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
     )
     mx = F.col("sx") / F.col("n")
     my = F.col("sy") / F.col("n")

@@ -706,11 +706,30 @@ def read_sketch_rollup(spark, store_dir: str, epochs=None):
     """Merge-on-read over the sketch store: returns ``(cms_cells,
     hll_registers)`` DataFrames merged across the selected epochs (all
     epochs when ``epochs`` is None) — pass the results to
-    ``operators.sketch.cms_estimate`` / the HLL estimate formula."""
+    ``operators.sketch.cms_estimate`` / the HLL estimate formula.
+
+    Consistency: only epochs present in BOTH stores are read, so a crash
+    between the CMS write and the HLL write of the same epoch (the
+    replay will redo it) can never make the two sketches answer over
+    different data.  Before any epoch has committed, both frames are
+    empty with the right schema instead of raising PATH_NOT_FOUND."""
     import os
 
-    cms = spark.read.parquet(os.path.join(store_dir, "cms"))
-    hll = spark.read.parquet(os.path.join(store_dir, "hll"))
+    try:
+        cms = spark.read.parquet(os.path.join(store_dir, "cms"))
+        hll = spark.read.parquet(os.path.join(store_dir, "hll"))
+    except AnalysisException:
+        return (
+            spark.createDataFrame([], "row int, cell bigint, cnt bigint"),
+            spark.createDataFrame([], "register bigint, max_rho bigint"),
+        )
+    committed = (
+        cms.select("epoch_id")
+        .distinct()
+        .join(hll.select("epoch_id").distinct(), "epoch_id", "left_semi")
+    )
+    cms = cms.join(committed, "epoch_id", "left_semi")
+    hll = hll.join(committed, "epoch_id", "left_semi")
     if epochs is not None:
         cms = cms.filter(F.col("epoch_id").isin(list(epochs)))
         hll = hll.filter(F.col("epoch_id").isin(list(epochs)))

@@ -327,3 +327,28 @@ def test_distributed_prefix_sum_equals_plain_window(spark):
     ).collect()
     want = {(r.k, r.o): (r.cum, r.tot) for r in want_rows}
     assert got == want
+
+
+def test_allocation_negative_total_and_zero_weights(spark):
+    """Regression (review findings): credit memos (negative totals) must
+    still sum exactly, and zero-weight groups fall back to equal split."""
+    from pulsar_message_filter_spark.operators.cdc import allocate_largest_remainder
+
+    rows = [
+        (1, 1, 1, -100), (1, 2, 1, -100), (1, 3, 1, -100),   # credit memo
+        (2, 1, 0, 7), (2, 2, 0, 7),                          # zero weights
+    ]
+    lines = spark.createDataFrame(rows, "g long, ln long, w long, t long")
+    out = allocate_largest_remainder(lines, "g", "ln", "w", "t").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.alloc_cents)
+    assert sum(by_g[1]) == -100 and sorted(by_g[1]) == [-34, -33, -33]
+    assert sum(by_g[2]) == 7 and sorted(by_g[2]) == [3, 4]
+
+
+def test_read_sketch_rollup_before_first_epoch(spark, tmp_path):
+    from pulsar_message_filter_spark.streaming.pipeline import read_sketch_rollup
+
+    cms, hll = read_sketch_rollup(spark, str(tmp_path / "nonexistent"))
+    assert cms.count() == 0 and hll.count() == 0
