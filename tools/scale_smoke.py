@@ -100,6 +100,10 @@ QUERIES = [
     "agg_weighted_median",
     "interval_max_concurrency",
     "agg_mode_exact",
+    # prefix-scan consumers + calendar-bounded analytics (round-5 final)
+    "agg_weighted_quantiles",
+    "global_dense_ids",
+    "timeseries_autocorr",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
