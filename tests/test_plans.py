@@ -214,3 +214,20 @@ def test_prefix_filter_has_no_cartesian(spark):
 
     docs = load(spark, "documents", SF_SMOKE)
     assert not has_cartesian_product(prefix_filter_jaccard(docs))
+
+
+def test_global_dense_ids_has_no_global_window(spark):
+    """The scalable zipWithIndex must range-partition and scan in
+    parallel — never a row_number over an empty partition spec (the
+    single-task global window it replaces)."""
+    from pulsar_message_filter_spark.operators.relational import global_dense_ids
+
+    plan = plan_str(global_dense_ids(spark, SF_SMOKE)).lower()
+    assert "rangepartitioning" in plan, plan[:500]
+    # every window in the plan is keyed (partitionBy includes __pid/__g);
+    # a global window renders as 'windowspecdefinition(' with no
+    # partition columns before the ordering spec
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert spec.lstrip().split(",")[0].strip() != "", line
