@@ -638,3 +638,66 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
 def f38_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select("doc_id", "text")
     return unigram_surprisal(docs)
+
+
+# ---------------------------------------------------------------------------
+# F42 — overlapping-window document chunking (RAG / context packing)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame, window_tokens: int = 12, stride: int = 8
+) -> DataFrame:
+    """Split each document into overlapping token windows (``window_tokens``
+    wide, ``stride`` apart) — the retrieval/chunk-embedding preprocessing
+    step.  Pure generator algebra: ``sequence`` makes the start offsets,
+    ``explode`` fans out, ``slice`` cuts the window — 1→N row expansion
+    with NO shuffle (narrow transformation on the scan), so at 100 TB it
+    runs at scan speed and the downstream chunk-keyed ops (dedup by
+    chunk hash, embedding fan-out) inherit clean keys.
+
+    Every document yields at least one chunk (short docs produce one
+    truncated window).  Chunks carry a deterministic md5 so identity is
+    content-addressed across engines and re-runs."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - (window_tokens - 1), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.slice(toks, F.col("start"), window_tokens)
+    return (
+        docs.select("doc_id", toks.alias("__t"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            F.size(F.slice("__t", F.col("start"), window_tokens))
+            .cast("long")
+            .alias("n_tok"),
+            F.md5(F.concat_ws(" ", F.slice("__t", F.col("start"), window_tokens))).alias(
+                "chunk_md5"
+            ),
+        )
+    )
+
+
+@graded(
+    "f42_doc_chunking",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id, start,
+               len(t[start:start+11]) AS n_tok,
+               md5(array_to_string(t[start:start+11], ' ')) AS chunk_md5
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t) - 11, 1), 8)) AS u(start)
+    """,
+    section="F6,F14,D5,D8",
+    description="RAG-style document chunking: overlapping 12-token windows "
+    "at stride 8 via sequence+explode+slice (scan-speed 1-to-N fan-out, "
+    "no shuffle), content-addressed chunk md5 — the chunk-embedding / "
+    "chunk-dedup preprocessing primitive",
+)
+def f42_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    return chunk_documents(docs)

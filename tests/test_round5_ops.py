@@ -352,3 +352,18 @@ def test_read_sketch_rollup_before_first_epoch(spark, tmp_path):
 
     cms, hll = read_sketch_rollup(spark, str(tmp_path / "nonexistent"))
     assert cms.count() == 0 and hll.count() == 0
+
+
+def test_chunking_covers_every_token_and_overlaps(spark):
+    from pulsar_message_filter_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window_tokens=12, stride=8).collect()
+    d1 = sorted((r.start, r.n_tok) for r in out if r.doc_id == 1)
+    # 20 tokens, width 12, stride 8 → starts 1 and 9; second truncated to 12
+    assert d1 == [(1, 12), (9, 12)]
+    d2 = [(r.start, r.n_tok) for r in out if r.doc_id == 2]
+    assert d2 == [(1, 3)]  # short doc → one truncated chunk
