@@ -43,11 +43,34 @@ def distributed_prefix_sum(
     it is free here.
 
     Reserved internal names the input must not already contain:
-    ``__pid``, ``__lcum``, ``__off``, ``group_total``."""
-    reserved = {"__pid", "__lcum", "__off", "group_total"}
+    ``__pid``, ``__lcum_*``, ``__off_*``, ``group_total``."""
+    return distributed_prefix_sums(
+        df, group_col, order_cols, {sum_col: out_col}, total_col="group_total"
+    )
+
+
+def distributed_prefix_sums(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    sum_cols: dict,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Multi-column form of :func:`distributed_prefix_sum`: one range
+    partitioning, one local sort, one tiny offsets broadcast — N running
+    sums.  ``sum_cols`` maps input column → output cum column.  When
+    several cumulative measures share one total order (e.g. the two-sample
+    ECDF scan needs cum counts of BOTH samples per value), doing them in a
+    single two-phase scan halves the passes a per-column loop would take.
+
+    If ``total_col`` is set, the per-group grand total of the FIRST
+    ``sum_cols`` entry is attached under that name."""
+    reserved = {"__pid"} | ({total_col} if total_col else set()) | {
+        f"__lcum_{c}" for c in sum_cols
+    } | {f"__off_{c}" for c in sum_cols}
     clash = reserved & set(df.columns)
     if clash:
-        raise ValueError(f"distributed_prefix_sum reserved columns present: {clash}")
+        raise ValueError(f"distributed_prefix_sums reserved columns present: {clash}")
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(group_col)] + [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -59,24 +82,31 @@ def distributed_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = parted.withColumn("__lcum", F.sum(sum_col).over(w_local))
+    local = parted
+    for c in sum_cols:
+        local = local.withColumn(f"__lcum_{c}", F.sum(c).over(w_local))
     # totals come from `parted`, NOT `local`: the branch then needs only a
     # map-side-combinable aggregate instead of re-running the sort+window
-    totals = parted.groupBy("__pid", group_col).agg(F.sum(sum_col).alias("__ptot"))
+    totals = parted.groupBy("__pid", group_col).agg(
+        *[F.sum(c).alias(f"__ptot_{c}") for c in sum_cols]
+    )
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_tot = Window.partitionBy(group_col)
-    offsets = totals.select(
-        "__pid",
-        group_col,
-        F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__ptot").over(w_tot).alias("group_total"),
-    )
-    return (
-        local.join(F.broadcast(offsets), ["__pid", group_col])
-        .withColumn(out_col, F.col("__lcum") + F.col("__off"))
-        .drop("__lcum", "__pid", "__off")
+    off_cols = [
+        F.coalesce(F.sum(f"__ptot_{c}").over(w_off), F.lit(0)).alias(f"__off_{c}")
+        for c in sum_cols
+    ]
+    if total_col is not None:
+        first = next(iter(sum_cols))
+        off_cols.append(F.sum(f"__ptot_{first}").over(w_tot).alias(total_col))
+    offsets = totals.select("__pid", group_col, *off_cols)
+    out = local.join(F.broadcast(offsets), ["__pid", group_col])
+    for c, out_c in sum_cols.items():
+        out = out.withColumn(out_c, F.col(f"__lcum_{c}") + F.col(f"__off_{c}"))
+    return out.drop(
+        "__pid", *[f"__lcum_{c}" for c in sum_cols], *[f"__off_{c}" for c in sum_cols]
     )

@@ -1,0 +1,436 @@
+"""Distribution-drift monitors — the checks a 100 TB training-data
+pipeline runs BEFORE a bad batch poisons a model: two-sample KS,
+population-stability index (PSI), CUSUM changepoint location, and a
+Benford first-digit forensic profile.
+
+Every query here is exact and oracle-checked; the float-parity rules from
+``operators/parity.py`` apply throughout (integer counts until the last
+double division; ``round`` on both engines).
+
+Scale notes (100 TB):
+
+* **KS** — the naive form sorts both samples globally.  Here the scan is
+  (1) a groupBy on the VALUE (collapsing ties and shrinking the data to
+  its distinct-value count with a map-side-combinable aggregate), then
+  (2) a single two-phase distributed prefix scan
+  (:func:`~pulsar_message_filter_spark.functions.prefix.distributed_prefix_sums`)
+  that carries BOTH samples' cumulative counts in one pass — no global
+  single-partition window anywhere (the repo's pinned plan contract).
+* **PSI** — pure fixed-bin histogram: one map-side-combinable groupBy per
+  half, a 20-row bin spine broadcast onto it.  Embarrassingly parallel.
+* **CUSUM** — the keyed running sum operates on the *aggregated* daily
+  series (days × keys rows, bounded by calendar), not raw events; the
+  raw-event pass is a plain combinable count.
+* **Benford** — a groupBy on (type, digit): 9 digits × key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.functions.prefix import distributed_prefix_sums
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.parity import cents
+from pulsar_message_filter_spark.registry import graded
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample(
+    df: DataFrame, value: str, flag_a, flag_b
+) -> DataFrame:
+    """One-row frame ``(ks_stat, n_a, n_b)``: the exact two-sample KS
+    statistic ``max_v |F_a(v) - F_b(v)|`` between the rows matching
+    ``flag_a`` and those matching ``flag_b`` (boolean Columns).
+
+    Ties collapse in the per-value aggregation, so the ECDF step function
+    is evaluated once per distinct value — tie handling is therefore
+    exact (both ECDFs jump together at a shared value), and the prefix
+    scan runs over distinct values, not rows."""
+    marked = df.select(
+        F.col(value).alias("v"),
+        flag_a.cast("int").alias("a"),
+        flag_b.cast("int").alias("b"),
+    ).filter((F.col("a") == 1) | (F.col("b") == 1))
+    per_v = (
+        marked.groupBy("v")
+        .agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+        .withColumn("g", F.lit(0))
+    )
+    scanned = distributed_prefix_sums(
+        per_v, "g", ["v"], {"na": "cum_a", "nb": "cum_b"}
+    )
+    totals = marked.agg(
+        F.sum("a").alias("n_a"), F.sum("b").alias("n_b")
+    )
+    return (
+        scanned.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                    - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+                )
+            ).alias("d"),
+            "n_a",
+            "n_b",
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.round(F.max("d"), 6).alias("ks_stat"))
+        .select("ks_stat", "n_a", "n_b")
+    )
+
+
+@graded(
+    "drift_ks_two_sample",
+    oracle="""
+        WITH marked AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        per_v AS (
+            SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+            FROM marked GROUP BY 1
+        ),
+        scan AS (
+            SELECT CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+                   CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+            FROM per_v
+        ),
+        tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+            FROM marked
+        )
+        SELECT round(max(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)
+                   AS ks_stat,
+               n_a, n_b
+        FROM scan CROSS JOIN tot
+        GROUP BY n_a, n_b
+    """,
+    section="C11,C20,F14",
+    description="exact two-sample Kolmogorov-Smirnov statistic (purchase vs "
+    "click value distributions): tie-collapsing per-value aggregation, then "
+    "ONE two-phase distributed prefix scan carrying both cumulative counts "
+    "-- integer cents keys, integer counts, one double division at the end; "
+    "no global single-partition window (pinned plan contract)",
+)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ks_two_sample(
+        ev.withColumn("vc", cents("value")),
+        "vc",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "click",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 20
+_PSI_WIDTH = 25.0
+
+
+def psi_profile(
+    df: DataFrame, value: str, ref_flag, n_bins: int = _PSI_BINS,
+    width: float = _PSI_WIDTH,
+) -> DataFrame:
+    """Per-bin PSI decomposition between the reference rows (``ref_flag``
+    true) and the current rows (false): fixed-width value bins (the last
+    bin absorbs the tail), Laplace-smoothed proportions so empty bins are
+    defined, ``psi_term = (p_cur - p_ref) * ln(p_cur / p_ref)``.
+
+    Fixed-width bins (not quantile bins) keep the profile deterministic
+    and cross-engine exact — bin edges never depend on an engine-specific
+    quantile estimate."""
+    spark = df.sparkSession
+    binned = df.select(
+        F.least(
+            F.floor(F.col(value) / F.lit(width)), F.lit(n_bins - 1)
+        ).cast("int").alias("bin"),
+        ref_flag.cast("int").alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref_bin"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur_bin"),
+    )
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    totals = binned.agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"),
+    )
+    filled = (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
+            F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p_ref = (F.col("n_ref_bin") + 1.0) / (F.col("n_ref") + F.lit(float(n_bins)))
+    p_cur = (F.col("n_cur_bin") + 1.0) / (F.col("n_cur") + F.lit(float(n_bins)))
+    return filled.select(
+        "bin",
+        "n_ref_bin",
+        "n_cur_bin",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+@graded(
+    "drift_psi_value",
+    oracle=f"""
+        WITH binned AS (
+            SELECT CAST(least(floor(value / {_PSI_WIDTH}), {_PSI_BINS - 1}) AS INTEGER)
+                       AS bin,
+                   CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+            FROM events
+        ),
+        counts AS (
+            SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref_bin,
+                   CAST(sum(1 - is_ref) AS BIGINT) AS n_cur_bin
+            FROM binned GROUP BY 1
+        ),
+        spine AS (SELECT unnest(range({_PSI_BINS})) AS bin),
+        totals AS (
+            SELECT CAST(sum(is_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+            FROM binned
+        ),
+        filled AS (
+            SELECT CAST(s.bin AS INTEGER) AS bin,
+                   coalesce(n_ref_bin, 0) AS n_ref_bin,
+                   coalesce(n_cur_bin, 0) AS n_cur_bin,
+                   n_ref, n_cur
+            FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+            CROSS JOIN totals
+        )
+        SELECT bin, n_ref_bin, n_cur_bin,
+               round((n_ref_bin + CAST(1.0 AS DOUBLE))
+                     / (n_ref + CAST({float(_PSI_BINS)} AS DOUBLE)), 6) AS p_ref,
+               round((n_cur_bin + CAST(1.0 AS DOUBLE))
+                     / (n_cur + CAST({float(_PSI_BINS)} AS DOUBLE)), 6) AS p_cur,
+               round(((n_cur_bin + CAST(1.0 AS DOUBLE))
+                          / (n_cur + CAST({float(_PSI_BINS)} AS DOUBLE))
+                      - (n_ref_bin + CAST(1.0 AS DOUBLE))
+                          / (n_ref + CAST({float(_PSI_BINS)} AS DOUBLE)))
+                     * ln(((n_cur_bin + CAST(1.0 AS DOUBLE))
+                               / (n_cur + CAST({float(_PSI_BINS)} AS DOUBLE)))
+                          / ((n_ref_bin + CAST(1.0 AS DOUBLE))
+                               / (n_ref + CAST({float(_PSI_BINS)} AS DOUBLE)))),
+                     6) AS psi_term
+        FROM filled
+    """,
+    section="C11,C5,D3,F14",
+    description="population-stability index per fixed-width value bin "
+    "(first vs second half of the month): Laplace-smoothed proportions "
+    "from integer counts, 20-row broadcast bin spine, map-side-combinable "
+    "histogram -- the drift pre-check a training-batch gate runs",
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return psi_profile(ev, "value", F.dayofmonth("ts") <= 15)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint location
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "changepoint_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(n) AS BIGINT) AS s1,
+                   CAST(sum(n * n) AS BIGINT) AS s2
+            FROM daily GROUP BY 1
+        ),
+        scanned AS (
+            SELECT d.day, d.event_type, s.c,
+                   CAST(sum(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day)
+                        AS BIGINT) AS cum_n,
+                   CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                        AS BIGINT) AS t,
+                   CAST(s.s1 AS DOUBLE) / s.c AS mu,
+                   sqrt(CAST(s.c * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                        / (s.c * (s.c - 1))) AS sd
+            FROM daily d JOIN stats s USING (event_type)
+        ),
+        scored AS (
+            SELECT day, event_type, c,
+                   abs((CAST(cum_n AS DOUBLE) - t * mu) / sd) AS abs_s
+            FROM scanned
+        ),
+        ranked AS (
+            SELECT day, event_type, c, abs_s,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs_s DESC, day) AS rk
+            FROM scored
+        )
+        SELECT event_type, day AS change_day, round(abs_s, 6) AS score,
+               c AS n_days
+        FROM ranked WHERE rk = 1
+    """,
+    section="C11,C18,C20,D3",
+    description="CUSUM changepoint locator per event type: standardized "
+    "cumulative deviation of daily counts, argmax |S_t| with earliest-day "
+    "tiebreak -- integer prefix sums over the AGGREGATED calendar series "
+    "(days x keys rows), mean/std derived bit-exactly from integer moments",
+)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("c"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    # The keyed window scans the aggregated series: |days| x |keys| rows,
+    # bounded by calendar x key cardinality -- never the raw events.
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("cum_n", F.sum("n").over(w))
+        .withColumn(
+            "t", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        )
+        .withColumn("mu", F.col("s1").cast("double") / F.col("c"))
+        .withColumn(
+            "sd",
+            F.sqrt(
+                (F.col("c") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+                / (F.col("c") * (F.col("c") - 1))
+            ),
+        )
+        .withColumn(
+            "abs_s",
+            F.abs(
+                (F.col("cum_n").cast("double") - F.col("t") * F.col("mu"))
+                / F.col("sd")
+            ),
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.desc("abs_s"), "day")
+    return (
+        scanned.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.round("abs_s", 6).alias("score"),
+            F.col("c").alias("n_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensic profile
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "drift_benford_profile",
+    oracle="""
+        WITH digits AS (
+            SELECT event_type,
+                   CAST(regexp_extract(printf('%.4f', value), '[1-9]') AS INTEGER)
+                       AS digit
+            FROM events WHERE value > 0
+        ),
+        counts AS (
+            SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_d
+            FROM digits GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT t.event_type, CAST(d.digit AS INTEGER) AS digit
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+        ),
+        totals AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM digits GROUP BY 1
+        )
+        SELECT s.event_type, s.digit,
+               coalesce(n_d, 0) AS n_obs,
+               round(CAST(coalesce(n_d, 0) AS DOUBLE) / n, 6) AS p_obs,
+               round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / s.digit), 6)
+                   AS p_benford,
+               round(pow(coalesce(n_d, 0)
+                         - n * log10(CAST(1.0 AS DOUBLE)
+                                     + CAST(1.0 AS DOUBLE) / s.digit), 2)
+                     / (n * log10(CAST(1.0 AS DOUBLE)
+                                  + CAST(1.0 AS DOUBLE) / s.digit)), 4)
+                   AS chi2_term
+        FROM spine s
+        LEFT JOIN counts c ON s.event_type = c.event_type AND s.digit = c.digit
+        JOIN totals t ON t.event_type = s.event_type
+    """,
+    section="C11,D1,D3,B8",
+    description="Benford first-significant-digit profile per event type "
+    "with per-digit chi-square terms: digit extracted from a fixed %.4f "
+    "rendering (rounding at the 5th decimal can never move a first "
+    "significant digit of a value >= 0.01), expected mass log10(1+1/d), "
+    "9-digit broadcast spine so absent digits report zero",
+)
+def drift_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    digits = ev.filter(F.col("value") > 0).select(
+        "event_type",
+        F.regexp_extract(
+            F.format_string("%.4f", F.col("value")), "[1-9]", 0
+        ).cast("int").alias("digit"),
+    )
+    counts = digits.groupBy("event_type", "digit").agg(F.count("*").alias("n_d"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+        )
+    )
+    totals = digits.groupBy("event_type").agg(F.count("*").alias("n"))
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        spine.join(counts, ["event_type", "digit"], "left")
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "digit",
+            F.coalesce("n_d", F.lit(0)).alias("n_obs"),
+            F.round(
+                F.coalesce("n_d", F.lit(0)).cast("double") / F.col("n"), 6
+            ).alias("p_obs"),
+            F.round(p_exp, 6).alias("p_benford"),
+            F.round(
+                F.pow(
+                    F.coalesce("n_d", F.lit(0)) - F.col("n") * p_exp, F.lit(2)
+                )
+                / (F.col("n") * p_exp),
+                4,
+            ).alias("chi2_term"),
+        )
+    )

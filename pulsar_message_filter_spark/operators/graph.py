@@ -330,3 +330,94 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
     out = basket_lift(li, "l_orderkey", "l_partkey", min_pair_count=3)
     return out.orderBy(F.desc("lift"), "u", "v").limit(20)
+
+
+@graded(
+    "basket_lift_weekly",
+    oracle="""
+        WITH pl AS (
+            SELECT DISTINCT CAST((day(ts) - 1) // 7 AS INTEGER) AS week,
+                   user_id, CAST(ts AS DATE) AS d, event_type AS item
+            FROM events
+        ),
+        pair_counts AS (
+            SELECT a.week, a.item AS u, b.item AS v, CAST(count(*) AS BIGINT) AS n_ab
+            FROM pl a JOIN pl b
+              ON a.week = b.week AND a.user_id = b.user_id AND a.d = b.d
+             AND a.item < b.item
+            GROUP BY 1, 2, 3 HAVING count(*) >= 20
+        ),
+        item_counts AS (
+            SELECT week, item, CAST(count(*) AS BIGINT) AS n_item
+            FROM pl GROUP BY 1, 2
+        ),
+        n AS (
+            SELECT week, CAST(count(*) AS BIGINT) AS n_baskets
+            FROM (SELECT DISTINCT week, user_id, d FROM pl) GROUP BY 1
+        )
+        SELECT pc.week AS week, u, v, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+               round((n_ab * n_baskets) / (ia.n_item * ib.n_item), 6) AS lift
+        FROM pair_counts pc
+        JOIN item_counts ia ON ia.week = pc.week AND ia.item = u
+        JOIN item_counts ib ON ib.week = pc.week AND ib.item = v
+        JOIN n ON n.week = pc.week
+        ORDER BY pc.week, u, v
+    """,
+    section="C4,C11,F14",
+    description="association-trend mining: market-basket lift per calendar "
+    "week (basket = user-day, items = event types) -- shows whether an "
+    "item association strengthens or decays over time; same Apriori-style "
+    "min-support pruning before the count join as basket_lift_pairs, "
+    "per-week item counts and basket totals broadcast onto the pair table",
+)
+def basket_lift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    pl = ev.select(
+        F.floor((F.dayofmonth("ts") - 1) / 7).cast("int").alias("week"),
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.col("event_type").alias("item"),
+    ).distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    pair_counts = (
+        a.join(b, ["week", "user_id", "d"])
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy("week", F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    item_counts = pl.groupBy("week", "item").agg(F.count("*").alias("n_item"))
+    n_baskets = (
+        pl.select("week", "user_id", "d")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("n_baskets"))
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(
+                item_counts.select(
+                    "week", F.col("item").alias("u"), F.col("n_item").alias("n_a")
+                )
+            ),
+            ["week", "u"],
+        )
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    "week", F.col("item").alias("v"), F.col("n_item").alias("n_b")
+                )
+            ),
+            ["week", "v"],
+        )
+        .join(F.broadcast(n_baskets), "week")
+        .select(
+            "week", "u", "v", "n_ab", "n_a", "n_b",
+            F.round(
+                (F.col("n_ab") * F.col("n_baskets"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("week", "u", "v")
+    )

@@ -450,3 +450,73 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(cov / F.sqrt(varx * vary), 6).alias("autocorr_lag1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (dyadic decay)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 10  # trailing window: weights 2^0 .. 2^-9
+
+
+def _ewma_weights() -> list:
+    """Exact dyadic decay weights 2^-k.  Every weight, every product
+    count*2^-k, and every partial sum is an exact double (all are
+    multiples of 2^-9 far below 2^53), so the weighted sum is
+    bit-identical regardless of addition order or engine — no libm call,
+    no summation-order drift."""
+    return [2.0 ** -k for k in range(_EWMA_LAGS)]
+
+
+def _ewma_oracle() -> str:
+    ws = _ewma_weights()
+    num = " + ".join(
+        f"coalesce(lag(n, {k}) OVER w * CAST({w!r} AS DOUBLE), 0)"
+        for k, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(n, {k}) OVER w IS NULL THEN 0 ELSE CAST({w!r} AS DOUBLE) END"
+        for k, w in enumerate(ws)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, n,
+               round(({num}) / ({den}), 6) AS ewma
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """
+
+
+@graded(
+    "timeseries_ewma",
+    oracle=_ewma_oracle(),
+    section="C19,C20,D3",
+    description="EWMA smoother of the daily event-count series (half-life "
+    "decay, 10-day trailing kernel, partial-window renormalized): dyadic "
+    "2^-k weights make every product and partial sum an exact double, so "
+    "the result is bit-identical across engines and addition orders; the "
+    "lag kernel runs over the AGGREGATED calendar series (days x keys "
+    "rows), one keyed sort, no self-join",
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    daily = events.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ws = _ewma_weights()
+    num = None
+    den = None
+    for k, wt in enumerate(ws):
+        lagged = F.lag("n", k).over(w)
+        term = F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        wterm = F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return daily.select(
+        "day", "event_type", "n", F.round(num / den, 6).alias("ewma")
+    )

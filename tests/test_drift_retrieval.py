@@ -1,0 +1,162 @@
+"""Library-level invariants for the drift monitors (KS, PSI, CUSUM,
+Benford) and the retrieval operators (BM25, postings, chi-squared
+token/label), plus the multi-column distributed prefix scan they ride."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.functions.prefix import (
+    distributed_prefix_sum,
+    distributed_prefix_sums,
+)
+from pulsar_message_filter_spark.operators.drift import ks_two_sample, psi_profile
+from pulsar_message_filter_spark.operators.retrieval import bm25_scores
+
+
+def test_multi_prefix_matches_single_column_scans(spark):
+    rows = [(k % 3, i, i % 7, (i * i) % 5) for k, i in enumerate(range(200))]
+    df = spark.createDataFrame(rows, "g int, o int, x int, y int")
+    multi = distributed_prefix_sums(
+        df, "g", ["o"], {"x": "cx", "y": "cy"}, total_col="tx"
+    )
+    sx = distributed_prefix_sum(df, "g", ["o"], "x", "cx")
+    got = {(r.g, r.o): (r.cx, r.cy, r.tx) for r in multi.collect()}
+    want_x = {(r.g, r.o): (r.cx, r.group_total) for r in sx.collect()}
+    # single-column delegate agrees on the shared column and the total
+    assert all(got[k][0] == v[0] and got[k][2] == v[1] for k, v in want_x.items())
+    # and the second cum is the plain-window ground truth
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    truth = {
+        (r.g, r.o): r.cy
+        for r in df.withColumn("cy", F.sum("y").over(w)).collect()
+    }
+    assert all(got[k][1] == truth[k] for k in truth)
+
+
+def test_ks_identical_samples_is_zero(spark):
+    rows = [(float(v), t) for v in range(50) for t in ("a", "b")]
+    df = spark.createDataFrame(rows, "v double, t string")
+    out = ks_two_sample(
+        df, "v", F.col("t") == "a", F.col("t") == "b"
+    ).collect()[0]
+    assert out.ks_stat == 0.0 and out.n_a == 50 and out.n_b == 50
+
+
+def test_ks_disjoint_samples_is_one(spark):
+    rows = [(float(v), "a") for v in range(30)] + [
+        (float(v + 100), "b") for v in range(20)
+    ]
+    df = spark.createDataFrame(rows, "v double, t string")
+    out = ks_two_sample(
+        df, "v", F.col("t") == "a", F.col("t") == "b"
+    ).collect()[0]
+    assert out.ks_stat == 1.0
+
+
+def test_ks_half_shift(spark):
+    # B = A shifted so exactly half of A lies below all of B
+    rows = [(float(v), "a") for v in range(10)] + [
+        (float(v) + 4.5, "b") for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "v double, t string")
+    out = ks_two_sample(
+        df, "v", F.col("t") == "a", F.col("t") == "b"
+    ).collect()[0]
+    assert out.ks_stat == 0.5
+
+
+def test_psi_identical_halves_is_zero(spark):
+    rows = [(float(v % 40) * 10, h) for v in range(80) for h in (0, 1)]
+    df = spark.createDataFrame(rows, "value double, half int")
+    out = psi_profile(df, "value", F.col("half") == 0)
+    terms = [r.psi_term for r in out.collect()]
+    assert len(terms) == 20 and all(t == 0.0 for t in terms)
+
+
+def test_psi_total_is_nonnegative_and_detects_shift(spark):
+    ref = [(float(v % 5) * 25, 1) for v in range(100)]
+    cur = [(float(v % 5) * 25 + 250, 0) for v in range(100)]
+    df = spark.createDataFrame(ref + cur, "value double, half int")
+    total = sum(
+        r.psi_term for r in psi_profile(df, "value", F.col("half") == 1).collect()
+    )
+    assert total > 1.0  # disjoint supports → large PSI
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash"),
+            (2, "hash filler filler filler filler filler filler filler"),
+            (3, "filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["hash"]).collect()}
+    assert set(got) == {1, 2}  # doc 3 never matches
+    assert got[1] > got[2] > 0.0
+
+
+def test_bm25_idf_downweights_ubiquitous_terms(spark):
+    docs = spark.createDataFrame(
+        [(i, "common rare" if i == 0 else "common filler") for i in range(10)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["common", "rare"]).collect()}
+    solo = bm25_scores(docs, ["common"]).collect()
+    # the rare term contributes more to doc 0 than `common` does anywhere
+    common_only = max(r.bm25 for r in solo)
+    assert got[0] > 2 * common_only
+
+
+def test_chi2_flags_label_correlated_token(spark):
+    from pulsar_message_filter_spark.operators.retrieval import (
+        f45_chi2_token_label,
+    )
+    import tempfile, os
+
+    # synthetic corpus: 'marker' appears in exactly the 'en' docs
+    rows = [
+        (i, ("marker base" if i < 10 else "base other"),
+         ("en" if i < 10 else "fr"), "s", 10)
+        for i in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = f45_chi2_token_label(spark, d).collect()
+    by_term = {r.term: r for r in out}
+    assert by_term["marker"].chi2 == 20.0  # perfect association, n=20
+    assert "base" not in by_term  # present in every doc → degenerate, filtered
+    assert by_term["other"].chi2 == 20.0  # perfectly anti-correlated
+
+
+def test_ewma_constant_series_is_flat(spark):
+    import tempfile, os
+    from pulsar_message_filter_spark.operators.timeseries import timeseries_ewma
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1 + (i % 20), 12, 0, 0), i, "t", 1.0, "{}")
+        for i in range(100)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = timeseries_ewma(spark, d).collect()
+    # 5 events/day every day → EWMA of a constant series equals the constant
+    assert len(out) == 20
+    assert all(r.ewma == 5.0 for r in out)
