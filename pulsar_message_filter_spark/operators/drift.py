@@ -434,3 +434,53 @@ def drift_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mid-rank quantile normalization (per-source score calibration)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f48_quantile_normalize",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(count(*) OVER (PARTITION BY source ORDER BY n_chars
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_le,
+                   CAST(count(*) OVER (PARTITION BY source, n_chars) AS BIGINT)
+                       AS ties,
+                   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars,
+               round((cum_le - CAST(0.5 AS DOUBLE) * ties) / n, 6) AS pct
+        FROM ranked
+    """,
+    section="C11,C20,F13,F14",
+    description="mid-rank quantile normalization of document length within "
+    "each source (pct = (rank_lt + ties/2)/n): computed as a per-(source, "
+    "value) count table run through the two-phase distributed prefix scan "
+    "and equi-joined back to the documents -- NO per-row keyed window, so "
+    "a 20-source corpus of 10^9 docs never serializes a source into one "
+    "task; this is the cross-domain score calibration a quality-weighted "
+    "sampler needs before comparing scores across sources",
+)
+def f48_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    per_v = docs.groupBy("source", "n_chars").agg(F.count("*").alias("ties"))
+    scanned = distributed_prefix_sums(
+        per_v, "source", ["n_chars"], {"ties": "cum_le"}, total_col="n"
+    )
+    return docs.select("doc_id", "source", "n_chars").join(
+        scanned.select("source", "n_chars", "cum_le", "ties", "n"),
+        ["source", "n_chars"],
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(
+            (F.col("cum_le") - F.lit(0.5) * F.col("ties")) / F.col("n"), 6
+        ).alias("pct"),
+    )

@@ -285,3 +285,159 @@ def f45_chi2_token_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), "term")
         .limit(20)
     )
+
+
+@graded(
+    "f46_pmi_token_pairs",
+    oracle="""
+        WITH presence AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        pair_counts AS (
+            SELECT a.term AS u, b.term AS v, CAST(count(*) AS BIGINT) AS n_ab
+            FROM presence a JOIN presence b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2 HAVING count(*) >= 50
+        ),
+        term_counts AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM presence GROUP BY 1
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT u, v, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+               round(ln((n_ab * n_docs) / (ta.n_t * tb.n_t)), 6) AS pmi
+        FROM pair_counts
+        JOIN term_counts ta ON ta.term = u
+        JOIN term_counts tb ON tb.term = v
+        CROSS JOIN n
+        ORDER BY pmi DESC, u, v LIMIT 25
+    """,
+    section="F6,F8,C4,C11",
+    description="pointwise mutual information of token pairs co-occurring "
+    "in >= 50 documents: doc-keyed presence self-join with min-support "
+    "pruning before the count join, broadcast term marginals, ln of an "
+    "exact integer cross-ratio -- the word-association statistic feeding "
+    "collocation extraction and embedding sanity checks",
+)
+def f46_pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    presence = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).distinct()
+    a, b = presence.alias("a"), presence.alias("b")
+    pair_counts = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    term_counts = presence.groupBy("term").agg(F.count("*").alias("n_t"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        pair_counts.join(
+            F.broadcast(
+                term_counts.select(F.col("term").alias("u"), F.col("n_t").alias("n_a"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                term_counts.select(F.col("term").alias("v"), F.col("n_t").alias("n_b"))
+            ),
+            "v",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u", "v", "n_ab", "n_a", "n_b",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_docs"))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "u", "v")
+        .limit(25)
+    )
+
+
+@graded(
+    "f47_js_divergence_sources",
+    oracle="""
+        WITH terms AS (
+            SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        src_counts AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+            FROM terms GROUP BY 1, 2
+        ),
+        corpus_counts AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM terms GROUP BY 1
+        ),
+        src_totals AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM terms GROUP BY 1
+        ),
+        corpus_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM terms),
+        spine AS (
+            SELECT s.source, c.term, s.n_s, c.n_t
+            FROM src_totals s CROSS JOIN corpus_counts c
+        ),
+        probs AS (
+            SELECT sp.source, sp.term,
+                   CAST(coalesce(sc.n_st, 0) AS DOUBLE) / sp.n_s AS p,
+                   CAST(sp.n_t AS DOUBLE) / n AS q
+            FROM spine sp
+            LEFT JOIN src_counts sc
+              ON sc.source = sp.source AND sc.term = sp.term
+            CROSS JOIN corpus_total
+        )
+        SELECT source,
+               round(sum(
+                   CASE WHEN p > 0
+                        THEN CAST(0.5 AS DOUBLE) * p * ln(p / ((p + q) / 2))
+                        ELSE 0 END
+                   + CAST(0.5 AS DOUBLE) * q * ln(q / ((p + q) / 2))
+               ), 6) AS js_divergence
+        FROM probs
+        GROUP BY source
+        ORDER BY source
+    """,
+    section="F10,C11,C5,D3",
+    description="Jensen-Shannon divergence of each source's unigram "
+    "distribution from the corpus distribution: vocabulary spine so "
+    "zero-count terms still carry corpus mass, integer counts to the last "
+    "double division, per-source KL halves summed over the (bounded) "
+    "vocabulary -- the domain-shift score a mixture balancer reads",
+)
+def f47_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    terms = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    src_counts = terms.groupBy("source", "term").agg(F.count("*").alias("n_st"))
+    corpus_counts = terms.groupBy("term").agg(F.count("*").alias("n_t"))
+    src_totals = terms.groupBy("source").agg(F.count("*").alias("n_s"))
+    corpus_total = terms.agg(F.count("*").alias("n"))
+    spine = src_totals.crossJoin(F.broadcast(corpus_counts))
+    probs = (
+        spine.join(src_counts, ["source", "term"], "left")
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            "source",
+            (
+                F.coalesce("n_st", F.lit(0)).cast("double") / F.col("n_s")
+            ).alias("p"),
+            (F.col("n_t").cast("double") / F.col("n")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = (
+        F.when(F.col("p") > 0, F.lit(0.5) * F.col("p") * F.log(F.col("p") / m))
+        .otherwise(F.lit(0.0))
+        + F.lit(0.5) * F.col("q") * F.log(F.col("q") / m)
+    )
+    return (
+        probs.groupBy("source")
+        .agg(F.round(F.sum(contrib), 6).alias("js_divergence"))
+        .orderBy("source")
+    )

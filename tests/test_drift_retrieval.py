@@ -160,3 +160,76 @@ def test_ewma_constant_series_is_flat(spark):
     # 5 events/day every day → EWMA of a constant series equals the constant
     assert len(out) == 20
     assert all(r.ewma == 5.0 for r in out)
+
+
+def test_js_divergence_zero_for_identical_distribution(spark):
+    import tempfile, os
+    from pulsar_message_filter_spark.operators.retrieval import (
+        f47_js_divergence_sources,
+    )
+
+    # two sources with the SAME unigram distribution → JS = 0 for both
+    rows = [(i, "a a b", "en", f"s{i % 2}", 5) for i in range(40)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = f47_js_divergence_sources(spark, d).collect()
+    assert len(out) == 2 and all(r.js_divergence == 0.0 for r in out)
+
+
+def test_js_divergence_bounded_by_ln2(spark):
+    import tempfile, os
+    from pulsar_message_filter_spark.operators.retrieval import (
+        f47_js_divergence_sources,
+    )
+    import math
+
+    # disjoint vocabularies → JS approaches its ln(2) maximum
+    rows = [(i, "aa aa", "en", "s0", 5) for i in range(20)] + [
+        (i + 100, "bb bb", "en", "s1", 5) for i in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.source: r.js_divergence for r in f47_js_divergence_sources(spark, d).collect()}
+    # each source holds half the corpus, disjoint vocab: p = (1,0),
+    # corpus q = (1/2,1/2), m = (3/4,1/4) →
+    # JS = 1/2·ln(4/3) + 1/4·ln(2/3) + 1/4·ln(2)
+    want = 0.5 * math.log(4 / 3) + 0.25 * math.log(2 / 3) + 0.25 * math.log(2)
+    for v in out.values():
+        assert abs(v - want) < 1e-6
+
+
+def test_quantile_normalize_midrank_properties(spark):
+    import tempfile, os
+    from pulsar_message_filter_spark.operators.drift import f48_quantile_normalize
+
+    rows = [(i, "t", "en", "s0", [10, 20, 20, 30][i]) for i in range(4)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r.pct for r in f48_quantile_normalize(spark, d).collect()}
+    # mid-rank: 10 → 0.5/4, ties 20,20 → (1 + 1)/4 = 0.5, 30 → 3.5/4
+    assert out[0] == 0.125 and out[1] == 0.5 and out[2] == 0.5 and out[3] == 0.875
+
+
+def test_pmi_sign_matches_association(spark):
+    import tempfile, os
+    from pulsar_message_filter_spark.operators.retrieval import f46_pmi_token_pairs
+
+    # x and y always co-occur (PMI > 0); p q co-occur at independence rate
+    rows = []
+    for i in range(60):
+        rows.append((i, "x y", "en", "s", 3))
+    for i in range(120):
+        rows.append((1000 + i, ["p filler", "q filler", "p q"][i % 3], "en", "s", 3))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {(r.u, r.v): r for r in f46_pmi_token_pairs(spark, d).collect()}
+    assert out[("x", "y")].pmi > 1.0  # perfect co-occurrence, rare pair
+    assert out[("x", "y")].n_ab == 60
