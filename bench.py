@@ -52,6 +52,9 @@ HEADLINE = [
     "cms_user_event_counts",  # relational count-min sketch build + probe
     "hll_distinct_users",  # relational HLL distinct estimate
     "agg_gini_exact",  # rank-weighted concentration (window + agg)
+    "drift_ks_two_sample",  # two-sample KS via multi-column prefix scan
+    "f43_bm25_topk",  # BM25 lexical retrieval (explode + broadcast + agg)
+    "f48_quantile_normalize",  # per-source mid-rank calibration (prefix scan)
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -89,6 +92,9 @@ BUDGET_SEC = {
     "cms_user_event_counts": 2.0,
     "hll_distinct_users": 2.0,
     "agg_gini_exact": 2.0,
+    "drift_ks_two_sample": 2.5,
+    "f43_bm25_topk": 2.0,
+    "f48_quantile_normalize": 2.0,
 }
 
 

@@ -104,6 +104,17 @@ QUERIES = [
     "agg_weighted_quantiles",
     "global_dense_ids",
     "timeseries_autocorr",
+    # round-6 additions: the ECDF prefix scan (distinct-value collapse +
+    # two-column two-phase scan), fixed-bin PSI histogram, BM25 retrieval
+    # (explode + broadcast-query join + per-doc agg), and the per-source
+    # mid-rank calibration (prefix scan + value equi-join back).
+    # f46_pmi_token_pairs / basket_lift_weekly are excluded like
+    # basket_lift_pairs: pair ops on a fixed item/vocab set densify
+    # superlinearly by graph math, not by plan defect.
+    "drift_ks_two_sample",
+    "drift_psi_value",
+    "f43_bm25_topk",
+    "f48_quantile_normalize",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
