@@ -233,3 +233,38 @@ def test_pmi_sign_matches_association(spark):
         out = {(r.u, r.v): r for r in f46_pmi_token_pairs(spark, d).collect()}
     assert out[("x", "y")].pmi > 1.0  # perfect co-occurrence, rare pair
     assert out[("x", "y")].n_ab == 60
+
+
+def test_trimmed_mean_drops_exact_tail_counts(spark):
+    from pulsar_message_filter_spark.operators.robust import trimmed_mean_cents
+
+    # 10 values 0..9 in cents*100, trim 10% → drop exactly min and max
+    rows = [("g", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = trimmed_mean_cents(df, "g", F.round(F.col("value") * 100).cast("long")).collect()[0]
+    assert out.n == 10 and out.k_trim == 1
+    assert out.trimmed_mean == sum(range(1, 9)) / 8  # mean of 1..8
+
+def test_trimmed_mean_tie_splitting(spark):
+    from pulsar_message_filter_spark.operators.robust import trimmed_mean_cents
+
+    # 5 copies of 100 and 5 of 200, trim 20% → drop 2 from each tail;
+    # ties split exactly: keep 3x100 + 3x200
+    rows = [("g", 1.0)] * 5 + [("g", 2.0)] * 5
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = trimmed_mean_cents(
+        df, "g", F.round(F.col("value") * 100).cast("long"), trim_frac=0.2
+    ).collect()[0]
+    assert out.k_trim == 2 and out.trimmed_mean == 1.5
+
+
+def test_mad_lower_median_convention(spark):
+    from pulsar_message_filter_spark.operators.robust import lower_median_cents
+
+    rows = [("g", v) for v in [1, 3, 3, 7, 100]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = lower_median_cents(df, "g", F.col("v")).collect()[0]
+    assert out.med_cents == 3
+    # even count → LOWER median (no interpolation)
+    df2 = spark.createDataFrame([("g", v) for v in [1, 2, 3, 4]], "g string, v long")
+    assert lower_median_cents(df2, "g", F.col("v")).collect()[0].med_cents == 2
