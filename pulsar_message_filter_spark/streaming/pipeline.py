@@ -736,3 +736,126 @@ def read_sketch_rollup(spark, store_dir: str, epochs=None):
     merged_cms = cms.groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
     merged_hll = hll.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
     return merged_cms, merged_hll
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor — windowed PSI against a static reference
+# ---------------------------------------------------------------------------
+
+
+def _psi_bin(value_col: str, width: float, n_bins: int):
+    """Fixed-width bin id with tail clamp — the SAME binning as the batch
+    ``operators.drift.psi_profile`` so streaming and batch monitors agree."""
+    return F.least(
+        F.floor(F.col(value_col) / F.lit(width)), F.lit(n_bins - 1)
+    ).cast("int")
+
+
+def reference_histogram(
+    df: DataFrame, value_col: str = "value", width: float = 25.0, n_bins: int = 20
+) -> DataFrame:
+    """(bin, n_ref) over ALL bins (zero-filled spine) from a batch frame —
+    the frozen training-time distribution a streaming monitor compares
+    against.  Tiny by construction (n_bins rows): broadcast-joined into
+    every finalization epoch."""
+    counts = (
+        df.select(_psi_bin(value_col, width, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_ref"))
+    )
+    spine = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return spine.join(counts, "bin", "left").select(
+        "bin", F.coalesce("n_ref", F.lit(0)).alias("n_ref")
+    )
+
+
+def windowed_bin_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    width: float = 25.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Stateful windowed histogram: (window, bin) counts, append-mode
+    finalized once the watermark closes each window.  State per key is one
+    int64 — bounded by windows-in-flight × n_bins regardless of row rate."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), _psi_bin("value", width, n_bins).alias("bin"))
+        .agg(F.count("*").alias("n_cur"))
+    )
+
+
+def psi_finalize(
+    closed: DataFrame, reference: DataFrame, n_bins: int = 20
+) -> DataFrame:
+    """Batch finalization of closed windows: Laplace-smoothed proportions
+    against the (broadcast) reference histogram, one PSI row per window.
+    Runs inside ``foreachBatch`` — each appended window arrives exactly
+    once, so the output table is append-only and idempotent per epoch."""
+    windows = closed.select(
+        F.col("window.start").alias("window_start")
+    ).distinct()
+    spine = windows.crossJoin(F.broadcast(reference))
+    counts = closed.select(
+        F.col("window.start").alias("window_start"), "bin", "n_cur"
+    )
+    totals_ref = reference.agg(F.sum("n_ref").alias("ref_total"))
+    filled = (
+        spine.join(counts, ["window_start", "bin"], "left")
+        .select(
+            "window_start",
+            "bin",
+            "n_ref",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    cur_totals = filled.groupBy("window_start").agg(F.sum("n_cur").alias("cur_total"))
+    joined = filled.join(F.broadcast(cur_totals), "window_start").crossJoin(
+        F.broadcast(totals_ref)
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("ref_total") + F.lit(float(n_bins)))
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("cur_total") + F.lit(float(n_bins)))
+    return (
+        joined.select(
+            "window_start",
+            "cur_total",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("term"),
+        )
+        .groupBy("window_start", "cur_total")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
+def psi_monitor_pipeline(
+    stream: DataFrame,
+    reference: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    width: float = 25.0,
+    n_bins: int = 20,
+):
+    """End-to-end streaming drift monitor: watermark → stateful windowed
+    histogram (append mode) → per-epoch PSI finalization vs the frozen
+    reference → parquet alarm log.  The stateful stage keeps only
+    (window × bin) int64 counts; the finalization epoch is a few dozen
+    rows joined to a broadcast 20-row reference — drift monitoring at
+    100 TB stream rates costs the histogram, not the data."""
+    ref = reference.coalesce(1).cache()
+    ref.count()
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        out = psi_finalize(batch, ref, n_bins=n_bins)
+        out.write.mode("append").parquet(out_dir)
+
+    counts = windowed_bin_counts(
+        stream, window=window, watermark=watermark, width=width, n_bins=n_bins
+    )
+    return (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .start()
+    )

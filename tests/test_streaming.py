@@ -937,3 +937,74 @@ def test_sketch_rollup_pipeline_merges_to_batch_truth(spark, tmp_path):
     }
     assert {(r.row, r.cell): r.cnt for r in merged_cms.collect()} == truth_cms
     assert {r.register: r.max_rho for r in merged_hll.collect()} == truth_hll
+
+
+def test_psi_monitor_flags_drifted_window_only(spark, tmp_path):
+    """Streaming drift monitor: windowed histogram + per-epoch PSI vs a
+    frozen reference.  Window 1 replays the reference distribution (PSI ≈ 0);
+    window 2 is shifted far out of the reference support (PSI large); a
+    sentinel event advances the watermark so both windows close."""
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        psi_monitor_pipeline,
+        reference_histogram,
+    )
+
+    input_dir = str(tmp_path / "in")
+    Path(input_dir).mkdir()
+    out_dir = str(tmp_path / "psi")
+
+    # frozen reference: values 0..199 uniform → bins 0..7 (width 25)
+    ref_rows = [(float(v % 200),) for v in range(400)]
+    reference = reference_histogram(
+        spark.createDataFrame(ref_rows, "value double"), "value"
+    )
+
+    # window 10:00 matches the reference; window 11:00 sits in bins 16+
+    w1 = [
+        (i, f"2024-01-01 10:{i % 60:02d}:00", i, "t", float((i * 7) % 200), "{}")
+        for i in range(120)
+    ]
+    w2 = [
+        (1000 + i, f"2024-01-01 11:{i % 60:02d}:00", i, "t", 420.0 + (i % 60), "{}")
+        for i in range(120)
+    ]
+    sentinel = [(9999, "2024-01-01 13:00:00", 1, "t", 1.0, "{}")]
+    _write_events(spark, w1 + w2 + sentinel, input_dir)
+
+    stream = file_message_stream(spark, input_dir)
+    q = psi_monitor_pipeline(
+        stream,
+        reference,
+        out_dir,
+        checkpoint=str(tmp_path / "ck"),
+        window="1 hour",
+        watermark="30 minutes",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        r.window_start.strftime("%H:%M"): r for r in spark.read.parquet(out_dir).collect()
+    }
+    assert "10:00" in rows and "11:00" in rows, sorted(rows)
+    assert rows["10:00"].cur_total == 120 and rows["11:00"].cur_total == 120
+    assert rows["10:00"].psi < 0.1, rows["10:00"].psi
+    assert rows["11:00"].psi > 1.0, rows["11:00"].psi
+    # streaming monitor agrees with the batch PSI operator on the same data
+    from pulsar_message_filter_spark.operators.drift import psi_profile
+
+    batch = spark.createDataFrame(
+        [(float((i * 7) % 200), 1) for i in range(120)]
+        + [(float(v % 200), 0) for v in range(400)],
+        "value double, cur int",
+    )
+    batch_psi = round(
+        sum(
+            r.psi_term
+            for r in psi_profile(batch, "value", F.col("cur") == 0).collect()
+        ),
+        4,
+    )
+    assert abs(rows["10:00"].psi - batch_psi) < 5e-4
