@@ -484,3 +484,137 @@ def f48_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_le") - F.lit(0.5) * F.col("ties")) / F.col("n"), 6
         ).alias("pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-tab association: Cramér's V and pointwise mutual information
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "crosstab_cramers_v",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type AS r, CAST(dayofweek(ts) AS INTEGER) AS c,
+                   CAST(count(*) AS BIGINT) AS n_rc
+            FROM events GROUP BY 1, 2
+        ),
+        row_tot AS (SELECT r, CAST(sum(n_rc) AS BIGINT) AS n_r FROM cells GROUP BY 1),
+        col_tot AS (SELECT c, CAST(sum(n_rc) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+        n AS (SELECT CAST(sum(n_rc) AS BIGINT) AS n,
+                     CAST((SELECT count(*) FROM row_tot) AS BIGINT) AS n_rows,
+                     CAST((SELECT count(*) FROM col_tot) AS BIGINT) AS n_cols
+              FROM cells),
+        terms AS (
+            SELECT (CAST(n_rc AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+                   * (CAST(n_rc AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+                   / (CAST(n_r AS DOUBLE) * n_c / n) AS t,
+                   n, n_rows, n_cols
+            FROM cells JOIN row_tot USING (r) JOIN col_tot USING (c)
+            CROSS JOIN n
+        )
+        SELECT round(sqrt(sum(t) / (n * least(n_rows - 1, n_cols - 1))), 4)
+                   AS cramers_v,
+               n, n_rows, n_cols
+        FROM terms GROUP BY n, n_rows, n_cols
+    """,
+    section="C11,C17,D3,F14",
+    description="Cramer's V association between event type and day-of-week: "
+    "contingency cells, row/column marginals, chi-square from expected "
+    "counts (one double expression per cell from integer inputs), "
+    "normalized by n*min(r-1,c-1) -- the scale-free 'is usage pattern "
+    "tied to weekday' monitor; rounded at 4dp to absorb the per-cell "
+    "summation-order ULP",
+)
+def crosstab_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"),
+        F.dayofweek("ts").cast("int").alias("c"),
+    ).agg(F.count("*").alias("n_rc"))
+    row_tot = cells.groupBy("r").agg(F.sum("n_rc").alias("n_r"))
+    col_tot = cells.groupBy("c").agg(F.sum("n_rc").alias("n_c"))
+    n = cells.agg(
+        F.sum("n_rc").alias("n"),
+        F.countDistinct("r").alias("n_rows"),
+        F.countDistinct("c").alias("n_cols"),
+    )
+    expected = F.col("n_r").cast("double") * F.col("n_c") / F.col("n")
+    t = (
+        (F.col("n_rc").cast("double") - expected)
+        * (F.col("n_rc").cast("double") - expected)
+        / expected
+    )
+    return (
+        cells.join(F.broadcast(row_tot), "r")
+        .join(F.broadcast(col_tot), "c")
+        .crossJoin(F.broadcast(n))
+        .select(t.alias("t"), "n", "n_rows", "n_cols")
+        .groupBy("n", "n_rows", "n_cols")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum("t")
+                    / (
+                        F.col("n")
+                        * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                    )
+                ),
+                4,
+            ).alias("cramers_v")
+        )
+        .select("cramers_v", "n", "n_rows", "n_cols")
+    )
+
+
+@graded(
+    "mi_type_hour_profile",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS h,
+                   CAST(count(*) AS BIGINT) AS n_xy
+            FROM events GROUP BY 1, 2
+        ),
+        xm AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+        ym AS (SELECT h, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+        n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+        SELECT event_type, h, n_xy,
+               round((CAST(n_xy AS DOUBLE) / n)
+                     * ln((CAST(n_xy AS DOUBLE) * n)
+                          / (CAST(n_x AS DOUBLE) * n_y)), 6) AS mi_term
+        FROM cells JOIN xm USING (event_type) JOIN ym USING (h)
+        CROSS JOIN n
+    """,
+    section="C11,D2,D3,F14",
+    description="per-cell mutual-information decomposition of (event type x "
+    "hour-of-day): p_xy*ln(p_xy*n/(p_x*p_y)) from integer counts and "
+    "marginals -- emitted per cell (not summed) so every term is one "
+    "deterministic double expression; positive cells mark the hours a "
+    "type over-indexes, the temporal-profile fingerprint of a workload",
+)
+def mi_type_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count("*").alias("n_xy"))
+    xm = cells.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    ym = cells.groupBy("h").agg(F.sum("n_xy").alias("n_y"))
+    n = cells.agg(F.sum("n_xy").alias("n"))
+    return (
+        cells.join(F.broadcast(xm), "event_type")
+        .join(F.broadcast(ym), "h")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "h",
+            "n_xy",
+            F.round(
+                (F.col("n_xy").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("n_xy").cast("double") * F.col("n"))
+                    / (F.col("n_x").cast("double") * F.col("n_y"))
+                ),
+                6,
+            ).alias("mi_term"),
+        )
+    )

@@ -1030,3 +1030,89 @@ def f41_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_k = brute_topk(queries, emb, k=10)
     l2_k = l2_topk(queries, emb, k=10)
     return rrf_fuse(cos_k, l2_k, k=5)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    candidates,
+    k: int = 10,
+    lam: float = 0.7,
+):
+    """Greedy maximal-marginal-relevance selection over a SMALL candidate
+    list: ``score = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)``.
+
+    The greedy loop is inherently sequential (each pick changes the
+    penalty of every remaining candidate), so it runs driver-side on the
+    collected candidate block — bounded by construction (a re-ranker's
+    input is the first-stage top-N, 50 here), the same bounded-collect
+    contract as ``numpy_topk``'s query block.  The 100 TB path is:
+    first-stage retrieval (brute/LSH/IVF — distributed) → tiny candidate
+    set → MMR.  Deterministic: float64 numpy, id tiebreaks.
+
+    ``candidates``: list of (id, relevance, vector) — e.g. the collected
+    output of :func:`brute_topk` joined back to its embeddings."""
+    import numpy as np
+
+    if not candidates:
+        return []
+    ids = [c[0] for c in candidates]
+    rel = np.asarray([c[1] for c in candidates], dtype=np.float64)
+    mat = np.asarray([c[2] for c in candidates], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    pair_sim = mat @ mat.T
+    selected: list[int] = []
+    out = []
+    penalty = np.full(len(ids), -np.inf)
+    for rank in range(min(k, len(ids))):
+        if not selected:
+            score = lam * rel
+        else:
+            score = lam * rel - (1.0 - lam) * penalty
+        # mask already-selected; break score ties by smaller id
+        order = sorted(
+            (i for i in range(len(ids)) if i not in selected),
+            key=lambda i: (-score[i], ids[i]),
+        )
+        pick = order[0]
+        selected.append(pick)
+        out.append((rank + 1, ids[pick], float(rel[pick]), float(score[pick])))
+        penalty = np.maximum(
+            penalty if len(selected) > 1 else pair_sim[pick],
+            pair_sim[pick],
+        )
+    return out
+
+
+@graded(
+    "f49_mmr_rerank",
+    oracle=None,  # greedy sequential selection — no SQL twin by design
+    section="F4,G5",
+    description="MMR diversified re-ranking (lambda=0.7, k=10) of the "
+    "brute-force top-50 for one query: distributed first-stage retrieval, "
+    "then the inherently-sequential greedy loop on the bounded candidate "
+    "block (same bounded-collect contract as the ANN query block); "
+    "rows-only by design",
+)
+def f49_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    query = emb.filter(F.col("vec_id") == 0)
+    cand_df = (
+        brute_topk(query, emb, k=50)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .select("neighbor_id", "cos_sim", "embedding")
+    )
+    cands = [
+        (r.neighbor_id, r.cos_sim, r.embedding) for r in cand_df.collect()
+    ]
+    picked = mmr_rerank(cands, k=10, lam=0.7)
+    return spark.createDataFrame(
+        [(rank, vid, round(rel, 6), round(score, 6)) for rank, vid, rel, score in picked],
+        "rank long, vec_id long, relevance double, mmr_score double",
+    )

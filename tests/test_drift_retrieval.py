@@ -268,3 +268,50 @@ def test_mad_lower_median_convention(spark):
     # even count → LOWER median (no interpolation)
     df2 = spark.createDataFrame([("g", v) for v in [1, 2, 3, 4]], "g string, v long")
     assert lower_median_cents(df2, "g", F.col("v")).collect()[0].med_cents == 2
+
+
+def test_mmr_diversity_beats_near_duplicate(spark):
+    from pulsar_message_filter_spark.operators.similarity import mmr_rerank
+
+    cands = [
+        (1, 0.99, [1.0, 0.0, 0.0]),
+        (2, 0.98, [0.999, 0.01, 0.0]),  # near-duplicate of 1
+        (3, 0.80, [0.0, 1.0, 0.0]),     # diverse, lower relevance
+    ]
+    out = mmr_rerank(cands, k=3, lam=0.5)
+    assert [o[1] for o in out] == [1, 3, 2]
+    # first pick is pure relevance; later scores carry the penalty
+    assert out[0][3] == 0.5 * 0.99
+    # lambda=1 → plain relevance order
+    plain = mmr_rerank(cands, k=3, lam=1.0)
+    assert [o[1] for o in plain] == [1, 2, 3]
+    # empty candidates → empty result, no error
+    assert mmr_rerank([], k=5) == []
+
+
+def test_cramers_v_and_mi_invariants(spark):
+    import tempfile, os
+    from datetime import datetime
+    from pulsar_message_filter_spark.operators.drift import (
+        crosstab_cramers_v,
+        mi_type_hour_profile,
+    )
+
+    # independent type x weekday/hour grid → V = 0 and every MI term = 0
+    rows = []
+    eid = 0
+    for d in range(1, 15):          # two full weeks
+        for h in (0, 12):
+            for t in ("a", "b"):
+                rows.append((eid, datetime(2024, 1, d, h, 0, 0), eid, t, 1.0, "{}"))
+                eid += 1
+    with tempfile.TemporaryDirectory() as dd:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(dd, "events.parquet"))
+        v = crosstab_cramers_v(spark, dd).collect()[0]
+        mi = mi_type_hour_profile(spark, dd).collect()
+    assert v.cramers_v == 0.0 and v.n == len(rows)
+    assert all(r.mi_term == 0.0 for r in mi)
