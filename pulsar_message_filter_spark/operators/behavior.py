@@ -737,3 +737,136 @@ def interevent_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_s").alias("max_gap_s"),
         )
     )
+
+
+@graded(
+    "funnel_conversion_lag",
+    oracle="""
+        WITH first_view AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        first_purchase AS (
+            SELECT e.user_id,
+                   min((epoch_us(e.ts) - epoch_us(v.t_view)) // 1000000) AS lag_s
+            FROM events e JOIN first_view v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+            GROUP BY 1
+        ),
+        cohort AS (
+            SELECT p.user_id,
+                   CAST((day(v.t_view) - 1) // 7 AS INTEGER) AS cohort_week,
+                   p.lag_s
+            FROM first_purchase p JOIN first_view v ON p.user_id = v.user_id
+        ),
+        per_value AS (
+            SELECT cohort_week AS g, lag_s AS v, CAST(count(*) AS BIGINT) AS cnt
+            FROM cohort GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT g, v,
+                   CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM per_value
+        )
+        SELECT g AS cohort_week, max(n) AS n_converted,
+               min(v) AS median_lag_s
+        FROM c WHERE 2 * cum >= n GROUP BY g
+    """,
+    section="C4,C11,C14,E3",
+    description="view-to-purchase conversion latency per weekly cohort: "
+    "first view per user, earliest subsequent purchase, integer lag "
+    "seconds, LOWER-median per cohort via the per-value + prefix-scan "
+    "order statistic (no per-row keyed window) -- the funnel-latency "
+    "metric a growth dashboard tracks; user-keyed joins, uniform hash keys",
+)
+def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_message_filter_spark.operators.robust import lower_median_cents
+
+    ev = load(spark, "events", sf_dir)
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    lag = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.floor(
+                    (F.unix_micros("ts") - F.unix_micros("t_view")) / 1000000
+                ).cast("long")
+            ).alias("lag_s")
+        )
+    )
+    cohort = lag.join(first_view, "user_id").select(
+        F.floor((F.dayofmonth("t_view") - 1) / 7).cast("int").alias("g"),
+        F.col("lag_s"),
+    )
+    med = lower_median_cents(cohort, "g", F.col("lag_s"))
+    counts = cohort.groupBy("g").agg(F.count("*").alias("n_converted"))
+    return (
+        med.join(counts, "g")
+        .select(
+            F.col("g").alias("cohort_week"),
+            "n_converted",
+            F.col("med_cents").alias("median_lag_s"),
+        )
+    )
+
+
+@graded(
+    "forecast_seasonal_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT d.event_type, d.n, p.n AS pred
+            FROM daily d
+            JOIN daily p ON p.event_type = d.event_type
+                        AND CAST(p.day AS DATE) = CAST(d.day AS DATE) - 7
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days_scored,
+               CAST(sum(abs(n - pred)) AS DOUBLE) / count(*) AS mae,
+               round(CAST(sum(abs(n - pred)) AS DOUBLE)
+                     / CAST(sum(n) AS BIGINT), 6) AS wape
+        FROM scored GROUP BY event_type
+    """,
+    section="C4,C11,D2,F14",
+    description="seasonal-naive forecast backtest per event type: predict "
+    "each day's count with the count 7 days earlier (calendar self-join on "
+    "the AGGREGATED daily series), score with MAE and WAPE -- both exact "
+    "integer ratios (sum of integer absolute errors over integer "
+    "denominators), no per-row double summation; the baseline every "
+    "forecasting pipeline must beat",
+)
+def forecast_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    pred = daily.select(
+        F.col("event_type"),
+        F.date_add("d", 7).alias("d"),
+        F.col("n").alias("pred"),
+    )
+    scored = daily.join(pred, ["event_type", "d"])
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days_scored"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("pred"))).cast("double") / F.count("*")
+        ).alias("mae"),
+        F.round(
+            F.sum(F.abs(F.col("n") - F.col("pred"))).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("wape"),
+    )

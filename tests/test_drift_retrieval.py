@@ -315,3 +315,56 @@ def test_cramers_v_and_mi_invariants(spark):
         mi = mi_type_hour_profile(spark, dd).collect()
     assert v.cramers_v == 0.0 and v.n == len(rows)
     assert all(r.mi_term == 0.0 for r in mi)
+
+
+def test_seasonal_backtest_perfect_weekly_pattern(spark):
+    import tempfile, os
+    from datetime import datetime
+    from pulsar_message_filter_spark.operators.behavior import (
+        forecast_seasonal_backtest,
+    )
+
+    # counts repeat with period 7 exactly → MAE = WAPE = 0
+    rows, eid = [], 0
+    for d in range(1, 29):
+        for _ in range((d - 1) % 7 + 1):
+            rows.append((eid, datetime(2024, 1, d, 12, 0, 0), eid, "t", 1.0, "{}"))
+            eid += 1
+    with tempfile.TemporaryDirectory() as dd:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(dd, "events.parquet"))
+        out = forecast_seasonal_backtest(spark, dd).collect()[0]
+    assert out.n_days_scored == 21 and out.mae == 0.0 and out.wape == 0.0
+
+
+def test_conversion_lag_median_and_window(spark):
+    import tempfile, os
+    from datetime import datetime
+    from pulsar_message_filter_spark.operators.behavior import funnel_conversion_lag
+
+    rows = [
+        # user 1: view day 1, purchases at +10s and +100s → lag 10
+        (1, datetime(2024, 1, 1, 10, 0, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 0, 10), 1, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 1, 40), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE view → not a conversion; later one counts
+        (4, datetime(2024, 1, 1, 9, 0, 0), 2, "purchase", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 11, 0, 0), 2, "view", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 11, 0, 30), 2, "purchase", 1.0, "{}"),
+        # user 3: view only → no conversion row
+        (7, datetime(2024, 1, 1, 12, 0, 0), 3, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as dd:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(dd, "events.parquet"))
+        out = funnel_conversion_lag(spark, dd).collect()
+    assert len(out) == 1
+    r = out[0]
+    # lags are {10, 30}; lower median = 10
+    assert r.cohort_week == 0 and r.n_converted == 2 and r.median_lag_s == 10
