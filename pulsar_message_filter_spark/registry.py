@@ -186,5 +186,6 @@ def _load_modules() -> None:
     import pulsar_message_filter_spark.operators.drift  # noqa: F401
     import pulsar_message_filter_spark.operators.retrieval  # noqa: F401
     import pulsar_message_filter_spark.operators.robust  # noqa: F401
+    import pulsar_message_filter_spark.operators.abtest  # noqa: F401
 
     _LOADED = True

@@ -368,3 +368,49 @@ def test_conversion_lag_median_and_window(spark):
     r = out[0]
     # lags are {10, 30}; lower median = 10
     assert r.cohort_week == 0 and r.n_converted == 2 and r.median_lag_s == 10
+
+
+def _write_ev(spark, rows, d):
+    import os
+
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+
+def test_abtest_balanced_identical_arms_z_zero(spark):
+    import tempfile
+    from datetime import datetime
+    from pulsar_message_filter_spark.operators.abtest import abtest_two_proportion
+
+    rows = []
+    for u in range(40):  # even/odd arms identical: half of each convert
+        et = "purchase" if u % 4 < 2 else "view"
+        rows.append((u, datetime(2024, 1, 2, 10, 0, 0), u, et, 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        _write_ev(spark, rows, d)
+        out = abtest_two_proportion(spark, d).collect()[0]
+    assert out.n_a == out.n_b == 20
+    assert out.p_a == out.p_b == 0.5
+    assert out.z_stat == 0.0 and out.srm_chi2 == 0.0
+
+
+def test_abtest_cuped_perfect_covariate(spark):
+    import tempfile
+    from datetime import datetime
+    from pulsar_message_filter_spark.operators.abtest import abtest_cuped
+
+    # y = 2x exactly → theta = 2, variance reduction = 1
+    rows = []
+    eid = 0
+    for u in range(10):
+        rows.append((eid, datetime(2024, 1, 5, 0, 0, 0), u, "t", float(u + 1), "{}"))
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 20, 0, 0, 0), u, "t", 2.0 * (u + 1), "{}"))
+        eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_ev(spark, rows, d)
+        out = abtest_cuped(spark, d).collect()[0]
+    assert out.n == 10 and out.theta == 2.0 and out.var_reduction == 1.0
