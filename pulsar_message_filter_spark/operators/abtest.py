@@ -182,3 +182,89 @@ def abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov_n / varx_n, 6).alias("theta"),
         F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("var_reduction"),
     )
+
+
+@graded(
+    "abtest_welch_t",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS spend_cents
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, count(*) AS n,
+                   sum(CAST(spend_cents AS HUGEINT)) AS s,
+                   sum(CAST(spend_cents AS HUGEINT) * spend_cents) AS ss
+            FROM per_user GROUP BY arm
+        ),
+        m AS (
+            SELECT arm, CAST(n AS BIGINT) AS n,
+                   CAST(s AS DOUBLE) / n AS mean,
+                   (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                       / (n - 1) AS var
+            FROM arms
+        )
+        SELECT a.n AS n_a, b.n AS n_b,
+               round(a.mean / 100, 4) AS mean_a, round(b.mean / 100, 4) AS mean_b,
+               round((a.mean - b.mean)
+                     / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+               round(pow(a.var / a.n + b.var / b.n, 2)
+                     / (pow(a.var / a.n, 2) / (a.n - 1)
+                        + pow(b.var / b.n, 2) / (b.n - 1)), 2) AS welch_df
+        FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1
+    """,
+    section="C13,F14",
+    description="Welch two-sample t-test on per-user purchase spend by "
+    "deterministic hash arm: unequal-variance t statistic and "
+    "Welch-Satterthwaite degrees of freedom, all from exact integer "
+    "moments (decimal(38,0)/HUGEINT partials) + one double expression",
+)
+def abtest_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-metric complement to the two-proportion z-test: the
+    unequal-variance (Welch) t-test every experimentation readout needs
+    for revenue-like metrics.  Per-user totals are one uniform-key
+    groupBy; arm moments are a second tiny aggregation."""
+    events = load(spark, "events", sf_dir)
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+        ).alias("spend_cents")
+    ).select((F.col("user_id") % 2).alias("arm"), "spend_cents")
+    sd = F.col("spend_cents").cast("decimal(38,0)")
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(sd).cast("double").alias("s"),
+        F.sum(sd * sd).cast("double").alias("ss"),
+    )
+    n = F.col("n")
+    m = arms.select(
+        "arm",
+        n,
+        (F.col("s") / n).alias("mean"),
+        ((F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)).alias("var"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    se2 = F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    return (
+        a.join(b, (F.col("a.arm") == 0) & (F.col("b.arm") == 1))
+        .select(
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.col("a.mean") / 100, 4).alias("mean_a"),
+            F.round(F.col("b.mean") / 100, 4).alias("mean_b"),
+            F.round((F.col("a.mean") - F.col("b.mean")) / F.sqrt(se2), 6).alias(
+                "t_stat"
+            ),
+            F.round(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("a.var") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+                    + F.pow(F.col("b.var") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+                ),
+                2,
+            ).alias("welch_df"),
+        )
+    )

@@ -489,3 +489,71 @@ def f33_dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return survivor_pick(pairs, docs.select("doc_id", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# F53 — BPE-style tokenizer induction: first-round pair-merge statistics
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@graded(
+    "f53_bpe_pair_merges",
+    oracle=f"""
+        WITH words AS (
+            SELECT word, count(*) AS wc FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ) WHERE length(word) >= 2 GROUP BY word
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                          i -> substr(word, i, 2))) AS pair,
+                   wc
+            FROM words
+        )
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair ASC
+        LIMIT {_BPE_TOP}
+    """,
+    section="F6,F8,D5,C22",
+    description="BPE tokenizer induction, round one: corpus-weighted "
+    "adjacent-character pair counts (the argmax pair is the first BPE "
+    "merge) via higher-order array functions — no UDF; top-20 with "
+    "deterministic (count desc, pair asc) tiebreak",
+)
+def f53_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of byte-pair-encoding vocabulary induction: the
+    frequency table of adjacent symbol pairs, weighted by word frequency.
+    A full BPE trainer loops argmax-merge N times on the driver over this
+    (small) pair table; the expensive corpus pass below is the part that
+    must scale, and it is pure map-side-combinable relational algebra —
+    explode of a ``transform(sequence(...))`` pair array computed in
+    codegen, then one groupBy.
+
+    Guard: 1-char words are filtered BEFORE ``sequence(1, len-1)`` —
+    Spark's sequence infers a NEGATIVE step when start > stop, so an
+    unguarded len=1 word would yield [1, 0], not an empty list."""
+    docs = load(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(_BPE_TOP)
+    )

@@ -1,0 +1,274 @@
+"""Semantic curation — SemDeDup-style cluster dedup and DSIR importance
+weights.
+
+Two embedding/statistics-driven curation operators from the LLM-data
+literature, both expressed so a SQL oracle can replay them exactly:
+
+* **SemDeDup** (Abbas et al., 2023): cluster the embedding space, then
+  drop near-identical items *within* a cluster — the cluster assignment
+  turns the quadratic near-dup search into per-cluster work.  The
+  trained-k-means step is replaced by a deterministic **anchor
+  assignment** (every ``ANCHOR_STRIDE``-th vector is an anchor; each
+  vector joins its highest-cosine anchor, ties to the lowest anchor id),
+  which keeps the operator fully oracle-checkable — the earlier k-means
+  oracle attempt showed float-centroid argmin is flaky across engines,
+  so anchors are *data vectors*, compared with the same 6-dp-rounded
+  double cosine on both sides.
+* **DSIR** (Xie et al., 2023): score raw documents by how much their
+  hashed-n-gram distribution looks like a target domain — here the
+  per-bucket log-ratio of target (lang='en') vs raw unigram mass,
+  hashed into 256 md5-prefix buckets (the engine-portable hash trick
+  from `sampling.py`).  Reported per source as the average per-doc
+  importance log-weight.
+
+Scale notes (100 TB):
+
+* SemDeDup anchors are a broadcastable side (thousands of rows at any
+  corpus size — stride grows with data); assignment is a broadcast
+  nested-loop scored in codegen, and the pair search shuffles on
+  ``anchor_id`` — cluster-local, never all-pairs.  Real deployments
+  swap the anchor set for trained centroids; the plumbing is identical.
+* DSIR's bucket table is 256 rows — broadcast joined to the exploded
+  token stream; everything else is map-side-combinable aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.similarity import (
+    _cosine_sql,
+    cosine,
+)
+from pulsar_message_filter_spark.registry import graded
+
+ANCHOR_STRIDE = 25
+SEMDEDUP_TAU = 0.38
+
+
+def assign_to_anchors(emb: DataFrame, stride: int = ANCHOR_STRIDE) -> DataFrame:
+    """(vec_id, anchor_id, cos_r): deterministic cluster assignment —
+    highest 6-dp cosine to any anchor vector, ties to the lowest anchor
+    id.  Anchors are the ``vec_id % stride == 0`` rows (broadcast)."""
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("anchor_emb"),
+        )
+    )
+    scored = emb.crossJoin(anchors).select(
+        "vec_id",
+        "anchor_id",
+        F.round(cosine(F.col("embedding"), F.col("anchor_emb")), 6).alias(
+            "cos_r"
+        ),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_r"), (-F.col("anchor_id")).alias("neg"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.neg")).alias("anchor_id"),
+        F.col("b.cos_r").alias("cos_r"),
+    )
+
+
+def semdedup_drops(
+    emb: DataFrame, tau: float = SEMDEDUP_TAU, stride: int = ANCHOR_STRIDE
+) -> DataFrame:
+    """(vec_id dropped): vectors with a lower-id same-cluster neighbor at
+    6-dp cosine ≥ tau — the keep-lowest-id survivor rule shared with the
+    MinHash pipeline (`dedup.py`)."""
+    assigned = assign_to_anchors(emb, stride)
+    members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = members.select(
+        F.col("anchor_id").alias("c"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = members.select(
+        F.col("anchor_id").alias("c"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, "c").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cs", F.round(cosine(F.col("ea"), F.col("eb")), 6)
+        )
+        .filter(F.col("cs") >= tau)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+
+
+_ASSIGN_SQL = f"""
+        anchors AS (
+            SELECT vec_id AS anchor_id, embedding AS anchor_emb
+            FROM embeddings WHERE vec_id % {ANCHOR_STRIDE} = 0
+        ),
+        scored AS (
+            SELECT e.vec_id, a.anchor_id,
+                   round({_cosine_sql('e.embedding', 'a.anchor_emb')}, 6) AS cos_r
+            FROM embeddings e CROSS JOIN anchors a
+        ),
+        assigned AS (
+            SELECT vec_id, anchor_id, cos_r FROM (
+                SELECT vec_id, anchor_id, cos_r,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos_r DESC, anchor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+"""
+
+
+@graded(
+    "f51_semantic_dedup",
+    oracle=f"""
+        WITH {_ASSIGN_SQL},
+        members AS (
+            SELECT s.vec_id, s.anchor_id, e.embedding, e.label
+            FROM assigned s JOIN embeddings e USING (vec_id)
+        ),
+        drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM members a JOIN members b
+              ON a.anchor_id = b.anchor_id AND a.vec_id < b.vec_id
+            WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 6)
+                  >= {SEMDEDUP_TAU}
+        )
+        SELECT m.anchor_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+               CAST(min(m.vec_id) AS BIGINT) AS min_member_id
+        FROM members m LEFT JOIN drops d ON m.vec_id = d.vec_id
+        GROUP BY m.anchor_id
+    """,
+    section="F2,F4,C8,C11",
+    description="SemDeDup-style semantic dedup: deterministic anchor "
+    "clustering (broadcast anchors, 6-dp cosine argmax) then keep-lowest-id "
+    "within-cluster near-dup drop at tau=0.38 — per-cluster member/drop "
+    "census, exact cross-engine",
+)
+def f51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    assigned = assign_to_anchors(emb)
+    members = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    drops = semdedup_drops(emb).withColumn("dropped", F.lit(1))
+    return (
+        members.join(drops, "vec_id", "left")
+        .groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("dropped").alias("n_dropped"),
+            F.min("vec_id").alias("min_member_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-unigram importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256  # 2 md5 hex chars
+_DSIR_ALPHA = 0.5  # Laplace smoothing per bucket
+
+
+def dsir_bucket_logratios(docs: DataFrame, target_filter) -> DataFrame:
+    """(bucket, log_ratio): per-md5-bucket ln(p_target / p_raw) with
+    add-alpha smoothing — the broadcastable importance model."""
+    tokens = docs.select(
+        F.col("lang"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    bucketed = tokens.select(
+        "lang", F.substring(F.md5("word"), 1, 2).alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("src_cnt"),
+        F.sum(F.when(target_filter, 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("src_cnt").alias("ns"), F.sum("tgt_cnt").alias("nt")
+    )
+    a = F.lit(_DSIR_ALPHA)
+    smooth = F.lit(_DSIR_ALPHA * _DSIR_BUCKETS)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + a) / (F.col("nt") + smooth))
+            - F.log((F.col("src_cnt") + a) / (F.col("ns") + smooth))
+        ).alias("log_ratio"),
+    )
+
+
+@graded(
+    "f52_dsir_weights",
+    oracle=f"""
+        WITH tokens AS (
+            SELECT source, lang, doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        tok AS (
+            SELECT source, lang, doc_id, substr(md5(word), 1, 2) AS bucket
+            FROM tokens WHERE word <> ''
+        ),
+        counts AS (
+            SELECT bucket, count(*) AS src_cnt,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+            FROM tok GROUP BY bucket
+        ),
+        totals AS (SELECT sum(src_cnt) AS ns, sum(tgt_cnt) AS nt FROM counts),
+        model AS (
+            SELECT bucket,
+                   ln((tgt_cnt + {_DSIR_ALPHA}) / (nt + {_DSIR_ALPHA * _DSIR_BUCKETS}))
+                   - ln((src_cnt + {_DSIR_ALPHA}) / (ns + {_DSIR_ALPHA * _DSIR_BUCKETS}))
+                       AS log_ratio
+            FROM counts, totals
+        )
+        SELECT t.source,
+               CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(m.log_ratio) / count(DISTINCT t.doc_id), 4)
+                   AS avg_doc_logweight
+        FROM tok t JOIN model m USING (bucket)
+        GROUP BY t.source
+    """,
+    section="F6,F11,F16,C11",
+    description="DSIR-style importance weights: hashed-unigram (256 "
+    "md5-prefix buckets) target-vs-raw log-ratio model, reported as the "
+    "average per-doc importance log-weight by source — the "
+    "domain-upsampling signal for mixture construction",
+)
+def f52_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    model = F.broadcast(
+        dsir_bucket_logratios(docs, F.col("lang") == "en")
+    )
+    tok = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "source", "doc_id", F.substring(F.md5("word"), 1, 2).alias("bucket")
+        )
+    )
+    return (
+        tok.join(model, "bucket")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("log_ratio") / F.countDistinct("doc_id"), 4
+            ).alias("avg_doc_logweight"),
+        )
+    )

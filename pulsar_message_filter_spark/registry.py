@@ -187,5 +187,9 @@ def _load_modules() -> None:
     import pulsar_message_filter_spark.operators.retrieval  # noqa: F401
     import pulsar_message_filter_spark.operators.robust  # noqa: F401
     import pulsar_message_filter_spark.operators.abtest  # noqa: F401
+    import pulsar_message_filter_spark.operators.linkage  # noqa: F401
+    import pulsar_message_filter_spark.operators.semdedup  # noqa: F401
+    import pulsar_message_filter_spark.operators.heavy  # noqa: F401
+    import pulsar_message_filter_spark.operators.argstats  # noqa: F401
 
     _LOADED = True
