@@ -81,6 +81,9 @@ def test_all_non_udf_queries_stay_jvm_side(spark):
         # bloom membership test is a deliberate vectorized pandas UDF; the
         # filter build is mapInPandas by design (word packing)
         "f34_bloom_prefilter_dedup",
+        # Jaro-Winkler has no Spark built-in: deliberate Arrow-batched
+        # pandas UDF applied after JVM-side blocking (linkage.py)
+        "fuzzy_jaro_winkler",
     }
     offenders = []
     for name, g in registry.all_graded().items():
