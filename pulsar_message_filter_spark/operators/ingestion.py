@@ -41,33 +41,37 @@ _CSV_SCHEMA = StructType(
 
 
 def _write_fixture_csv(spark: SparkSession, sf_dir: str) -> str:
-    """Deterministic CSV with doc_id%11 rows malformed (unterminated quote).
+    """Deterministic headerless CSV with doc_id%11 lines malformed.
 
-    Written once per (sf_dir) under the system temp dir; rewritten only if
-    absent so repeated graded runs are cheap and stable."""
-    rows = (
-        load(spark, "documents", sf_dir)
-        .select("doc_id", "source", "lang")
-        .orderBy("doc_id")
-        .collect()
-    )
-    # cache key includes a corpus fingerprint so a regenerated testdata set
-    # (the driver rewrote /root/testdata once already) never reuses a stale
-    # fixture file
+    The malformed lines are produced ON THE EXECUTORS: the line text is a
+    Column expression (``format_string`` with an ``id-`` prefix for the
+    corrupt subset — non-numeric id, so the declared LongType conversion
+    fails and PERMISSIVE parks the raw line in ``_corrupt_record``) and the
+    directory is written with Spark's text writer.  Nothing is collected to
+    the driver except a one-row (count, max_id) fingerprint used as the
+    cache key, so the fixture build itself scales with the corpus.
+
+    Written once per (sf_dir, fingerprint) under the system temp dir; a
+    regenerated testdata set never reuses a stale fixture directory."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source", "lang")
+    # bounded O(1) collect: corpus fingerprint for the fixture cache key
+    n_docs, max_id = docs.agg(F.count("*"), F.max("doc_id")).first()
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    fp = f"{len(rows)}_{rows[-1].doc_id if rows else 0}"
-    path = os.path.join(tempfile.gettempdir(), f"pmf_ingest_{tag}_{fp}.csv")
-    if os.path.exists(path):
+    path = os.path.join(
+        tempfile.gettempdir(), f"pmf_ingest_{tag}_{n_docs}_{max_id}_csvdir"
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    with open(path, "w") as f:
-        f.write("doc_id,source,lang\n")
-        for r in rows:
-            if r.doc_id % 11 == 0:
-                # non-numeric id: schema LongType conversion fails -> the
-                # whole raw line lands in _corrupt_record (PERMISSIVE)
-                f.write(f"id-{r.doc_id},{r.source},{r.lang}\n")
-            else:
-                f.write(f"{r.doc_id},{r.source},{r.lang}\n")
+    line = F.format_string(
+        "%s,%s,%s",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("id-"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("doc_id").cast("string")),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
     return path
 
 
@@ -82,7 +86,7 @@ def _write_fixture_csv(spark: SparkSession, sf_dir: str) -> str:
 )
 def a_ingest_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _write_fixture_csv(spark, sf_dir)
-    raw = read_any(spark, path, "csv", schema=_CSV_SCHEMA)
+    raw = read_any(spark, path, "csv", schema=_CSV_SCHEMA, header="false")
     clean, corrupt = split_corrupt(raw)
     per_source = clean.groupBy("source").agg(F.count("*").alias("n_clean"))
     totals = per_source.agg(

