@@ -585,13 +585,38 @@ def minhash_dedup_incremental(
 
 @graded(
     "f18_incremental_dedup",
-    oracle=None,  # decisions mix exact Jaccard (in-batch) with
-    # signature-estimate (vs history): engine-specific hash family
+    # The per-decision path mixes exact Jaccard (in-batch) with the
+    # signature-estimate (vs history) — engine-specific hash family — but
+    # the FINAL survivor set is deterministic batch-dedup semantics on this
+    # fixture (exact copies estimate Jaccard 1.0 under any hash family, and
+    # pytest pins that no non-identical pair crosses the 0.8 threshold), so
+    # the post-pipeline state is graded against a batch-dedup oracle
+    # (VERDICT r03 next round #5): a batch-2 row survives iff its text is
+    # not in batch 1 and no lower-id batch-2 row shares its text.
+    oracle="""
+        WITH b1 AS (
+            SELECT DISTINCT text FROM documents WHERE doc_id < 40
+        ),
+        b2 AS (
+            SELECT doc_id + 20000 AS doc_id, text, lang, source
+            FROM documents WHERE doc_id < 10
+            UNION ALL
+            SELECT doc_id, text, lang, source
+            FROM documents WHERE doc_id >= 60 AND doc_id < 70
+        )
+        SELECT doc_id, lang, source FROM b2
+        WHERE text NOT IN (SELECT text FROM b1)
+          AND NOT EXISTS (
+              SELECT 1 FROM b2 prior
+              WHERE prior.text = b2.text AND prior.doc_id < b2.doc_id
+          )
+    """,
     section="F1,F2,F14",
     description="incremental dedup demo: ingest docs <40 into a fresh "
-    "signature store, then dedup a second batch (10 copies + docs 60-69) "
-    "against it — returns batch-2 survivors; rows-only (deterministic: "
-    "fresh store per call, seeded hashes)",
+    "signature store, then dedup a second batch (10 exact copies + docs "
+    "60-69) against it — returns batch-2 survivors, graded against the "
+    "deterministic batch-dedup oracle of the final state (exact copies "
+    "always estimate Jaccard 1.0; pytest pins no near-threshold pairs)",
 )
 def f18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives :func:`minhash_dedup_incremental` end-to-end through the
@@ -1035,13 +1060,156 @@ def pagerank_lite(
     return ranks.withColumn("n_nodes", F.lit(n_nodes))
 
 
+def pagerank_lite_int(
+    pairs: DataFrame,
+    iters: int = 5,
+    scale: int = 1_000_000_000,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """Integer-scaled twin of :func:`pagerank_lite` — engine-exact.
+
+    Ranks are carried as 1e-9-quantized BIGINTs (``scale``) and every
+    iteration is pure integer arithmetic: per-edge contribution is
+    ``r DIV deg`` (floor division), the damped update is
+    ``base + (17 * Σcontrib) DIV 20`` with ``base = scale - 0.85*scale``
+    computed once in exact integers.  Integer addition is commutative, so
+    the distributed sum order cannot perturb the result — which is what
+    lets the graded query carry a real DuckDB oracle (VERDICT r03 next
+    round #5) where the float fixpoint could only be rows-only.  The
+    quantization error vs the float recurrence is ≤ iters·(deg+1) ulps of
+    1e-9 — irrelevant for hub *ranking*.
+
+    Same distributed shape as the float twin: per round one rank-to-edges
+    equi-join + one destination-keyed integer sum, node-id partitioning
+    throughout, ``localCheckpoint`` lineage truncation, nothing collected
+    but the O(1) node count.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    degrees = edges.groupBy("src").agg(F.count("*").alias("d"))
+    edges = edges.join(degrees, "src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    base = scale - (scale * damping_num) // damping_den
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" DIV {damping_den}"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+    )
+
+
 @graded(
     "pagerank_neardup_hubs",
-    oracle=None,  # iterative float fixpoint — rows-only per driver contract
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+            FROM documents WHERE doc_id < 120
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE 2 * len(list_intersect(a.t, b.t))
+                  > len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        it1 AS (
+            SELECT n.node,
+                   CAST(150000000 + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.r // dg.d) AS BIGINT) AS c
+                FROM edges e JOIN r0 r ON r.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY 1
+            ) s ON s.dst = n.node
+        ),
+        it2 AS (
+            SELECT n.node,
+                   CAST(150000000 + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.r // dg.d) AS BIGINT) AS c
+                FROM edges e JOIN it1 r ON r.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY 1
+            ) s ON s.dst = n.node
+        ),
+        it3 AS (
+            SELECT n.node,
+                   CAST(150000000 + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.r // dg.d) AS BIGINT) AS c
+                FROM edges e JOIN it2 r ON r.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY 1
+            ) s ON s.dst = n.node
+        ),
+        it4 AS (
+            SELECT n.node,
+                   CAST(150000000 + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.r // dg.d) AS BIGINT) AS c
+                FROM edges e JOIN it3 r ON r.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY 1
+            ) s ON s.dst = n.node
+        ),
+        it5 AS (
+            SELECT n.node,
+                   CAST(150000000 + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.r // dg.d) AS BIGINT) AS c
+                FROM edges e JOIN it4 r ON r.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY 1
+            ) s ON s.dst = n.node
+        )
+        SELECT node, r AS rank_scaled,
+               (SELECT count(*) FROM nodes) AS n_nodes
+        FROM it5
+    """,
     section="F14,F2",
-    description="PageRank-lite (5 damped iterations) over the exact-Jaccard "
-    "near-dup graph (docs <120, the f20 pair graph): template/boilerplate "
-    "hubs rank highest — per-round cost is one keyed join + one keyed sum",
+    description="PageRank-lite (5 damped iterations, integer-scaled 1e-9 "
+    "quantization: contribution = r DIV deg, update = base + 17*sum DIV 20 "
+    "— all-commutative integer sums, so the fixed-iteration result is "
+    "engine-exact and oracle-checkable) over the exact-Jaccard near-dup "
+    "graph (docs <120): template/boilerplate hubs rank highest — per-round "
+    "cost is one keyed join + one keyed integer sum",
 )
 def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -1051,17 +1219,16 @@ def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
-    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
-    )
+    # jac > 0.5 as an exact integer cross-multiplication (2|∩| > |∪|)
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(jac > 0.5)
+        .filter(
+            2 * F.size(F.array_intersect("ta", "tb"))
+            > F.size(F.array_union("ta", "tb"))
+        )
         .select("id_a", "id_b")
     )
-    return pagerank_lite(pairs).select(
-        "node", F.round("rank", 6).alias("rank"), "n_nodes"
-    )
+    return pagerank_lite_int(pairs, iters=5)
 
 
 # ---------------------------------------------------------------------------

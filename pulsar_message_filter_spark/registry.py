@@ -78,7 +78,7 @@ _DRIVER_VERIFIED = frozenset(
     "anomaly_mad_outliers", "basket_lift_pairs", "basket_lift_weekly",
     "changepoint_cusum", "cms_user_event_counts", "crosstab_cramers_v",
     "drift_benford_profile", "drift_ks_two_sample", "drift_psi_value",
-    "f12_multimodal_features", "f18_incremental_dedup", "f21_topk_int8",
+    "f12_multimodal_features", "f21_topk_int8",
     "f2_minhash_lsh", "f2_minhash_lsh_tuned", "f2_simhash",
     "f49_mmr_rerank", "f4_topk_ivf", "f4_topk_ivf_auto", "f4_topk_lsh",
     "f54_bigram_perplexity", "f55_vocab_coverage", "f56_ngram_novelty",
@@ -87,7 +87,7 @@ _DRIVER_VERIFIED = frozenset(
     "hll_audience_overlap", "hll_distinct_users", "hll_windowed_merge",
     "impute_group_median", "join_anti", "join_asof", "join_broadcast_dims",
     "join_cross", "join_full_outer", "join_left_outer", "join_range_theta",
-    "join_semi", "mi_type_hour_profile", "pagerank_neardup_hubs",
+    "join_semi", "mi_type_hour_profile",
     "pipeline_composite", "q10_returned_items",
     "q13_order_count_distribution", "q14_promo_revenue_share",
     "q18_large_orders", "q1_pricing_summary", "q3_top_revenue",

@@ -739,6 +739,28 @@ def test_pagerank_lite_mass_and_hub_ordering(spark):
     assert abs(ranks[10] - ranks[11]) < 1e-9  # symmetric pair ties
 
 
+def test_pagerank_lite_int_tracks_float_twin(spark):
+    """The integer-scaled PageRank (the oracle-checkable graded form) must
+    agree with the float fixpoint to the 1e-9 quantization on a known
+    graph, preserve hub ordering, and conserve (scaled) rank mass."""
+    from pulsar_message_filter_spark.operators.dedup import (
+        pagerank_lite,
+        pagerank_lite_int,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(10, 11)], ["id_a", "id_b"]
+    )
+    f = {r.node: r.rank for r in pagerank_lite(pairs, iters=5).collect()}
+    i = {r.node: r.rank_scaled for r in pagerank_lite_int(pairs, iters=5).collect()}
+    assert set(f) == set(i)
+    for n in f:
+        # floor-division quantization: <= iters*(deg+1) ulps of 1e-9
+        assert abs(i[n] / 1e9 - f[n]) < 1e-6, (n, i[n], f[n])
+    assert i[0] > max(i[k] for k in range(1, 7))  # hub dominates, exactly
+    assert i[10] == i[11]  # symmetric pair ties EXACTLY in integer math
+
+
 def test_containment_lsh_path_finds_planted_prefix_pairs(spark):
     """The candidate-bounded containment path must recover >=90% of planted
     prefix-inside-document pairs (containment 1.0, Jaccard ~0.6) and keep
