@@ -5,11 +5,14 @@ The Spark-side plumbing is real and tested: the ``binaryFile`` source,
 content digests, magic-byte sniffing, and an Arrow-batched ``mapInPandas``
 feature-extraction stage with a documented batch shape.
 
-The actual media decode is STUBBED (this container ships no image/audio
-libraries): ``decode_stub`` produces a *deterministic fake* feature row
-derived from the raw bytes, and raises ``NotImplementedError`` when real
-decoding is requested — swap the body for PIL/librosa in production; the
-schema, partitioning, and UDF signature do not change.
+BMP and WAV *header metadata* extraction is REAL — width/height and
+sample-rate/channel-count are pure-struct parses of the public BMP/RIFF
+layouts, no media library needed.  Full pixel/sample decoding is STUBBED
+(this container ships no image/audio libraries): ``decode_stub`` produces
+a *deterministic fake* feature row derived from the raw bytes for
+non-BMP/WAV magics, and raises ``NotImplementedError`` when full decoding
+is requested — swap the body for PIL/librosa in production; the schema,
+partitioning, and UDF signature do not change.
 """
 
 from __future__ import annotations
@@ -24,35 +27,94 @@ from pyspark.sql import functions as F
 from pulsar_message_filter_spark.registry import graded
 
 #: Output schema of the feature-extraction stage — fixed regardless of the
-#: decoder implementation.
+#: decoder implementation.  ``width/height`` (BMP) and
+#: ``sample_rate/n_channels`` (WAV) are REAL header-parsed values; they are
+#: null for media kinds whose decode is still stubbed.
 FEATURE_SCHEMA = (
     "path string, byte_len long, magic string, sha1 string, "
+    "media_kind string, width int, height int, "
+    "sample_rate int, n_channels int, "
     "fake_width int, fake_height int"
 )
+
+
+def _parse_bmp_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a BITMAPINFOHEADER — pure struct, no image lib.
+
+    Layout (public BMP spec): 14-byte file header (``BM`` magic), then the
+    info header with int32-LE width at byte 18 and height at byte 22 (the
+    height may be negative for top-down bitmaps; callers get |height|)."""
+    import struct
+
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    width, height = struct.unpack_from("<ii", b, 18)
+    return width, abs(height)
+
+
+def _parse_wav_header(b: bytes) -> tuple[int, int] | None:
+    """(sample_rate, n_channels) from a RIFF/WAVE ``fmt `` chunk.
+
+    Walks the chunk list (public RIFF spec) instead of assuming the fmt
+    chunk sits at byte 12 — LIST/INFO chunks before fmt are legal."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    off = 12
+    while off + 8 <= len(b):
+        chunk_id = b[off : off + 4]
+        (chunk_sz,) = struct.unpack_from("<I", b, off + 4)
+        if chunk_id == b"fmt " and off + 16 <= len(b):
+            n_channels, sample_rate = struct.unpack_from("<HI", b, off + 10)
+            return sample_rate, n_channels
+        off += 8 + chunk_sz + (chunk_sz & 1)  # chunks are word-aligned
+    return None
 
 
 def decode_stub(batches: Iterator[pd.DataFrame], real_decode: bool = False):
     """mapInPandas stage: (path, content) batches → feature rows.
 
-    Deterministic fake: "dimensions" are derived from the first content
-    bytes, so tests can assert exact values.  ``real_decode=True`` is the
-    marked extension point for an actual media library.
+    BMP and WAV metadata extraction is REAL (pure-struct header parses, no
+    media library needed): ``width``/``height`` for BMP, ``sample_rate``/
+    ``n_channels`` for WAV, with ``media_kind`` in ('bmp', 'wav',
+    'opaque').  For every other magic the columns are null and the
+    deterministic fake dimensions (derived from the first content bytes,
+    so tests can assert exact values) stand in.  ``real_decode=True`` —
+    full pixel/sample decoding — remains the marked extension point for an
+    actual media library.
     """
     import hashlib
 
     if real_decode:
         raise NotImplementedError(
-            "real media decoding requires an image/audio library; "
-            "this container intentionally ships the stub path only"
+            "full pixel/sample decoding requires an image/audio library; "
+            "this container ships header parsing (BMP/WAV) + the stub only"
         )
+
+    def _features(b: bytes) -> tuple:
+        bmp = _parse_bmp_header(b)
+        if bmp is not None:
+            return ("bmp", bmp[0], bmp[1], None, None)
+        wav = _parse_wav_header(b)
+        if wav is not None:
+            return ("wav", None, None, wav[0], wav[1])
+        return ("opaque", None, None, None, None)
+
     for pdf in batches:
         content = pdf["content"]
+        parsed = content.map(_features)
         yield pd.DataFrame(
             {
                 "path": pdf["path"].map(lambda p: p.rsplit("/", 1)[-1]),
                 "byte_len": content.map(len),
                 "magic": content.map(lambda b: b[:4].decode("latin1")),
                 "sha1": content.map(lambda b: hashlib.sha1(b).hexdigest()),
+                "media_kind": parsed.map(lambda t: t[0]),
+                "width": parsed.map(lambda t: t[1]),
+                "height": parsed.map(lambda t: t[2]),
+                "sample_rate": parsed.map(lambda t: t[3]),
+                "n_channels": parsed.map(lambda t: t[4]),
                 "fake_width": content.map(lambda b: 1 + b[0] if len(b) else 0),
                 "fake_height": content.map(lambda b: 1 + b[1] if len(b) > 1 else 0),
             }

@@ -277,6 +277,39 @@ def test_multimodal_stub_plumbing(spark):
     assert all(len(r.sha1) == 40 and r.byte_len > 0 for r in feats)
     # deterministic fake dimensions derive from content bytes
     assert all(r.fake_width == 1 + ord("P") for r in feats)
+    assert all(r.media_kind == "opaque" for r in feats)  # PAR1 stays stubbed
+
+
+def test_bmp_wav_header_decode_is_real(spark, tmp_path):
+    """VERDICT r03 next round #6: BMP width/height and WAV sample-rate/
+    channels must be REAL header parses (pure struct), asserted against
+    hand-built fixtures with known values; other magics stay stubbed."""
+    import struct
+
+    # 7x3 24-bit BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    w, h = 7, 3
+    row = (w * 3 + 3) // 4 * 4
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 14 + 40 + row * h, 0, 0, 54) + info
+    bmp += b"\x00" * (row * h)
+    (tmp_path / "img.bmp").write_bytes(bmp)
+
+    # 16-bit mono 22050 Hz WAV with a LIST chunk BEFORE fmt (chunk walk)
+    sr, ch = 22050, 1
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+    list_chunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    data = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    body = b"WAVE" + list_chunk + b"fmt " + struct.pack("<I", 16) + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    (tmp_path / "clip.wav").write_bytes(wav)
+
+    feats = {r.path: r for r in binary_features(spark, str(tmp_path) + "/*").collect()}
+    b = feats["img.bmp"]
+    assert (b.media_kind, b.width, b.height) == ("bmp", 7, 3)
+    assert b.sample_rate is None and b.n_channels is None
+    a = feats["clip.wav"]
+    assert (a.media_kind, a.sample_rate, a.n_channels) == ("wav", 22050, 1)
+    assert a.width is None and a.height is None
 
 
 def test_frame_sample_fanout_shape(spark):
