@@ -371,3 +371,64 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_after_impute"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed selection: exact k-th smallest without a global sort
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_kth_smallest",
+    oracle=f"""
+        WITH vals AS (
+            SELECT {cents_sql('l_extendedprice')} AS v, count(*) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        scan AS (
+            SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                   sum(c) OVER (ORDER BY v) - c AS cum_before
+            FROM vals
+        ),
+        ks AS (SELECT unnest([10, 1000, 25000]) AS k)
+        SELECT k, min(v) AS kth_value_cents
+        FROM ks JOIN scan ON cum >= k AND cum_before < k
+        GROUP BY 1
+    """,
+    section="C14,C22,F14",
+    description="exact k-th smallest l_extendedprice for k in "
+    "(10, 1000, 25000) by distributed selection: per-value counts, "
+    "two-phase prefix scan, integer threshold cut — the order statistic "
+    "WITHOUT a global sort (contrast C22's TakeOrderedAndProject, which "
+    "materializes k rows: this shape answers k = billions at 100 TB "
+    "where top-k collection cannot)",
+)
+def agg_kth_smallest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection via counting, not sorting: aggregate to (value, count) —
+    the shuffle collapses to value cardinality, bounded for cents — then
+    one distributed prefix scan gives the rank span [cum_before, cum] each
+    value covers, and k-th smallest = the value whose span contains k.
+    Ks exceeding the row count simply emit nothing (mirrored in the
+    oracle: its join finds no covering span)."""
+    ks = [10, 1000, 25000]
+    vals = (
+        load(spark, "lineitem", sf_dir)
+        .select(cents("l_extendedprice").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .withColumn("g", F.lit(0))
+    )
+    scan = distributed_prefix_sum(vals, "g", ["v"], "c", "cum").withColumn(
+        "cum_before", F.col("cum") - F.col("c")
+    )
+    ks_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+    )
+    return (
+        scan.join(
+            F.broadcast(ks_df),
+            (F.col("cum") >= F.col("k")) & (F.col("cum_before") < F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.min("v").alias("kth_value_cents"))
+    )

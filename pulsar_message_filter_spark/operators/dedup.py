@@ -1504,3 +1504,112 @@ def prefix_filter_jaccard(
 def f39_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select("doc_id", "text")
     return prefix_filter_jaccard(docs, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 — winnowing fingerprints (local dedup signatures; Schleimer 2003)
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint set (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS local-fingerprinting algorithm, public).
+
+    Whole-document hashes (``f6d``) miss PARTIAL overlap; winnowing
+    guarantees any shared run of ≥ w+k-1 tokens leaves at least one
+    shared fingerprint.  Shape: token ``k``-gram shingles per position
+    (narrow 1→N fan-out, same machinery as ``ngram_novelty``), gram hash
+    = md5 (lowercase hex on both engines, compared lexicographically —
+    no integer conversion needed for a MIN), then the winnowing select:
+    a position's hash survives iff it equals the window minimum over the
+    trailing ``w`` positions — a doc-partitioned ROWS window, never
+    global.  Output: distinct ``(doc, fp)``.
+
+    Scale: fingerprint density is ~2/(w+1) of positions, so the output is
+    a constant fraction of the token stream; the doc-keyed window
+    parallelizes per document.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("t")
+    ).filter(F.size("t") >= k)
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (k - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)])
+        ),
+    )
+    grams = toks.select(
+        "doc", F.posexplode(sh_arr).alias("pos", "h")
+    )
+    win = (
+        Window.partitionBy("doc").orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    # every COMPLETE window contributes its minimum hash (the Schleimer
+    # guarantee needs the window min itself, not min-at-current-position:
+    # a window fully inside a shared run then yields the same fingerprint
+    # in both documents regardless of what precedes the run)
+    return (
+        grams.withColumn("win_min", F.min("h").over(win))
+        .filter(F.col("pos") >= w - 1)  # posexplode is 0-based
+        .select("doc", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+
+
+@graded(
+    "f57_winnowing_candidates",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 4
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+3], ' ')) AS h
+            FROM toks, unnest(generate_series(1, len(t) - 3)) AS u(i)
+        ),
+        winmin AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS win_min
+            FROM grams
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id, win_min AS h FROM winmin WHERE pos >= 4
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    """,
+    section="F1,F2,F6,C18",
+    description="winnowing near-dup candidates (Schleimer'03 MOSS): token "
+    "4-gram md5 shingles, window-4 minimum selection (doc-partitioned ROWS "
+    "window), candidate pairs sharing >=3 fingerprints via a "
+    "fingerprint-keyed equi-join — guarantees detection of any shared run "
+    "of >=7 tokens while joining only ~2/(w+1) of positions; the "
+    "partial-overlap dedup signal whole-doc hashing (f6d) cannot give",
+)
+def f57_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation is a hash equi-join on the fingerprint value —
+    content-bucketed like MinHash banding, no cartesian; the >=3-shared
+    HAVING floors out coincidental single-gram collisions."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    fp = winnowing_fingerprints(docs)
+    a = fp.select(F.col("doc").alias("id_a"), "fp")
+    b = fp.select(F.col("doc").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

@@ -76,6 +76,29 @@ def fuzzy_pairs(
     )
 
 
+def noisy_vocabulary(docs: DataFrame) -> DataFrame:
+    """Corpus vocabulary with deterministic OCR-style noise injected
+    (last char -> 'x' on doc_id%7 docs, len>=4) — the shared fixture for
+    the fuzzy-matching and entity-clustering graded queries (the organic
+    fixture vocabulary has no near-pairs)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    clean = toks.filter(F.col("word") != "").select("word")
+    noisy = toks.filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("word") >= 4)
+    ).select(
+        F.concat(
+            F.expr("substring(word, 1, length(word) - 1)"), F.lit("x")
+        ).alias("word")
+    )
+    return (
+        clean.unionAll(noisy)
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
 @graded(
     "fuzzy_vocab_pairs",
     oracle="""
@@ -114,20 +137,4 @@ def fuzzy_pairs(
 )
 def fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    )
-    clean = toks.filter(F.col("word") != "").select("word")
-    noisy = toks.filter(
-        (F.col("doc_id") % 7 == 0) & (F.length("word") >= 4)
-    ).select(
-        F.concat(
-            F.expr("substring(word, 1, length(word) - 1)"), F.lit("x")
-        ).alias("word")
-    )
-    vocab = (
-        clean.unionAll(noisy)
-        .groupBy("word")
-        .agg(F.count("*").alias("n_occurrences"))
-    )
-    return fuzzy_pairs(vocab)
+    return fuzzy_pairs(noisy_vocabulary(docs))

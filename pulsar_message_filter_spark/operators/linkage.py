@@ -271,3 +271,87 @@ def sorted_neighborhood_pairs(
 def f50_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return sorted_neighborhood_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Entity clusters — transitive closure of the fuzzy pair graph
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "linkage_entity_clusters",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        noisy AS (
+            SELECT word FROM toks WHERE word != ''
+            UNION ALL
+            SELECT substr(word, 1, len(word) - 1) || 'x' AS word
+            FROM toks WHERE doc_id % 7 = 0 AND len(word) >= 4
+        ),
+        vocab AS (SELECT word, count(*) AS n_occurrences FROM noisy GROUP BY 1),
+        keyed AS (
+            SELECT word, n_occurrences,
+                   CAST(floor(len(word) / 2.0) AS BIGINT) AS len_b,
+                   substr(word, 1, 1) AS c0
+            FROM vocab
+        ),
+        pairs AS (
+            SELECT a.word AS wa, b.word AS wb
+            FROM keyed a JOIN keyed b
+              ON a.len_b = b.len_b AND a.c0 = b.c0 AND a.word < b.word
+            WHERE levenshtein(a.word, b.word) <= 2
+        ),
+        sym AS (
+            SELECT wa AS a, wb AS b FROM pairs
+            UNION SELECT wb, wa FROM pairs
+        ),
+        reach AS (
+            WITH RECURSIVE r(a, b) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+                UNION
+                SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+            )
+            SELECT * FROM r
+        ),
+        labels AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY 1)
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               string_agg(node, ',' ORDER BY node) AS members
+        FROM labels
+        GROUP BY 1
+    """,
+    section="F2,F14,C11",
+    description="entity clusters: min-label-propagation connected "
+    "components (iterative keyed join, the dedup.py machinery) over the "
+    "blocked fuzzy-match pair graph, verified against a genuine "
+    "WITH RECURSIVE transitive-closure oracle — A~B, B~C collapse to one "
+    "entity even when A~C was never emitted",
+)
+def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after pair scoring that actual entity resolution needs:
+    fuzzy pairs are EDGES; the dedup/merge decision wants COMPONENTS.
+    Reuses :func:`~pulsar_message_filter_spark.operators.dedup.connected_components`
+    (distributed min-label propagation, O(diameter) rounds of keyed
+    join+agg) on the `fuzzy.py` blocked pair graph, then aggregates each
+    cluster to (representative, size, member list).  The oracle is real
+    recursion (DuckDB WITH RECURSIVE) — two different algorithms, one
+    answer.  Scale: components machinery is node-id-keyed throughout;
+    the member string_agg is per-cluster bounded (spelling-variant
+    clusters are small by construction)."""
+    from pulsar_message_filter_spark.operators.dedup import connected_components
+    from pulsar_message_filter_spark.operators.fuzzy import (
+        fuzzy_pairs,
+        noisy_vocabulary,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    pairs = fuzzy_pairs(noisy_vocabulary(docs)).select(
+        F.col("word_a").alias("id_a"), F.col("word_b").alias("id_b")
+    )
+    comp = connected_components(pairs)  # (node, cluster_id)
+    return comp.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.array_join(F.array_sort(F.collect_list("node")), ",").alias("members"),
+    )

@@ -531,6 +531,82 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C10 — as-of join, FORWARD direction with a tolerance bound
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "join_asof_tolerance",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'click'),
+             matched AS (
+               SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                      c.ts_us - p.ts_us AS gap_us,
+                      row_number() OVER (PARTITION BY p.event_id
+                                         ORDER BY c.ts_us ASC, c.event_id ASC) AS rn
+               FROM p JOIN c ON p.user_id = c.user_id
+                AND c.ts_us > p.ts_us
+                AND c.ts_us <= p.ts_us + CAST(3600 AS BIGINT) * 1000000)
+        SELECT p.event_id AS purchase_id, m.click_id,
+               m.gap_us AS next_click_gap_us
+        FROM p LEFT JOIN matched m
+          ON m.purchase_id = p.event_id AND m.rn = 1
+    """,
+    section="C10,C5",
+    description="forward as-of join WITH tolerance: earliest following "
+    "click per purchase per user, at most 1h later, LEFT semantics (a "
+    "purchase with no in-window click keeps a null match) — the other "
+    "half of the as-of family next to join_asof's backward form; the "
+    "tolerance turns the range join's per-row scan span from unbounded "
+    "history into a fixed window (the property that makes it "
+    "partition-prunable at 100 TB)",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of answers "what led to this"; the forward+tolerance
+    form answers "what did this lead to within the SLA window" (purchase →
+    next click ≤ 1h).  Same emulation shape as join_asof (range join +
+    per-left-row rank) with two differences that matter at scale: the
+    tolerance bounds the join's time span — on a time-partitioned layout
+    each left row touches at most two partitions — and the LEFT join
+    preserves unmatched rows, so downstream rates are computed over the
+    full population."""
+    tol_us = 3600 * 1_000_000
+    events = load(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_ts"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    matched = (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("p_ts"))
+            & (F.col("c_ts") <= F.col("p_ts") + F.lit(tol_us)),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("purchase_id").alias("m_purchase_id"),
+            "click_id",
+            (F.col("c_ts") - F.col("p_ts")).alias("next_click_gap_us"),
+        )
+    )
+    return purchases.join(
+        matched, purchases.purchase_id == matched.m_purchase_id, "left"
+    ).select("purchase_id", "click_id", "next_click_gap_us")
+
+
+# ---------------------------------------------------------------------------
 # C3 — distinct
 # ---------------------------------------------------------------------------
 
@@ -1172,6 +1248,15 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="RANGE frame: peers within a value distance (not row count)",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame demo on a deliberately BOUNDED input.
+
+    The unpartitioned ``orderBy`` window serializes into one task — safe
+    here ONLY because the ``p_partkey < 500`` filter caps the input at a
+    few hundred rows by construction (the operator under test is the
+    value-distance frame semantics, not scale).  For an unbounded RANGE
+    scan, use the two-phase distributed prefix machinery in
+    :mod:`~pulsar_message_filter_spark.functions.prefix` — the pattern
+    every growing-cardinality query in this repo already uses."""
     w = Window.orderBy("p_size").rangeBetween(-5, Window.currentRow)
     return (
         load(spark, "part", sf_dir)

@@ -701,3 +701,89 @@ def chunk_documents(
 def f42_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select("doc_id", "text")
     return chunk_documents(docs)
+
+
+# ---------------------------------------------------------------------------
+# F10/F14 — Zipf rank-frequency fit (corpus-law profiling)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "corpus_zipf_slope",
+    oracle="""
+        WITH uni AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        cnt AS (
+            SELECT term, count(*) AS c FROM uni WHERE term != '' GROUP BY 1
+        ),
+        top AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+            FROM cnt ORDER BY c DESC, term LIMIT 100
+        ),
+        pts AS (
+            SELECT log10(CAST(rnk AS DOUBLE)) AS x,
+                   log10(CAST(c AS DOUBLE)) AS y
+            FROM top
+        ),
+        s AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS zipf_slope,
+               round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 4)
+                   AS intercept,
+               round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                     / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+        FROM s
+    """,
+    section="F10,F14,C13",
+    description="Zipf law fit: OLS slope of log10(freq) on log10(rank) "
+    "over the top-100 vocabulary terms — a natural-language corpus shows "
+    "slope near -1; a template/boilerplate-heavy or synthetic corpus "
+    "deviates, making this a one-number corpus-health probe next to "
+    "f10's profile (float sums over a FIXED 100 points, f38's tolerance "
+    "class)",
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy lifting is the term count (map-side-combinable agg); the fit
+    runs on a bounded top-100 frame: TakeOrderedAndProject collects 100
+    (count, term) rows into one task, where the unpartitioned rank window
+    is safe BY CONSTRUCTION (same bounded-window contract as
+    window_range_frame).  Rank ties break on term asc in both engines."""
+    from pyspark.sql import Window
+
+    cnt = (
+        load(spark, "documents", sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "term").limit(100)
+    w = Window.orderBy(F.desc("c"), "term")  # bounded: 100 rows post-limit
+    pts = top.select(
+        F.log10(F.row_number().over(w).cast("double")).alias("x"),
+        F.log10(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cxy / cxx
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias("intercept"),
+        F.round(cxy * cxy / (cxx * cyy), 4).alias("r2"),
+    )

@@ -1,0 +1,120 @@
+"""Ground-truth tests for the round-7 operator batch: local clustering
+coefficient, entity clusters, distributed k-th selection, Zipf fit,
+forward as-of with tolerance, winnowing fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from tests.conftest import SF_SMOKE
+
+
+def test_local_clustering_on_known_graph(spark):
+    """Triangle 1-2-3 plus pendant 4 hanging off 1: nodes 2,3 have cc=1
+    (their whole neighborhood is connected), node 1 has cc = 1/3 (one of
+    its three neighbor pairs is an edge), pendant 4 is excluded (deg 1)."""
+    from pulsar_message_filter_spark.operators.graph import (
+        degrees,
+        node_triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], ["u", "v"]
+    )
+    deg = {r.node: r.deg for r in degrees(edges).collect()}
+    tri = {r.node: r.n_tri for r in node_triangle_counts(edges).collect()}
+    assert deg == {1: 3, 2: 2, 3: 2, 4: 1}
+    assert tri == {1: 1, 2: 1, 3: 1}  # node 4 in no triangle -> absent
+    cc = {n: 2 * tri.get(n, 0) / (d * (d - 1)) for n, d in deg.items() if d >= 2}
+    assert cc[2] == 1.0 and cc[3] == 1.0
+    assert abs(cc[1] - 1 / 3) < 1e-12
+
+
+def test_entity_clusters_are_transitive(spark):
+    """A~B and B~C must land in one cluster even though A~C was never
+    emitted — the property that separates components from pair lists."""
+    from pulsar_message_filter_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("aaa", "aab"), ("aab", "aac"), ("zzz", "zzy")], ["id_a", "id_b"]
+    )
+    comp = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert comp["aaa"] == comp["aab"] == comp["aac"] == "aaa"
+    assert comp["zzz"] == comp["zzy"] == "zzy"
+
+
+def test_kth_smallest_matches_sort(spark):
+    from pulsar_message_filter_spark.operators.argstats import agg_kth_smallest
+
+    got = {r.k: r.kth_value_cents for r in agg_kth_smallest(spark, SF_SMOKE).collect()}
+    vals = sorted(
+        r[0]
+        for r in load(spark, "lineitem", SF_SMOKE)
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .collect()
+    )
+    for k, v in got.items():
+        assert v == vals[k - 1], (k, v, vals[k - 1])
+    # ks beyond the row count emit nothing rather than garbage
+    assert all(k <= len(vals) for k in got)
+
+
+def test_zipf_slope_shape(spark):
+    from pulsar_message_filter_spark.operators.text import corpus_zipf_slope
+
+    row = corpus_zipf_slope(spark, SF_SMOKE).collect()[0]
+    n_vocab = (
+        load(spark, "documents", SF_SMOKE)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert row.n_terms == min(100, n_vocab)
+    assert row.zipf_slope < 0  # frequency decreases with rank
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_join_asof_tolerance_bounds_and_left_semantics(spark):
+    from pulsar_message_filter_spark.operators.relational import join_asof_tolerance
+
+    rows = join_asof_tolerance(spark, SF_SMOKE).collect()
+    n_purchases = (
+        load(spark, "events", SF_SMOKE)
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(rows) == n_purchases  # LEFT: every purchase appears once
+    matched = [r for r in rows if r.click_id is not None]
+    assert matched, "fixture should produce at least one in-window match"
+    assert all(0 < r.next_click_gap_us <= 3600 * 1_000_000 for r in matched)
+
+
+def test_winnowing_guarantee_shared_run_leaves_shared_fingerprint(spark):
+    """Schleimer'03 guarantee: a shared token run of length >= w + k - 1
+    (here 7) must leave at least one common fingerprint; disjoint texts
+    share none."""
+    from pulsar_message_filter_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} closing words here"),
+            (2, f"{shared} completely different tail text now"),
+            (3, "unrelated corpus with no overlap at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(docs)
+    by_doc = {
+        r.doc: set(r.fps)
+        for r in fp.groupBy("doc").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: winnowing keeps a strict subset of positions
+    n_pos = 40 - 3  # doc 3 has fewer; just sanity-check doc sizes below
+    assert all(len(v) < n_pos for v in by_doc.values())
