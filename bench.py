@@ -55,6 +55,9 @@ HEADLINE = [
     "drift_ks_two_sample",  # two-sample KS via multi-column prefix scan
     "f43_bm25_topk",  # BM25 lexical retrieval (explode + broadcast + agg)
     "f48_quantile_normalize",  # per-source mid-rank calibration (prefix scan)
+    "f57_winnowing_candidates",  # winnowing fingerprints + candidate join
+    "linkage_entity_clusters",  # fuzzy pairs -> connected components
+    "agg_kth_smallest",  # distributed selection via prefix scan
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -95,6 +98,9 @@ BUDGET_SEC = {
     "drift_ks_two_sample": 2.5,
     "f43_bm25_topk": 2.0,
     "f48_quantile_normalize": 2.0,
+    "f57_winnowing_candidates": 5.3,
+    "linkage_entity_clusters": 4.3,
+    "agg_kth_smallest": 3.6,
 }
 
 
