@@ -28,7 +28,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
@@ -138,3 +138,91 @@ def noisy_vocabulary(docs: DataFrame) -> DataFrame:
 def fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return fuzzy_pairs(noisy_vocabulary(docs))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal best match — the high-precision tier above raw pair lists
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "fuzzy_mutual_best",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        noisy AS (
+            SELECT word FROM toks WHERE word != ''
+            UNION ALL
+            SELECT substr(word, 1, len(word) - 1) || 'x' AS word
+            FROM toks WHERE doc_id % 7 = 0 AND len(word) >= 4
+        ),
+        vocab AS (SELECT word, count(*) AS n_occurrences FROM noisy GROUP BY 1),
+        keyed AS (
+            SELECT word,
+                   CAST(floor(len(word) / 2.0) AS BIGINT) AS len_b,
+                   substr(word, 1, 1) AS c0
+            FROM vocab
+        ),
+        pairs AS (
+            SELECT a.word AS wa, b.word AS wb,
+                   CAST(levenshtein(a.word, b.word) AS INT) AS dist
+            FROM keyed a JOIN keyed b
+              ON a.len_b = b.len_b AND a.c0 = b.c0 AND a.word < b.word
+            WHERE levenshtein(a.word, b.word) <= 2
+        ),
+        sym AS (
+            SELECT wa AS w, wb AS cand, dist FROM pairs
+            UNION ALL SELECT wb, wa, dist FROM pairs
+        ),
+        best AS (
+            SELECT w, cand, dist,
+                   row_number() OVER (PARTITION BY w ORDER BY dist, cand) AS rn
+            FROM sym
+        )
+        SELECT a.w AS word_a, a.cand AS word_b, a.dist
+        FROM best a JOIN best b
+          ON a.cand = b.w AND b.cand = a.w AND a.rn = 1 AND b.rn = 1
+        WHERE a.w < a.cand
+    """,
+    section="F2,C18,C6",
+    description="reciprocal best fuzzy match: keep (a, b) only when b is "
+    "a's closest candidate AND a is b's (distance, then lexicographic "
+    "tiebreak) — the mutual-nearest filter that turns a noisy candidate "
+    "pair list into high-precision merge decisions (the same reciprocity "
+    "idea as bidirectional-best bitext mining); per-word rank is a "
+    "word-partitioned window over the blocked pair graph",
+)
+def fuzzy_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided best lists are skewed by dense neighborhoods (a hub
+    variant is 'best' for many words that are not ITS best); requiring
+    reciprocity removes exactly those asymmetric links.  Shape: symmetrize
+    the pair list (narrow), per-word rank window, self-join of two rn=1
+    streams on the reversed key — all keyed by word, no new shuffle
+    classes beyond the pair generation itself."""
+    docs = load(spark, "documents", sf_dir)
+    pairs = fuzzy_pairs(noisy_vocabulary(docs)).select("word_a", "word_b", "dist")
+    sym = pairs.select(
+        F.col("word_a").alias("w"), F.col("word_b").alias("cand"), "dist"
+    ).unionAll(
+        pairs.select(
+            F.col("word_b").alias("w"), F.col("word_a").alias("cand"), "dist"
+        )
+    )
+    wbest = Window.partitionBy("w").orderBy("dist", "cand")
+    best = (
+        sym.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("w", "cand", "dist")
+    )
+    a = best.select(
+        F.col("w").alias("word_a"), F.col("cand").alias("word_b"), "dist"
+    )
+    b = best.select(
+        F.col("cand").alias("word_a"), F.col("w").alias("word_b")
+    )
+    return (
+        a.join(b, ["word_a", "word_b"], "left_semi")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b", "dist")
+    )

@@ -377,3 +377,159 @@ def f32_quality_weighted_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(md5_byte("doc_id") < F.col("thr"))
     )
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# F16/F14 — temperature-scaled mixture allocation (multilingual sampling)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "mixture_temperature_weights",
+    oracle="""
+        WITH src AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+        ),
+        wtd AS (
+            SELECT source, n_docs,
+                   CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS w
+            FROM src
+        ),
+        staged AS (
+            SELECT source, n_docs, w,
+                   (10000 * w) // sum(w) OVER () AS base,
+                   (10000 * w) % sum(w) OVER () AS rem
+            FROM wtd
+        ),
+        ranked AS (
+            SELECT *,
+                   sum(base) OVER () AS base_sum,
+                   row_number() OVER (ORDER BY rem DESC, source) AS r
+            FROM staged
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(base + CASE WHEN r <= 10000 - base_sum THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_docs,
+               round(CAST(base + CASE WHEN r <= 10000 - base_sum
+                                      THEN 1 ELSE 0 END AS DOUBLE)
+                     / n_docs, 6) AS epochs_per_doc
+        FROM ranked
+    """,
+    section="F14,C11,C18",
+    description="temperature-scaled sampling allocation (alpha=0.5, the "
+    "XLM-R-style exponent smoothing, public): per-source budget share "
+    "proportional to n^alpha, integerized (sqrt scaled 1e6) and settled "
+    "by largest-remainder rounding so allocations sum EXACTLY to the "
+    "10000-doc budget — up-weights tail sources against head domination; "
+    "epochs_per_doc > 1 flags sources the schedule would repeat",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The allocation math runs on the per-source aggregate (source
+    cardinality rows — tiny at any corpus scale; the one global window is
+    over that aggregate, not the corpus).  IEEE sqrt is identical across
+    engines, and everything after the 1e6 integerization is exact integer
+    arithmetic, so the oracle is exact rather than tolerance-classed."""
+    budget = 10_000
+    scale = 1_000_000
+    src = (
+        load(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "w",
+            F.round(F.sqrt(F.col("n_docs").cast("double")) * scale).cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    W = Window.partitionBy()  # source-cardinality frame, bounded
+    staged = (
+        src.withColumn("base", F.expr(f"({budget} * w) div sum(w) over ()"))
+        .withColumn("rem", F.expr(f"({budget} * w) % sum(w) over ()"))
+        .withColumn("base_sum", F.sum("base").over(W))
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+        )
+    )
+    alloc = F.col("base") + F.when(
+        F.col("r") <= F.lit(budget) - F.col("base_sum"), 1
+    ).otherwise(0)
+    return staged.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        alloc.cast("long").alias("alloc_docs"),
+        F.round(alloc.cast("double") / F.col("n_docs"), 6).alias("epochs_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16/F11 — nucleus (top-p) selection per source on the quality mass
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "mixture_nucleus_topp",
+    oracle="""
+        WITH scored AS (
+            SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score
+            FROM documents
+        ),
+        scanned AS (
+            SELECT source, doc_id, score,
+                   sum(score) OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id) AS cum,
+                   sum(score) OVER (PARTITION BY source) AS total
+            FROM scored
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN (cum - score) * 100 < 80 * total
+                        THEN 1 ELSE 0 END AS kept
+            FROM scanned
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(sum(kept * score) AS BIGINT) AS kept_chars,
+               CAST(sum(score) AS BIGINT) AS total_chars
+        FROM flagged
+        GROUP BY 1
+    """,
+    section="F11,C20,F14",
+    description="nucleus (top-p) selection per source: take documents in "
+    "score order (n_chars desc, doc_id tiebreak) until 80% of the "
+    "source's score mass is covered — the smallest prefix crossing the "
+    "mass threshold, decided by the EXCLUSIVE prefix sum (cum - score) so "
+    "the crossing document is kept; integer cross-multiplied threshold, "
+    "source-partitioned windows",
+)
+def mixture_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p on the quality mass keeps whole high-value documents rather
+    than a fixed count or fixed fraction — budget follows where the score
+    concentrates.  Source-partitioned windows parallelize per source;
+    for low-cardinality-source corpora at extreme scale, swap the window
+    pair for the two-phase distributed prefix scan (same contract as
+    f55)."""
+    from pyspark.sql import Window
+
+    w_scan = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    w_all = Window.partitionBy("source")
+    scanned = (
+        load(spark, "documents", sf_dir)
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("score"))
+        .withColumn("cum", F.sum("score").over(w_scan))
+        .withColumn("total", F.sum("score").over(w_all))
+        .withColumn(
+            "kept",
+            ((F.col("cum") - F.col("score")) * 100 < 80 * F.col("total")).cast(
+                "int"
+            ),
+        )
+    )
+    return scanned.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(F.col("kept") * F.col("score")).cast("long").alias("kept_chars"),
+        F.sum("score").cast("long").alias("total_chars"),
+    )

@@ -1116,3 +1116,71 @@ def f49_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(rank, vid, round(rel, 6), round(score, 6)) for rank, vid, rel, score in picked],
         "rank long, vec_id long, relevance double, mmr_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# F4/F5 — hard-negative mining (contrastive-training pair generation)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f58_hard_negatives",
+    oracle=f"""
+        WITH a AS (
+            SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20
+        ),
+        scored AS (
+            SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+                   b.label AS negative_label,
+                   round({_cosine_sql('a.embedding', 'b.embedding')}, 6)
+                       AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round({_cosine_sql('a.embedding', 'b.embedding')}, 6)
+                                DESC, b.vec_id
+                   ) AS rn
+            FROM a JOIN embeddings b ON b.label <> a.label
+        )
+        SELECT anchor_id, negative_id, negative_label, cos_sim
+        FROM scored WHERE rn = 1
+    """,
+    section="F4,F5,C18",
+    description="hard-negative mining for contrastive training: per anchor "
+    "(20 query vectors), the single most-similar embedding carrying a "
+    "DIFFERENT label — the pair a triplet/InfoNCE loss learns most from; "
+    "broadcast anchors, one corpus scan, rounded-similarity+id "
+    "deterministic rank (same plan family as f4_topk_cosine with a "
+    "label-inequality join predicate)",
+)
+def f58_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: anchors broadcast (the query block pattern); the
+    label-inequality predicate rides the same broadcast join — the corpus
+    is scanned once and never shuffled; per-anchor rank runs on
+    anchor-partitioned windows.  At real scale the corpus side swaps for
+    the IVF/LSH candidate streams exactly as f4 does — mining quality
+    degrades gracefully from global-hardest to bucket-hardest."""
+    emb = load(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("ae"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("ce"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "negative_id")
+    return (
+        F.broadcast(anchors)
+        .join(corpus, F.col("negative_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            "negative_label",
+            F.round(cosine(F.col("ae"), F.col("ce")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "negative_id", "negative_label", "cos_sim")
+    )

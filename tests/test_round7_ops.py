@@ -118,3 +118,62 @@ def test_winnowing_guarantee_shared_run_leaves_shared_fingerprint(spark):
     # density: winnowing keeps a strict subset of positions
     n_pos = 40 - 3  # doc 3 has fewer; just sanity-check doc sizes below
     assert all(len(v) < n_pos for v in by_doc.values())
+
+
+def test_hard_negatives_cross_label_and_argmax(spark):
+    from pulsar_message_filter_spark.operators.similarity import f58_hard_negatives
+
+    rows = f58_hard_negatives(spark, SF_SMOKE).collect()
+    emb = load(spark, "embeddings", SF_SMOKE)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    n_anchors = emb.filter(F.col("vec_id") < 20).count()
+    assert len(rows) == n_anchors  # exactly one hard negative per anchor
+    for r in rows:
+        assert labels[r.anchor_id] != r.negative_label
+        assert labels[r.negative_id] == r.negative_label
+
+
+def test_mutual_best_each_word_appears_at_most_once(spark):
+    """Reciprocity makes the output a (partial) matching: no word can be
+    in two mutual-best pairs, and every pair must come from the candidate
+    pair list."""
+    from pulsar_message_filter_spark.operators.fuzzy import (
+        fuzzy_mutual_best,
+        fuzzy_vocab_pairs,
+    )
+
+    mb = fuzzy_mutual_best(spark, SF_SMOKE).collect()
+    assert mb, "noise injection guarantees at least one mutual pair"
+    seen = [w for r in mb for w in (r.word_a, r.word_b)]
+    assert len(seen) == len(set(seen))  # a matching, not a star
+    cand = {
+        (r.word_a, r.word_b)
+        for r in fuzzy_vocab_pairs(spark, SF_SMOKE).collect()
+    }
+    assert all((r.word_a, r.word_b) in cand for r in mb)
+
+
+def test_temperature_allocation_sums_to_budget_and_flattens(spark):
+    from pulsar_message_filter_spark.operators.mixture import (
+        mixture_temperature_weights,
+    )
+
+    rows = mixture_temperature_weights(spark, SF_SMOKE).collect()
+    assert sum(r.alloc_docs for r in rows) == 10_000
+    # alpha=0.5 flattens the mixture: allocation tracks sqrt(n) within the
+    # +/-1 largest-remainder step
+    import math
+
+    w = {r.source: math.sqrt(r.n_docs) for r in rows}
+    tot = sum(w.values())
+    for r in rows:
+        ideal = 10_000 * w[r.source] / tot
+        assert abs(r.alloc_docs - ideal) <= 1.0, (r.source, r.alloc_docs, ideal)
+
+
+def test_nucleus_topp_covers_the_mass(spark):
+    from pulsar_message_filter_spark.operators.mixture import mixture_nucleus_topp
+
+    for r in mixture_nucleus_topp(spark, SF_SMOKE).collect():
+        assert 0 < r.n_kept <= r.n_docs
+        assert r.kept_chars * 100 >= 80 * r.total_chars  # threshold covered
