@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
@@ -440,4 +440,291 @@ def f47_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         probs.groupBy("source")
         .agg(F.round(F.sum(contrib), 6).alias("js_divergence"))
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: MRR / recall@k / nDCG@k against label relevance
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f59_retrieval_metrics",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+            FROM embeddings WHERE vec_id < 20
+        ),
+        ranked AS (
+            SELECT q.query_id, q.qlabel, c.label AS clabel,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(
+                           list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+                           6) DESC, c.vec_id
+                   ) AS rank
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ),
+        top AS (SELECT * FROM ranked WHERE rank <= 10),
+        rel_total AS (
+            SELECT q.query_id, count(*) AS n_rel
+            FROM q JOIN embeddings c
+              ON c.vec_id <> q.query_id AND c.label = q.qlabel
+            GROUP BY 1
+        ),
+        per_q AS (
+            SELECT query_id,
+                   min(CASE WHEN clabel = qlabel THEN rank END) AS first_rel,
+                   sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS n_rel_top,
+                   sum(CASE WHEN clabel = qlabel
+                            THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg
+            FROM top GROUP BY 1
+        ),
+        ideal AS (
+            SELECT r.query_id,
+                   sum(1.0 / log2(i + 1)) AS idcg
+            FROM rel_total r,
+                 unnest(generate_series(1, least(r.n_rel, 10))) AS u(i)
+            GROUP BY 1
+        )
+        SELECT p.query_id,
+               round(COALESCE(1.0 / p.first_rel, 0.0), 6) AS mrr,
+               round(CAST(p.n_rel_top AS DOUBLE)
+                     / least(r.n_rel, 10), 6) AS recall_at_10,
+               round(p.dcg / i.idcg, 6) AS ndcg_at_10
+        FROM per_q p
+        JOIN rel_total r ON r.query_id = p.query_id
+        JOIN ideal i ON i.query_id = p.query_id
+    """,
+    section="F4,F14,C11,C18",
+    description="retrieval evaluation per query (20 queries, top-10 brute "
+    "cosine run, relevance = same label): reciprocal rank of the first "
+    "relevant hit, recall@10 against the capped relevant-set size, and "
+    "binary nDCG@10 with exact log2 discounts — the measurement layer "
+    "that turns the f4/f43 retrieval family into tunable systems",
+)
+def f59_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation reuses the production ranking path (same rounded-cosine
+    + id tiebreak as brute_topk, so metrics grade EXACTLY what the
+    retrieval op serves), then three query-keyed aggregations.  Scale:
+    metrics cost is the retrieval run itself; the per-query aggs are
+    20-group combinable sums, and the ideal-DCG spine is a sequence
+    explode over min(n_rel, 10) — bounded."""
+    from pulsar_message_filter_spark.operators.similarity import brute_topk
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    qlabels = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    clabels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clabel")
+    )
+    top = (
+        brute_topk(queries, emb, k=10)
+        .join(F.broadcast(qlabels), "query_id")
+        .join(clabels, "neighbor_id")
+        .withColumn("rel", (F.col("clabel") == F.col("qlabel")).cast("int"))
+    )
+    rel_total = (
+        F.broadcast(qlabels)
+        .join(
+            clabels,
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("clabel") == F.col("qlabel")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    per_q = top.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum("rel").alias("n_rel_top"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1, F.lit(1.0) / F.log2(F.col("rank") + 1)
+            ).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    ideal = rel_total.select(
+        "query_id",
+        "n_rel",
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(10))),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+        ).alias("idcg"),
+    )
+    return (
+        per_q.join(ideal, "query_id")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.col("n_rel_top").cast("double") / F.least(F.col("n_rel"), F.lit(10)),
+                6,
+            ).alias("recall_at_10"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: per-label precision / recall / F1 for the KNN vote
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f60_knn_eval",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, label AS true_label, embedding AS qe
+            FROM embeddings WHERE vec_id < 50
+        ),
+        ranked AS (
+            SELECT q.query_id, q.true_label, c.label AS clabel,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(
+                           list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+                           6) DESC, c.vec_id
+                   ) AS rank
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ),
+        votes AS (
+            SELECT query_id, true_label, clabel, count(*) AS n_votes
+            FROM ranked WHERE rank <= 5
+            GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT query_id, true_label, clabel AS pred_label
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_votes DESC, clabel
+                ) AS rv
+                FROM votes
+            ) WHERE rv = 1
+        ),
+        labels AS (
+            SELECT true_label AS label FROM pred
+            UNION SELECT pred_label FROM pred
+        ),
+        m AS (
+            SELECT l.label,
+                   sum(CASE WHEN p.pred_label = l.label
+                            AND p.true_label = l.label THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN p.pred_label = l.label
+                            AND p.true_label <> l.label THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN p.pred_label <> l.label
+                            AND p.true_label = l.label THEN 1 ELSE 0 END) AS fn
+            FROM labels l CROSS JOIN pred p
+            GROUP BY 1
+        )
+        SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(CASE WHEN tp + fp = 0 THEN 0.0
+                          ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+               round(CASE WHEN tp + fn = 0 THEN 0.0
+                          ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+               round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                          ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6)
+                   AS f1
+        FROM m
+    """,
+    section="F5,F14,C11",
+    description="per-label precision/recall/F1 of the 5-NN cosine vote "
+    "over 50 held-out queries (same deterministic ranking as f5): the "
+    "confusion-count aggregation every labeler/classifier pipeline needs "
+    "before its output is trusted as training signal — tp/fp/fn from one "
+    "broadcast label-spine pass, F1 from integer counts",
+)
+def f60_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: predictions reuse the f5 vote path (brute top-5, count
+    votes, deterministic tiebreak); metrics are one small cross join of
+    the prediction table against the distinct label spine (labels ×
+    queries — both bounded; at corpus scale the spine is still just the
+    label set) aggregated to confusion counts."""
+    from pulsar_message_filter_spark.operators.similarity import brute_topk
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 50)
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    clabels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clabel")
+    )
+    votes = (
+        brute_topk(queries, emb, k=5)
+        .join(clabels, "neighbor_id")
+        .groupBy("query_id", "clabel")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "clabel")
+    pred = (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("query_id", F.col("clabel").alias("pred_label"))
+        .join(F.broadcast(truth), "query_id")
+    )
+    labels = (
+        pred.select(F.col("true_label").alias("label"))
+        .union(pred.select(F.col("pred_label").alias("label")))
+        .distinct()
+    )
+    m = (
+        F.broadcast(labels)
+        .crossJoin(pred)
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (
+                    (F.col("pred_label") == F.col("label"))
+                    & (F.col("true_label") == F.col("label"))
+                ).cast("long")
+            ).alias("tp"),
+            F.sum(
+                (
+                    (F.col("pred_label") == F.col("label"))
+                    & (F.col("true_label") != F.col("label"))
+                ).cast("long")
+            ).alias("fp"),
+            F.sum(
+                (
+                    (F.col("pred_label") != F.col("label"))
+                    & (F.col("true_label") == F.col("label"))
+                ).cast("long")
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(tp + fp == 0, 0.0).otherwise(tp.cast("double") / (tp + fp)), 6
+        ).alias("precision"),
+        F.round(
+            F.when(tp + fn == 0, 0.0).otherwise(tp.cast("double") / (tp + fn)), 6
+        ).alias("recall"),
+        F.round(
+            F.when(2 * tp + fp + fn == 0, 0.0).otherwise(
+                (2 * tp).cast("double") / (2 * tp + fp + fn)
+            ),
+            6,
+        ).alias("f1"),
     )

@@ -177,3 +177,35 @@ def test_nucleus_topp_covers_the_mass(spark):
     for r in mixture_nucleus_topp(spark, SF_SMOKE).collect():
         assert 0 < r.n_kept <= r.n_docs
         assert r.kept_chars * 100 >= 80 * r.total_chars  # threshold covered
+
+
+def test_retrieval_metrics_ranges_and_consistency(spark):
+    from pulsar_message_filter_spark.operators.retrieval import f59_retrieval_metrics
+
+    rows = f59_retrieval_metrics(spark, SF_SMOKE).collect()
+    assert len(rows) == 20  # one row per query
+    for r in rows:
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+        # a relevant hit exists in the top-10 iff ALL three metrics agree
+        has_hit = r.mrr > 0
+        assert (r.recall_at_10 > 0) == has_hit
+        assert (r.ndcg_at_10 > 0) == has_hit
+
+
+def test_knn_eval_confusion_counts_balance(spark):
+    from pulsar_message_filter_spark.operators.retrieval import f60_knn_eval
+
+    rows = f60_knn_eval(spark, SF_SMOKE).collect()
+    assert rows
+    # every prediction contributes one tp or one fp; every truth one tp or
+    # one fn — both totals must equal the 50-query prediction count
+    n_pred = sum(r.tp + r.fp for r in rows)
+    n_truth = sum(r.tp + r.fn for r in rows)
+    assert n_pred == n_truth == 50
+    for r in rows:
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+        if r.precision + r.recall > 0:
+            expected_f1 = 2 * r.tp / (2 * r.tp + r.fp + r.fn)
+            assert abs(r.f1 - expected_f1) < 1e-6

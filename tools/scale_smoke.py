@@ -115,6 +115,17 @@ QUERIES = [
     "drift_psi_value",
     "f43_bm25_topk",
     "f48_quantile_normalize",
+    # round-7 additions: winnowing fingerprints (doc-keyed window + distinct
+    # + fingerprint-keyed candidate join — near-dup rate is fixed under
+    # replication so candidates grow linearly), distributed k-th selection
+    # (value-collapsed prefix scan), nucleus top-p (source-keyed prefix
+    # windows), temperature allocation (source-cardinality frame, ~O(1)).
+    # fuzzy_mutual_best / linkage_entity_clusters excluded like basket
+    # pairs: vocab-pair ops on a fixed vocabulary densify by graph math.
+    "f57_winnowing_candidates",
+    "agg_kth_smallest",
+    "mixture_nucleus_topp",
+    "mixture_temperature_weights",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
