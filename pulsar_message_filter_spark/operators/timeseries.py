@@ -520,3 +520,96 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "event_type", "n", F.round(num / den, 6).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (moving-average detrend + hour-of-day means)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "timeseries_seasonal_decompose",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        hours AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+        ),
+        spine AS (
+            SELECT hours.h, t.event_type
+            FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        ),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   count(*) AS n FROM events GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT s.h, s.event_type, COALESCE(hh.n, 0) AS n
+            FROM spine s LEFT JOIN hourly hh
+              ON hh.h = s.h AND hh.event_type = s.event_type
+        ),
+        windowed AS (
+            SELECT event_type, h, n,
+                   CAST(sum(n) OVER w AS BIGINT) AS trend24,
+                   count(*) OVER w AS nw
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+        )
+        SELECT event_type,
+               CAST(hour(h) AS INT) AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               round(CAST(sum(24 * n - trend24) AS DOUBLE)
+                     / (24.0 * count(*)), 4) AS seasonal
+        FROM windowed
+        WHERE nw = 24
+        GROUP BY 1, 2
+    """,
+    section="C19,C20,E1,F14",
+    description="classical seasonal decomposition of the hourly event-count "
+    "series: centered 24-hour moving-average detrend (complete windows "
+    "only) then hour-of-day means of the detrended series — carried as "
+    "24x-scaled INTEGERS (24*n - window_sum) so the only double is the "
+    "final mean; the daily-rhythm profile capacity planning and anomaly "
+    "baselines read",
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: dense spine (bounded: hours x types), one type-keyed window
+    pair for trend, one (type, hour-of-day) aggregation for seasonal —
+    nothing touches raw events after the first hourly rollup.  The
+    detrended quantity 24*n - Σ_window(n) is integer-exact, so summation
+    order cannot perturb the oracle hash (f38 applies only to the final
+    division)."""
+    events = load(spark, "events", sf_dir)
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    dense = (
+        hourly_spine(events)
+        .join(hourly, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 11)
+    windowed = dense.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(w).cast("long").alias("trend24"),
+        F.count("*").over(w).alias("nw"),
+    ).filter(F.col("nw") == 24)
+    return (
+        windowed.groupBy(
+            "event_type", F.hour("h").cast("int").alias("hour_of_day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.round(
+                F.sum(24 * F.col("n") - F.col("trend24")).cast("double")
+                / (24.0 * F.count("*")),
+                4,
+            ).alias("seasonal"),
+        )
+    )

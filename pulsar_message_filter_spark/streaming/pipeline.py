@@ -859,3 +859,104 @@ def psi_monitor_pipeline(
         .foreachBatch(write_batch)
         .start()
     )
+
+
+def winnowing_dedup_pipeline(
+    doc_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+):
+    """Streaming PARTIAL-overlap dedup via winnowing fingerprints (E-series
+    × F57): a document is dropped when it shares ≥ ``min_shared``
+    fingerprints with any already-kept document (history wins) or with a
+    lower-id document in its own micro-batch.  The complement of
+    :func:`survivor_pick_pipeline`'s span equality: winnowing's window-min
+    selection detects a shared run of ≥ w+k-1 tokens while storing only
+    ~2/(w+1) of positions — the cheaper store for long-document overlap.
+
+    Replay safety mirrors the other store pipelines: survivors and their
+    fingerprints land in epoch-keyed dynamic partition overwrites and the
+    history read excludes the current epoch, so a replayed micro-batch
+    reproduces its first attempt.
+
+    Scale: the history probe is an equi-join on the fingerprint value
+    (content-bucketed, same class as the MinHash band join); per-pair
+    overlap counts are a (doc, hist_doc)-keyed aggregation of join hits,
+    never a document rescan.
+    """
+    import os
+
+    from pulsar_message_filter_spark.operators.dedup import winnowing_fingerprints
+
+    fp_dir = os.path.join(store_dir, "winnow_fp")
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        e = int(epoch_id)
+        batch = batch.localCheckpoint(eager=True)
+        fps = winnowing_fingerprints(batch, text_col, id_col)
+
+        try:
+            hist = (
+                spark.read.parquet(fp_dir)
+                .filter(F.col("epoch_id") != e)
+                .select("fp")
+                .distinct()
+            )
+        except AnalysisException:  # first epoch: no store yet
+            hist = None
+
+        if hist is not None:
+            hist_hits = (
+                fps.join(hist, "fp")
+                .groupBy("doc")
+                .agg(F.count("*").alias("n_shared"))
+                .filter(F.col("n_shared") >= min_shared)
+                .select("doc")
+            )
+        else:
+            hist_hits = None
+
+        a = fps.select(F.col("doc").alias("doc_a"), "fp")
+        b = fps.select(F.col("doc").alias("doc_b"), "fp")
+        in_batch_dups = (
+            a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .select(F.col("doc_b").alias("doc"))
+            .distinct()
+        )
+        drops = (
+            in_batch_dups
+            if hist_hits is None
+            else in_batch_dups.unionByName(hist_hits).distinct()
+        )
+        kept = (
+            batch.join(drops, F.col(id_col) == F.col("doc"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+        def epoch_write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("epoch_id", F.lit(e))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(path)
+            )
+
+        epoch_write(kept, out_dir)
+        kept_ids = kept.select(F.col(id_col).alias("doc"))
+        epoch_write(fps.join(kept_ids, "doc"), fp_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -120,3 +120,18 @@ def test_round5_ops_on_empty_input(spark):
     base = spark.createDataFrame([], "g long, n_orders long, total_cents long")
     chg = spark.createDataFrame([], "g long, dn long, dcents long")
     assert apply_agg_delta(base, agg_delta(chg, "g"), "g").count() == 0
+
+
+def test_round7_ops_on_empty_inputs(spark):
+    from pulsar_message_filter_spark.operators.dedup import (
+        pagerank_lite_int,
+        winnowing_fingerprints,
+    )
+    from pulsar_message_filter_spark.operators.graph import node_triangle_counts
+
+    empty = _empty_docs(spark)
+    assert winnowing_fingerprints(empty).count() == 0
+    no_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert pagerank_lite_int(no_pairs).count() == 0
+    no_edges = spark.createDataFrame([], "u bigint, v bigint")
+    assert node_triangle_counts(no_edges).count() == 0

@@ -209,3 +209,23 @@ def test_knn_eval_confusion_counts_balance(spark):
         if r.precision + r.recall > 0:
             expected_f1 = 2 * r.tp / (2 * r.tp + r.fp + r.fn)
             assert abs(r.f1 - expected_f1) < 1e-6
+
+
+def test_seasonal_decompose_profile_is_centered(spark):
+    """Detrended means over a full cycle must be (near-)centered: the
+    n_obs-weighted average of the 24 hour-of-day seasonal components is
+    ~0 (moving-average detrending removes the level), and every type
+    reports all 24 hours on the dense spine."""
+    from pulsar_message_filter_spark.operators.timeseries import (
+        timeseries_seasonal_decompose,
+    )
+
+    rows = timeseries_seasonal_decompose(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert len(rs) == 24, (t, len(rs))
+        wsum = sum(r.seasonal * r.n_obs for r in rs)
+        nsum = sum(r.n_obs for r in rs)
+        assert abs(wsum / nsum) < 0.5, (t, wsum / nsum)

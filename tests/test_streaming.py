@@ -1008,3 +1008,66 @@ def test_psi_monitor_flags_drifted_window_only(spark, tmp_path):
         4,
     )
     assert abs(rows["10:00"].psi - batch_psi) < 5e-4
+
+
+def test_winnowing_dedup_pipeline_cross_batch_partial_overlap(spark, tmp_path):
+    """E-series × F57: streaming partial-overlap dedup — a doc sharing a
+    long run with a KEPT historical doc is dropped (history wins), a doc
+    sharing the run with a lower-id doc in its own batch is dropped, and
+    disjoint docs pass.  Checks the winnowing store detects overlap that
+    whole-doc hashing would miss (no doc is an exact copy of another)."""
+    import time as _time
+
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        winnowing_dedup_pipeline,
+    )
+
+    input_dir = str(tmp_path / "in")
+    schema = "doc_id bigint, text string"
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        _time.sleep(1.1)
+
+    # a 12-token run shared by the near-dups (>= w+k-1 = 7 guarantees >=1
+    # shared fingerprint; 12 tokens -> 9 shared grams, comfortably >= 3)
+    run = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"x{i}" for i in range(14))
+    fresh = " ".join(f"y{i}" for i in range(14))
+    # batch 1: doc 1 keeps (first), doc 2 shares the run -> in-batch drop,
+    # doc 3 disjoint -> keeps
+    write_docs(
+        [
+            (1, run + " unique continuation alpha beta"),
+            (2, "different prefix here " + run),
+            (3, other),
+        ]
+    )
+    # batch 2: doc 4 shares the run with kept doc 1 -> history drop;
+    # doc 5 disjoint -> keeps
+    write_docs(
+        [
+            (4, run + " yet another different tail"),
+            (5, fresh),
+        ]
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = winnowing_dedup_pipeline(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == [1, 3, 5], ids
