@@ -219,3 +219,93 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "robust_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS d,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope,
+                   a.d AS d1, b.d AS d2
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope, d1, d2) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM pairs
+        )
+        SELECT event_type,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               round(slope, 6) AS ts_slope_cents_per_day
+        FROM ranked
+        WHERE rn = (n_pairs + 1) // 2
+    """,
+    section="C13,C18,F14",
+    description="Theil-Sen robust trend slope per event type: lower median "
+    "of all pairwise daily-revenue slopes (30 daily points -> 435 pairs "
+    "per type, deterministic slope/day tiebreak) — the outlier-immune "
+    "complement to the OLS slope (one corrupted day moves OLS, moves "
+    "Theil-Sen not at all up to 29% contamination)",
+)
+def robust_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairwise join is per-type over the DAILY aggregate — pair count
+    is O(days²) per key, independent of row count (the raw scan collapses
+    to ~30 points/type first), so the 'quadratic' stage is bounded by the
+    calendar, not the data; rank windows are type-partitioned.  Slope
+    doubles come from identical integer inputs on both engines, so even
+    the sort order is engine-exact."""
+    daily = (
+        load(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.sum(cents("value")).alias("y"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        ((F.col("y2") - F.col("y1")).cast("double") / (F.col("d2") - F.col("d1"))).alias(
+            "slope"
+        ),
+        "d1",
+        "d2",
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    return (
+        pairs.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_pairs", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("ts_slope_cents_per_day"),
+        )
+    )

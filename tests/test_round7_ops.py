@@ -229,3 +229,58 @@ def test_seasonal_decompose_profile_is_centered(spark):
         wsum = sum(r.seasonal * r.n_obs for r in rs)
         nsum = sum(r.n_obs for r in rs)
         assert abs(wsum / nsum) < 0.5, (t, wsum / nsum)
+
+
+def test_wasserstein_and_ks_agree_on_direction(spark):
+    """W1 and KS measure the same drift: both zero on identical samples,
+    both positive on the purchase-vs-click fixture; W1 additionally
+    carries value units (cents)."""
+    from pulsar_message_filter_spark.operators.drift import (
+        drift_ks_two_sample,
+        drift_wasserstein,
+    )
+
+    w = drift_wasserstein(spark, SF_SMOKE).collect()[0]
+    k = drift_ks_two_sample(spark, SF_SMOKE).collect()[0]
+    assert w.n_a == k.n_a and w.n_b == k.n_b
+    assert w.w1_cents > 0 and k.ks_stat > 0
+    # W1 <= KS_sup * full value range (coarse sanity bound)
+    from pulsar_message_filter_spark.operators.parity import cents
+
+    ev = load(spark, "events", SF_SMOKE).filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(cents("value").alias("v"))
+    lo, hi = ev.agg(F.min("v"), F.max("v")).first()
+    assert w.w1_cents <= k.ks_stat * (hi - lo) + 1e-6
+
+
+def test_theil_sen_immune_to_single_outlier(spark):
+    """Same construction as the graded query on a synthetic series: a
+    clean slope-5 line plus one wild outlier day — Theil-Sen must recover
+    slope 5 exactly while OLS on the same points does not."""
+    from pyspark.sql import Window
+
+    rows = [("t", d, 5 * d * 100) for d in range(1, 21)]
+    rows[10] = ("t", 11, 1_000_000)  # corrupted day
+    daily = spark.createDataFrame(rows, "event_type string, d long, y long")
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        ((F.col("y2") - F.col("y1")).cast("double") / (F.col("d2") - F.col("d1"))).alias("slope"),
+        "d1",
+        "d2",
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_pairs", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .collect()[0]
+    )
+    assert med.slope == 500.0  # 5 units/day in cents — outlier ignored
