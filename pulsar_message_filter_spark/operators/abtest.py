@@ -20,7 +20,7 @@ a second tiny aggregation.  Nothing here shuffles more than once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
@@ -266,5 +266,244 @@ def abtest_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("welch_df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) with tie correction — exact integer ranks
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "abtest_mann_whitney",
+    oracle="""
+        WITH marked AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        per_v AS (
+            SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+            FROM marked GROUP BY 1
+        ),
+        scan AS (
+            SELECT na, nb,
+                   CAST(sum(na + nb) OVER (ORDER BY v) AS BIGINT) AS cum_t
+            FROM per_v
+        ),
+        agg AS (
+            SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b,
+                   CAST(sum(na * (2 * cum_t - na - nb + 1)) AS BIGINT) AS r2_a,
+                   CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb))
+                        AS BIGINT) AS tie_t
+            FROM scan
+        )
+        SELECT n_a, n_b,
+               CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+               round(
+                   (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a * n_b AS DOUBLE))
+                   / (2.0 * sqrt(
+                       CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                       * ((n_a + n_b + 1)
+                          - CAST(tie_t AS DOUBLE)
+                            / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))),
+                   4) AS z
+        FROM agg
+    """,
+    section="C11,C20,F14",
+    description="Mann-Whitney U rank-sum test (purchase vs click values) "
+    "with tie-corrected normal approximation: average ranks carried as the "
+    "INTEGER 2*rank (2*cum - t + 1 per tied group), U and the tie term "
+    "exact integers from one distinct-value prefix scan, doubles only in "
+    "the final z — the distribution-free complement to Welch's t",
+)
+def abtest_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same distinct-value collapse + prefix scan as KS/W1 (the scan input
+    is value cardinality, not rows), so the rank statistic that textbooks
+    describe via a global sort never sorts anything globally: tied ranks
+    are computed per distinct value from the cumulative count."""
+    from pulsar_message_filter_spark.functions.prefix import (
+        distributed_prefix_sums,
+    )
+
+    ev = load(spark, "events", sf_dir)
+    marked = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        cents("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("a"),
+        (F.col("event_type") == "click").cast("int").alias("b"),
+    )
+    per_v = (
+        marked.groupBy("v")
+        .agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+        .withColumn("t", F.col("na") + F.col("nb"))
+        .withColumn("g", F.lit(0))
+    )
+    scanned = distributed_prefix_sums(per_v, "g", ["v"], {"t": "cum_t"})
+    agg = scanned.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * (2 * F.col("cum_t") - F.col("t") + 1)).alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_t"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u2 = F.col("r2_a") - n_a * (n_a + 1)
+    n = n_a + n_b
+    sigma2 = (
+        n_a.cast("double") * n_b.cast("double") / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_t").cast("double") / (n.cast("double") * (n - 1))
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2_a"),
+        F.round(
+            (u2.cast("double") - (n_a * n_b).cast("double"))
+            / (2.0 * F.sqrt(sigma2)),
+            4,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI — the distributed bootstrap, deterministic hashes
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) CDF steps P(X <= k), k = 0..3; weights cap at 4 (P(X>4) ~ 0.4%,
+#: a documented truncation, identical on both engines by construction).
+_POIS_C0 = 0.36787944117144233
+_POIS_C1 = 0.7357588823428847
+_POIS_C2 = 0.9196986029286058
+_POIS_C3 = 0.9810118431238462
+
+_BOOT_REPS = 64
+
+
+@graded(
+    "abtest_poisson_bootstrap",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        reps AS (SELECT unnest(generate_series(1, {_BOOT_REPS})) AS r),
+        drawn AS (
+            SELECT r, v,
+                   (CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                           || CAST(r AS VARCHAR)), i, 1)) - 1)
+                        * (16 ** (8 - i)))) AS BIGINT) + 0.5) / 4294967296.0
+                       AS u
+            FROM base CROSS JOIN reps
+        ),
+        weighted AS (
+            SELECT r, v,
+                   CASE WHEN u < {_POIS_C0} THEN 0
+                        WHEN u < {_POIS_C1} THEN 1
+                        WHEN u < {_POIS_C2} THEN 2
+                        WHEN u < {_POIS_C3} THEN 3
+                        ELSE 4 END AS w
+            FROM drawn
+        ),
+        per_rep AS (
+            SELECT r,
+                   CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_r
+            FROM weighted GROUP BY r HAVING sum(w) > 0
+        ),
+        ranked AS (
+            SELECT mean_r, row_number() OVER (ORDER BY mean_r, r) AS rn,
+                   count(*) OVER () AS n_reps
+            FROM per_rep
+        ),
+        full_mean AS (
+            SELECT CAST(sum(v) AS DOUBLE) / count(*) AS mean_full,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM base
+        )
+        SELECT f.n, round(f.mean_full, 4) AS mean_full,
+               round(lo.mean_r, 4) AS ci_lo,
+               round(hi.mean_r, 4) AS ci_hi,
+               CAST(lo.n_reps AS BIGINT) AS n_reps
+        FROM full_mean f
+        CROSS JOIN (SELECT mean_r, n_reps FROM ranked
+                    WHERE rn = greatest(1, (5 * n_reps) // 100)) lo
+        CROSS JOIN (SELECT mean_r, n_reps FROM ranked
+                    WHERE rn = n_reps - greatest(1, (5 * n_reps) // 100) + 1) hi
+    """,
+    section="C11,F14,C18",
+    description="Poisson bootstrap 90% CI for the mean purchase value "
+    "(Chamandy et al.'s distributed bootstrap, public): per (row, "
+    "replicate) resample weights are Poisson(1) draws via md5-derived "
+    "uniforms against hardcoded CDF steps (weights capped at 4, "
+    "engine-exact by construction) — no RNG state, no row shuffling; 64 "
+    "replicate means, order-statistic CI bounds",
+)
+def abtest_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE distributed bootstrap: classical resampling needs n draws WITH
+    replacement per replicate (a global shuffle per replicate); the
+    Poisson approximation gives each row an independent Poisson(1)
+    multiplicity, so all {reps} replicates are computed in ONE pass over
+    the data as a (row x replicate) weight explode + keyed aggregation.
+    Hash-derived uniforms make the 'randomness' content-addressed:
+    engine- and topology-independent, re-runnable, and oracle-checkable
+    — the same property every sampler in this repo relies on."""
+    ev = load(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
+    base = ev.select("event_id", cents("value").alias("v"))
+    reps = spark.range(1, _BOOT_REPS + 1).select(F.col("id").cast("int").alias("r"))
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("r").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    w = (
+        F.when(u < _POIS_C0, 0)
+        .when(u < _POIS_C1, 1)
+        .when(u < _POIS_C2, 2)
+        .when(u < _POIS_C3, 3)
+        .otherwise(4)
+    )
+    per_rep = (
+        base.crossJoin(F.broadcast(reps))
+        .select("r", "v", w.alias("w"))
+        .groupBy("r")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("sw_v"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select("r", (F.col("sw_v").cast("double") / F.col("sw").cast("double")).alias("mean_r"))
+    )
+    wr = Window.orderBy("mean_r", "r")  # bounded: _BOOT_REPS rows
+    ranked = per_rep.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_reps", F.count("*").over(Window.partitionBy())
+    )
+    k = F.greatest(F.lit(1), F.expr("(5 * n_reps) div 100"))
+    lo = ranked.filter(F.col("rn") == k).select(
+        F.col("mean_r").alias("lo"), "n_reps"
+    )
+    hi = ranked.filter(F.col("rn") == F.col("n_reps") - k + 1).select(
+        F.col("mean_r").alias("hi")
+    )
+    full = base.agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("mean_full"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            F.round("mean_full", 4).alias("mean_full"),
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+            F.col("n_reps").cast("long").alias("n_reps"),
         )
     )

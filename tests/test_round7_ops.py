@@ -284,3 +284,38 @@ def test_theil_sen_immune_to_single_outlier(spark):
         .collect()[0]
     )
     assert med.slope == 500.0  # 5 units/day in cents — outlier ignored
+
+
+def test_mann_whitney_sign_matches_mean_ordering(spark):
+    """On the fixture, purchase values dominate clicks (or vice versa);
+    the z sign must agree with the mean ordering, and U must sit in
+    [0, n_a*n_b] (as 2U in [0, 2*n_a*n_b])."""
+    from pulsar_message_filter_spark.operators.abtest import abtest_mann_whitney
+    from pulsar_message_filter_spark.operators.parity import cents
+
+    r = abtest_mann_whitney(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r.u2_a <= 2 * r.n_a * r.n_b
+    ev = load(spark, "events", SF_SMOKE)
+    mean_a = ev.filter(F.col("event_type") == "purchase").agg(
+        F.avg(cents("value"))
+    ).first()[0]
+    mean_b = ev.filter(F.col("event_type") == "click").agg(
+        F.avg(cents("value"))
+    ).first()[0]
+    if abs(mean_a - mean_b) > 1:  # only assert sign when clearly separated
+        assert (r.z > 0) == (mean_a > mean_b)
+
+
+def test_poisson_bootstrap_ci_brackets_the_mean(spark):
+    from pulsar_message_filter_spark.operators.abtest import (
+        abtest_poisson_bootstrap,
+    )
+
+    r = abtest_poisson_bootstrap(spark, SF_SMOKE).collect()[0]
+    assert r.n_reps == 64
+    assert r.ci_lo <= r.ci_hi
+    # the full-sample mean should sit inside (or at worst graze) the 90% CI
+    assert r.ci_lo <= r.mean_full <= r.ci_hi
+    # determinism: the hash-derived draws make re-runs bit-identical
+    r2 = abtest_poisson_bootstrap(spark, SF_SMOKE).collect()[0]
+    assert (r.ci_lo, r.ci_hi, r.mean_full) == (r2.ci_lo, r2.ci_hi, r2.mean_full)
