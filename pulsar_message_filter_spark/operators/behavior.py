@@ -870,3 +870,120 @@ def forecast_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival (time-to-purchase with administrative censoring)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "survival_kaplan_meier",
+    oracle="""
+        WITH starts AS (
+            SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        raw AS (
+            SELECT s.user_id,
+                   CAST((epoch_us(min(e.ts)) - epoch_us(min(s.t0)))
+                        // 86400000000 AS BIGINT) AS dur_raw
+            FROM starts s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             AND e.ts >= s.t0
+            GROUP BY 1
+        ),
+        subj AS (
+            SELECT user_id,
+                   least(dur_raw, 5) AS dur,
+                   CASE WHEN dur_raw <= 5 THEN 1 ELSE 0 END AS event
+            FROM raw
+        ),
+        per_t AS (
+            SELECT dur, CAST(sum(event) AS BIGINT) AS d,
+                   CAST(sum(1 - event) AS BIGINT) AS c
+            FROM subj GROUP BY 1
+        ),
+        scan AS (
+            SELECT dur, d, c,
+                   (SELECT count(*) FROM subj)
+                     - CAST(COALESCE(sum(d + c) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS n_risk
+            FROM per_t
+        )
+        SELECT dur AS dur_days, n_risk, d AS n_events, c AS n_censored,
+               round(exp(sum(ln(CAST(n_risk - d AS DOUBLE) / n_risk))
+                         OVER (ORDER BY dur)), 4) AS survival
+        FROM scan
+    """,
+    section="C11,C20,F14",
+    description="Kaplan-Meier product-limit survival of time-to-purchase "
+    "(first view -> first purchase, administratively censored at 5 days): "
+    "risk sets from an EXCLUSIVE prefix of (events+censored) per distinct "
+    "day, survival via exp of the running log-sum — integer risk/event "
+    "counts exact, one log/exp chain at the end (f38 tolerance class); "
+    "the estimator product never materializes per-user rows after the "
+    "first aggregation",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survival curve every conversion/retention analysis wants but
+    naive 'conversion rate by day' gets wrong under censoring (users the
+    study window cuts off are neither converted nor failed — KM removes
+    them from later risk sets instead of mislabeling).  Shape: per-user
+    reduction, then EVERYTHING runs on the per-distinct-day aggregate
+    (calendar-bounded) through the two-phase prefix scan — same
+    no-global-window contract as KS/W1."""
+    from pulsar_message_filter_spark.functions.prefix import (
+        distributed_prefix_sums,
+    )
+
+    ev = load(spark, "events", sf_dir)
+    starts = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    raw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(starts, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.unix_micros(F.min("ts")) - F.unix_micros(F.min("t0")))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("dur_raw")
+        )
+    )
+    subj = raw.select(
+        F.least(F.col("dur_raw"), F.lit(5)).alias("dur"),
+        (F.col("dur_raw") <= 5).cast("int").alias("event"),
+    )
+    totals = subj.agg(F.count("*").alias("n_subj"))
+    per_t = (
+        subj.groupBy("dur")
+        .agg(
+            F.sum("event").alias("d"),
+            F.sum(1 - F.col("event")).alias("c"),
+        )
+        .withColumn("dc", F.col("d") + F.col("c"))
+        .withColumn("g", F.lit(0))
+    )
+    scan1 = distributed_prefix_sums(per_t, "g", ["dur"], {"dc": "cum_dc"})
+    scan1 = scan1.crossJoin(F.broadcast(totals)).withColumn(
+        "n_risk", F.col("n_subj") - (F.col("cum_dc") - F.col("dc"))
+    ).withColumn(
+        "lnterm",
+        F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")),
+    ).withColumn("g", F.lit(0))
+    scan2 = distributed_prefix_sums(scan1, "g", ["dur"], {"lnterm": "cum_ln"})
+    return scan2.select(
+        F.col("dur").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round(F.exp("cum_ln"), 4).alias("survival"),
+    )

@@ -319,3 +319,27 @@ def test_poisson_bootstrap_ci_brackets_the_mean(spark):
     # determinism: the hash-derived draws make re-runs bit-identical
     r2 = abtest_poisson_bootstrap(spark, SF_SMOKE).collect()[0]
     assert (r.ci_lo, r.ci_hi, r.mean_full) == (r2.ci_lo, r2.ci_hi, r2.mean_full)
+
+
+def test_kaplan_meier_invariants(spark):
+    """KM structural invariants: survival is non-increasing, risk sets
+    telescope exactly (n_risk[t+1] = n_risk[t] - d[t] - c[t]), the first
+    risk set is the whole study population, and S matches the hand
+    product at every step."""
+    from pulsar_message_filter_spark.operators.behavior import (
+        survival_kaplan_meier,
+    )
+
+    rows = sorted(
+        survival_kaplan_meier(spark, SF_SMOKE).collect(),
+        key=lambda r: r.dur_days,
+    )
+    assert rows[0].n_risk == sum(r.n_events + r.n_censored for r in rows)
+    s_prev, s_hand = 1.0, 1.0
+    for i, r in enumerate(rows):
+        if i + 1 < len(rows):
+            assert rows[i + 1].n_risk == r.n_risk - r.n_events - r.n_censored
+        s_hand *= (r.n_risk - r.n_events) / r.n_risk
+        assert abs(r.survival - s_hand) < 5e-4
+        assert r.survival <= s_prev + 1e-9
+        s_prev = r.survival
