@@ -1613,3 +1613,106 @@ def f57_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 — longest shared token run per doc pair (anchor-diagonal islands)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f61_common_substring_spans",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 4
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+3], ' ')) AS h
+            FROM toks, unnest(generate_series(1, len(t) - 3)) AS u(i)
+        ),
+        matches AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM grams a JOIN grams b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        islands AS (
+            SELECT id_a, id_b, diag,
+                   pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                           ORDER BY pa) AS isl,
+                   pa
+            FROM (SELECT DISTINCT id_a, id_b, pa, diag FROM matches)
+        ),
+        runs AS (
+            SELECT id_a, id_b, count(*) AS run_grams
+            FROM islands
+            GROUP BY id_a, id_b, diag, isl
+        )
+        SELECT id_a, id_b,
+               CAST(max(run_grams) + 3 AS BIGINT) AS longest_run_tokens,
+               CAST(count(*) AS BIGINT) AS n_runs
+        FROM runs
+        GROUP BY 1, 2
+        HAVING max(run_grams) + 3 >= 8
+    """,
+    section="F1,F2,F6,C18",
+    description="longest shared token run per doc pair (the ExactSubstr "
+    "dedup signal, Lee et al. '22, computed relationally): 4-gram md5 "
+    "anchors, matched positions grouped into diagonal islands "
+    "(gaps-and-islands on pos - row_number per (pair, pos_a - pos_b)), "
+    "longest island + k-1 = exact length of the longest common token run "
+    "detectable at anchor resolution; pairs sharing >=8 consecutive "
+    "tokens survive — the quote/boilerplate-span detector above "
+    "winnowing's set-overlap signal",
+)
+def f61_common_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: the anchor self-join is content-keyed (same class as the
+    band join — no cartesian; a gram's match fan-out is its corpus
+    frequency), island detection is one pair+diagonal-keyed window over
+    MATCHED positions only, and the output is pair-aggregated.  At 100 TB
+    the anchor stream is winnowing-thinned first (f57) so only ~2/(w+1)
+    of positions join; full-resolution islands then run on the candidate
+    pairs alone."""
+    toks = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 4)
+    )
+    k = 4
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (k - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)])
+        ),
+    )
+    grams = toks.select("doc_id", F.posexplode(sh_arr).alias("pos0", "h")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "h"  # 1-based like the oracle
+    )
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "h"
+    )
+    matches = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+        .distinct()
+    )
+    w_isl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("isl", F.col("pa") - F.row_number().over(w_isl))
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg(F.count("*").alias("run_grams"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run_grams") + (k - 1)).cast("long").alias("longest_run_tokens"),
+            F.count("*").cast("long").alias("n_runs"),
+        )
+        .filter(F.col("longest_run_tokens") >= 8)
+    )
