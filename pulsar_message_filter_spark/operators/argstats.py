@@ -378,6 +378,11 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: k-points for the distributed-selection query — interpolated into BOTH
+#: the oracle SQL and the Spark body so they cannot desynchronize
+_KTH_KS = (10, 1000, 25000)
+
+
 @graded(
     "agg_kth_smallest",
     oracle=f"""
@@ -390,7 +395,7 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(c) OVER (ORDER BY v) - c AS cum_before
             FROM vals
         ),
-        ks AS (SELECT unnest([10, 1000, 25000]) AS k)
+        ks AS (SELECT unnest([{", ".join(map(str, _KTH_KS))}]) AS k)
         SELECT k, min(v) AS kth_value_cents
         FROM ks JOIN scan ON cum >= k AND cum_before < k
         GROUP BY 1
@@ -410,7 +415,7 @@ def agg_kth_smallest(spark: SparkSession, sf_dir: str) -> DataFrame:
     value covers, and k-th smallest = the value whose span contains k.
     Ks exceeding the row count simply emit nothing (mirrored in the
     oracle: its join finds no covering span)."""
-    ks = [10, 1000, 25000]
+    ks = list(_KTH_KS)
     vals = (
         load(spark, "lineitem", sf_dir)
         .select(cents("l_extendedprice").alias("v"))

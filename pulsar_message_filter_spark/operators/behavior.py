@@ -913,8 +913,11 @@ def forecast_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_t
         )
         SELECT dur AS dur_days, n_risk, d AS n_events, c AS n_censored,
-               round(exp(sum(ln(CAST(n_risk - d AS DOUBLE) / n_risk))
-                         OVER (ORDER BY dur)), 4) AS survival
+               CASE WHEN n_risk = d THEN 0.0
+                    ELSE round(exp(sum(CASE WHEN n_risk > d
+                                   THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                                   ELSE 0.0 END)
+                              OVER (ORDER BY dur)), 4) END AS survival
         FROM scan
     """,
     section="C11,C20,F14",
@@ -973,11 +976,18 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("g", F.lit(0))
     )
     scan1 = distributed_prefix_sums(per_t, "g", ["dur"], {"dc": "cum_dc"})
+    # ln(0) guard: if the final risk set exhausts (n_risk == d, no
+    # censoring at the last event time) Kaplan-Meier is exactly 0 there —
+    # Spark's log(0)->NULL would silently drop the term while DuckDB's
+    # ln(0) raises, so BOTH sides special-case it (review r04 finding)
     scan1 = scan1.crossJoin(F.broadcast(totals)).withColumn(
         "n_risk", F.col("n_subj") - (F.col("cum_dc") - F.col("dc"))
     ).withColumn(
         "lnterm",
-        F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")),
+        F.when(
+            F.col("n_risk") > F.col("d"),
+            F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0)),
     ).withColumn("g", F.lit(0))
     scan2 = distributed_prefix_sums(scan1, "g", ["dur"], {"lnterm": "cum_ln"})
     return scan2.select(
@@ -985,5 +995,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("long").alias("n_risk"),
         F.col("d").cast("long").alias("n_events"),
         F.col("c").cast("long").alias("n_censored"),
-        F.round(F.exp("cum_ln"), 4).alias("survival"),
+        F.when(F.col("n_risk") == F.col("d"), F.lit(0.0))
+        .otherwise(F.round(F.exp("cum_ln"), 4))
+        .alias("survival"),
     )

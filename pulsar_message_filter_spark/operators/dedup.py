@@ -1511,6 +1511,31 @@ def f39_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def gram_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Positioned token ``k``-gram md5 hashes: ``(doc, pos, h)`` with
+    1-based positions — the shared anchor stream under winnowing
+    fingerprints (:func:`winnowing_fingerprints`) and the diagonal-island
+    span detector (``f61``); one builder so their anchors can never
+    desynchronize (review r04).  Narrow 1→N fan-out, no shuffle."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("t")
+    ).filter(F.size("t") >= k)
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (k - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)])
+        ),
+    )
+    return toks.select("doc", F.posexplode(sh_arr).alias("pos0", "h")).select(
+        "doc", (F.col("pos0") + 1).alias("pos"), "h"
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
@@ -1535,18 +1560,7 @@ def winnowing_fingerprints(
     a constant fraction of the token stream; the doc-keyed window
     parallelizes per document.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("t")
-    ).filter(F.size("t") >= k)
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (k - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)])
-        ),
-    )
-    grams = toks.select(
-        "doc", F.posexplode(sh_arr).alias("pos", "h")
-    )
+    grams = gram_hashes(docs, text_col, id_col, k)
     win = (
         Window.partitionBy("doc").orderBy("pos").rowsBetween(-(w - 1), 0)
     )
@@ -1556,7 +1570,7 @@ def winnowing_fingerprints(
     # in both documents regardless of what precedes the run)
     return (
         grams.withColumn("win_min", F.min("h").over(win))
-        .filter(F.col("pos") >= w - 1)  # posexplode is 0-based
+        .filter(F.col("pos") >= w)  # gram_hashes positions are 1-based
         .select("doc", F.col("win_min").alias("fp"))
         .distinct()
     )
@@ -1675,27 +1689,10 @@ def f61_common_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anchor stream is winnowing-thinned first (f57) so only ~2/(w+1)
     of positions join; full-resolution islands then run on the candidate
     pairs alone."""
-    toks = (
-        load(spark, "documents", sf_dir)
-        .select("doc_id", F.split("text", " ").alias("t"))
-        .filter(F.size("t") >= 4)
-    )
     k = 4
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (k - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)])
-        ),
-    )
-    grams = toks.select("doc_id", F.posexplode(sh_arr).alias("pos0", "h")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "h"  # 1-based like the oracle
-    )
-    a = grams.select(
-        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "h"
-    )
-    b = grams.select(
-        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "h"
-    )
+    grams = gram_hashes(load(spark, "documents", sf_dir), "text", "doc_id", k)
+    a = grams.select(F.col("doc").alias("id_a"), F.col("pos").alias("pa"), "h")
+    b = grams.select(F.col("doc").alias("id_b"), F.col("pos").alias("pb"), "h")
     matches = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))

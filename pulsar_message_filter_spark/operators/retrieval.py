@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.similarity import _cosine_sql
 from pulsar_message_filter_spark.operators.text import tokens
 from pulsar_message_filter_spark.registry import graded
 
@@ -450,7 +451,7 @@ def f47_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @graded(
     "f59_retrieval_metrics",
-    oracle="""
+    oracle=f"""
         WITH q AS (
             SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
             FROM embeddings WHERE vec_id < 20
@@ -459,14 +460,7 @@ def f47_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT q.query_id, q.qlabel, c.label AS clabel,
                    row_number() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY round(
-                           list_sum(list_transform(generate_series(1, 64),
-                               i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-                           / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
-                            * sqrt(list_sum(list_transform(generate_series(1, 64),
-                               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
-                           6) DESC, c.vec_id
+                       ORDER BY round({_cosine_sql('q.qe', 'c.embedding')}, 6) DESC, c.vec_id
                    ) AS rank
             FROM q JOIN embeddings c ON c.vec_id <> q.query_id
         ),
@@ -582,7 +576,7 @@ def f59_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @graded(
     "f60_knn_eval",
-    oracle="""
+    oracle=f"""
         WITH q AS (
             SELECT vec_id AS query_id, label AS true_label, embedding AS qe
             FROM embeddings WHERE vec_id < 50
@@ -591,14 +585,7 @@ def f59_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT q.query_id, q.true_label, c.label AS clabel,
                    row_number() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY round(
-                           list_sum(list_transform(generate_series(1, 64),
-                               i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-                           / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
-                            * sqrt(list_sum(list_transform(generate_series(1, 64),
-                               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
-                           6) DESC, c.vec_id
+                       ORDER BY round({_cosine_sql('q.qe', 'c.embedding')}, 6) DESC, c.vec_id
                    ) AS rank
             FROM q JOIN embeddings c ON c.vec_id <> q.query_id
         ),

@@ -898,25 +898,33 @@ def winnowing_dedup_pipeline(
         spark = batch.sparkSession
         e = int(epoch_id)
         batch = batch.localCheckpoint(eager=True)
-        fps = winnowing_fingerprints(batch, text_col, id_col)
+        # one compute, four consumers (hist join, both self-join sides,
+        # store write) — checkpoint like bloom_dedup_pipeline does
+        fps = winnowing_fingerprints(batch, text_col, id_col).localCheckpoint(
+            eager=True
+        )
 
         try:
             hist = (
                 spark.read.parquet(fp_dir)
                 .filter(F.col("epoch_id") != e)
-                .select("fp")
-                .distinct()
+                .select(F.col("doc").alias("hist_doc"), "fp")
             )
         except AnalysisException:  # first epoch: no store yet
             hist = None
 
         if hist is not None:
+            # per historical DOCUMENT, matching the in-batch per-pair rule:
+            # a newcomer drops only when some single kept doc shares
+            # >= min_shared fingerprints with it (pooling fingerprints
+            # across different kept docs would over-drop — review r04)
             hist_hits = (
                 fps.join(hist, "fp")
-                .groupBy("doc")
+                .groupBy("doc", "hist_doc")
                 .agg(F.count("*").alias("n_shared"))
                 .filter(F.col("n_shared") >= min_shared)
                 .select("doc")
+                .distinct()
             )
         else:
             hist_hits = None

@@ -376,3 +376,34 @@ def test_common_substring_spans_exact_run_length(spark):
     assert (1, 2) in rows
     assert rows[(1, 2)].longest_run_tokens == 10  # exact, not a bound
     assert (3, 4) not in rows  # shared 4 tokens < 8-token floor
+
+
+def test_kaplan_meier_survival_reaches_zero_when_risk_set_exhausts(spark):
+    """Edge from the round-4 review: if every subject converts within the
+    cutoff (no censoring at the last event time), S(t_last) is exactly 0
+    — Spark's log(0)->NULL must not silently drop the term (the oracle's
+    ln(0) would raise)."""
+    import unittest.mock as mock
+
+    import pulsar_message_filter_spark.operators.behavior as behavior_mod
+    from pulsar_message_filter_spark.operators.behavior import (
+        survival_kaplan_meier,
+    )
+    from datetime import datetime
+
+    t = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = []
+    for uid, dur in [(1, 0), (2, 1), (3, 1), (4, 2)]:  # ALL convert <= 5d
+        rows.append((f"v{uid}", uid, "view", t(1), 1.0))
+        rows.append((f"p{uid}", uid, "purchase", t(1 + dur, 1), 2.0))
+    ev = spark.createDataFrame(
+        rows, "event_id string, user_id long, event_type string, ts timestamp, value double"
+    )
+    with mock.patch.object(behavior_mod, "load", lambda spark, t_, d: ev):
+        out = sorted(
+            survival_kaplan_meier(spark, "unused").collect(),
+            key=lambda r: r.dur_days,
+        )
+    assert out[-1].n_risk == out[-1].n_events  # risk set exhausts
+    assert out[-1].survival == 0.0  # exact zero, not a dropped term
+    assert out[0].survival == 0.75  # 1 * (4-1)/4
