@@ -722,3 +722,60 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("p_size").alias("size_xor"),
         )
     )
+
+
+@graded(
+    "func_array4",
+    oracle="""
+        WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part
+                   WHERE p_partkey < 300)
+        SELECT p_partkey,
+               list_transform(generate_series(1, len(toks)),
+                   i -> CAST(i AS BIGINT) * length(toks[i])) AS pos_weighted,
+               list_transform(generate_series(1, least(len(toks), 3)),
+                   i -> toks[i] || ':' || CAST(i - 1 AS VARCHAR)) AS zipped3,
+               list_filter(['x', NULL, 'y', NULL], v -> v IS NOT NULL)
+                   AS compacted,
+               list_transform(generate_series(1, 3), i -> toks[1]) AS first3x,
+               toks[1:2] || ['INS'] || toks[3:] AS inserted,
+               len(list_filter(toks, x -> length(x) >= 6)) > 0 AS any_long,
+               list_reduce(list_prepend('', toks),
+                           (acc, x) -> acc || '|' || x) AS piped
+        FROM t
+    """,
+    section="D5",
+    description="array family 4 (index-aware higher-order ops): "
+    "position-weighted transform (zip_with over an index sequence), "
+    "element:index zip of the first 3 tokens, null compaction, "
+    "array_repeat, array_insert (slice-splice twin on DuckDB), exists, "
+    "and a reduce/fold concat — closes the D5 lambda surface",
+)
+def func_array4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("p_name", " ")
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.zip_with(
+                F.sequence(F.lit(1), F.size(toks)),
+                toks,
+                lambda i, x: i.cast("long") * F.length(x),
+            ).alias("pos_weighted"),
+            F.transform(
+                F.slice(toks, 1, 3),
+                lambda x, i: F.concat_ws(":", x, i.cast("string")),
+            ).alias("zipped3"),
+            F.array_compact(
+                F.array(F.lit("x"), F.lit(None), F.lit("y"), F.lit(None))
+            ).alias("compacted"),
+            F.array_repeat(F.element_at(toks, 1), 3).alias("first3x"),
+            F.array_insert(toks, 3, F.lit("INS")).alias("inserted"),
+            F.exists(toks, lambda x: F.length(x) >= 6).alias("any_long"),
+            F.aggregate(
+                toks,
+                F.lit(""),
+                lambda acc, x: F.concat(acc, F.lit("|"), x),
+            ).alias("piped"),
+        )
+    )

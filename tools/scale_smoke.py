@@ -115,17 +115,27 @@ QUERIES = [
     "drift_psi_value",
     "f43_bm25_topk",
     "f48_quantile_normalize",
-    # round-7 additions: winnowing fingerprints (doc-keyed window + distinct
-    # + fingerprint-keyed candidate join — near-dup rate is fixed under
-    # replication so candidates grow linearly), distributed k-th selection
-    # (value-collapsed prefix scan), nucleus top-p (source-keyed prefix
-    # windows), temperature allocation (source-cardinality frame, ~O(1)).
-    # fuzzy_mutual_best / linkage_entity_clusters excluded like basket
-    # pairs: vocab-pair ops on a fixed vocabulary densify by graph math.
-    "f57_winnowing_candidates",
+    # round-7 additions: distributed k-th selection (value-collapsed
+    # prefix scan), nucleus top-p (source-keyed prefix windows),
+    # temperature allocation (source-cardinality frame, ~O(1)), plus the
+    # prefix-scan statistics family (W1 / Mann-Whitney / Kaplan-Meier /
+    # Theil-Sen / Poisson bootstrap).
+    # f57_winnowing_candidates / fuzzy_mutual_best /
+    # linkage_entity_clusters are excluded like f24/basket pairs:
+    # replicating documents with shifted ids gives every doc N exact
+    # clones, so PAIR-output ops densify quadratically by construction
+    # (measured: f57 exponent 0.93 at x64) — an artifact of the
+    # replication fixture, not the plan; the real-corpus driver is the
+    # near-dup rate, and the plan is the content-keyed join class whose
+    # scale story the LSH/banding legs already measure.
     "agg_kth_smallest",
     "mixture_nucleus_topp",
     "mixture_temperature_weights",
+    "drift_wasserstein",
+    "abtest_mann_whitney",
+    "survival_kaplan_meier",
+    "robust_theil_sen",
+    "abtest_poisson_bootstrap",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
