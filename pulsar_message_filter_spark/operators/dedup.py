@@ -1576,6 +1576,43 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_candidates(
+    fp: DataFrame, min_shared: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Candidate near-dup pairs from a ``(doc, fp)`` fingerprint set:
+    pairs sharing >= ``min_shared`` fingerprints via a fingerprint-keyed
+    equi-join.
+
+    ``max_df`` is the hot-key guard for real corpora: a fingerprint
+    carried by d documents emits C(d, 2) pairs, so one boilerplate
+    header/license fingerprint shared by 10^5 docs would alone produce
+    5*10^9 candidates (the quadratic blowup the x64 ladder measured on
+    the clone-replication fixture — SCALING.md round-7).  Capping the
+    fingerprint's document frequency drops only fingerprints that carry
+    almost no discriminative signal (ubiquitous boilerplate), the same
+    rarest-first logic as PPJoin's prefix filter; pairs that share ONLY
+    ubiquitous fingerprints are exactly the pairs a dedup pipeline should
+    route to the boilerplate-stripping pass instead.  ``None`` (default)
+    keeps exact semantics for the graded oracle."""
+    if max_df is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp", "left_semi")
+    a = fp.select(F.col("doc").alias("id_a"), "fp")
+    b = fp.select(F.col("doc").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 @graded(
     "f57_winnowing_candidates",
     oracle="""
@@ -1617,16 +1654,7 @@ def f57_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-bucketed like MinHash banding, no cartesian; the >=3-shared
     HAVING floors out coincidental single-gram collisions."""
     docs = load(spark, "documents", sf_dir).select("doc_id", "text")
-    fp = winnowing_fingerprints(docs)
-    a = fp.select(F.col("doc").alias("id_a"), "fp")
-    b = fp.select(F.col("doc").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= 3)
-    )
+    return winnowing_candidates(winnowing_fingerprints(docs))
 
 
 # ---------------------------------------------------------------------------

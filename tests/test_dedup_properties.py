@@ -109,3 +109,38 @@ def test_span_detector_matches_bruteforce_lcs(spark):
                     assert got[(a, b)] == true_run, (seed, a, b)
                 else:
                     assert true_run < 8, (seed, a, b, true_run)
+
+
+def test_winnowing_df_cap_drops_only_hot_fingerprint_pairs(spark):
+    """The max_df hot-key guard: with a boilerplate run shared by ALL
+    docs, the uncapped join emits every pair; capping document frequency
+    removes the ubiquitous fingerprints (and the pairs they alone
+    created) while pairs that ALSO share rare content survive."""
+    from pulsar_message_filter_spark.operators.dedup import (
+        winnowing_candidates,
+        winnowing_fingerprints,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # shared by all docs
+    rare = " ".join(f"r{i}" for i in range(12))  # shared by docs 1,2 only
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {rare} unique one two"),
+            (2, f"{rare} other tail {boiler}"),
+            (3, f"{boiler} three four five six seven"),
+            (4, f"{boiler} eight nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(docs)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in winnowing_candidates(fp, min_shared=1).collect()
+    }
+    assert (3, 4) in uncapped  # boilerplate alone links 3-4
+    capped = {
+        (r.id_a, r.id_b)
+        for r in winnowing_candidates(fp, min_shared=1, max_df=2).collect()
+    }
+    assert (1, 2) in capped  # rare shared content survives the cap
+    assert (3, 4) not in capped  # boilerplate-only pair is gone
