@@ -69,6 +69,33 @@ SHARED_SQL: dict[str, str] = {
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """,
+    "sql_shared_window": """
+        SELECT s_nationkey, s_suppkey,
+               CAST(row_number() OVER (PARTITION BY s_nationkey
+                                       ORDER BY s_acctbal DESC, s_suppkey)
+                    AS BIGINT) AS rnk,
+               CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                        OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC, s_suppkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS run_cents
+        FROM supplier
+    """,
+    "sql_shared_cte_setops": """
+        WITH hi AS (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        ),
+        lo AS (
+            SELECT o_custkey FROM orders WHERE o_totalprice < 10000
+        )
+        SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM lo
+        )
+        UNION ALL
+        SELECT 'hi_only', CAST(count(*) AS BIGINT) FROM (
+            SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM lo
+        )
+    """,
 }
 
 
@@ -104,6 +131,21 @@ _make(
     SHARED_SQL["sql_shared_in_subquery"],
     "B12,C25",
     "shared-dialect SQL: IN subquery — identical text on both engines",
+)
+_make(
+    "sql_shared_window",
+    SHARED_SQL["sql_shared_window"],
+    "B12,C18,C20",
+    "shared-dialect SQL: ranking + running-sum windows with explicit ROWS "
+    "frame — identical text on both engines (integer-cents running sum, "
+    "BIGINT-cast row_number)",
+)
+_make(
+    "sql_shared_cte_setops",
+    SHARED_SQL["sql_shared_cte_setops"],
+    "B12,C24,C25",
+    "shared-dialect SQL: CTEs + INTERSECT/EXCEPT + UNION ALL summary — "
+    "identical text on both engines",
 )
 _make(
     "sql_shared_case_join",

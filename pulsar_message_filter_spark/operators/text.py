@@ -787,3 +787,65 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias("intercept"),
         F.round(cxy * cxy / (cxx * cyy), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F11/G2 — compression-ratio quality signal (deliberate pandas UDF)
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio_col():
+    """Arrow-batched pandas UDF: zlib-compressed size / raw size per text.
+
+    The compression-ratio filter is a standard LLM corpus-quality
+    heuristic (highly repetitive or templated text compresses far below
+    natural prose; random noise barely compresses) used by public
+    pipelines in the CCNet/RefinedWeb family.  zlib has no Spark/DuckDB
+    SQL builtin, so this is a LEGITIMATE vectorized-UDF surface (G2, same
+    class as Jaro-Winkler): level pinned to 6, ratio rounded to 6dp in
+    Python so the value is platform-stable.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no parameter annotations: this module uses postponed annotation
+    # evaluation, which pandas_udf's signature sniffing rejects — the
+    # return type is declared explicitly instead
+    def _ratio(texts):
+        def one(t):
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return pandas_udf(_ratio, "double")
+
+
+@graded(
+    "f62_compression_ratio",
+    oracle=None,  # zlib has no SQL twin -> rows-only; pytest pins ground truth
+    section="F11,G2,F14",
+    description="zlib compression-ratio quality score per document "
+    "(level 6, the CCNet/RefinedWeb-family repetition heuristic) + "
+    "per-source profile: deliberate Arrow-batched pandas UDF (no SQL "
+    "zlib), scan-side — repetitive/templated docs sit far below natural "
+    "prose; rows-only with exact pytest ground truth vs Python zlib",
+)
+def f62_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the UDF is a pure map over the scan (Arrow batches, no
+    shuffle); the aggregate is a per-source combinable mean.  The flag
+    threshold (< 0.4) marks the repetitive tail a curation chain would
+    drop or re-weight."""
+    ratio = compression_ratio_col()
+    scored = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "source", ratio(F.col("text")).alias("zratio"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("zratio"), 4).alias("mean_ratio"),
+        F.sum((F.col("zratio") < 0.4).cast("long")).alias("n_repetitive"),
+    )

@@ -84,6 +84,9 @@ def test_all_non_udf_queries_stay_jvm_side(spark):
         # Jaro-Winkler has no Spark built-in: deliberate Arrow-batched
         # pandas UDF applied after JVM-side blocking (linkage.py)
         "fuzzy_jaro_winkler",
+        # zlib compression-ratio quality score: no SQL zlib exists;
+        # Arrow-batched pandas UDF over the scan (text.py)
+        "f62_compression_ratio",
     }
     offenders = []
     for name, g in registry.all_graded().items():

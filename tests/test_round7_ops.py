@@ -407,3 +407,30 @@ def test_kaplan_meier_survival_reaches_zero_when_risk_set_exhausts(spark):
     assert out[-1].n_risk == out[-1].n_events  # risk set exhausts
     assert out[-1].survival == 0.0  # exact zero, not a dropped term
     assert out[0].survival == 0.75  # 1 * (4-1)/4
+
+
+def test_compression_ratio_ground_truth_and_discrimination(spark):
+    """Rows-only op gets exact pytest ground truth: per-text ratios equal
+    Python zlib level-6 exactly, and the signal separates repetitive from
+    natural-ish text."""
+    import zlib
+
+    from pulsar_message_filter_spark.operators.text import compression_ratio_col
+
+    rep = "spam " * 200
+    nat = ("the quick brown fox jumps over the lazy dog near the river bank "
+           "while seventeen curious owls watch from an old oak tree tonight ") * 3
+    docs = spark.createDataFrame(
+        [(1, rep), (2, nat)], ["doc_id", "text"]
+    )
+    ratio = compression_ratio_col()
+    got = {
+        r.doc_id: r.z
+        for r in docs.select("doc_id", ratio(F.col("text")).alias("z")).collect()
+    }
+    for doc_id, text in [(1, rep), (2, nat)]:
+        raw = text.encode()
+        expect = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert got[doc_id] == expect
+    assert got[1] < got[2]  # repetition compresses far better
+    assert got[1] < 0.1 < got[2]
