@@ -999,3 +999,107 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("cum_ln"), 4))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the event-transition chain
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "behavior_markov_stationary",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS f, nxt AS t, CAST(count(*) AS BIGINT) AS c
+            FROM ordered WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rowtot AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct FROM trans GROUP BY 1),
+        types AS (SELECT DISTINCT f AS et FROM trans),
+        p0 AS (
+            SELECT et, CAST(1000000000 // (SELECT count(*) FROM types)
+                            AS BIGINT) AS p
+            FROM types
+        ),
+        it1 AS (
+            SELECT tr.t AS et, CAST(sum((p.p * tr.c) // rt.ct) AS BIGINT) AS p
+            FROM trans tr JOIN p0 p ON p.et = tr.f
+            JOIN rowtot rt ON rt.f = tr.f GROUP BY 1
+        ),
+        it2 AS (
+            SELECT tr.t AS et, CAST(sum((p.p * tr.c) // rt.ct) AS BIGINT) AS p
+            FROM trans tr JOIN it1 p ON p.et = tr.f
+            JOIN rowtot rt ON rt.f = tr.f GROUP BY 1
+        ),
+        it3 AS (
+            SELECT tr.t AS et, CAST(sum((p.p * tr.c) // rt.ct) AS BIGINT) AS p
+            FROM trans tr JOIN it2 p ON p.et = tr.f
+            JOIN rowtot rt ON rt.f = tr.f GROUP BY 1
+        ),
+        it4 AS (
+            SELECT tr.t AS et, CAST(sum((p.p * tr.c) // rt.ct) AS BIGINT) AS p
+            FROM trans tr JOIN it3 p ON p.et = tr.f
+            JOIN rowtot rt ON rt.f = tr.f GROUP BY 1
+        ),
+        it5 AS (
+            SELECT tr.t AS et, CAST(sum((p.p * tr.c) // rt.ct) AS BIGINT) AS p
+            FROM trans tr JOIN it4 p ON p.et = tr.f
+            JOIN rowtot rt ON rt.f = tr.f GROUP BY 1
+        )
+        SELECT et AS event_type, p AS stationary_scaled,
+               round(CAST(p AS DOUBLE) / 1000000000, 6) AS stationary
+        FROM it5
+    """,
+    section="F14,C11,C18,C19",
+    description="Markov stationary distribution of the user event chain: "
+    "per-user lag pairs -> transition counts, then 5 integer-scaled power "
+    "iterations (p'_j = sum_i (p_i * c_ij) DIV c_i, 1e-9 quantization — "
+    "same engine-exact recurrence trick as integer PageRank) vs a "
+    "5x-unrolled oracle: where user journeys settle in the long run",
+)
+def behavior_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain-level summary over path_transitions' edge counts: the
+    long-run share of time spent in each event state.  Scale: the lag
+    window is user-partitioned (the one data-sized shuffle); everything
+    after runs on the |types|^2 transition matrix — O(1) per iteration
+    regardless of corpus size, with the driver loop carrying only the
+    iteration index."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, "events", sf_dir)
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w_lag).alias("nxt")
+    )
+    trans = (
+        ordered.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("f"), F.col("nxt").alias("t"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rowtot = trans.groupBy("f").agg(F.sum("c").alias("ct"))
+    types = trans.select(F.col("f").alias("et")).distinct()
+    n_types = types.count()
+    p = types.withColumn(
+        "p", F.lit(1_000_000_000 // n_types).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(5):
+        p = (
+            trans.join(p, trans["f"] == p["et"])
+            .join(rowtot, "f")
+            .select(F.col("t"), F.expr("(p * c) DIV ct").alias("term"))
+            .groupBy(F.col("t").alias("et"))
+            .agg(F.sum("term").cast("long").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    return p.select(
+        F.col("et").alias("event_type"),
+        F.col("p").alias("stationary_scaled"),
+        F.round(F.col("p").cast("double") / 1e9, 6).alias("stationary"),
+    )

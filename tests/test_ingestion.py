@@ -126,3 +126,26 @@ def test_ingest_fixture_is_written_by_spark_not_driver(spark):
 
     src = inspect.getsource(_write_fixture_csv)
     assert ".collect()" not in src
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """A1-surface: batches written with EVOLVED schemas (a column added
+    later) must read back as one unified frame under mergeSchema, with
+    nulls for the column's pre-history — the append-only data-lake
+    reality at 100 TB where rewriting old files is not an option."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id bigint, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score is None
+    assert rows[3].score == 30.0
+    # and column pruning still reaches the scan on the merged schema
+    plan = merged.select("id").filter(F.col("id") > 1)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" not in plan or "score" not in plan.split("ReadSchema")[1][:120]

@@ -434,3 +434,44 @@ def test_compression_ratio_ground_truth_and_discrimination(spark):
         assert got[doc_id] == expect
     assert got[1] < got[2]  # repetition compresses far better
     assert got[1] < 0.1 < got[2]
+
+
+def test_markov_stationary_mass_and_fixpoint(spark):
+    """Stationary mass stays ~1 (floor loses at most a few 1e-9 ulps per
+    iteration) and the result is a near-fixpoint: one more exact-rational
+    step moves every component by < 1% — i.e. 5 iterations converged."""
+    from fractions import Fraction
+
+    from pulsar_message_filter_spark.operators.behavior import (
+        behavior_markov_stationary,
+    )
+    from pulsar_message_filter_spark.io import load as _load
+    from pyspark.sql import Window as W
+
+    rows = behavior_markov_stationary(spark, SF_SMOKE).collect()
+    total = sum(r.stationary_scaled for r in rows)
+    assert 1_000_000_000 - 200 <= total <= 1_000_000_000
+    # rebuild the exact transition matrix and apply one rational step
+    ev = _load(spark, "events", SF_SMOKE)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    c = defaultdict(dict)
+    ct = defaultdict(int)
+    for r in pairs:
+        c[r.event_type][r.nxt] = r["count"]
+        ct[r.event_type] += r["count"]
+    p = {r.event_type: Fraction(r.stationary_scaled, 10**9) for r in rows}
+    nxt = defaultdict(Fraction)
+    for f_, outs in c.items():
+        for t_, cnt in outs.items():
+            nxt[t_] += p[f_] * Fraction(cnt, ct[f_])
+    for et in p:
+        assert abs(float(nxt[et] - p[et])) < 0.01, et
