@@ -1741,3 +1741,75 @@ def f61_common_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_run_tokens") >= 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# F2/F14 — dedup-subsystem evaluation: LSH candidates vs exact truth
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f63_lsh_dedup_eval",
+    oracle=None,  # the LSH side uses the engine's seeded hash family —
+    # no cross-engine twin; pytest pins the recall floor and precision
+    section="F2,F14,F4",
+    description="dedup-subsystem evaluation (the f59/f60 pattern applied "
+    "to near-dup detection): exact token-Jaccard>=0.8 truth pairs vs the "
+    "banded-LSH candidate pipeline on the same bounded corpus — "
+    "n_truth / n_candidates / n_hit / missed + precision/recall; "
+    "rows-only (seeded-hash family), recall floor pinned in pytest",
+)
+def f63_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a dedup operator owner actually watches: how much of
+    the exact-truth pair set the scalable candidate path recovers, and at
+    what precision (post-recheck precision is 1.0 by construction — the
+    interesting column is recall and the candidate-to-truth ratio).
+    Truth is the bounded all-pairs exact shingle Jaccard (the exact
+    similarity the signatures estimate); found is the banded candidate
+    stage — the stage that bounds end-to-end recall (the exact re-check
+    after it only removes false positives)."""
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    # truth on the SAME similarity the LSH indexes: distinct 3-token
+    # shingle sets of the lowercased text (minhash_signatures' exact
+    # construction) — measuring banding recall against a different
+    # similarity (e.g. unigram sets) would grade the wrong contract
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            shingles(F.split(F.lower(F.col("text")), " "))
+        ).alias("t"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(inter * 5 >= union * 4)  # shingle jaccard >= 0.8
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    found = minhash_candidates(docs, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
+    n_truth = truth.count()
+    n_found = found.count()
+    n_hit = truth.join(found, ["id_a", "id_b"], "left_semi").count()
+    return docs.sparkSession.createDataFrame(
+        [
+            (
+                n_truth,
+                n_found,
+                n_hit,
+                n_truth - n_hit,
+                round(n_hit / n_found, 6) if n_found else 1.0,
+                round(n_hit / n_truth, 6) if n_truth else 1.0,
+            )
+        ],
+        "n_truth long, n_found long, n_hit long, n_missed long, "
+        "precision double, recall double",
+    )

@@ -475,3 +475,13 @@ def test_markov_stationary_mass_and_fixpoint(spark):
             nxt[t_] += p[f_] * Fraction(cnt, ct[f_])
     for et in p:
         assert abs(float(nxt[et] - p[et])) < 0.01, et
+
+
+def test_lsh_dedup_eval_pins_recall_floor(spark):
+    from pulsar_message_filter_spark.operators.dedup import f63_lsh_dedup_eval
+
+    r = f63_lsh_dedup_eval(spark, SF_SMOKE).collect()[0]
+    assert r.n_truth > 0, "fixture corpus must contain real near-dups"
+    assert r.n_hit + r.n_missed == r.n_truth
+    assert r.recall >= 0.9  # the banded pipeline's designed recall floor
+    assert r.precision >= 0.95  # exact re-check keeps candidates honest
