@@ -1184,3 +1184,116 @@ def f58_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("anchor_id", "negative_id", "negative_label", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# F13/F14 — engine-exact distributed power iteration (quantized PCA-lite)
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 5
+_PI_QSCALE = 1000  # embedding quantization (values are ~[-1, 1])
+_PI_VSCALE = 1_000_000  # eigenvector carry scale
+
+
+def _power_iteration_oracle() -> str:
+    """Programmatically unrolled oracle for ``f64_power_iteration_pca`` —
+    the iteration body is mechanical, so the SQL is generated, not
+    hand-copied 5 times (the lm.py parameter-pinning lesson applied to
+    whole CTE blocks)."""
+    head = f"""
+        WITH qrows AS (
+            SELECT vec_id, i AS j,
+                   CAST(round(embedding[i] * {_PI_QSCALE}) AS BIGINT) AS q
+            FROM embeddings, unnest(generate_series(1, {EMB_DIM})) AS u(i)
+            WHERE vec_id < 500
+        ),
+        v0 AS (
+            SELECT i AS j, CAST({_PI_VSCALE} AS BIGINT) AS v
+            FROM unnest(generate_series(1, {EMB_DIM})) AS u(i)
+        )"""
+    blocks = []
+    for it in range(1, _PI_ITERS + 1):
+        prev = f"v{it - 1}"
+        blocks.append(f"""
+        d{it} AS (
+            SELECT qrows.vec_id, CAST(sum(qrows.q * p.v) AS BIGINT) AS d
+            FROM qrows JOIN {prev} p USING (j) GROUP BY 1
+        ),
+        u{it} AS (
+            SELECT qrows.j, CAST(sum(qrows.q * dd.d) AS BIGINT) AS u
+            FROM qrows JOIN d{it} dd USING (vec_id) GROUP BY 1
+        ),
+        m{it} AS (
+            SELECT greatest(CAST(max(abs(u)) AS BIGINT) // {_PI_VSCALE}, 1)
+                       AS md
+            FROM u{it}
+        ),
+        v{it} AS (
+            SELECT j, CAST(u // md AS BIGINT) AS v
+            FROM u{it} CROSS JOIN m{it}
+        )""")
+    tail = f"""
+        SELECT j AS dim, v AS weight_scaled
+        FROM v{_PI_ITERS}"""
+    return head + "," + ",".join(blocks) + tail
+
+
+@graded(
+    "f64_power_iteration_pca",
+    oracle=_power_iteration_oracle(),
+    section="F13,F14,C11",
+    description=f"engine-exact distributed power iteration: dominant "
+    f"direction of the (uncentered) second moment of {_PI_QSCALE}x-"
+    f"quantized embeddings, {_PI_ITERS} iterations of d=Qv / u=Q'd with "
+    f"integer max-abs renormalization (u DIV (max|u| DIV {_PI_VSCALE})) "
+    f"— every sum is an int64, so the fixed-iteration eigenvector is "
+    f"bit-identical across engines/topologies (same recurrence trick as "
+    f"integer PageRank, applied to dense linear algebra); oracle is a "
+    f"programmatically unrolled {_PI_ITERS}-step SQL",
+)
+def f64_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA-lite building block (dominant singular direction) with the
+    repo's engine-exactness discipline extended to dense linear algebra:
+    quantize once (scan-side), then each iteration is two keyed
+    integer-sum aggregations (row-project, column-accumulate) over the
+    long-form (vec_id, dim, q) frame — the classic distributed
+    matrix-vector shape; the 64-row eigenvector frame broadcasts.  Bounds:
+    |q| <= ~1.5k, |d| <= 64*1.5k*1e6 ~ 1e11, |u| <= 500*1.5k*1e11 ~ 1e17
+    < int64 max; the DIV-renorm returns the carry to 1e6 scale each
+    round.  At corpus scale the qrows frame shards by vec_id and nothing
+    else changes — the driver loop holds only the iteration index."""
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 500)
+    qrows = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j0", "e")
+    ).select(
+        "vec_id",
+        (F.col("j0") + 1).alias("j"),
+        F.round(F.col("e") * _PI_QSCALE).cast("long").alias("q"),
+    ).localCheckpoint(eager=True)
+    v = (
+        spark.range(1, EMB_DIM + 1)
+        .select(F.col("id").cast("int").alias("j"))
+        .withColumn("v", F.lit(_PI_VSCALE).cast("long"))
+    )
+    for _ in range(_PI_ITERS):
+        d = (
+            qrows.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("d"))
+        )
+        u = (
+            qrows.join(d, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("q") * F.col("d")).alias("u"))
+        )
+        m = u.agg(
+            F.greatest(
+                F.expr(f"max(abs(u)) DIV {_PI_VSCALE}"), F.lit(1)
+            ).alias("md")
+        )
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select("j", F.expr("u DIV md").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select(F.col("j").cast("long").alias("dim"), F.col("v").alias("weight_scaled"))
