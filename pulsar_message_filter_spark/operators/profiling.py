@@ -140,3 +140,119 @@ def f28_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(cents("o_totalprice")).alias("max_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F10/F14 — the dataset card: one call, one datasheet row
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f65_dataset_card",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source, lang, text,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        core AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+                   CAST(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_short
+            FROM base
+        ),
+        lang_h AS (
+            SELECT round(-sum(p * ln(p)), 4) AS lang_entropy FROM (
+                SELECT CAST(count(*) AS DOUBLE)
+                       / (SELECT count(*) FROM base) AS p
+                FROM base GROUP BY lang
+            )
+        ),
+        top_src AS (
+            SELECT round(CAST(max(c) AS DOUBLE)
+                         / (SELECT count(*) FROM base), 6) AS top_source_share
+            FROM (SELECT count(*) AS c FROM base GROUP BY source)
+        )
+        SELECT n_docs, n_sources, total_chars, total_tokens,
+               round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6)
+                   AS exact_dup_rate,
+               round(CAST(total_tokens AS DOUBLE) / n_docs, 2)
+                   AS mean_doc_tokens,
+               round(CAST(n_short AS DOUBLE) / n_docs, 6) AS short_doc_frac,
+               lang_entropy, top_source_share
+        FROM core CROSS JOIN lang_h CROSS JOIN top_src
+    """,
+    section="F10,F14,C11,C12",
+    description="the dataset card in one call: corpus size, token mass, "
+    "exact-dup rate (md5 distinct), short-doc fraction, language-"
+    "distribution entropy and head-source share — the datasheet row a "
+    "training-data owner publishes with every corpus snapshot; one scan "
+    "plus three tiny grouped aggregates fused into a single plan",
+)
+def f65_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything derives from ONE pass over documents (Catalyst shares
+    the scan across the aggregate branches; the lang/source rollups are
+    low-cardinality partial aggs; the only heavyish piece is the md5
+    distinct-count, the same key the dedup family shuffles on)."""
+    base = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+    )
+    core = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("text_md5").cast("long").alias("n_distinct_texts"),
+        F.sum((F.col("n_tokens") < 50).cast("long")).alias("n_short"),
+    )
+    lang_counts = base.groupBy("lang").agg(F.count("*").alias("c"))
+    lang_h = (
+        lang_counts.crossJoin(F.broadcast(core.select("n_docs")))
+        .select(
+            (F.col("c").cast("double") / F.col("n_docs")).alias("p")
+        )
+        .agg(F.round(-F.sum(F.col("p") * F.log("p")), 4).alias("lang_entropy"))
+    )
+    top_src = (
+        base.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("max_c"))
+        .crossJoin(F.broadcast(core.select("n_docs")))
+        .select(
+            F.round(
+                F.col("max_c").cast("double") / F.col("n_docs"), 6
+            ).alias("top_source_share")
+        )
+    )
+    return (
+        core.crossJoin(F.broadcast(lang_h))
+        .crossJoin(F.broadcast(top_src))
+        .select(
+            "n_docs",
+            "n_sources",
+            "total_chars",
+            "total_tokens",
+            F.round(
+                1.0 - F.col("n_distinct_texts").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 2
+            ).alias("mean_doc_tokens"),
+            F.round(
+                F.col("n_short").cast("double") / F.col("n_docs"), 6
+            ).alias("short_doc_frac"),
+            "lang_entropy",
+            "top_source_share",
+        )
+    )

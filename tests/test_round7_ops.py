@@ -547,3 +547,20 @@ def test_power_iteration_rayleigh_quotient_on_fixture(spark):
     rq = float(v @ M @ v)
     lam_max = float(np.linalg.eigvalsh(M).max())
     assert rq >= 0.8 * lam_max
+
+
+def test_dataset_card_internal_consistency(spark):
+    from pulsar_message_filter_spark.operators.profiling import f65_dataset_card
+
+    r = f65_dataset_card(spark, SF_SMOKE).collect()[0]
+    docs = load(spark, "documents", SF_SMOKE)
+    assert r.n_docs == docs.count()
+    assert 0.0 <= r.exact_dup_rate < 1.0
+    assert r.total_chars == docs.agg(F.sum("n_chars")).first()[0]
+    assert abs(r.mean_doc_tokens - r.total_tokens / r.n_docs) < 0.01
+    assert 0.0 <= r.short_doc_frac <= 1.0
+    n_langs = docs.select("lang").distinct().count()
+    import math
+
+    assert 0.0 <= r.lang_entropy <= math.log(n_langs) + 1e-6
+    assert r.top_source_share >= 1.0 / r.n_sources
