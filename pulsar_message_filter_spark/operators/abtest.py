@@ -507,3 +507,149 @@ def abtest_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_reps").cast("long").alias("n_reps"),
         )
     )
+
+
+@graded(
+    "abtest_ratio_bootstrap",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        reps AS (SELECT unnest(generate_series(1, {_BOOT_REPS})) AS r),
+        drawn AS (
+            SELECT r, v, is_p,
+                   (CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                           || CAST(r AS VARCHAR)), i, 1)) - 1)
+                        * (16 ** (8 - i)))) AS BIGINT) + 0.5) / 4294967296.0
+                       AS u
+            FROM base CROSS JOIN reps
+        ),
+        weighted AS (
+            SELECT r, v, is_p,
+                   CASE WHEN u < {_POIS_C0} THEN 0
+                        WHEN u < {_POIS_C1} THEN 1
+                        WHEN u < {_POIS_C2} THEN 2
+                        WHEN u < {_POIS_C3} THEN 3
+                        ELSE 4 END AS w
+            FROM drawn
+        ),
+        per_rep AS (
+            SELECT r,
+                   CAST(sum(w * v * is_p) AS DOUBLE)
+                       / CAST(sum(w * v * (1 - is_p)) AS DOUBLE) AS ratio_r
+            FROM weighted GROUP BY r
+            HAVING sum(w * v * (1 - is_p)) > 0
+        ),
+        ranked AS (
+            SELECT ratio_r, row_number() OVER (ORDER BY ratio_r, r) AS rn,
+                   count(*) OVER () AS n_reps
+            FROM per_rep
+        ),
+        full_ratio AS (
+            SELECT CAST(sum(v * is_p) AS DOUBLE)
+                       / CAST(sum(v * (1 - is_p)) AS DOUBLE) AS ratio_full
+            FROM base
+        )
+        SELECT round(f.ratio_full, 6) AS ratio_full,
+               round(lo.ratio_r, 6) AS ci_lo,
+               round(hi.ratio_r, 6) AS ci_hi,
+               CAST(lo.n_reps AS BIGINT) AS n_reps
+        FROM full_ratio f
+        CROSS JOIN (SELECT ratio_r, n_reps FROM ranked
+                    WHERE rn = greatest(1, (5 * n_reps) // 100)) lo
+        CROSS JOIN (SELECT ratio_r, n_reps FROM ranked
+                    WHERE rn = n_reps - greatest(1, (5 * n_reps) // 100) + 1) hi
+    """,
+    section="C11,F14,C18",
+    description="Poisson-bootstrap 90% CI for a RATIO metric "
+    "(purchase-to-click revenue ratio): the nonlinear statistic where the "
+    "delta-method is shakiest and resampling earns its keep — same "
+    "one-pass hash-derived Poisson(1) weights as abtest_poisson_bootstrap "
+    "with numerator and denominator drawn from the SAME replicate "
+    "(correlation preserved, the whole point of bootstrapping a ratio)",
+)
+def abtest_ratio_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sums share one replicate weight per event, so the replicate
+    ratios carry the real numerator/denominator correlation; everything
+    else follows the mean-bootstrap machinery."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    base = ev.select(
+        "event_id",
+        cents("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    reps = spark.range(1, _BOOT_REPS + 1).select(
+        F.col("id").cast("int").alias("r")
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    w = (
+        F.when(u < _POIS_C0, 0)
+        .when(u < _POIS_C1, 1)
+        .when(u < _POIS_C2, 2)
+        .when(u < _POIS_C3, 3)
+        .otherwise(4)
+    )
+    per_rep = (
+        base.crossJoin(F.broadcast(reps))
+        .select("r", "v", "is_p", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("v") * F.col("is_p")).alias("num"),
+            F.sum(F.col("w") * F.col("v") * (1 - F.col("is_p"))).alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "r",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "ratio_r"
+            ),
+        )
+    )
+    wr = Window.orderBy("ratio_r", "r")  # bounded: _BOOT_REPS rows
+    ranked = per_rep.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_reps", F.count("*").over(Window.partitionBy())
+    )
+    k = F.greatest(F.lit(1), F.expr("(5 * n_reps) div 100"))
+    lo = ranked.filter(F.col("rn") == k).select(
+        F.col("ratio_r").alias("lo"), "n_reps"
+    )
+    hi = ranked.filter(F.col("rn") == F.col("n_reps") - k + 1).select(
+        F.col("ratio_r").alias("hi")
+    )
+    full = base.agg(
+        (
+            F.sum(F.col("v") * F.col("is_p")).cast("double")
+            / F.sum(F.col("v") * (1 - F.col("is_p"))).cast("double")
+        ).alias("ratio_full")
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.round("ratio_full", 6).alias("ratio_full"),
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+            F.col("n_reps").cast("long").alias("n_reps"),
+        )
+    )

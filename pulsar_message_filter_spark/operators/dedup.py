@@ -1813,3 +1813,80 @@ def f63_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth long, n_found long, n_hit long, n_missed long, "
         "precision double, recall double",
     )
+
+
+# ---------------------------------------------------------------------------
+# F2/F14 — dedup threshold tuning curve (one pass, all thresholds)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f66_threshold_sweep",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS t
+            FROM documents WHERE doc_id < 200
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.t, b.t)) AS i,
+                   len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS u
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        ),
+        thr AS (SELECT unnest([50, 70, 80, 90]) AS pct)
+        SELECT pct,
+               CAST(sum(CASE WHEN i * 100 >= u * pct THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT CASE WHEN i * 100 >= u * pct
+                                        THEN id_b END) AS BIGINT)
+                   AS n_docs_dropped
+        FROM pairs CROSS JOIN thr
+        GROUP BY 1
+    """,
+    section="F2,F14,C11",
+    description="dedup threshold tuning curve: near-dup pair counts and "
+    "keep-first removal counts at Jaccard 0.5/0.7/0.8/0.9 from ONE "
+    "all-pairs pass (integer cross-multiplied thresholds) — the curve an "
+    "operator owner reads before fixing the production threshold, bounded "
+    "corpus for the exact form (the scale path reuses the LSH candidates "
+    "with per-threshold banding from choose_banding)",
+)
+def f66_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pair materialization serves every threshold (the thresholds
+    are a broadcast 4-row spine, not 4 passes); removal counts use the
+    keep-first rule (drop the greater id of each qualifying pair)."""
+    toks = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.lower("text"), " ")).alias("t"),
+        )
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("i"),
+            (F.size("ta") + F.size("tb") - inter).alias("u"),
+        )
+    )
+    thr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (50, 70, 80, 90)])).alias("pct")
+    )
+    q = F.col("i") * 100 >= F.col("u") * F.col("pct")
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("pct")
+        .agg(
+            F.sum(q.cast("long")).alias("n_pairs"),
+            F.countDistinct(F.when(q, F.col("id_b"))).cast("long").alias(
+                "n_docs_dropped"
+            ),
+        )
+    )

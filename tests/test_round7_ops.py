@@ -564,3 +564,24 @@ def test_dataset_card_internal_consistency(spark):
 
     assert 0.0 <= r.lang_entropy <= math.log(n_langs) + 1e-6
     assert r.top_source_share >= 1.0 / r.n_sources
+
+
+def test_threshold_sweep_is_monotone(spark):
+    """Raising the threshold can only shrink the pair and removal sets."""
+    from pulsar_message_filter_spark.operators.dedup import f66_threshold_sweep
+
+    rows = sorted(f66_threshold_sweep(spark, SF_SMOKE).collect(), key=lambda r: r.pct)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_dropped >= b.n_docs_dropped
+    assert rows[0].n_pairs > 0  # fixture has near-dups at 0.5
+
+
+def test_ratio_bootstrap_brackets_and_repeats(spark):
+    from pulsar_message_filter_spark.operators.abtest import abtest_ratio_bootstrap
+
+    r = abtest_ratio_bootstrap(spark, SF_SMOKE).collect()[0]
+    assert r.ci_lo <= r.ratio_full <= r.ci_hi
+    assert r.ci_lo > 0
+    r2 = abtest_ratio_bootstrap(spark, SF_SMOKE).collect()[0]
+    assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)  # hash determinism
