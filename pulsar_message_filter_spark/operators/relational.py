@@ -1720,3 +1720,43 @@ def global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.filter(F.col("o_orderkey") < 2000).select(
         "o_orderkey", F.col("global_id").cast("long").alias("global_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C11/C13 — predicate-aggregate family (count_if / bool_and / bool_or /
+# FILTER-style conditional aggregation)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "agg_predicate_family",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+                   AS n_big,
+               bool_and(o_totalprice > 900) AS all_over_900,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               CAST(min(o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS BIGINT) AS first_urgent_cust,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS BIGINT) AS urgent_cents
+        FROM orders
+        GROUP BY 1
+    """,
+    section="C11,C13,D4",
+    description="predicate aggregates: count_if, every/bool_and, "
+    "some/bool_or, and FILTER-style conditional min/sum per group — the "
+    "conditional-aggregation surface (Spark count_if/every/some = DuckDB "
+    "FILTER clauses and bool aggregates), all map-side combinable",
+)
+def agg_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 900).alias("all_over_900"),
+        F.some(urgent).alias("any_urgent"),
+        F.min(F.when(urgent, F.col("o_custkey"))).alias("first_urgent_cust"),
+        F.sum(F.when(urgent, cents("o_totalprice"))).alias("urgent_cents"),
+    )

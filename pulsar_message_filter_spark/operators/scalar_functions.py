@@ -779,3 +779,42 @@ def func_array4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("piped"),
         )
     )
+
+
+@graded(
+    "func_regex",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+               CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+                   AS n_vowel_runs,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               regexp_matches(p_name, '^[a-z]+ ') AS starts_with_word,
+               regexp_extract(p_name, '([a-z]{5,})') AS first_long_word
+        FROM part WHERE p_partkey < 300
+    """,
+    section="D1,B8",
+    description="regex family: group extraction, extract-all run counts, "
+    "GLOBAL replacement (Spark default vs DuckDB 'g' flag — the parity "
+    "trap made explicit), anchored match test, and first-long-token "
+    "capture — the B8 selector machinery exposed as scalar functions",
+)
+def func_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias(
+                "second_word"
+            ),
+            F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]+"), 0)).cast(
+                "long"
+            ).alias("n_vowel_runs"),
+            F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+            F.col("p_name").rlike(r"^[a-z]+ ").alias("starts_with_word"),
+            F.regexp_extract("p_name", r"([a-z]{5,})", 1).alias(
+                "first_long_word"
+            ),
+        )
+    )
