@@ -613,3 +613,126 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("seasonal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C9/E3 — interval overlap attribution: sessions × campaign windows
+# ---------------------------------------------------------------------------
+
+#: campaign windows (UTC) over the 2024-01 fixture era — literal dims, the
+#: broadcast side of the interval join
+_CAMPAIGNS = [
+    ("newyear", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+    ("midmonth", "2024-01-10 06:00:00", "2024-01-12 18:00:00"),
+    ("payday", "2024-01-25 00:00:00", "2024-01-26 00:00:00"),
+]
+
+
+@graded(
+    "interval_campaign_overlap",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) // 1000000 AS s
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, s,
+                   CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                             > 1800 OR lag(s) OVER (PARTITION BY user_id
+                                                    ORDER BY s) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ev
+        ),
+        sess AS (
+            SELECT user_id,
+                   CAST(min(s) AS BIGINT) AS t0, CAST(max(s) AS BIGINT) AS t1
+            FROM (
+                SELECT user_id, s,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY s)
+                           AS sid
+                FROM marked
+            )
+            GROUP BY user_id, sid
+        ),
+        camp AS (
+            SELECT * FROM (VALUES
+                ('newyear', epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000,
+                            epoch_us(TIMESTAMP '2024-01-03 00:00:00') // 1000000),
+                ('midmonth', epoch_us(TIMESTAMP '2024-01-10 06:00:00') // 1000000,
+                             epoch_us(TIMESTAMP '2024-01-12 18:00:00') // 1000000),
+                ('payday', epoch_us(TIMESTAMP '2024-01-25 00:00:00') // 1000000,
+                           epoch_us(TIMESTAMP '2024-01-26 00:00:00') // 1000000)
+            ) AS t(campaign, c0, c1)
+        )
+        SELECT campaign,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(least(t1, c1) - greatest(t0, c0)) AS BIGINT)
+                   AS overlap_seconds
+        FROM sess JOIN camp
+          ON t0 < c1 AND t1 > c0
+        GROUP BY 1
+    """,
+    section="C9,E3,C11,D2",
+    description="interval-overlap attribution: 30-min-gap user sessions "
+    "(gaps-and-islands sessionization) interval-joined against broadcast "
+    "campaign windows, reporting touched sessions/users and exact "
+    "overlapped seconds per campaign — the C9 range join with the "
+    "overlap-length aggregate real attribution needs (strict overlap, "
+    "zero-length touches excluded)",
+)
+def interval_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization is the user-keyed lag/cumsum pattern (one shuffle);
+    the interval join's small side is a 3-row literal dim — broadcast, so
+    the range predicate never shuffles the session table again.  Overlap
+    length uses the standard least/greatest clip, integer seconds."""
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    sess = (
+        ev.withColumn("prev", F.lag("s").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull() | (F.col("s") - F.col("prev") > 1800)).cast(
+                "int"
+            ),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("s").alias("t0"), F.max("s").alias("t1"))
+    )
+    camp = spark.createDataFrame(
+        [
+            (name, c0, c1)
+            for name, c0, c1 in (
+                (n, *(_to_epoch(a) for a in (s0, s1)))
+                for n, s0, s1 in _CAMPAIGNS
+            )
+        ],
+        "campaign string, c0 long, c1 long",
+    )
+    return (
+        sess.join(
+            F.broadcast(camp),
+            (F.col("t0") < F.col("c1")) & (F.col("t1") > F.col("c0")),
+        )
+        .groupBy("campaign")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(
+                F.least("t1", "c1") - F.greatest("t0", "c0")
+            ).cast("long").alias("overlap_seconds"),
+        )
+    )
+
+
+def _to_epoch(ts_str: str) -> int:
+    """UTC epoch seconds of a 'YYYY-MM-DD HH:MM:SS' literal (campaign dims
+    are defined in UTC; computed driver-side once, 3 rows)."""
+    from datetime import datetime, timezone
+
+    return int(
+        datetime.fromisoformat(ts_str).replace(tzinfo=timezone.utc).timestamp()
+    )

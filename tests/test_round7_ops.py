@@ -585,3 +585,21 @@ def test_ratio_bootstrap_brackets_and_repeats(spark):
     assert r.ci_lo > 0
     r2 = abtest_ratio_bootstrap(spark, SF_SMOKE).collect()[0]
     assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)  # hash determinism
+
+
+def test_interval_overlap_bounds(spark):
+    """Overlap per campaign can never exceed campaign length x sessions,
+    every overlap is strictly positive (touch-only excluded), and user
+    counts never exceed session counts."""
+    from pulsar_message_filter_spark.operators.timeseries import (
+        _CAMPAIGNS,
+        _to_epoch,
+        interval_campaign_overlap,
+    )
+
+    rows = {r.campaign: r for r in interval_campaign_overlap(spark, SF_SMOKE).collect()}
+    lengths = {n: _to_epoch(b) - _to_epoch(a) for n, a, b in _CAMPAIGNS}
+    assert rows, "fixture era must intersect at least one campaign"
+    for name, r in rows.items():
+        assert 0 < r.overlap_seconds <= lengths[name] * r.n_sessions
+        assert 0 < r.n_users <= r.n_sessions
