@@ -639,3 +639,107 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("long").alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: the directed support/confidence form of basket lift
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "basket_rules",
+    oracle="""
+        WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pair_counts AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        ),
+        item_counts AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+            FROM pl GROUP BY 1
+        ),
+        n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                  AS n_baskets FROM pl),
+        rules AS (
+            SELECT u AS antecedent, v AS consequent, n_ab,
+                   ia.n_item AS n_ante, n_baskets
+            FROM pair_counts
+            JOIN item_counts ia ON ia.l_partkey = u
+            CROSS JOIN n
+            UNION ALL
+            SELECT v, u, n_ab, ib.n_item, n_baskets
+            FROM pair_counts
+            JOIN item_counts ib ON ib.l_partkey = v
+            CROSS JOIN n
+        )
+        SELECT antecedent, consequent, n_ab,
+               round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support,
+               round(CAST(n_ab AS DOUBLE) / n_ante, 6) AS confidence
+        FROM rules
+        WHERE n_ab * 4 >= n_ante  -- confidence >= 0.25, integer form
+    """,
+    section="C4,C11,F14",
+    description="association rules (directed support/confidence form of "
+    "basket lift): each surviving pair emits both rule directions, "
+    "confidence = P(consequent|antecedent) with an integer-cross-"
+    "multiplied 0.25 floor — min-support pruning BEFORE the direction "
+    "fan-out keeps the Apriori anti-blowup",
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift says a pair co-occurs beyond chance; the RULE form adds
+    direction (which item predicts which) — the actually actionable
+    output.  Shape: the basket_lift machinery up to pair counts, then a
+    2x direction fan-out (narrow) and a broadcast item-count join."""
+    pl = (
+        load(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pair_counts = (
+        pl.alias("a")
+        .join(
+            pl.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    item_counts = pl.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    n = pl.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    fwd = pair_counts.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "n_ab"
+    )
+    bwd = pair_counts.select(
+        F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "n_ab"
+    )
+    rules = fwd.unionByName(bwd).join(
+        F.broadcast(
+            item_counts.select(
+                F.col("l_partkey").alias("antecedent"),
+                F.col("n_item").alias("n_ante"),
+            )
+        ),
+        "antecedent",
+    )
+    return (
+        rules.filter(F.col("n_ab") * 4 >= F.col("n_ante"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_ante"), 6
+            ).alias("confidence"),
+        )
+    )

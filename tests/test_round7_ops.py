@@ -603,3 +603,21 @@ def test_interval_overlap_bounds(spark):
     for name, r in rows.items():
         assert 0 < r.overlap_seconds <= lengths[name] * r.n_sessions
         assert 0 < r.n_users <= r.n_sessions
+
+
+def test_basket_rules_directionality_and_bounds(spark):
+    """confidence in (0, 1]; each direction's confidence = n_ab/n_ante so
+    the two directions of one pair share n_ab but differ in confidence
+    unless the items have equal counts; support identical either way."""
+    from pulsar_message_filter_spark.operators.graph import basket_rules
+
+    rows = basket_rules(spark, SF_SMOKE).collect()
+    assert rows
+    by_pair = {}
+    for r in rows:
+        assert 0 < r.confidence <= 1.0 and 0 < r.support <= 1.0
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        by_pair.setdefault(key, []).append(r)
+    for key, rs in by_pair.items():
+        assert len({r.n_ab for r in rs}) == 1  # shared co-count
+        assert len({r.support for r in rs}) == 1  # symmetric support
