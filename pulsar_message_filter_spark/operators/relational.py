@@ -1760,3 +1760,70 @@ def agg_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(urgent, F.col("o_custkey"))).alias("first_urgent_cust"),
         F.sum(F.when(urgent, cents("o_totalprice"))).alias("urgent_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (the classic operator Spark has no keyword for)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "pareto_frontier_2d",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   CAST(epoch_us(o_orderdate) // 1000000 // 86400 AS BIGINT)
+                       AS day
+            FROM orders WHERE o_orderkey < 5000
+        ),
+        scanned AS (
+            SELECT o_orderkey, price_cents, day,
+                   max(day) OVER (ORDER BY price_cents DESC, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS best_day_above
+            FROM o
+        )
+        SELECT o_orderkey, price_cents, day
+        FROM scanned
+        WHERE best_day_above IS NULL OR day > best_day_above
+    """,
+    section="C22,C20,F14",
+    description="2-D skyline (Pareto frontier): orders not dominated in "
+    "(price, recency) — maximize both — via the sort-and-running-max "
+    "trick: ordered by price desc, a row survives iff its day beats the "
+    "prefix max day of strictly-better-priced rows (EXCLUSIVE frame so "
+    "price ties cannot knock each other out); the classic DB operator "
+    "Spark has no SKYLINE keyword for, in one window pass over a bounded "
+    "subset (scale path: two-phase distributed prefix MAX, same contract "
+    "as functions/prefix.py's sums)",
+)
+def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One sorted pass replaces the naive O(n²) dominance anti-join.  The
+    unpartitioned window is safe ONLY because of the o_orderkey < 5000
+    bound (same bounded-window contract as window_range_frame); at corpus
+    scale the identical algorithm runs as a range-partitioned prefix MAX
+    (partition on price ranges, broadcast per-partition maxima, local
+    rescan — the functions/prefix.py two-phase shape with max instead of
+    sum)."""
+    o = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey",
+            cents("o_totalprice").alias("price_cents"),
+            (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("price_cents"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        o.withColumn("best_day_above", F.max("day").over(w))
+        .filter(
+            F.col("best_day_above").isNull()
+            | (F.col("day") > F.col("best_day_above"))
+        )
+        .select("o_orderkey", "price_cents", "day")
+    )

@@ -625,3 +625,40 @@ def test_basket_rules_directionality_and_bounds(spark):
     for key, rs in by_pair.items():
         assert len({r.n_ab for r in rs}) == 1  # shared co-count
         assert len({r.support for r in rs}) == 1  # symmetric support
+
+
+def test_pareto_frontier_dominance_property(spark):
+    """No frontier point may dominate another (maximize price AND day),
+    and every non-frontier point must be dominated by some frontier
+    point — checked by brute force against the same bounded input."""
+    from pulsar_message_filter_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+    from pulsar_message_filter_spark.operators.parity import cents
+
+    frontier = {
+        r.o_orderkey: (r.price_cents, r.day)
+        for r in pareto_frontier_2d(spark, SF_SMOKE).collect()
+    }
+    allpts = {
+        r.o_orderkey: (r.price_cents, r.day)
+        for r in load(spark, "orders", SF_SMOKE)
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey",
+            cents("o_totalprice").alias("price_cents"),
+            (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+        )
+        .collect()
+    }
+
+    def dominates(a, b):
+        return a[0] >= b[0] and a[1] >= b[1] and a != b
+
+    fr = list(frontier.values())
+    for i, a in enumerate(fr):
+        for b in fr[i + 1 :]:
+            assert not dominates(a, b) and not dominates(b, a)
+    for k, p in allpts.items():
+        if k not in frontier:
+            assert any(dominates(f, p) for f in fr), (k, p)
