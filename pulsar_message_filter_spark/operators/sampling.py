@@ -264,3 +264,95 @@ def sample_weighted_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame
     # doc_id tiebreak: md5-prefix collisions are rare but possible, and a
     # boundary tie must resolve identically on every engine.
     return keyed.orderBy(F.col("sel_key").desc(), "doc_id").limit(60)
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: variance-proportional stratified sampling design
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "sample_neyman_allocation",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_h,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT)
+                       AS sxx
+            FROM documents GROUP BY 1
+        ),
+        wtd AS (
+            SELECT source, n_h,
+                   CAST(round(n_h * sqrt(
+                       CAST(sxx AS DOUBLE) / n_h
+                       - (CAST(sx AS DOUBLE) / n_h)
+                         * (CAST(sx AS DOUBLE) / n_h)
+                   )) AS BIGINT) AS w
+            FROM s
+        ),
+        staged AS (
+            SELECT source, n_h, w,
+                   (1000 * w) // sum(w) OVER () AS base,
+                   (1000 * w) % sum(w) OVER () AS rem
+            FROM wtd
+        ),
+        ranked AS (
+            SELECT *, sum(base) OVER () AS base_sum,
+                   row_number() OVER (ORDER BY rem DESC, source) AS r
+            FROM staged
+        )
+        SELECT source, n_h,
+               CAST(base + CASE WHEN r <= 1000 - base_sum THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_alloc
+        FROM ranked
+    """,
+    section="C26,C13,F14",
+    description="Neyman allocation: a 1000-row stratified sample budget "
+    "split across sources proportional to N_h * sigma_h (stratum size x "
+    "stratum std-dev of n_chars, exact integer power sums -> one IEEE "
+    "sqrt -> integerized weight -> largest-remainder settle summing "
+    "EXACTLY to budget) — the design that minimizes estimator variance "
+    "at fixed cost, vs plain proportional allocation",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance from one pass of integer power sums per stratum (the
+    regression_residual_profile discipline); the allocation math runs on
+    the per-source aggregate (bounded by source cardinality, the one
+    global window is over that tiny frame).  The actual row pick under
+    this design is the existing deterministic hash-rank machinery
+    (sample_stratified) with these counts as the per-stratum budgets."""
+    budget = 1000
+    s = (
+        load(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_h"),
+            F.sum(F.col("n_chars").cast("long")).alias("sx"),
+            F.sum(F.col("n_chars").cast("long") * F.col("n_chars")).alias("sxx"),
+        )
+    )
+    mean = F.col("sx").cast("double") / F.col("n_h")
+    var = F.col("sxx").cast("double") / F.col("n_h") - mean * mean
+    wtd = s.select(
+        "source",
+        "n_h",
+        F.round(F.col("n_h") * F.sqrt(var)).cast("long").alias("w"),
+    )
+    from pyspark.sql import Window as W
+
+    WG = W.partitionBy()  # source-cardinality frame, bounded
+    staged = (
+        wtd.withColumn("base", F.expr(f"({budget} * w) div sum(w) over ()"))
+        .withColumn("rem", F.expr(f"({budget} * w) % sum(w) over ()"))
+        .withColumn("base_sum", F.sum("base").over(WG))
+        .withColumn("r", F.row_number().over(W.orderBy(F.desc("rem"), "source")))
+    )
+    alloc = F.col("base") + F.when(
+        F.col("r") <= F.lit(budget) - F.col("base_sum"), 1
+    ).otherwise(0)
+    return staged.select(
+        "source",
+        F.col("n_h").cast("long").alias("n_h"),
+        alloc.cast("long").alias("n_alloc"),
+    )

@@ -662,3 +662,35 @@ def test_pareto_frontier_dominance_property(spark):
     for k, p in allpts.items():
         if k not in frontier:
             assert any(dominates(f, p) for f in fr), (k, p)
+
+
+def test_neyman_allocation_budget_and_optimality_direction(spark):
+    """Allocations sum exactly to budget, and a stratum with both larger
+    size AND larger spread never gets fewer rows than one it dominates
+    (the Neyman monotonicity that proportional allocation lacks)."""
+    import math
+
+    from pulsar_message_filter_spark.operators.sampling import (
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, SF_SMOKE).collect()
+    assert sum(r.n_alloc for r in rows) == 1000
+    stats = {
+        r.source: (r.n_h, r.sd)
+        for r in load(spark, "documents", SF_SMOKE)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_h"),
+            F.stddev_pop(F.col("n_chars").cast("double")).alias("sd"),
+        )
+        .collect()
+    }
+    al = {r.source: r.n_alloc for r in rows}
+    srcs = list(al)
+    for a in srcs:
+        for b in srcs:
+            na, sa = stats[a]
+            nb, sb = stats[b]
+            if na >= nb and sa >= sb and (na > nb or sa > sb):
+                assert al[a] >= al[b] - 1  # largest-remainder +/-1 slack
