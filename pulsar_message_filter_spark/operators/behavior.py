@@ -1103,3 +1103,74 @@ def behavior_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("stationary_scaled"),
         F.round(F.col("p").cast("double") / 1e9, 6).alias("stationary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest daily-activity streak per user
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "behavior_activity_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS d
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                       AS grp
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+                   CAST(min(d) AS BIGINT) AS start_day
+            FROM isl GROUP BY user_id, grp
+        ),
+        best AS (
+            SELECT user_id, len, start_day,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY len DESC, start_day) AS rn
+            FROM streaks
+        )
+        SELECT user_id, len AS longest_streak_days, start_day
+        FROM best WHERE rn = 1 AND len >= 3
+    """,
+    section="C18,C11,F14",
+    description="longest consecutive-day activity streak per user "
+    "(gaps-and-islands: day minus row_number is constant within a run), "
+    "reporting users with streaks >= 3 days and when the streak started "
+    "— the canonical islands idiom as a first-class graded op (the same "
+    "trick powering span islands in f61 and sessionization)",
+)
+def behavior_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything is user-partitioned: distinct day collapse, the islands
+    window, the per-user best pick — one shuffle class end to end."""
+    from pyspark.sql import Window as W
+
+    days = (
+        load(spark, "events", sf_dir)
+        .select(
+            "user_id",
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    w_isl = W.partitionBy("user_id").orderBy("d")
+    streaks = (
+        days.withColumn("grp", F.col("d") - F.row_number().over(w_isl))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"), F.min("d").alias("start_day"))
+    )
+    w_best = W.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .filter((F.col("rn") == 1) & (F.col("len") >= 3))
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("longest_streak_days"),
+            F.col("start_day").cast("long").alias("start_day"),
+        )
+    )

@@ -607,6 +607,67 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C10 — as-of join, NEAREST direction (minimal absolute gap)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "join_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'click'),
+             matched AS (
+               SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                      abs(c.ts_us - p.ts_us) AS abs_gap_us,
+                      row_number() OVER (PARTITION BY p.event_id
+                                         ORDER BY abs(c.ts_us - p.ts_us),
+                                                  c.ts_us, c.event_id) AS rn
+               FROM p JOIN c ON p.user_id = c.user_id
+                AND c.ts_us >= p.ts_us - CAST(3600 AS BIGINT) * 1000000
+                AND c.ts_us <= p.ts_us + CAST(3600 AS BIGINT) * 1000000)
+        SELECT purchase_id, click_id, abs_gap_us
+        FROM matched WHERE rn = 1
+    """,
+    section="C10",
+    description="nearest-direction as-of join: the click with the MINIMAL "
+    "absolute gap to each purchase within a symmetric 1h tolerance (ties "
+    "break to the earlier click, then id) — completing the as-of family: "
+    "backward (join_asof), forward+tolerance (join_asof_tolerance), "
+    "nearest (this); the sensor-fusion alignment mode",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol_us = 3600 * 1_000_000
+    events = load(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_ts"),
+    )
+    gap = F.abs(F.col("c_ts") - F.col("p_ts"))
+    w = Window.partitionBy("purchase_id").orderBy(
+        gap, F.col("c_ts"), F.col("click_id")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.lit(tol_us))
+            & (F.col("c_ts") <= F.col("p_ts") + F.lit(tol_us)),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "click_id", gap.alias("abs_gap_us"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # C3 — distinct
 # ---------------------------------------------------------------------------
 

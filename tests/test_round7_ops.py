@@ -694,3 +694,53 @@ def test_neyman_allocation_budget_and_optimality_direction(spark):
             nb, sb = stats[b]
             if na >= nb and sa >= sb and (na > nb or sa > sb):
                 assert al[a] >= al[b] - 1  # largest-remainder +/-1 slack
+
+
+def test_activity_streaks_islands_arithmetic(spark):
+    """Planted streaks: a 4-day run, a gap, a 2-day run -> longest is 4
+    starting at the run's first day; a user with only isolated days is
+    absent (floor 3)."""
+    import unittest.mock as mock
+    from datetime import datetime
+
+    import pulsar_message_filter_spark.operators.behavior as behavior_mod
+    from pulsar_message_filter_spark.operators.behavior import (
+        behavior_activity_streaks,
+    )
+
+    t = lambda d: datetime(2024, 1, d)
+    rows = []
+    for i, d in enumerate([3, 4, 5, 6, 9, 10]):  # user 1: 4-run then 2-run
+        rows.append((f"a{i}", 1, "view", t(d), 1.0))
+    for i, d in enumerate([2, 5, 8]):  # user 2: isolated days only
+        rows.append((f"b{i}", 2, "view", t(d), 1.0))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id string, user_id long, event_type string, ts timestamp, value double",
+    )
+    with mock.patch.object(behavior_mod, "load", lambda spark, t_, d: ev):
+        got = {r.user_id: r for r in behavior_activity_streaks(spark, "x").collect()}
+    assert set(got) == {1}
+    assert got[1].longest_streak_days == 4
+    # start_day is the epoch-day of Jan 3 2024
+    assert got[1].start_day == (datetime(2024, 1, 3) - datetime(1970, 1, 1)).days
+
+
+def test_asof_nearest_picks_minimal_gap(spark):
+    from pulsar_message_filter_spark.operators.relational import (
+        join_asof_nearest,
+        join_asof_tolerance,
+    )
+
+    near = {r.purchase_id: r for r in join_asof_nearest(spark, SF_SMOKE).collect()}
+    fwd = {
+        r.purchase_id: r
+        for r in join_asof_tolerance(spark, SF_SMOKE).collect()
+        if r.click_id is not None
+    }
+    assert near, "fixture must produce nearest matches"
+    for pid, r in near.items():
+        assert 0 <= r.abs_gap_us <= 3600 * 1_000_000
+        # nearest can never be farther than the forward-only match
+        if pid in fwd:
+            assert r.abs_gap_us <= fwd[pid].next_click_gap_us
