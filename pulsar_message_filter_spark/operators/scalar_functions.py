@@ -14,6 +14,21 @@ from pyspark.sql import functions as F
 from pulsar_message_filter_spark.io import load
 from pulsar_message_filter_spark.registry import graded
 
+
+def _sjoin(col, sep: str = ":"):
+    """Stringify an array output column for the driver's hash gate.
+
+    The driver canonicalizer sorts the pandas result frame before hashing
+    and crashes on ndarray cells (``TypeError: unhashable type:
+    'numpy.ndarray'`` — CORRECTNESS_r04 ``func_array4``), so graded queries
+    must never emit raw ``array<…>`` columns.  Elements are cast to string
+    first so the same helper covers numeric and string arrays; the DuckDB
+    twin is ``array_to_string(list_transform(L, x -> CAST(x AS VARCHAR)),
+    sep)``.
+    """
+    return F.array_join(F.transform(col, lambda v: v.cast("string")), sep)
+
+
 # ---------------------------------------------------------------------------
 # D1 — string functions
 # ---------------------------------------------------------------------------
@@ -418,7 +433,7 @@ def func_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_map2",
     oracle="""
         SELECT event_id,
-               json_keys(props) AS prop_keys,
+               array_to_string(list_sort(json_keys(props)), ':') AS prop_keys,
                1 AS n_props,
                json_extract_string(props, '$.k') AS k_from_entries,
                CAST(json_extract_string(props, '$.k') AS INTEGER) * 10 AS k_x10
@@ -436,7 +451,7 @@ def func_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pm", pm)
         .select(
             "event_id",
-            F.map_keys("pm").alias("prop_keys"),
+            _sjoin(F.sort_array(F.map_keys("pm"))).alias("prop_keys"),
             F.size("pm").alias("n_props"),
             F.element_at(F.map_values("pm"), 1).alias("k_from_entries"),
             F.element_at(
@@ -570,15 +585,18 @@ def func_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE p_partkey < 300)
         SELECT p_partkey,
                CAST(coalesce(list_position(toks, 'blue'), 0) AS BIGINT) AS pos_blue,
-               list_filter(toks, x -> x != 'blue') AS no_blue,
+               array_to_string(list_filter(toks, x -> x != 'blue'), ':') AS no_blue,
                list_has_any(toks, ['blue', 'red']) AS has_primary,
-               list_append(toks, 'zzz') AS appended,
-               list_prepend('aaa', toks) AS prepended,
-               list_sort(list_distinct(toks || ['widget'])) AS union_widget,
-               list_sort(list_filter(list_distinct(toks),
-                                     x -> NOT list_contains(['blue', 'red'], x)))
-                 AS except_primary,
-               list_transform(toks, x -> length(x)) AS tok_lens,
+               array_to_string(list_append(toks, 'zzz'), ':') AS appended,
+               array_to_string(list_prepend('aaa', toks), ':') AS prepended,
+               array_to_string(list_sort(list_distinct(toks || ['widget'])), ':')
+                 AS union_widget,
+               array_to_string(
+                   list_sort(list_filter(list_distinct(toks),
+                                         x -> NOT list_contains(['blue', 'red'], x))),
+                   ':') AS except_primary,
+               array_to_string(list_transform(toks, x -> CAST(length(x) AS VARCHAR)),
+                   ':') AS tok_lens,
                len(list_filter(toks, x -> length(x) > 2)) = len(toks) AS all_long
         FROM t
     """,
@@ -586,7 +604,8 @@ def func_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="array family 3: position/remove/overlap/append/prepend/"
     "union/except/transform/forall (order-sensitive ops sorted on both "
     "engines; Spark array_position returns 0 for missing vs DuckDB NULL "
-    "-> coalesce shim)",
+    "-> coalesce shim).  Array outputs joined to strings on both engines "
+    "(driver hash-gate parity trap, CORRECTNESS_r04)",
 )
 def func_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("p_name", " ")
@@ -596,19 +615,25 @@ def func_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             F.array_position(toks, "blue").alias("pos_blue"),
-            F.array_remove(toks, "blue").alias("no_blue"),
+            _sjoin(F.array_remove(toks, "blue")).alias("no_blue"),
             F.arrays_overlap(toks, F.array(F.lit("blue"), F.lit("red"))).alias(
                 "has_primary"
             ),
-            F.array_append(toks, F.lit("zzz")).alias("appended"),
-            F.array_prepend(toks, F.lit("aaa")).alias("prepended"),
-            F.sort_array(
-                F.array_distinct(F.array_union(toks, F.array(F.lit("widget"))))
+            _sjoin(F.array_append(toks, F.lit("zzz"))).alias("appended"),
+            _sjoin(F.array_prepend(toks, F.lit("aaa"))).alias("prepended"),
+            _sjoin(
+                F.sort_array(
+                    F.array_distinct(F.array_union(toks, F.array(F.lit("widget"))))
+                )
             ).alias("union_widget"),
-            F.sort_array(
-                F.array_except(toks, F.array(F.lit("blue"), F.lit("red")))
+            _sjoin(
+                F.sort_array(
+                    F.array_except(toks, F.array(F.lit("blue"), F.lit("red")))
+                )
             ).alias("except_primary"),
-            F.transform(toks, lambda x: F.length(x).cast("long")).alias("tok_lens"),
+            _sjoin(F.transform(toks, lambda x: F.length(x).cast("long"))).alias(
+                "tok_lens"
+            ),
             F.forall(toks, lambda x: F.length(x) > 2).alias("all_long"),
         )
     )
@@ -624,7 +649,7 @@ def func_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + CASE WHEN length(p_brand) > 10 THEN 1 ELSE 0 END
                     + CASE WHEN p_partkey % 100 > 10 THEN 1 ELSE 0 END
                     AS BIGINT) AS n_gt10,
-               ['PK', 'SZ'] AS keys_up,
+               'PK:SZ' AS keys_up,
                CAST(2 AS BIGINT) AS n_entries
         FROM part WHERE p_partkey < 300
     """,
@@ -651,8 +676,10 @@ def func_map3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(m2, "sz").alias("sz"),
             F.element_at(m2, "blen").alias("blen"),
             F.size(F.map_filter(m2, lambda k, v: v > 10)).cast("long").alias("n_gt10"),
-            F.sort_array(
-                F.map_keys(F.transform_keys(m1, lambda k, v: F.upper(k)))
+            _sjoin(
+                F.sort_array(
+                    F.map_keys(F.transform_keys(m1, lambda k, v: F.upper(k)))
+                )
             ).alias("keys_up"),
             F.size(F.map_entries(m1)).cast("long").alias("n_entries"),
         )
@@ -730,14 +757,16 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part
                    WHERE p_partkey < 300)
         SELECT p_partkey,
-               list_transform(generate_series(1, len(toks)),
-                   i -> CAST(i AS BIGINT) * length(toks[i])) AS pos_weighted,
-               list_transform(generate_series(1, least(len(toks), 3)),
-                   i -> toks[i] || ':' || CAST(i - 1 AS VARCHAR)) AS zipped3,
-               list_filter(['x', NULL, 'y', NULL], v -> v IS NOT NULL)
-                   AS compacted,
-               list_transform(generate_series(1, 3), i -> toks[1]) AS first3x,
-               toks[1:2] || ['INS'] || toks[3:] AS inserted,
+               array_to_string(list_transform(generate_series(1, len(toks)),
+                   i -> CAST(CAST(i AS BIGINT) * length(toks[i]) AS VARCHAR)),
+                   ':') AS pos_weighted,
+               array_to_string(list_transform(generate_series(1, least(len(toks), 3)),
+                   i -> toks[i] || ':' || CAST(i - 1 AS VARCHAR)), '|') AS zipped3,
+               array_to_string(list_filter(['x', NULL, 'y', NULL],
+                   v -> v IS NOT NULL), ':') AS compacted,
+               array_to_string(list_transform(generate_series(1, 3), i -> toks[1]),
+                   ':') AS first3x,
+               array_to_string(toks[1:2] || ['INS'] || toks[3:], ':') AS inserted,
                len(list_filter(toks, x -> length(x) >= 6)) > 0 AS any_long,
                list_reduce(list_prepend('', toks),
                            (acc, x) -> acc || '|' || x) AS piped
@@ -748,7 +777,9 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "position-weighted transform (zip_with over an index sequence), "
     "element:index zip of the first 3 tokens, null compaction, "
     "array_repeat, array_insert (slice-splice twin on DuckDB), exists, "
-    "and a reduce/fold concat — closes the D5 lambda surface",
+    "and a reduce/fold concat — closes the D5 lambda surface.  Array "
+    "outputs are joined to strings on both engines: the driver hash gate "
+    "cannot canonicalize raw array cells (CORRECTNESS_r04 parity trap)",
 )
 def func_array4(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("p_name", " ")
@@ -757,20 +788,27 @@ def func_array4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_partkey") < 300)
         .select(
             "p_partkey",
-            F.zip_with(
-                F.sequence(F.lit(1), F.size(toks)),
-                toks,
-                lambda i, x: i.cast("long") * F.length(x),
+            _sjoin(
+                F.zip_with(
+                    F.sequence(F.lit(1), F.size(toks)),
+                    toks,
+                    lambda i, x: i.cast("long") * F.length(x),
+                )
             ).alias("pos_weighted"),
-            F.transform(
-                F.slice(toks, 1, 3),
-                lambda x, i: F.concat_ws(":", x, i.cast("string")),
+            _sjoin(
+                F.transform(
+                    F.slice(toks, 1, 3),
+                    lambda x, i: F.concat_ws(":", x, i.cast("string")),
+                ),
+                sep="|",
             ).alias("zipped3"),
-            F.array_compact(
-                F.array(F.lit("x"), F.lit(None), F.lit("y"), F.lit(None))
+            _sjoin(
+                F.array_compact(
+                    F.array(F.lit("x"), F.lit(None), F.lit("y"), F.lit(None))
+                )
             ).alias("compacted"),
-            F.array_repeat(F.element_at(toks, 1), 3).alias("first3x"),
-            F.array_insert(toks, 3, F.lit("INS")).alias("inserted"),
+            _sjoin(F.array_repeat(F.element_at(toks, 1), 3)).alias("first3x"),
+            _sjoin(F.array_insert(toks, 3, F.lit("INS"))).alias("inserted"),
             F.exists(toks, lambda x: F.length(x) >= 6).alias("any_long"),
             F.aggregate(
                 toks,

@@ -14,7 +14,13 @@ Conventions enforced by the decorator contract:
 * timestamp outputs are rendered to strings or epoch integers — never raw
   timestamp objects — to dodge tz/precision representation drift;
 * ``oracle=None`` marks a deliberately rows-only operator (approx sketches,
-  LSH, sampling) per the driver's weaker check.
+  LSH, sampling) per the driver's weaker check;
+* NO raw ``array<…>``/``map<…>`` output columns — the driver canonicalizer
+  sorts the pandas frame before hashing and crashes on ndarray/dict cells
+  (``TypeError: unhashable type`` — CORRECTNESS_r04 ``func_array4``).
+  Join array outputs to strings on both engines: Spark
+  ``array_join(transform(L, v -> cast(v as string)), ':')`` /
+  DuckDB ``array_to_string(list_transform(L, x -> CAST(x AS VARCHAR)), ':')``.
 """
 
 from __future__ import annotations
@@ -54,8 +60,10 @@ def graded(
     return deco
 
 
-# Names hash-verified by the driver's correctness gate (CORRECTNESS_r01-r03
-# union: r01/r02 graded the same 50 names; r03 graded 50 new ones).  The
+# Names hash-verified by the driver's correctness gate (CORRECTNESS_r01-r04
+# union: r01/r02 graded the same 50 names; r03 and r04 each graded new
+# windows — r04 added 49 greens; its one red, ``func_array4``, is kept OUT
+# of both sets so it re-surfaces in the r05 window after the fix).  The
 # driver grades the first 50 entries of ``queries()`` in dict order, so
 # ``all_graded()`` orders never-driver-graded queries first (oracle-checked
 # before rows-only) — every driver window then adds 50 *new* rows of
@@ -69,52 +77,69 @@ def graded(
 # after never-verified ones, so provenance is explicit and the window
 # drains the least-evidenced queries first.
 _DRIVER_VERIFIED = frozenset(
-    {"abtest_cuped", "abtest_two_proportion", "abtest_welch_t",
+    {"abtest_cuped", "abtest_mann_whitney", "abtest_poisson_bootstrap",
+    "abtest_ratio_bootstrap", "abtest_two_proportion", "abtest_welch_t",
     "agg_approx_count_distinct", "agg_approx_percentile", "agg_argminmax",
-    "agg_collect_sorted", "agg_count_distinct", "agg_cube", "agg_distinct",
-    "agg_heavy_hitters", "agg_moments_exact", "agg_percentiles",
-    "agg_pivot", "agg_rollup", "agg_stats", "agg_trimmed_mean",
-    "agg_unpivot", "agg_weighted_median", "agg_weighted_quantiles",
-    "anomaly_mad_outliers", "basket_lift_pairs", "basket_lift_weekly",
-    "changepoint_cusum", "cms_user_event_counts", "crosstab_cramers_v",
+    "agg_collect_sorted", "agg_corr_exact", "agg_count_distinct",
+    "agg_cube", "agg_distinct", "agg_gini_exact", "agg_heavy_hitters",
+    "agg_kth_smallest", "agg_mode_exact", "agg_moments_exact",
+    "agg_percentiles", "agg_pivot", "agg_predicate_family", "agg_rollup",
+    "agg_stats", "agg_trimmed_mean", "agg_unpivot", "agg_weighted_median",
+    "agg_weighted_quantiles", "anomaly_mad_outliers", "basket_lift_pairs",
+    "basket_lift_weekly", "basket_rules", "behavior_activity_streaks",
+    "behavior_markov_stationary", "changepoint_cusum",
+    "cms_user_event_counts", "corpus_zipf_slope", "crosstab_cramers_v",
     "drift_benford_profile", "drift_ks_two_sample", "drift_psi_value",
-    "f12_multimodal_features", "f21_topk_int8",
-    "f2_minhash_lsh", "f2_minhash_lsh_tuned", "f2_simhash",
+    "drift_wasserstein", "f12_multimodal_features", "f18_incremental_dedup",
+    "f21_topk_int8", "f2_minhash_lsh", "f2_minhash_lsh_tuned", "f2_simhash",
     "f49_mmr_rerank", "f4_topk_ivf", "f4_topk_ivf_auto", "f4_topk_lsh",
     "f54_bigram_perplexity", "f55_vocab_coverage", "f56_ngram_novelty",
-    "func_hash_spark_native", "funnel_conversion", "fuzzy_jaro_winkler",
-    "fuzzy_vocab_pairs", "graph_khop_reachability", "graph_triangle_count",
-    "hll_audience_overlap", "hll_distinct_users", "hll_windowed_merge",
-    "impute_group_median", "join_anti", "join_asof", "join_broadcast_dims",
+    "f57_winnowing_candidates", "f58_hard_negatives",
+    "f59_retrieval_metrics", "f60_knn_eval", "f61_common_substring_spans",
+    "f64_power_iteration_pca", "f65_dataset_card", "f66_threshold_sweep",
+    "func_hash_spark_native", "func_regex", "funnel_conversion",
+    "fuzzy_jaro_winkler", "fuzzy_mutual_best", "fuzzy_vocab_pairs",
+    "global_dense_ids", "global_topk", "graph_khop_reachability",
+    "graph_label_propagation", "graph_local_clustering",
+    "graph_triangle_count", "hll_audience_overlap", "hll_distinct_users",
+    "hll_windowed_merge", "impute_group_median",
+    "interval_campaign_overlap", "join_anti", "join_asof",
+    "join_asof_nearest", "join_asof_tolerance", "join_broadcast_dims",
     "join_cross", "join_full_outer", "join_left_outer", "join_range_theta",
-    "join_semi", "mi_type_hour_profile",
-    "pipeline_composite", "q10_returned_items",
-    "q13_order_count_distribution", "q14_promo_revenue_share",
-    "q18_large_orders", "q1_pricing_summary", "q3_top_revenue",
-    "q5_local_supplier_revenue", "q6_forecast_revenue",
+    "join_semi", "linkage_entity_clusters", "mi_type_hour_profile",
+    "mixture_nucleus_topp", "mixture_temperature_weights",
+    "pagerank_neardup_hubs", "pareto_frontier_2d", "pipeline_composite",
+    "q10_returned_items", "q13_order_count_distribution",
+    "q14_promo_revenue_share", "q18_large_orders", "q1_pricing_summary",
+    "q3_top_revenue", "q5_local_supplier_revenue", "q6_forecast_revenue",
     "q7_volume_shipping", "quantile_histogram_estimate",
-    "regression_residual_profile", "salted_hot_key_agg", "sample_seeded",
+    "regression_residual_profile", "robust_theil_sen", "salted_hot_key_agg",
+    "sample_neyman_allocation", "sample_seeded", "scalar_subquery",
     "scd2_asof_revenue", "scd2_multi_epoch", "selector_3vl_null",
     "selector_between", "selector_comparison_arith", "selector_documents",
     "selector_fanout", "selector_flagship_window", "selector_header_time",
     "selector_in", "selector_like", "selector_like_escape",
     "selector_params", "selector_props_coercion", "selector_regex",
-    "selector_verdict_routing", "throttle_per_user_hour", "topk_with_ties",
-    "window_distribution", "window_lag_lead", "window_range_frame",
-    "window_rank", "window_rolling_corr", "window_running_sum"}
+    "selector_verdict_routing", "setop_all_variants",
+    "setop_intersect_except", "setop_union_all", "setop_union_missing_cols",
+    "sql_shared_cte_setops", "sql_shared_window", "survival_kaplan_meier",
+    "throttle_per_user_hour", "timeseries_seasonal_decompose",
+    "topk_per_group", "topk_with_ties", "window_distribution",
+    "window_lag_lead", "window_range_frame", "window_rank",
+    "window_rolling_corr", "window_running_sum", "window_value_functions"}
 )
 _LOCALLY_VERIFIED = frozenset(
-    {"activity_heatmap", "agg_bitwise", "agg_corr_exact", "agg_gini_exact",
-    "agg_mode_exact", "alloc_largest_remainder", "anomaly_rolling_zscore",
-    "attribution_first_touch", "attribution_linear", "cdc_snapshot_diff",
-    "cdc_table_checksum", "cohort_retention", "cohort_retention_monthly",
-    "decay_score_asof", "dq_violation_report", "f10_corpus_profile",
-    "f11_quality_filter", "f11b_gopher_ratios", "f13_label_centroids",
-    "f13_normalize", "f15_curation_pipeline", "f16_training_mixture",
-    "f17_sequence_packing", "f19_curation_to_packing", "f1_exact_dedup",
-    "f20_dedup_clusters", "f22_contamination", "f23_repetition_profile",
-    "f24_span_dedup", "f25_pii_scrub", "f26_domain_profile",
-    "f27_shard_balance", "f28_price_histogram", "f29_train_val_test_split",
+    {"activity_heatmap", "agg_bitwise", "alloc_largest_remainder",
+    "anomaly_rolling_zscore", "attribution_first_touch",
+    "attribution_linear", "cdc_snapshot_diff", "cdc_table_checksum",
+    "cohort_retention", "cohort_retention_monthly", "decay_score_asof",
+    "dq_violation_report", "f10_corpus_profile", "f11_quality_filter",
+    "f11b_gopher_ratios", "f13_label_centroids", "f13_normalize",
+    "f15_curation_pipeline", "f16_training_mixture", "f17_sequence_packing",
+    "f19_curation_to_packing", "f1_exact_dedup", "f20_dedup_clusters",
+    "f22_contamination", "f23_repetition_profile", "f24_span_dedup",
+    "f25_pii_scrub", "f26_domain_profile", "f27_shard_balance",
+    "f28_price_histogram", "f29_train_val_test_split",
     "f2_embedding_neardup", "f2_jaccard_pairs", "f30_label_balanced_sample",
     "f31_neardup_degree_profile", "f32_quality_weighted_keep",
     "f33_dedup_survivor_pick", "f34_bloom_prefilter_dedup",
@@ -135,25 +160,22 @@ _LOCALLY_VERIFIED = frozenset(
     "func_string", "func_string2", "func_string3", "funnel_conversion_lag",
     "funnel_session_strict", "g1_scalar_udf", "g3_pandas_udaf",
     "g4_grouped_map", "g5_map_in_pandas", "g5b_map_in_arrow",
-    "g6_udtf_shingles", "global_dense_ids", "global_topk",
-    "incremental_partial_merge", "interevent_gap_profile",
-    "interval_max_concurrency", "ivm_agg_maintenance", "join_null_safe",
-    "order_nulls_last", "path_transitions", "q11_important_parts",
-    "q12_shipping_buckets", "q15_top_supplier", "q16_part_supplier_variety",
+    "g6_udtf_shingles", "incremental_partial_merge",
+    "interevent_gap_profile", "interval_max_concurrency",
+    "ivm_agg_maintenance", "join_null_safe", "order_nulls_last",
+    "path_transitions", "q11_important_parts", "q12_shipping_buckets",
+    "q15_top_supplier", "q16_part_supplier_variety",
     "q17_small_qty_revenue", "q19_disjunctive_revenue",
     "q20_dominant_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
     "q9_product_profit", "rfm_segmentation", "rolling_active_users",
     "rollup_two_level", "sample_hash_deterministic", "sample_stratified",
-    "sample_weighted_deterministic", "scalar_subquery", "session_top_paths",
-    "setop_all_variants", "setop_intersect_except", "setop_union_all",
-    "setop_union_missing_cols", "share_of_total", "sql_shared_case_join",
-    "sql_shared_exists", "sql_shared_grouping_sets",
+    "sample_weighted_deterministic", "session_top_paths", "share_of_total",
+    "sql_shared_case_join", "sql_shared_exists", "sql_shared_grouping_sets",
     "sql_shared_in_subquery", "sql_shared_pricing", "stream_dedup_first",
     "stream_static_join", "stream_stream_join", "timeseries_autocorr",
     "timeseries_ewma", "timeseries_gapfill", "timeseries_trend_slope",
-    "topk_per_group", "window_session", "window_sliding", "window_tumbling",
-    "window_value_functions"}
+    "window_session", "window_sliding", "window_tumbling"}
 )
 
 
