@@ -342,11 +342,17 @@ def abtest_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("g", F.lit(0))
     )
     scanned = distributed_prefix_sums(per_v, "g", ["v"], {"t": "cum_t"})
+    # decimal(38,0) partials for the rank-weighted and t^3 tie sums: at
+    # corpus scale t ~ 2.1M ties already puts t^3 past 2^63, where non-ANSI
+    # Spark wraps silently while DuckDB's HUGEINT errors loudly (the
+    # asymmetric-overflow class agg_gini_exact fixed the same way).
+    td = F.col("t").cast("decimal(38,0)")
+    nad = F.col("na").cast("decimal(38,0)")
     agg = scanned.agg(
         F.sum("na").alias("n_a"),
         F.sum("nb").alias("n_b"),
-        F.sum(F.col("na") * (2 * F.col("cum_t") - F.col("t") + 1)).alias("r2_a"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_t"),
+        F.sum(nad * (2 * F.col("cum_t") - F.col("t") + 1)).alias("r2_a"),
+        F.sum(td * td * td - td).alias("tie_t"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     u2 = F.col("r2_a") - n_a * (n_a + 1)

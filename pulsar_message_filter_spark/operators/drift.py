@@ -693,9 +693,14 @@ def drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         scanned.join(nxt, "rnk")  # rank+1 equi-join supplies the gap
         .crossJoin(F.broadcast(totals))
         .select(
+            # decimal(38,0) partials: cum*n ~ 9e12 at the x64 leg already
+            # sits within an order of magnitude of int64 max once scaled by
+            # cents gaps; past that non-ANSI Spark wraps silently while
+            # DuckDB's HUGEINT errors loudly (agg_gini_exact pattern).
             (
                 F.abs(
-                    F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+                    F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
                 )
                 * (F.col("v_next") - F.col("v"))
             ).alias("term"),

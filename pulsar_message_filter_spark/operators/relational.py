@@ -1838,12 +1838,16 @@ def agg_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS day
             FROM orders WHERE o_orderkey < 5000
         ),
+        dedup AS (
+            SELECT min(o_orderkey) AS o_orderkey, price_cents, day
+            FROM o GROUP BY price_cents, day
+        ),
         scanned AS (
             SELECT o_orderkey, price_cents, day,
                    max(day) OVER (ORDER BY price_cents DESC, o_orderkey
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING) AS best_day_above
-            FROM o
+            FROM dedup
         )
         SELECT o_orderkey, price_cents, day
         FROM scanned
@@ -1854,7 +1858,11 @@ def agg_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(price, recency) — maximize both — via the sort-and-running-max "
     "trick: ordered by price desc, a row survives iff its day beats the "
     "prefix max day of strictly-better-priced rows (EXCLUSIVE frame so "
-    "price ties cannot knock each other out); the classic DB operator "
+    "price ties cannot knock each other out); exact-duplicate "
+    "(price, day) points collapse to the lowest o_orderkey BEFORE the "
+    "scan — a tied point is not dominated under strict dominance, so "
+    "without the dedup the later duplicate would be wrongly excluded; "
+    "the classic DB operator "
     "Spark has no SKYLINE keyword for, in one window pass over a bounded "
     "subset (scale path: two-phase distributed prefix MAX, same contract "
     "as functions/prefix.py's sums)",
@@ -1875,6 +1883,11 @@ def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents("o_totalprice").alias("price_cents"),
             (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
         )
+        # collapse exact-duplicate points to the lowest key: a tied point
+        # is not dominated (strict dominance), so it must not be excluded
+        # by its twin surviving the scan first
+        .groupBy("price_cents", "day")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
     )
     w = (
         Window.orderBy(F.desc("price_cents"), "o_orderkey")

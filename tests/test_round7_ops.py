@@ -661,7 +661,10 @@ def test_pareto_frontier_dominance_property(spark):
             assert not dominates(a, b) and not dominates(b, a)
     for k, p in allpts.items():
         if k not in frontier:
-            assert any(dominates(f, p) for f in fr), (k, p)
+            # an exact-duplicate of a frontier point is covered (collapsed
+            # to the lowest o_orderkey), not dominated — strict dominance
+            # excludes equal tuples
+            assert any(dominates(f, p) or f == p for f in fr), (k, p)
 
 
 def test_neyman_allocation_budget_and_optimality_direction(spark):

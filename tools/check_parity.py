@@ -42,6 +42,49 @@ def rows_to_canon(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def check_f18_fixture_precondition(sf_dir: str) -> list[str]:
+    """Assert the fixture precondition the f18_incremental_dedup oracle
+    rests on (ADVICE r04): its batch-dedup oracle is only equivalent to
+    the signature-estimate pipeline while the corpus has NO organic
+    non-identical pair with token-3-gram shingle Jaccard >= 0.8 between
+    the fresh batch (docs 60-69) and batch 1 (docs < 40), nor within the
+    fresh batch itself.  Checked here — at the same time the hash gate
+    runs — so a regenerated testdata set trips it immediately, not only
+    in pytest.
+    """
+    import duckdb as _dd
+
+    con = _dd.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lower(text) AS t FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') WHERE doc_id < 70"
+    ).fetchall()
+    sh = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        sh[doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        } or {text}
+    texts = dict(docs)
+    fresh = [i for i in sh if 60 <= i < 70]
+    b1 = [i for i in sh if i < 40]
+    problems = []
+    for a in fresh:
+        for b in b1 + [x for x in fresh if x < a]:
+            if texts[a] == texts[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter * 5 >= union * 4:  # jaccard >= 0.8
+                problems.append(
+                    f"f18 fixture precondition violated: docs {a}/{b} are "
+                    f"organic near-dups (shingle jaccard {inter/union:.2f}) "
+                    "— the batch-dedup oracle no longer matches the "
+                    "signature pipeline semantics"
+                )
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="subset of query names to check")
@@ -67,6 +110,12 @@ def main() -> int:
     names = args.names or sorted(all_graded)
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+
+    if not args.names or "f18_incremental_dedup" in args.names:
+        for p in check_f18_fixture_precondition(args.sf):
+            print(f"FAIL  fixture: {p}")
+            n_fail += 1
+            failures.append("f18_fixture_precondition")
 
     for name in names:
         g = all_graded[name]
