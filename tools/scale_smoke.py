@@ -213,6 +213,13 @@ def replicate(spark, factor: int, out_dir: str) -> None:
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
 
+    # targeted confirmation legs: SCALE_SMOKE_QUERIES=q1,q2 runs just that
+    # subset of the ladder list (names must still be registered queries)
+    global QUERIES
+    subset = os.environ.get("SCALE_SMOKE_QUERIES")
+    if subset:
+        QUERIES = [q.strip() for q in subset.split(",") if q.strip()]
+
     from pulsar_message_filter_spark import registry
     from pulsar_message_filter_spark.session import get_spark
 
@@ -239,8 +246,11 @@ def main() -> None:
                     samples.append(time.time() - t0)
                 per[q] = round(min(samples), 3)
             results[n] = per
-            layouts[n] = zorder_prune_fractions(spark, d, n)
-            print(f"-- x{n} done: {per} layout={layouts[n]}", file=sys.stderr)
+            if not os.environ.get("SCALE_SMOKE_SKIP_ZORDER"):
+                layouts[n] = zorder_prune_fractions(spark, d, n)
+            print(
+                f"-- x{n} done: {per} layout={layouts.get(n)}", file=sys.stderr
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
