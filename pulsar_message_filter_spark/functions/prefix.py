@@ -90,23 +90,138 @@ def distributed_prefix_sums(
     totals = parted.groupBy("__pid", group_col).agg(
         *[F.sum(c).alias(f"__ptot_{c}") for c in sum_cols]
     )
-    w_off = (
-        Window.partitionBy(group_col)
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # offsets via a windowless theta self-join of the totals table
+    # (partitions × groups rows — tiny).  A window partitioned on
+    # group_col would go EMPTY-spec whenever the caller's group is a
+    # constant (Catalyst folds the literal out of the partition spec),
+    # putting the single-partition WindowExec warning back into every
+    # prefix-scan consumer.
+    t2 = totals.select(
+        F.col("__pid").alias("__pid2"),
+        F.col(group_col).alias("__g2"),
+        *[F.col(f"__ptot_{c}").alias(f"__ptot2_{c}") for c in sum_cols],
     )
-    w_tot = Window.partitionBy(group_col)
-    off_cols = [
-        F.coalesce(F.sum(f"__ptot_{c}").over(w_off), F.lit(0)).alias(f"__off_{c}")
+    joined = totals.join(
+        t2,
+        F.col("__g2").eqNullSafe(F.col(group_col))
+        & (F.col("__pid2") < F.col("__pid")),
+        "left",
+    )
+    off_aggs = [
+        F.coalesce(F.sum(f"__ptot2_{c}"), F.lit(0)).alias(f"__off_{c}")
         for c in sum_cols
     ]
+    offsets = joined.groupBy("__pid", group_col).agg(*off_aggs)
     if total_col is not None:
         first = next(iter(sum_cols))
-        off_cols.append(F.sum(f"__ptot_{first}").over(w_tot).alias(total_col))
-    offsets = totals.select("__pid", group_col, *off_cols)
+        gtot = totals.groupBy(F.col(group_col).alias("__g3")).agg(
+            F.sum(f"__ptot_{first}").alias(total_col)
+        )
+        offsets = offsets.join(
+            gtot, F.col("__g3").eqNullSafe(F.col(group_col))
+        ).drop("__g3")
     out = local.join(F.broadcast(offsets), ["__pid", group_col])
     for c, out_c in sum_cols.items():
         out = out.withColumn(out_c, F.col(f"__lcum_{c}") + F.col(f"__off_{c}"))
     return out.drop(
         "__pid", *[f"__lcum_{c}" for c in sum_cols], *[f"__off_{c}" for c in sum_cols]
     )
+
+
+def distributed_row_number(
+    df: DataFrame, order_cols: list, out_col: str = "r"
+) -> DataFrame:
+    """Global ``row_number()`` over a total order WITHOUT the
+    single-partition window (``Window.orderBy`` with no partition spec
+    serializes every row into one task and WindowExec warns).  Implemented
+    as the two-phase prefix scan of ones: range-partition on the order,
+    local row_number per partition, plus the broadcast per-partition
+    counts of all earlier partitions.  ``order_cols`` must be a total
+    order (include a tiebreak); ``F.desc(...)`` columns are honored by
+    both the range partitioner and the local sort."""
+    tmp = df.withColumn("__one", F.lit(1)).withColumn("__g", F.lit(0))
+    out = distributed_prefix_sums(tmp, "__g", order_cols, {"__one": out_col})
+    return out.drop("__one", "__g")
+
+
+def distributed_prefix_max(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Global running MAX of ``val_col`` over a total order, two-phase:
+    range-partition on the order, local running max per partition, then
+    combine with the broadcast inclusive maxima of all earlier
+    partitions.  ``exclusive=True`` computes the max over rows STRICTLY
+    before the current one (``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING``)
+    — NULL for the global first row — which is the skyline/pareto frame.
+
+    This is the scale form of the bounded single-partition window the
+    pareto docstring promises: rows before the current row = all rows of
+    earlier partitions (their inclusive max, broadcast) ⊔ earlier rows of
+    the local partition (local window)."""
+    reserved = {"__pid", "__lmax", "__off"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"distributed_prefix_max reserved columns present: {clash}")
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parted = df.repartitionByRange(n, *keys).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    lo = -1 if exclusive else Window.currentRow
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, lo)
+    )
+    local = parted.withColumn("__lmax", F.max(val_col).over(w_local))
+    totals = parted.groupBy("__pid").agg(F.max(val_col).alias("__ptot"))
+    # offsets via a windowless theta self-join of the totals table (one
+    # row per partition — n rows total, so the n² join is negligible and
+    # nothing here serializes to a single task)
+    t2 = totals.select(
+        F.col("__pid").alias("__pid2"), F.col("__ptot").alias("__ptot2")
+    )
+    offsets = (
+        totals.join(t2, F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.max("__ptot2").alias("__off"))
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    # greatest() skips NULLs, so first-row-of-partition (__lmax NULL under
+    # exclusive) and first-partition (__off NULL) compose correctly
+    return out.withColumn(out_col, F.greatest("__lmax", "__off")).drop(
+        "__pid", "__lmax", "__off"
+    )
+
+
+def largest_remainder_allocate(
+    wtd: DataFrame, weight_col: str, budget: int, key_col: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) integer allocation of ``budget`` units
+    proportional to ``weight_col``, summing EXACTLY to the budget — the
+    shared machinery of the Neyman and temperature-sampling allocators.
+
+    Adds columns ``base`` (floor share), ``rem`` (remainder), ``base_sum``
+    (global floor total) and ``r`` (1-based largest-remainder rank, ties
+    broken on ``key_col`` asc); the caller settles the final allocation as
+    ``base + (r <= budget - base_sum ? 1 : 0)``.  Every global quantity is
+    an aggregate cross-joined back via broadcast, and the rank is the
+    two-phase :func:`distributed_row_number` — no empty-partition window
+    anywhere, so the plan stays parallel (and WindowExec-warning-free) at
+    any stratum cardinality."""
+    tot = wtd.agg(F.sum(weight_col).alias("__wsum"))
+    staged = (
+        wtd.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"({budget} * {weight_col}) div __wsum"))
+        .withColumn("rem", F.expr(f"({budget} * {weight_col}) % __wsum"))
+        .drop("__wsum")
+    )
+    btot = staged.agg(F.sum("base").alias("base_sum"))
+    return distributed_row_number(
+        staged, [F.desc("rem"), key_col], "r"
+    ).crossJoin(F.broadcast(btot))

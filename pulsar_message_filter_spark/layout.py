@@ -149,3 +149,79 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_value(col_a, col_b, bits: int = 16):
+    """Map two non-negative int columns onto the Hilbert space-filling
+    curve (distance along the order-``bits`` curve) — pure Column
+    algebra, no UDF.
+
+    Same write-side contract as :func:`zorder_value` (sort by the key →
+    footer min/max stats prune scans on either dimension), but with
+    strictly better locality: consecutive curve positions are always
+    Manhattan-distance-1 neighbors, where Morton order takes long
+    diagonal jumps at power-of-two boundaries — so Hilbert files cover
+    tighter value bands on both columns at the same file count
+    (measured in the layout ladder; [Moon et al. 2001, "Analysis of the
+    clustering properties of the Hilbert space-filling curve"]).
+
+    The per-bit quadrant rotation is cross-iteration STATE, so unrolling
+    it as nested CASE expressions would grow the tree ~4^bits; instead
+    the loop runs at execution time via ``F.aggregate`` over the
+    descending bit-weight array with a (x, y, d) struct accumulator —
+    constant plan size at any ``bits``.
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)])
+    init = F.struct(
+        a.cast("long").alias("x"),
+        b.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        x, y, d = acc.getField("x"), acc.getField("y"), acc.getField("d")
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        d2 = d + s * s * (rx * 3).bitwiseXOR(ry)
+        # quadrant rotate/flip (the rotation state Morton order lacks):
+        # ry=0 → swap x/y, first flipping both within the s-quadrant if rx=1
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        fx = F.when(flip, s - 1 - x).otherwise(x)
+        fy = F.when(flip, s - 1 - y).otherwise(y)
+        nx = F.when(swap, fy).otherwise(fx)
+        ny = F.when(swap, fx).otherwise(fy)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(weights, init, step).getField("d")
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered by the Hilbert curve over two filter
+    columns — :func:`write_zordered`'s twin with the better-locality
+    key."""
+    h = hilbert_value(col_a, col_b, bits).alias("__h")
+    (
+        df.withColumn("__h", h)
+        .repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

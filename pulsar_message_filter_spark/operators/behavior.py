@@ -492,18 +492,19 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The global-window trap, done right: computing shares with a window
-    over RAW rows collapses everything to one partition (WindowExec
-    warns).  Aggregating first makes the unpartitioned window see only
-    |event_type| rows — negligible at any corpus size."""
+    over RAW rows collapses everything to one partition.  Aggregate
+    first, then cross-join the broadcast 1-row grand total back — the
+    share math never runs through a window at all, so the plan is
+    parallel (and WindowExec-warning-free) end to end."""
     events = load(spark, "events", sf_dir)
     per_type = events.groupBy("event_type").agg(
         F.sum(cents("value")).alias("v_cents")
     )
-    w = Window.partitionBy()
-    return per_type.select(
+    total = per_type.agg(F.sum("v_cents").alias("__tot"))
+    return per_type.crossJoin(F.broadcast(total)).select(
         "event_type",
         "v_cents",
-        (F.col("v_cents").cast("double") / F.sum("v_cents").over(w)).alias("share"),
+        (F.col("v_cents").cast("double") / F.col("__tot")).alias("share"),
     )
 
 
@@ -1172,5 +1173,216 @@ def behavior_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("len").cast("long").alias("longest_streak_days"),
             F.col("start_day").cast("long").alias("start_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-session event-type PMI (co-occurrence association)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "behavior_session_pmi",
+    oracle="""
+        WITH ts_marked AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                       ORDER BY ts_us, event_id)
+                             >= 1800000000
+                             OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                        ORDER BY ts_us, event_id)
+                                IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ts_marked
+        ),
+        pres AS (SELECT DISTINCT user_id, sid, event_type FROM sessions),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions
+            FROM (SELECT DISTINCT user_id, sid FROM pres)
+        ),
+        per_type AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+            FROM pres GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM pres a JOIN pres b
+              ON a.user_id = b.user_id AND a.sid = b.sid
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_ab,
+               ta.n_t AS n_a, tb.n_t AS n_b, n_sessions,
+               round(ln(CAST(n_ab AS DOUBLE) * n_sessions
+                        / (CAST(ta.n_t AS DOUBLE) * tb.n_t)), 6) AS pmi
+        FROM pairs
+        JOIN per_type ta ON ta.event_type = type_a
+        JOIN per_type tb ON tb.event_type = type_b
+        CROSS JOIN tot
+    """,
+    section="C4,C11,C18,F14",
+    description="pointwise mutual information between event types "
+    "co-occurring in the same 30-min behavioral session: PMI = "
+    "ln(P(a,b)/(P(a)P(b))) over session presence sets — positive pairs "
+    "co-occur more than independence predicts (the association signal "
+    "basket lift gives for products, here for behavior).  One user-keyed "
+    "sessionization pass, then every aggregate/join runs on the "
+    "session-presence set and the |types|^2 pair frame",
+)
+def behavior_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize once (the same gaps-and-islands exchange every per-user
+    analytic shares), collapse to DISTINCT (user, sid, type) presence
+    rows, then: total sessions (1-row broadcast), per-type session
+    counts (|types| rows), and the same-session self-join on the
+    presence set keyed by (user, sid) — co-partitioned with the
+    sessionization exchange, pair output bounded by |types|² per
+    session.  PMI math is double-on-exact-ints, deterministic."""
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pres = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(
+                (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) >= _GAP_US)
+                | F.lag(F.unix_micros("ts")).over(w).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .withColumn("sid", F.sum("new_session").over(wcum))
+        .select("user_id", "sid", "event_type")
+        .distinct()
+    )
+    tot = (
+        pres.select("user_id", "sid")
+        .distinct()
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    per_type = pres.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    b = pres.select(
+        "user_id", "sid", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        pres.withColumnRenamed("event_type", "type_a")
+        .join(b, ["user_id", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_sessions",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_sessions")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@graded(
+    "behavior_markov_entropy",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS f, nxt AS t, CAST(count(*) AS BIGINT) AS c
+            FROM ordered WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rowtot AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct FROM trans GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM trans)
+        SELECT tr.f AS event_type,
+               rt.ct AS n_out,
+               CAST(count(*) AS BIGINT) AS n_next_types,
+               round(-sum((CAST(tr.c AS DOUBLE) / rt.ct)
+                          * ln(CAST(tr.c AS DOUBLE) / rt.ct)), 6)
+                   AS entropy_nats,
+               round(CAST(rt.ct AS DOUBLE) / t.n, 6) AS weight
+        FROM trans tr
+        JOIN rowtot rt ON rt.f = tr.f
+        CROSS JOIN tot t
+        GROUP BY tr.f, rt.ct, t.n
+    """,
+    section="C11,C19,F14",
+    description="next-event predictability per state: Shannon entropy (nats) "
+    "of each event type's MLE transition distribution over the per-user "
+    "event stream, plus its transition-mass weight — sum(weight*entropy) "
+    "is the corpus conditional cross-entropy H(next|cur), exp of it the "
+    "Markov perplexity (pytest-pinned); the behavioral twin of f54's "
+    "bigram LM perplexity.  Counts are exact integers; the ~|types| "
+    "double log terms per state are the f38/f54 accepted rounding class",
+)
+def behavior_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user-keyed lead() pass (the exchange every behavioral analytic
+    shares) collapses to the |types|² transition-count frame; everything
+    after — row totals, grand total, entropies — is broadcast-tiny."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("f"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("f", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    rowtot = trans.groupBy("f").agg(F.sum("c").alias("ct"))
+    tot = trans.agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("ct")
+    return (
+        trans.join(F.broadcast(rowtot), "f")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("f").alias("event_type"), "ct", "n")
+        .agg(
+            F.count("*").alias("n_next_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            "event_type",
+            F.col("ct").alias("n_out"),
+            "n_next_types",
+            "entropy_nats",
+            F.round(F.col("ct").cast("double") / F.col("n"), 6).alias("weight"),
         )
     )

@@ -426,8 +426,9 @@ def f32_quality_weighted_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The allocation math runs on the per-source aggregate (source
-    cardinality rows — tiny at any corpus scale; the one global window is
-    over that aggregate, not the corpus).  IEEE sqrt is identical across
+    cardinality rows — tiny at any corpus scale) through the shared
+    largest-remainder machinery: broadcast totals + distributed rank, no
+    global window at all.  IEEE sqrt is identical across
     engines, and everything after the 1e6 integerization is exact integer
     arithmetic, so the oracle is exact rather than tolerance-classed."""
     budget = 10_000
@@ -441,17 +442,11 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("n_docs").cast("double")) * scale).cast("long"),
         )
     )
-    from pyspark.sql import Window
-
-    W = Window.partitionBy()  # source-cardinality frame, bounded
-    staged = (
-        src.withColumn("base", F.expr(f"({budget} * w) div sum(w) over ()"))
-        .withColumn("rem", F.expr(f"({budget} * w) % sum(w) over ()"))
-        .withColumn("base_sum", F.sum("base").over(W))
-        .withColumn(
-            "r", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
-        )
+    from pulsar_message_filter_spark.functions.prefix import (
+        largest_remainder_allocate,
     )
+
+    staged = largest_remainder_allocate(src, "w", budget, "source")
     alloc = F.col("base") + F.when(
         F.col("r") <= F.lit(budget) - F.col("base_sum"), 1
     ).otherwise(0)

@@ -5,14 +5,15 @@ The Spark-side plumbing is real and tested: the ``binaryFile`` source,
 content digests, magic-byte sniffing, and an Arrow-batched ``mapInPandas``
 feature-extraction stage with a documented batch shape.
 
-BMP and WAV *header metadata* extraction is REAL — width/height and
-sample-rate/channel-count are pure-struct parses of the public BMP/RIFF
-layouts, no media library needed.  Full pixel/sample decoding is STUBBED
-(this container ships no image/audio libraries): ``decode_stub`` produces
-a *deterministic fake* feature row derived from the raw bytes for
-non-BMP/WAV magics, and raises ``NotImplementedError`` when full decoding
-is requested — swap the body for PIL/librosa in production; the schema,
-partitioning, and UDF signature do not change.
+BMP/PNG/GIF and WAV *header metadata* extraction is REAL — width/height
+and sample-rate/channel-count are pure-struct parses of the public
+BMP/PNG/GIF/RIFF layouts, no media library needed.  Full pixel/sample
+decoding is STUBBED (this container ships no image/audio libraries):
+``decode_stub`` produces a *deterministic fake* feature row derived from
+the raw bytes for unrecognized magics, and raises
+``NotImplementedError`` when full decoding is requested — swap the body
+for PIL/librosa in production; the schema, partitioning, and UDF
+signature do not change.
 """
 
 from __future__ import annotations
@@ -52,6 +53,33 @@ def _parse_bmp_header(b: bytes) -> tuple[int, int] | None:
     return width, abs(height)
 
 
+def _parse_png_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR — pure struct, no image lib.
+
+    Layout (public PNG spec, RFC 2083): 8-byte signature, then the IHDR
+    chunk (always first): 4-byte length, 4-byte 'IHDR' type, int32-BE
+    width at byte 16 and height at byte 20."""
+    import struct
+
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", b, 16)
+    return width, height
+
+
+def _parse_gif_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a GIF logical screen descriptor — pure struct.
+
+    Layout (public GIF87a/89a spec): 6-byte signature, then uint16-LE
+    canvas width at byte 6 and height at byte 8."""
+    import struct
+
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack_from("<HH", b, 6)
+    return width, height
+
+
 def _parse_wav_header(b: bytes) -> tuple[int, int] | None:
     """(sample_rate, n_channels) from a RIFF/WAVE ``fmt `` chunk.
 
@@ -75,10 +103,11 @@ def _parse_wav_header(b: bytes) -> tuple[int, int] | None:
 def decode_stub(batches: Iterator[pd.DataFrame], real_decode: bool = False):
     """mapInPandas stage: (path, content) batches → feature rows.
 
-    BMP and WAV metadata extraction is REAL (pure-struct header parses, no
-    media library needed): ``width``/``height`` for BMP, ``sample_rate``/
-    ``n_channels`` for WAV, with ``media_kind`` in ('bmp', 'wav',
-    'opaque').  For every other magic the columns are null and the
+    BMP/PNG/GIF and WAV metadata extraction is REAL (pure-struct header
+    parses, no media library needed): ``width``/``height`` for the image
+    formats, ``sample_rate``/``n_channels`` for WAV, with ``media_kind``
+    in ('bmp', 'png', 'gif', 'wav', 'opaque').  For every other magic
+    the columns are null and the
     deterministic fake dimensions (derived from the first content bytes,
     so tests can assert exact values) stand in.  ``real_decode=True`` —
     full pixel/sample decoding — remains the marked extension point for an
@@ -96,6 +125,12 @@ def decode_stub(batches: Iterator[pd.DataFrame], real_decode: bool = False):
         bmp = _parse_bmp_header(b)
         if bmp is not None:
             return ("bmp", bmp[0], bmp[1], None, None)
+        png = _parse_png_header(b)
+        if png is not None:
+            return ("png", png[0], png[1], None, None)
+        gif = _parse_gif_header(b)
+        if gif is not None:
+            return ("gif", gif[0], gif[1], None, None)
         wav = _parse_wav_header(b)
         if wav is not None:
             return ("wav", None, None, wav[0], wav[1])

@@ -1309,20 +1309,27 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="RANGE frame: peers within a value distance (not row count)",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame demo on a deliberately BOUNDED input.
-
-    The unpartitioned ``orderBy`` window serializes into one task — safe
-    here ONLY because the ``p_partkey < 500`` filter caps the input at a
-    few hundred rows by construction (the operator under test is the
-    value-distance frame semantics, not scale).  For an unbounded RANGE
-    scan, use the two-phase distributed prefix machinery in
-    :mod:`~pulsar_message_filter_spark.functions.prefix` — the pattern
-    every growing-cardinality query in this repo already uses."""
-    w = Window.orderBy("p_size").rangeBetween(-5, Window.currentRow)
-    return (
-        load(spark, "part", sf_dir)
-        .filter(F.col("p_partkey") < 500)
-        .select("p_partkey", F.count("*").over(w).alias("n_within_5"))
+    """RANGE-frame semantics without any window: a value-distance frame
+    over a column depends only on the per-VALUE counts, so collapse to
+    the distinct-size aggregate (bounded: p_size cardinality), theta-join
+    sizes within the 5-unit band — a |sizes|² join on a ~50-row table —
+    and join the per-size answer back to the rows.  The same query via
+    ``Window.orderBy(p_size).rangeBetween(-5, 0)`` serializes every row
+    into one task; this form is parallel at any row count because the
+    only non-broadcast shuffle is the p_size aggregate."""
+    part = load(spark, "part", sf_dir).filter(F.col("p_partkey") < 500)
+    sizes = part.groupBy("p_size").agg(F.count("*").alias("n"))
+    other = sizes.select(F.col("p_size").alias("s2"), F.col("n").alias("n2"))
+    within = (
+        sizes.join(
+            F.broadcast(other),
+            (F.col("s2") <= F.col("p_size")) & (F.col("s2") >= F.col("p_size") - 5),
+        )
+        .groupBy("p_size")
+        .agg(F.sum("n2").alias("n_within_5"))
+    )
+    return part.join(F.broadcast(within), "p_size").select(
+        "p_partkey", "n_within_5"
     )
 
 
@@ -1868,13 +1875,12 @@ def agg_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as functions/prefix.py's sums)",
 )
 def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One sorted pass replaces the naive O(n²) dominance anti-join.  The
-    unpartitioned window is safe ONLY because of the o_orderkey < 5000
-    bound (same bounded-window contract as window_range_frame); at corpus
-    scale the identical algorithm runs as a range-partitioned prefix MAX
-    (partition on price ranges, broadcast per-partition maxima, local
-    rescan — the functions/prefix.py two-phase shape with max instead of
-    sum)."""
+    """One sorted pass replaces the naive O(n²) dominance anti-join, and
+    the sorted pass itself is the two-phase distributed prefix MAX
+    (functions/prefix.py): range-partition on (price desc, key), local
+    exclusive running max per partition, broadcast the per-partition
+    inclusive maxima — so the skyline scan stays parallel at corpus
+    scale instead of relying on the o_orderkey < 5000 bound."""
     o = (
         load(spark, "orders", sf_dir)
         .filter(F.col("o_orderkey") < 5000)
@@ -1889,12 +1895,18 @@ def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_cents", "day")
         .agg(F.min("o_orderkey").alias("o_orderkey"))
     )
-    w = (
-        Window.orderBy(F.desc("price_cents"), "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from pulsar_message_filter_spark.functions.prefix import (
+        distributed_prefix_max,
     )
+
     return (
-        o.withColumn("best_day_above", F.max("day").over(w))
+        distributed_prefix_max(
+            o,
+            [F.desc("price_cents"), "o_orderkey"],
+            "day",
+            "best_day_above",
+            exclusive=True,
+        )
         .filter(
             F.col("best_day_above").isNull()
             | (F.col("day") > F.col("best_day_above"))

@@ -309,3 +309,126 @@ def robust_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("slope", 6).alias("ts_slope_cents_per_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (binned PAV via the minimax identity)
+# ---------------------------------------------------------------------------
+
+_ISO_BIN_WIDTH = 5
+
+
+@graded(
+    "calib_isotonic_binned",
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(floor(value / {_ISO_BIN_WIDTH}) AS BIGINT) AS bin,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        b AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s
+            FROM e GROUP BY 1
+        ),
+        c AS (
+            SELECT bin, n, s,
+                   CAST(sum(n) OVER w AS BIGINT) AS cumn,
+                   CAST(sum(s) OVER w AS BIGINT) AS cums
+            FROM b WINDOW w AS (ORDER BY bin)
+        ),
+        p AS (
+            SELECT j.bin AS j, k.bin AS k,
+                   CAST(k.cums - j.cums + j.s AS DOUBLE)
+                       / CAST(k.cumn - j.cumn + j.n AS DOUBLE) AS m
+            FROM c j JOIN c k ON j.bin <= k.bin
+        ),
+        inner_min AS (
+            SELECT b.bin, p.j, min(p.m) AS mn
+            FROM b JOIN p ON p.j <= b.bin AND p.k >= b.bin
+            GROUP BY 1, 2
+        )
+        SELECT i.bin, b.n AS n_bin,
+               round(CAST(b.s AS DOUBLE) / b.n, 6) AS raw_rate,
+               round(max(i.mn), 6) AS iso_rate
+        FROM inner_min i JOIN b ON i.bin = b.bin
+        GROUP BY 1, 2, 3
+    """,
+    section="C11,C13,F14",
+    description="isotonic (monotone) calibration of the purchase rate "
+    "against the value bucket — the PAV fit computed via the exact "
+    "minimax identity iso_b = max_(j<=b) min_(k>=b) mean(y[j..k]) on the "
+    "BINNED aggregate: raw rows collapse to one (n, s) pair per bucket, "
+    "then every join/agg runs on the bounded B-bin frame (B ~ 40), so "
+    "the B^3 pair work is broadcast-trivial while the corpus pass is a "
+    "single map-side-combinable aggregation — the standard probability- "
+    "calibration step of an LLM quality-score pipeline, relational and "
+    "oracle-exact (integer-ratio doubles, deterministic min/max)",
+)
+def calib_isotonic_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pool-adjacent-violators without iteration: the minimax identity
+    gives the exact L2 isotonic fit from interval means alone, and on
+    value-binned data every interval mean is a ratio of prefix-sum
+    differences.  The only corpus-scale work is the per-bin aggregation;
+    the scan and the triple-bounded (b, j, k) joins run on ~B rows.
+    Monotonicity and sum preservation are pinned in pytest against a
+    brute-force PAV reference."""
+    ev = load(spark, "events", sf_dir)
+    bins = (
+        ev.select(
+            F.floor(F.col("value") / _ISO_BIN_WIDTH).cast("long").alias("bin"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+    )
+    from pulsar_message_filter_spark.functions.prefix import (
+        distributed_prefix_sums,
+    )
+
+    c = distributed_prefix_sums(
+        bins.withColumn("__g", F.lit(0)),
+        "__g",
+        ["bin"],
+        {"n": "cumn", "s": "cums"},
+    ).select("bin", "n", "s", "cumn", "cums")
+    j = c.select(
+        F.col("bin").alias("j"),
+        F.col("n").alias("nj"),
+        F.col("s").alias("sj"),
+        F.col("cumn").alias("cumn_j"),
+        F.col("cums").alias("cums_j"),
+    )
+    k = c.select(
+        F.col("bin").alias("k"),
+        F.col("cumn").alias("cumn_k"),
+        F.col("cums").alias("cums_k"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cums_k") - F.col("cums_j") + F.col("sj")).cast("double")
+            / (F.col("cumn_k") - F.col("cumn_j") + F.col("nj")).cast("double")
+        ).alias("m"),
+    )
+    b = bins.select(F.col("bin"), F.col("n").alias("n_bin"), F.col("s"))
+    inner = (
+        b.join(
+            F.broadcast(pairs),
+            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
+        )
+        .groupBy("bin", "j")
+        .agg(F.min("m").alias("mn"))
+    )
+    rates = b.select(
+        "bin",
+        "n_bin",
+        F.round(F.col("s").cast("double") / F.col("n_bin"), 6).alias("raw_rate"),
+    )
+    return (
+        inner.groupBy("bin")
+        .agg(F.round(F.max("mn"), 6).alias("iso_rate"))
+        .join(rates, "bin")
+        .select("bin", "n_bin", "raw_rate", "iso_rate")
+    )

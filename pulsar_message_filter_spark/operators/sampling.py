@@ -318,8 +318,9 @@ def sample_weighted_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame
 def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance from one pass of integer power sums per stratum (the
     regression_residual_profile discipline); the allocation math runs on
-    the per-source aggregate (bounded by source cardinality, the one
-    global window is over that tiny frame).  The actual row pick under
+    the per-source aggregate (bounded by source cardinality) through the
+    shared largest-remainder machinery — broadcast totals + distributed
+    rank, no global window.  The actual row pick under
     this design is the existing deterministic hash-rank machinery
     (sample_stratified) with these counts as the per-stratum budgets."""
     budget = 1000
@@ -339,15 +340,11 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_h",
         F.round(F.col("n_h") * F.sqrt(var)).cast("long").alias("w"),
     )
-    from pyspark.sql import Window as W
-
-    WG = W.partitionBy()  # source-cardinality frame, bounded
-    staged = (
-        wtd.withColumn("base", F.expr(f"({budget} * w) div sum(w) over ()"))
-        .withColumn("rem", F.expr(f"({budget} * w) % sum(w) over ()"))
-        .withColumn("base_sum", F.sum("base").over(WG))
-        .withColumn("r", F.row_number().over(W.orderBy(F.desc("rem"), "source")))
+    from pulsar_message_filter_spark.functions.prefix import (
+        largest_remainder_allocate,
     )
+
+    staged = largest_remainder_allocate(wtd, "w", budget, "source")
     alloc = F.col("base") + F.when(
         F.col("r") <= F.lit(budget) - F.col("base_sum"), 1
     ).otherwise(0)

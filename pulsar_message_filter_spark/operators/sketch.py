@@ -267,14 +267,21 @@ def histogram_quantiles(
     Deterministic float math on identical operands (integer cumulative
     counts, one multiply, one divide) — bit-identical across engines, so
     unlike RNG/stream-order sketches this estimator is oracle-checkable
-    with no rounding at all."""
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = hist.select(
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    with no rounding at all.  The bin cum runs through the two-phase
+    distributed prefix scan (bin count is bounded at range/width, but the
+    scan keeps the plan parallel and WindowExec-warning-free at any bin
+    cardinality)."""
+    from pulsar_message_filter_spark.functions.prefix import (
+        distributed_prefix_sums,
     )
+
+    c = distributed_prefix_sums(
+        hist.withColumn("__g", F.lit(0)),
+        "__g",
+        ["bin"],
+        {"cnt": "cum"},
+        total_col="n",
+    ).select("bin", "cnt", "cum", "n")
     qs = None
     for q in quantiles:
         row = F.lit(float(q)).alias("p")

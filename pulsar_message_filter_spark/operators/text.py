@@ -749,11 +749,13 @@ def f42_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy lifting is the term count (map-side-combinable agg); the fit
-    runs on a bounded top-100 frame: TakeOrderedAndProject collects 100
-    (count, term) rows into one task, where the unpartitioned rank window
-    is safe BY CONSTRUCTION (same bounded-window contract as
-    window_range_frame).  Rank ties break on term asc in both engines."""
-    from pyspark.sql import Window
+    runs on a bounded top-100 frame (TakeOrderedAndProject), ranked by
+    the two-phase distributed row_number rather than an unpartitioned
+    window, so the plan carries no single-partition stage even though
+    the frame is tiny.  Rank ties break on term asc in both engines."""
+    from pulsar_message_filter_spark.functions.prefix import (
+        distributed_row_number,
+    )
 
     cnt = (
         load(spark, "documents", sf_dir)
@@ -763,9 +765,8 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     top = cnt.orderBy(F.desc("c"), "term").limit(100)
-    w = Window.orderBy(F.desc("c"), "term")  # bounded: 100 rows post-limit
-    pts = top.select(
-        F.log10(F.row_number().over(w).cast("double")).alias("x"),
+    pts = distributed_row_number(top, [F.desc("c"), "term"], "rk").select(
+        F.log10(F.col("rk").cast("double")).alias("x"),
         F.log10(F.col("c").cast("double")).alias("y"),
     )
     s = pts.agg(

@@ -126,3 +126,69 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     )
     # content unchanged
     assert spark.read.parquet(z_path).count() == li.count()
+
+
+def test_hilbert_value_matches_reference_and_is_a_true_curve(spark):
+    """hilbert_value must agree with the classic xy2d algorithm cell-for-
+    cell, be bijective on the grid, and take only unit steps (the
+    defining locality property Morton order lacks)."""
+    from pulsar_message_filter_spark.layout import hilbert_value
+
+    def xy2d(order, x, y):
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    order = 4
+    n = 1 << order
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    rows = (
+        spark.createDataFrame(pts, ["x", "y"])
+        .select("x", "y", hilbert_value("x", "y", bits=order).alias("h"))
+        .collect()
+    )
+    by_d = {}
+    for r in rows:
+        assert r.h == xy2d(order, r.x, r.y), (r.x, r.y)
+        by_d[r.h] = (r.x, r.y)
+    assert sorted(by_d) == list(range(n * n))  # bijective
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit steps only
+
+
+def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path):
+    """Hilbert-clustered files give both filter columns narrow per-file
+    bands (same contract as z-order, tighter locality)."""
+    from pulsar_message_filter_spark.layout import (
+        file_value_bounds,
+        write_hilbert,
+    )
+
+    li = load(spark, "lineitem", SF_SMOKE).select(
+        (F.col("l_orderkey") % 128).alias("ka"),
+        (F.col("l_partkey") % 128).alias("kb"),
+        "l_quantity",
+    )
+    h_path = str(tmp_path / "h")
+    write_hilbert(li, h_path, "ka", "kb", n_files=16, bits=7)
+
+    def mean_band_frac(path, col, domain):
+        bounds = [b for b in file_value_bounds(path, col) if b[1] is not None]
+        return sum(hi - lo for _, lo, hi in bounds) / len(bounds) / domain
+
+    dom = {
+        c: (li.agg(F.max(c) - F.min(c)).collect()[0][0] or 1)
+        for c in ("ka", "kb")
+    }
+    assert mean_band_frac(h_path, "ka", dom["ka"]) < 0.7
+    assert mean_band_frac(h_path, "kb", dom["kb"]) < 0.7
+    assert spark.read.parquet(h_path).count() == li.count()

@@ -303,6 +303,22 @@ def test_bmp_wav_header_decode_is_real(spark, tmp_path):
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     (tmp_path / "clip.wav").write_bytes(wav)
 
+    # PNG: 8-byte signature + IHDR chunk with int32-BE dimensions
+    pw, ph = 640, 480
+    ihdr = struct.pack(">IIBBBBB", pw, ph, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00" * 4  # crc (unchecked by the header parse)
+    )
+    (tmp_path / "pic.png").write_bytes(png)
+
+    # GIF89a: 6-byte signature + uint16-LE logical screen dimensions
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    (tmp_path / "anim.gif").write_bytes(gif)
+
     feats = {r.path: r for r in binary_features(spark, str(tmp_path) + "/*").collect()}
     b = feats["img.bmp"]
     assert (b.media_kind, b.width, b.height) == ("bmp", 7, 3)
@@ -310,6 +326,10 @@ def test_bmp_wav_header_decode_is_real(spark, tmp_path):
     a = feats["clip.wav"]
     assert (a.media_kind, a.sample_rate, a.n_channels) == ("wav", 22050, 1)
     assert a.width is None and a.height is None
+    p = feats["pic.png"]
+    assert (p.media_kind, p.width, p.height) == ("png", 640, 480)
+    g = feats["anim.gif"]
+    assert (g.media_kind, g.width, g.height) == ("gif", 320, 200)
 
 
 def test_frame_sample_fanout_shape(spark):

@@ -128,6 +128,122 @@ def test_differential_wide_grammar(spark, duck):
         assert spark_ids == duck_ids, f"diverged: {text}"
 
 
+def _gen_selector(rng: random.Random, depth: int = 0) -> str:
+    """One seeded random selector over the events fixture schema.
+
+    Wider than ``predicates()`` above: adds LIKE … ESCAPE (escaped and
+    unescaped wildcards mixed), NOT IN over nullable props (3VL: an
+    absent property makes NOT IN evaluate UNKNOWN → row dropped on BOTH
+    engines), and the props coercion arms (numeric, boolean, string
+    contexts on JSON-string properties)."""
+    arm = rng.randrange(0, 10 if depth >= 2 else 13)
+    num = rng.choice(["value", "user_id", "props.k", "props.n"])
+    s_col = rng.choice(["event_type", "props.tag"])
+    if arm == 0:
+        cmp_ = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        return f"{num} {cmp_} {rng.randint(-50, 250)}"
+    if arm == 1:
+        lo = rng.randint(0, 150)
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return f"{num} {neg}BETWEEN {lo} AND {lo + rng.randint(0, 120)}"
+    if arm == 2:  # string IN / NOT IN (nullable on props.tag → 3VL arm)
+        vals = ", ".join(
+            f"'{v}'"
+            for v in rng.sample(
+                ["click", "view", "purchase", "error", "signup", "zz"],
+                rng.randint(1, 4),
+            )
+        )
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return f"{s_col} {neg}IN ({vals})"
+    if arm == 3:  # numeric NOT IN over a nullable property
+        vals = ", ".join(str(rng.randint(0, 120)) for _ in range(rng.randint(1, 4)))
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return f"{rng.choice(['props.k', 'props.n', 'user_id'])} {neg}IN ({vals})"
+    if arm == 4:  # plain LIKE
+        pat = rng.choice(["p%", "%e", "_____", "%ur%", "s____p", "%i%w%"])
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return f"{s_col} {neg}LIKE '{pat}'"
+    if arm == 5:  # LIKE … ESCAPE: escaped wildcard must match literally
+        esc = rng.choice(["!", "#", "@"])
+        pat = rng.choice(
+            [
+                f"p%{esc}%",      # 'p' + wildcard + literal '%' (no match)
+                f"{esc}_lick",    # literal '_' + 'lick' (no match)
+                "cl_ck",          # unescaped _ keeps wildcarding
+                f"v{esc}_ew",     # literal 'v_ew' (no match)
+                "p%",             # escape declared but unused
+                f"%{esc}%%",      # any + literal % + any (no match)
+            ]
+        )
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return f"{s_col} {neg}LIKE '{pat}' ESCAPE '{esc}'"
+    if arm == 6:
+        neg = "NOT " if rng.random() < 0.5 else ""
+        col = rng.choice(
+            ["value", "props.k", "props.n", "props.tag", "props.absent"]
+        )
+        return f"{col} IS {neg}NULL"
+    if arm == 7:  # arithmetic in predicate
+        return (
+            f"{num} * {rng.randint(1, 5)} + {rng.randint(0, 9)}"
+            f" {rng.choice(['>', '<='])} {rng.randint(0, 500)}"
+        )
+    if arm == 8:  # boolean property coercion (JMS Boolean.valueOf)
+        col = rng.choice(["armed", "flagged", "props.k", "props.missing"])
+        lit = rng.choice(["TRUE", "FALSE"])
+        op = rng.choice(["=", "<>"])
+        return f"{col} {op} {lit}"
+    if arm == 9:  # string-context coercion on a JSON property
+        op = rng.choice(["=", "<>"])
+        v = rng.choice(["alpha", "beta", "gamma", ""])
+        return f"props.tag {op} '{v}'"
+    op = rng.choice(["AND", "OR"])
+    left = _gen_selector(rng, depth + 1)
+    right = _gen_selector(rng, depth + 1)
+    text = f"({left}) {op} ({right})"
+    return f"NOT ({text})" if rng.random() < 0.3 else text
+
+
+def test_differential_fuzz_500(spark, duck):
+    """SURVEY §5.3.2 realized: ≥500 seeded random selectors (incl. LIKE
+    ESCAPE, NOT IN + NULL, props-coercion arms) evaluated on BOTH engines,
+    asserting accepted-row-set equality.  Batched: each engine evaluates
+    30 selectors per pass as boolean columns, so the run is ~20 Spark
+    jobs, not 500."""
+    from pulsar_message_filter_spark.io import load
+    from tests.conftest import SF_SMOKE
+
+    events = load(spark, "events", SF_SMOKE).cache()
+    rng = random.Random(515253)
+    texts = [_gen_selector(rng) for _ in range(510)]
+
+    batch = 30
+    n_nonempty = 0
+    for start in range(0, len(texts), batch):
+        chunk = texts[start : start + batch]
+        sels = [Selector(t) for t in chunk]
+        scols = [s.column().alias(f"s{i}") for i, s in enumerate(sels)]
+        srows = events.select("event_id", *scols).collect()
+        spark_sets = [
+            {r.event_id for r in srows if r[i + 1] is True}
+            for i in range(len(sels))
+        ]
+        dsql = ", ".join(f"({s.duckdb_sql()}) AS s{i}" for i, s in enumerate(sels))
+        drows = duck.execute(f"SELECT event_id, {dsql} FROM events").fetchall()
+        duck_sets = [
+            {r[0] for r in drows if r[i + 1] is True} for i in range(len(sels))
+        ]
+        for i, (sset, dset) in enumerate(zip(spark_sets, duck_sets)):
+            assert sset == dset, (
+                f"diverged on: {chunk[i]}\nspark-only="
+                f"{sorted(sset - dset)[:5]} duck-only={sorted(dset - sset)[:5]}"
+            )
+            n_nonempty += bool(sset)
+    # the corpus must actually exercise acceptance, not reject everything
+    assert n_nonempty >= 100, n_nonempty
+
+
 def test_survivor_pick_always_keeps_component_max(spark):
     """Property (seeded randomized): on ANY pair graph, a doc with maximum
     quality in its connected component (tie-break smallest id) is never

@@ -151,10 +151,13 @@ def zorder_prune_fractions(spark, sf_dir: str, factor: int) -> dict:
     from pyspark.sql import functions as F
 
     from pulsar_message_filter_spark.io import load
-    from pulsar_message_filter_spark.layout import file_value_bounds, write_zordered
+    from pulsar_message_filter_spark.layout import (
+        file_value_bounds,
+        write_hilbert,
+        write_zordered,
+    )
 
-    out = os.path.join(sf_dir, "events_zordered")
-    # both z-dims must fit zorder_value's 16-bit lanes: user_id is small at
+    # both curve dims must fit the 16-bit lanes: user_id is small at
     # every packaged sf, and the hour is anchored to the fixture epoch
     # (2024-01-01, same anchor as timeseries_trend_slope) so it spans
     # 0..~720·months — no silent high-bit truncation, no 2^16 wraparound
@@ -165,22 +168,24 @@ def zorder_prune_fractions(spark, sf_dir: str, factor: int) -> dict:
         "value",
     )
     n_files = 8 * factor  # hold rows-per-file constant up the ladder
-    write_zordered(ev, out, "user_id", "hour", n_files=n_files, bits=16)
 
-    def prune_frac(column: str, lo: int, hi: int) -> float:
+    def prune_frac(out: str, column: str, lo: int, hi: int) -> float:
         bounds = file_value_bounds(out, column)
         hit = sum(1 for _, mn, mx in bounds if not (mx < lo or mn > hi))
         return round(1 - hit / len(bounds), 3)
 
-    # a ~13%-wide band on each dimension (users 0..150·f shifts; hours)
-    u_lo, u_hi = 40, 60
-    hrs = sorted({mn for _, mn, _ in file_value_bounds(out, "hour")})
-    h_lo = hrs[0]
-    return {
-        "n_files": n_files,
-        "user_prune_frac": prune_frac("user_id", u_lo, u_hi),
-        "hour_prune_frac": prune_frac("hour", h_lo + 100, h_lo + 200),
-    }
+    result = {"n_files": n_files}
+    for kind, writer in (("zorder", write_zordered), ("hilbert", write_hilbert)):
+        out = os.path.join(sf_dir, f"events_{kind}")
+        writer(ev, out, "user_id", "hour", n_files=n_files, bits=16)
+        # a ~13%-wide band on each dimension (users 0..150·f shifts; hours)
+        hrs = sorted({mn for _, mn, _ in file_value_bounds(out, "hour")})
+        h_lo = hrs[0]
+        result[f"{kind}_user_prune_frac"] = prune_frac(out, "user_id", 40, 60)
+        result[f"{kind}_hour_prune_frac"] = prune_frac(
+            out, "hour", h_lo + 100, h_lo + 200
+        )
+    return result
 
 
 def replicate(spark, factor: int, out_dir: str) -> None:
