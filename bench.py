@@ -58,6 +58,9 @@ HEADLINE = [
     "f57_winnowing_candidates",  # winnowing fingerprints + candidate join
     "linkage_entity_clusters",  # fuzzy pairs -> connected components
     "agg_kth_smallest",  # distributed selection via prefix scan
+    "calib_isotonic_binned",  # PAV isotonic fit on binned aggregates
+    "behavior_session_pmi",  # sessionize + presence self-join + PMI
+    "behavior_markov_entropy",  # user-keyed lead + transition entropies
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -101,6 +104,9 @@ BUDGET_SEC = {
     "f57_winnowing_candidates": 5.3,
     "linkage_entity_clusters": 4.3,
     "agg_kth_smallest": 3.6,
+    "calib_isotonic_binned": 2.3,
+    "behavior_session_pmi": 2.0,
+    "behavior_markov_entropy": 2.0,
 }
 
 
