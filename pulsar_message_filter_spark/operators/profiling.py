@@ -256,3 +256,160 @@ def f65_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_source_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring sharding (elastic resharding with bounded movement)
+# ---------------------------------------------------------------------------
+
+_CH_VNODES = 16
+_CH_HEX32 = """CAST(list_sum(list_transform(generate_series(1, 8), i ->
+    (strpos('0123456789abcdef', substr(md5({key}), i, 1)) - 1)
+    * (16 ** (8 - i)))) AS BIGINT)"""
+
+
+def _hex32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long — cross-engine exact
+    (the abtest Poisson-bootstrap hex machinery, Column form)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def consistent_ring(spark: SparkSession, n_shards: int) -> DataFrame:
+    """(shard, rpos) ring: ``_CH_VNODES`` md5-positioned virtual nodes per
+    shard on the 32-bit circle, each position DUPLICATED at +2^32 so the
+    successor join needs no wraparound special case."""
+    rows = [(s, v) for s in range(n_shards) for v in range(_CH_VNODES)]
+    ring = spark.createDataFrame(rows, ["shard", "vnode"]).select(
+        "shard",
+        _hex32(
+            F.concat(
+                F.lit("s"),
+                F.col("shard").cast("string"),
+                F.lit(":"),
+                F.col("vnode").cast("string"),
+            )
+        ).alias("rpos"),
+    )
+    return ring.unionByName(
+        ring.select("shard", (F.col("rpos") + F.lit(2**32)).alias("rpos"))
+    )
+
+
+def consistent_assign(
+    docs: DataFrame, spark: SparkSession, n_shards: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Assign each row to the clockwise-successor vnode's shard."""
+    ring = F.broadcast(consistent_ring(spark, n_shards))
+    d = docs.select(
+        F.col(key_col), _hex32(F.col(key_col).cast("string")).alias("dpos")
+    )
+    return (
+        d.join(ring, F.col("rpos") >= F.col("dpos"))
+        .groupBy(key_col)
+        .agg(F.min_by("shard", "rpos").alias("shard"))
+    )
+
+
+@graded(
+    "f67_consistent_sharding",
+    oracle=f"""
+        WITH base_ring AS (
+            SELECT s.shard, {_CH_HEX32.format(key="'s' || CAST(s.shard AS VARCHAR) || ':' || CAST(v.vnode AS VARCHAR)")} AS rpos
+            FROM (SELECT unnest(generate_series(0, 7)) AS shard) s
+            CROSS JOIN (SELECT unnest(generate_series(0, {_CH_VNODES - 1})) AS vnode) v
+        ),
+        exp_ring AS (
+            SELECT s.shard, {_CH_HEX32.format(key="'s' || CAST(s.shard AS VARCHAR) || ':' || CAST(v.vnode AS VARCHAR)")} AS rpos
+            FROM (SELECT unnest(generate_series(0, 8)) AS shard) s
+            CROSS JOIN (SELECT unnest(generate_series(0, {_CH_VNODES - 1})) AS vnode) v
+        ),
+        base2 AS (
+            SELECT shard, rpos FROM base_ring
+            UNION ALL SELECT shard, rpos + 4294967296 FROM base_ring
+        ),
+        exp2 AS (
+            SELECT shard, rpos FROM exp_ring
+            UNION ALL SELECT shard, rpos + 4294967296 FROM exp_ring
+        ),
+        d AS (
+            SELECT doc_id, {_CH_HEX32.format(key="CAST(doc_id AS VARCHAR)")} AS dpos
+            FROM documents
+        ),
+        base_assign AS (
+            SELECT doc_id, min_by(shard, rpos) AS bs
+            FROM d JOIN base2 ON rpos >= dpos GROUP BY doc_id
+        ),
+        exp_assign AS (
+            SELECT doc_id, min_by(shard, rpos) AS es
+            FROM d JOIN exp2 ON rpos >= dpos GROUP BY doc_id
+        ),
+        moved AS (
+            SELECT b.doc_id, bs, es FROM base_assign b
+            JOIN exp_assign e ON b.doc_id = e.doc_id
+        ),
+        spine AS (SELECT unnest(generate_series(0, 8)) AS shard)
+        SELECT spine.shard,
+               CAST(coalesce(sum(CASE WHEN bs = spine.shard THEN 1 END), 0)
+                    AS BIGINT) AS n_base,
+               CAST(coalesce(sum(CASE WHEN es = spine.shard THEN 1 END), 0)
+                    AS BIGINT) AS n_exp,
+               CAST(coalesce(sum(CASE WHEN es = spine.shard AND bs <> es
+                                      THEN 1 END), 0) AS BIGINT) AS n_moved_in
+        FROM spine LEFT JOIN moved ON bs = spine.shard OR es = spine.shard
+        GROUP BY 1
+    """,
+    section="F14,C9,D8",
+    description="consistent-hash ring sharding: md5-positioned virtual "
+    "nodes (16/shard) on the 32-bit circle, clockwise-successor "
+    "assignment via a broadcast theta join (wraparound handled by ring "
+    "duplication at +2^32, no special case), and the elastic-resharding "
+    "report for growing 8 -> 9 shards — the defining property, visible "
+    "in the output, is that documents move ONLY INTO the new shard "
+    "(n_moved_in = 0 for the old shards), i.e. ~1/9 of keys move vs the "
+    "100% reshuffle hash-mod sharding (f27) forces; cross-engine-exact "
+    "because every position is an md5 prefix, not an engine RNG",
+)
+def f67_consistent_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring positions and document positions share one 32-bit md5 hash
+    domain computed engine-side on BOTH engines; assignment is a
+    broadcast join against 2·16·shards ring rows, so the corpus-side
+    plan is scan → broadcast-join → per-key argmin — no shuffle keyed on
+    anything but the doc id.  The 8→9 movement report joins the two
+    assignments on doc_id (co-partitioned)."""
+    docs = load(spark, "documents", sf_dir)
+    base = consistent_assign(docs, spark, 8).withColumnRenamed("shard", "bs")
+    exp = consistent_assign(docs, spark, 9).withColumnRenamed("shard", "es")
+    moved = base.join(exp, "doc_id")
+    spine = spark.range(9).select(F.col("id").cast("long").alias("shard"))
+    agg = (
+        moved.crossJoin(F.broadcast(spine))
+        .filter((F.col("bs") == F.col("shard")) | (F.col("es") == F.col("shard")))
+        .groupBy("shard")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bs") == F.col("shard"), 1)), F.lit(0)
+            ).alias("n_base"),
+            F.coalesce(
+                F.sum(F.when(F.col("es") == F.col("shard"), 1)), F.lit(0)
+            ).alias("n_exp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("es") == F.col("shard"))
+                        & (F.col("bs") != F.col("es")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_moved_in"),
+        )
+    )
+    return (
+        spine.join(agg, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_exp", F.lit(0)).alias("n_exp"),
+            F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
+        )
+    )

@@ -140,3 +140,24 @@ def test_markov_entropy_perplexity_ground_truth(spark):
     assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-4
     ppl = math.exp(sum(r.weight * r.entropy_nats for r in rows.values()))
     assert 1.0 <= ppl <= len(rows)  # perplexity bounded by the state count
+
+
+def test_consistent_sharding_movement_property(spark):
+    """Growing the ring 8 -> 9 shards may move keys ONLY into the new
+    shard, the movement fraction is near 1/9 (vnode-sampling variance
+    allowed), and both assignments are total."""
+    from pulsar_message_filter_spark.operators.profiling import (
+        f67_consistent_sharding,
+    )
+
+    rows = {r.shard: r for r in f67_consistent_sharding(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(9))
+    total = sum(r.n_base for r in rows.values())
+    assert total == sum(r.n_exp for r in rows.values()) > 0
+    for s in range(8):
+        assert rows[s].n_moved_in == 0, (s, rows[s])
+    new = rows[8]
+    assert new.n_base == 0
+    assert new.n_moved_in == new.n_exp > 0
+    # expected movement ~ total/9; allow wide vnode-sampling variance
+    assert 0.02 * total < new.n_exp < 0.35 * total, (new.n_exp, total)
