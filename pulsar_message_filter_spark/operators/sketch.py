@@ -644,3 +644,176 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long"),
         [0.25, 0.5, 0.75, 0.9],
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — mergeable distinct + Jaccard estimates
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+
+
+@graded(
+    "kmv_distinct_jaccard",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                        * (16 ** (8 - i)))) AS BIGINT) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+            FROM hashed
+        ),
+        bottomk AS (SELECT * FROM ranked WHERE rk <= {_KMV_K}),
+        per_type AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS k_used,
+                   max(h) AS r_k
+            FROM bottomk GROUP BY 1
+        ),
+        est AS (
+            SELECT event_type, k_used,
+                   round(CAST(k_used - 1 AS DOUBLE) * 4294967296.0 / r_k, 2)
+                       AS est_distinct
+            FROM per_type
+        ),
+        pair_union AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b, u.h
+            FROM (SELECT DISTINCT event_type FROM bottomk) a
+            JOIN (SELECT DISTINCT event_type FROM bottomk) b
+              ON a.event_type < b.event_type
+            JOIN (SELECT DISTINCT h, event_type FROM bottomk) u
+              ON u.event_type IN (a.event_type, b.event_type)
+        ),
+        pair_ranked AS (
+            SELECT type_a, type_b, h,
+                   row_number() OVER (PARTITION BY type_a, type_b
+                                      ORDER BY h) AS rk
+            FROM (SELECT DISTINCT type_a, type_b, h FROM pair_union)
+        ),
+        xk AS (SELECT * FROM pair_ranked WHERE rk <= {_KMV_K}),
+        inter AS (
+            SELECT x.type_a, x.type_b,
+                   CAST(sum(CASE WHEN ba.h IS NOT NULL AND bb.h IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                   CAST(count(*) AS BIGINT) AS k_union
+            FROM xk x
+            LEFT JOIN bottomk ba ON ba.event_type = x.type_a AND ba.h = x.h
+            LEFT JOIN bottomk bb ON bb.event_type = x.type_b AND bb.h = x.h
+            GROUP BY 1, 2
+        )
+        SELECT e.event_type, e.k_used, e.est_distinct,
+               i.type_b AS jaccard_with,
+               round(CAST(i.n_both AS DOUBLE) / i.k_union, 4) AS est_jaccard
+        FROM est e
+        LEFT JOIN inter i ON i.type_a = e.event_type
+    """,
+    section="C12,F14,D8",
+    description="KMV (k-minimum-values / bottom-k) sketch over distinct "
+    "users per event type: distinct-count estimate (k-1)*2^32/R_k from "
+    "the k smallest md5-32 hash positions, PLUS the estimator HLL cannot "
+    "give — pairwise Jaccard between types from the bottom-k of the "
+    "union (|X ∩ A ∩ B| / k, Bar-Yossef et al. '02 / Beyer et al. '07). "
+    "Mergeable by construction (union the bottom-k sets, re-take "
+    "bottom-k), and ORACLE-EXACT unlike the xxhash HLL/CMS twins: every "
+    "hash position is an md5 prefix both engines compute identically",
+)
+def kmv_distinct_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-side work is one DISTINCT (type, user) aggregation;
+    everything after runs on ≤ k rows per type (the sketch), so the
+    pairwise stage is |types|²·k broadcast-sized.  Bottom-k is TWO-LEVEL
+    (bottom-k of per-salt bottom-k's — identical result by min-set
+    algebra): a window over (type, salt % 32) keeps every sort task at
+    ~1/32 of a type's distinct hashes, then the final window ranks only
+    the 32·k survivors per type — no per-type serial sort of the full
+    hash set at any corpus size."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = ev.select("event_type", h32.alias("h")).distinct()
+    w_local = Window.partitionBy(
+        "event_type", (F.col("h") % 32).alias("salt")
+    ).orderBy("h")
+    survivors = (
+        hashed.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= _KMV_K)
+        .drop("lrk")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    bottomk = (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    est = bottomk.groupBy("event_type").agg(
+        F.count("*").alias("k_used"),
+        F.round(
+            (F.count("*") - 1).cast("double") * F.lit(4294967296.0) / F.max("h"),
+            2,
+        ).alias("est_distinct"),
+    )
+    types = bottomk.select("event_type").distinct()
+    tb = types.select(F.col("event_type").alias("type_b"))
+    pair_union = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(F.broadcast(tb), F.col("type_a") < F.col("type_b"))
+        .join(
+            F.broadcast(bottomk.select("event_type", "h")),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    xk = (
+        pair_union.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    ba = bottomk.select(
+        F.col("event_type").alias("type_a"), F.col("h").alias("ha")
+    )
+    bb = bottomk.select(
+        F.col("event_type").alias("type_b"), F.col("h").alias("hb")
+    )
+    inter = (
+        xk.join(
+            F.broadcast(ba),
+            (xk.type_a == ba.type_a) & (xk.h == F.col("ha")),
+            "left",
+        )
+        .drop(ba.type_a)
+        .join(
+            F.broadcast(bb),
+            (xk.type_b == bb.type_b) & (xk.h == F.col("hb")),
+            "left",
+        )
+        .drop(bb.type_b)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both"),
+            F.count("*").alias("k_union"),
+        )
+    )
+    return est.join(
+        inter.select(
+            F.col("type_a").alias("event_type"),
+            F.col("type_b").alias("jaccard_with"),
+            F.round(F.col("n_both").cast("double") / F.col("k_union"), 4).alias(
+                "est_jaccard"
+            ),
+        ),
+        "event_type",
+        "left",
+    ).select("event_type", "k_used", "est_distinct", "jaccard_with", "est_jaccard")

@@ -161,3 +161,53 @@ def test_consistent_sharding_movement_property(spark):
     assert new.n_moved_in == new.n_exp > 0
     # expected movement ~ total/9; allow wide vnode-sampling variance
     assert 0.02 * total < new.n_exp < 0.35 * total, (new.n_exp, total)
+
+
+def test_kmv_estimates_within_theoretical_error(spark):
+    """KMV distinct estimates land within the ~1/sqrt(k-2) relative-error
+    band of the exact per-type distinct user counts, and the bottom-k
+    Jaccard estimates sit within an absolute band of exact Jaccard."""
+    from pulsar_message_filter_spark.operators.sketch import (
+        _KMV_K,
+        kmv_distinct_jaccard,
+    )
+
+    rows = kmv_distinct_jaccard(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load(spark, "events", SF_SMOKE).select("event_type", "user_id").collect()
+    exact = {}
+    for r in ev:
+        exact.setdefault(r.event_type, set()).add(r.user_id)
+
+    # distinct estimates: 5 sigma of 1/sqrt(k-2) relative error when the
+    # sketch is full; in the small-set regime (k_used < K) the sketch
+    # holds the whole hash set, so k_used IS the exact distinct count
+    rel_band = 5.0 / (_KMV_K - 2) ** 0.5
+    seen_pairs = set()
+    for r in rows:
+        n = len(exact[r.event_type])
+        if r.k_used < _KMV_K:
+            assert r.k_used == n, (r.event_type, r.k_used, n)
+        else:
+            assert abs(r.est_distinct - n) <= rel_band * n + 2, (
+                r.event_type, r.est_distinct, n,
+            )
+        if r.jaccard_with is not None:
+            a, b = exact[r.event_type], exact[r.jaccard_with]
+            true_j = len(a & b) / len(a | b)
+            # exact only when the union sketch is exhaustive (|A∪B| <= K
+            # AND both per-type sketches are complete), banded otherwise
+            exhaustive = (
+                len(a | b) <= _KMV_K
+                and len(a) <= _KMV_K
+                and len(b) <= _KMV_K
+            )
+            band = 1e-9 if exhaustive else 0.35
+            assert abs(r.est_jaccard - true_j) <= band, (
+                r.event_type, r.jaccard_with, r.est_jaccard, true_j,
+            )
+            seen_pairs.add((r.event_type, r.jaccard_with))
+    # every unordered type pair reported exactly once
+    types = sorted(exact)
+    want_pairs = {(a, b) for i, a in enumerate(types) for b in types[i + 1:]}
+    assert seen_pairs == want_pairs
