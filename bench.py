@@ -61,6 +61,8 @@ HEADLINE = [
     "calib_isotonic_binned",  # PAV isotonic fit on binned aggregates
     "behavior_session_pmi",  # sessionize + presence self-join + PMI
     "behavior_markov_entropy",  # user-keyed lead + transition entropies
+    "sample_reservoir_merge",  # salted two-level bottom-k reservoir
+    "eval_auc_rank",  # rank-sum AUC via per-value agg + prefix scan
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -107,6 +109,8 @@ BUDGET_SEC = {
     "calib_isotonic_binned": 2.3,
     "behavior_session_pmi": 2.0,
     "behavior_markov_entropy": 2.0,
+    "sample_reservoir_merge": 2.0,
+    "eval_auc_rank": 2.0,
 }
 
 

@@ -20,6 +20,21 @@ Exactness: the cum of each row depends only on the TOTAL ORDER
 the sampled range boundaries fall — so results are bit-stable across
 runs, partition counts, and engines even though ``repartitionByRange``
 samples its boundaries.
+
+CONSISTENCY HAZARD (and why the scan localCheckpoints): phases 2 and 3
+branch the partitioned table, and Spark re-plans each branch into its
+OWN range exchange — ``spark_partition_id()`` is a nondeterministic
+expression, which defeats ReusedExchange canonicalization, so the
+branches each rerun the boundary-sampling job.  Two branches sampling
+DIFFERENT boundaries silently desyncs ``__pid`` between the local cums
+and the offsets table: rows drop at the join and cums go wrong
+(observed: per-group counts off by 2% run-to-run).  The fix is
+structural, not a config: ``localCheckpoint(eager=False)`` collapses the
+branches onto ONE materialized RDD whose partitioner (boundaries
+included) is fixed at construction — every branch reads the same blocks,
+and a lost block fails loudly instead of resampling.  At scale this
+persists the per-distinct-value table once instead of recomputing the
+scan input three times — cheaper, not just safer.
 """
 
 from __future__ import annotations
@@ -74,8 +89,10 @@ def distributed_prefix_sums(
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(group_col)] + [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    parted = df.repartitionByRange(n, *keys).withColumn(
-        "__pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(n, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("__pid", group_col)
@@ -169,8 +186,10 @@ def distributed_prefix_max(
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    parted = df.repartitionByRange(n, *keys).withColumn(
-        "__pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(n, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     lo = -1 if exclusive else Window.currentRow
     w_local = (

@@ -252,3 +252,87 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Target encoding — leave-one-out + smoothed, leak-free by construction
+# ---------------------------------------------------------------------------
+
+_TE_M = 20.0  # smoothing pseudo-count toward the global prior
+
+
+@graded(
+    "feature_target_encode_loo",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+            FROM orders
+        ),
+        cat AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_cat,
+                   CAST(sum(label) AS BIGINT) AS s_cat
+            FROM base GROUP BY 1
+        ),
+        gp AS (
+            SELECT CAST(sum(label) AS DOUBLE) / count(*) AS prior FROM base
+        ),
+        cells AS (
+            SELECT b.o_orderpriority, CAST(b.label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(c.n_cat) AS n_cat, min(c.s_cat) AS s_cat
+            FROM base b JOIN cat c USING (o_orderpriority)
+            GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, label, n_rows, n_cat,
+               round(CAST(s_cat - label AS DOUBLE) / (n_cat - 1), 6)
+                   AS enc_loo,
+               round((CAST(s_cat - label AS DOUBLE) + {_TE_M} * prior)
+                     / (n_cat - 1 + {_TE_M}), 6) AS enc_loo_smooth
+        FROM cells CROSS JOIN gp
+    """,
+    section="C11,C25,F14",
+    description="leave-one-out target encoding of order priority against the "
+    "fulfilled-status label: each row's encoding (Σy - yᵢ)/(n-1) excludes the row "
+    "itself (the leak-free form; naive mean encoding leaks the target), "
+    "plus the m=20 smoothed variant shrinking rare categories toward the "
+    "global prior — emitted per (category, label) cell because the LOO "
+    "value is a pure function of that pair, which is also why the 100 TB "
+    "form is a broadcast map, not a per-row shuffle",
+)
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregates (per-category sums, the global prior) and a
+    broadcast join back onto the (category, label) cells — the per-row
+    encoded column at full scale is the same broadcast map applied in
+    the scan stage, zero additional shuffles."""
+    orders = load(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    cat = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_cat"), F.sum("label").cast("long").alias("s_cat")
+    )
+    glob = base.agg(
+        (F.sum("label").cast("double") / F.count("*")).alias("prior")
+    )
+    cells = (
+        base.groupBy("o_orderpriority", F.col("label").cast("long").alias("label"))
+        .agg(F.count("*").alias("n_rows"))
+        .join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+    )
+    num = (F.col("s_cat") - F.col("label")).cast("double")
+    return cells.select(
+        "o_orderpriority",
+        "label",
+        "n_rows",
+        "n_cat",
+        F.round(num / (F.col("n_cat") - 1), 6).alias("enc_loo"),
+        F.round(
+            (num + F.lit(_TE_M) * F.col("prior"))
+            / (F.col("n_cat") - 1 + F.lit(_TE_M)),
+            6,
+        ).alias("enc_loo_smooth"),
+    )

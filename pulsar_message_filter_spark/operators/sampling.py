@@ -353,3 +353,95 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_h").cast("long").alias("n_h"),
         alloc.cast("long").alias("n_alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable reservoir — deterministic bottom-k priority sample per stratum
+# ---------------------------------------------------------------------------
+
+_RES_K = 12
+#: DuckDB twin of the Spark md5-32 priority (conv(substr(md5(x),1,8),16,10))
+_MD5_32_SQL = """CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                    (strpos('0123456789abcdef',
+                            substr(md5(CAST({key} AS VARCHAR)), i, 1)) - 1)
+                    * (16 ** (8 - i)))) AS BIGINT)"""
+
+
+def reservoir_bottom_k(
+    df: DataFrame,
+    stratum_col: str,
+    key,
+    k: int = _RES_K,
+    salt_mod: int = 32,
+    carry: tuple = (),
+    tiebreak: tuple = (),
+) -> DataFrame:
+    """Deterministic mergeable reservoir: the k rows with the SMALLEST
+    md5-32 priority per stratum (priority sampling / bottom-k, Duffield
+    et al. '07).  Unlike the classic RNG reservoir (Vitter '85) this is
+    content-addressed, so it is (a) reproducible across engines and
+    re-runs, and (b) MERGEABLE by construction: bottom-k of a union is
+    the bottom-k of the per-part bottom-k's — the property that lets a
+    1000-executor job keep one k-row heap per partition and fold them.
+
+    The implementation IS that merge identity: a per-(stratum, h mod
+    ``salt_mod``) local bottom-k (each sort task sees ~1/salt_mod of the
+    stratum) feeds a final bottom-k over the ≤ salt_mod·k survivors — no
+    stratum-serial sort of the full input at any scale."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h32 = F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    hashed = df.select(
+        F.col(stratum_col), key_col.alias("__k"), h32.alias("h"), *carry
+    )
+    order = ["h", "__k", *tiebreak]  # tiebreak needed iff key is non-unique
+    w_local = Window.partitionBy(
+        stratum_col, (F.col("h") % salt_mod).alias("__salt")
+    ).orderBy(*order)
+    w_final = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        hashed.withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= k)
+        .withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= k)
+        .drop("__lrk")
+    )
+
+
+@graded(
+    "sample_reservoir_merge",
+    oracle=f"""
+        WITH h AS (
+            SELECT o_orderpriority, o_orderkey,
+                   {_MD5_32_SQL.format(key="o_orderkey")} AS h
+            FROM orders
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY h, o_orderkey) AS rk
+            FROM h
+        )
+        SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, h
+        FROM r WHERE rk <= {_RES_K}
+    """,
+    section="C26,D8,F14",
+    description="mergeable reservoir sample: the k=12 smallest-md5-priority "
+    "orders per priority stratum (bottom-k priority sampling, Duffield et "
+    "al. '07) — deterministic where Vitter's RNG reservoir is not, and "
+    "mergeable because bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ "
+    "bottom-k(B)); the plan exercises exactly that identity via a salted "
+    "two-level bottom-k, so no stratum ever sorts its full input",
+)
+def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact: the priority is an md5 prefix both engines compute
+    identically; ties (32-bit birthday collisions at corpus scale) break
+    on the key itself, so the sampled set is a pure function of content."""
+    orders = load(spark, "orders", sf_dir)
+    res = reservoir_bottom_k(orders, "o_orderpriority", "o_orderkey")
+    return res.select(
+        "o_orderpriority",
+        F.col("rk").cast("long").alias("rk"),
+        F.col("__k").alias("o_orderkey"),
+        "h",
+    )

@@ -817,3 +817,150 @@ def kmv_distinct_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "left",
     ).select("event_type", "k_used", "est_distinct", "jaccard_with", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Sample-quantile sketch — bottom-k reservoir quantiles with error vs truth
+# ---------------------------------------------------------------------------
+
+_SQ_K = 256
+_SQ_PS = (0.25, 0.5, 0.75)  # dyadic fractions: p*n is float-exact
+
+
+@graded(
+    "sketch_sample_quantiles",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                   CAST(l_orderkey AS VARCHAR) || '-' ||
+                       CAST(l_linenumber AS VARCHAR) AS rid,
+                   CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(l_orderkey AS VARCHAR)
+                                           || '-' ||
+                                           CAST(l_linenumber AS VARCHAR)),
+                                       i, 1)) - 1)
+                        * (16 ** (8 - i)))) AS BIGINT) AS h
+            FROM lineitem
+        ),
+        samp AS (
+            SELECT * FROM (
+                SELECT l_returnflag, v,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY h, rid, v) AS srk
+                FROM hashed)
+            WHERE srk <= {_SQ_K}
+        ),
+        samp_cum AS (
+            SELECT l_returnflag, v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY v, srk) AS vrk,
+                   count(*) OVER (PARTITION BY l_returnflag) AS k_used
+            FROM samp
+        ),
+        q AS (SELECT CAST(unnest([{", ".join(str(p) for p in _SQ_PS)}])
+                          AS DOUBLE) AS p),
+        samp_q AS (
+            SELECT l_returnflag, p, min(v) AS sample_q_cents,
+                   min(k_used) AS k_used
+            FROM samp_cum CROSS JOIN q
+            WHERE vrk >= p * k_used
+            GROUP BY 1, 2
+        ),
+        per_value AS (
+            SELECT l_returnflag, v, CAST(count(*) AS BIGINT) AS w
+            FROM hashed GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT l_returnflag, v,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM per_value
+        ),
+        exact_q AS (
+            SELECT l_returnflag, p, min(v) AS exact_q_cents
+            FROM c CROSS JOIN q
+            WHERE cw >= p * tw
+            GROUP BY 1, 2
+        )
+        SELECT s.l_returnflag, s.p, CAST(s.k_used AS BIGINT) AS k_used,
+               s.sample_q_cents, e.exact_q_cents,
+               s.sample_q_cents - e.exact_q_cents AS err_cents
+        FROM samp_q s
+        JOIN exact_q e ON e.l_returnflag = s.l_returnflag AND e.p = s.p
+    """,
+    section="C12,C14,C26,F14",
+    description="sample-quantile sketch: per-returnflag p25/p50/p75 of "
+    "price estimated from a k=256 bottom-k-by-md5 reservoir (the "
+    "mergeable-sample quantile estimator — union reservoirs, re-take "
+    "bottom-k, re-read quantiles), reported NEXT TO the exact "
+    "prefix-scan order statistics with the signed error in cents — the "
+    "sketch, its ground truth, and its observed error in one result; "
+    "oracle-exact because the reservoir is content-addressed, not RNG",
+)
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-side cost: one two-level bottom-k (each stratum's sort tasks
+    see ~1/32 of its rows) for the sample + one per-value agg + prefix
+    scan for the truth column.  At 100 TB only the truth column grows —
+    drop it and the sketch path alone is the production form: k rows per
+    stratum, quantiles read driver-side from 256-row state."""
+    from pulsar_message_filter_spark.functions.prefix import (
+        distributed_prefix_sum,
+    )
+    from pulsar_message_filter_spark.operators.parity import cents
+    from pulsar_message_filter_spark.operators.sampling import (
+        reservoir_bottom_k,
+    )
+
+    li = load(spark, "lineitem", sf_dir)
+    keyed = li.select(
+        "l_returnflag",
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        cents("l_extendedprice").alias("v"),
+    )
+    samp = reservoir_bottom_k(
+        keyed, "l_returnflag", "rid", k=_SQ_K, carry=("v",), tiebreak=("v",)
+    ).withColumnRenamed("rk", "srk")
+    w_v = Window.partitionBy("l_returnflag").orderBy("v", "srk")
+    w_k = Window.partitionBy("l_returnflag")
+    samp_cum = samp.select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(w_v).alias("vrk"),
+        F.count("*").over(w_k).alias("k_used"),
+    )
+    ps = F.explode(F.array(*[F.lit(float(p)) for p in _SQ_PS])).alias("p")
+    samp_q = (
+        samp_cum.select("l_returnflag", "v", "vrk", "k_used", ps)
+        .filter(F.col("vrk") >= F.col("p") * F.col("k_used"))
+        .groupBy("l_returnflag", "p")
+        .agg(
+            F.min("v").alias("sample_q_cents"),
+            F.min("k_used").cast("long").alias("k_used"),
+        )
+    )
+    per_value = keyed.groupBy("l_returnflag", "v").agg(
+        F.count("*").alias("w")
+    )
+    cum = distributed_prefix_sum(
+        per_value, "l_returnflag", ["v"], "w", out_col="cw"
+    )
+    exact_q = (
+        cum.select("l_returnflag", "v", "cw", "group_total", ps)
+        .filter(F.col("cw") >= F.col("p") * F.col("group_total"))
+        .groupBy("l_returnflag", "p")
+        .agg(F.min("v").alias("exact_q_cents"))
+    )
+    return samp_q.join(exact_q, ["l_returnflag", "p"]).select(
+        "l_returnflag",
+        "p",
+        "k_used",
+        "sample_q_cents",
+        "exact_q_cents",
+        (F.col("sample_q_cents") - F.col("exact_q_cents")).alias("err_cents"),
+    )

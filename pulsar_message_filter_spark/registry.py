@@ -131,6 +131,8 @@ _DRIVER_VERIFIED = frozenset(
 _LOCALLY_VERIFIED = frozenset(
     {"activity_heatmap", "agg_bitwise", "alloc_largest_remainder",
     "anomaly_rolling_zscore", "attribution_first_touch",
+    "eval_auc_rank", "feature_target_encode_loo",
+    "sample_reservoir_merge", "sketch_sample_quantiles",
     "attribution_linear", "cdc_snapshot_diff", "cdc_table_checksum",
     "cohort_retention", "cohort_retention_monthly", "decay_score_asof",
     "dq_violation_report", "f10_corpus_profile", "f11_quality_filter",

@@ -229,7 +229,10 @@ def test_global_dense_ids_has_no_global_window(spark):
     from pulsar_message_filter_spark.operators.relational import global_dense_ids
 
     plan = plan_str(global_dense_ids(spark, SF_SMOKE)).lower()
-    assert "rangepartitioning" in plan, plan[:500]
+    # the range partitioning now lives INSIDE the localCheckpointed RDD
+    # lineage (prefix.py's branch-consistency fix), so the visible plan
+    # shows the checkpointed scan instead of the exchange
+    assert "rangepartitioning" in plan or "existingrdd" in plan, plan[:500]
     # every window in the plan is keyed (partitionBy includes __pid/__g);
     # a global window renders as 'windowspecdefinition(' with no
     # partition columns before the ordering spec

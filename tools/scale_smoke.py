@@ -136,6 +136,15 @@ QUERIES = [
     "survival_kaplan_meier",
     "robust_theil_sen",
     "abtest_poisson_bootstrap",
+    # round-9 additions: salted two-level bottom-k reservoir (orders),
+    # reservoir + exact-quantile twin (lineitem; sample side is k-row
+    # state, truth side is the per-value prefix scan), rank-sum AUC
+    # (per-value agg + prefix scan), LOO target encoding (two aggs +
+    # broadcast map — expected ~overhead-bound).
+    "sample_reservoir_merge",
+    "sketch_sample_quantiles",
+    "eval_auc_rank",
+    "feature_target_encode_loo",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
