@@ -7,13 +7,19 @@ feature-extraction stage with a documented batch shape.
 
 BMP/PNG/GIF and WAV *header metadata* extraction is REAL — width/height
 and sample-rate/channel-count are pure-struct parses of the public
-BMP/PNG/GIF/RIFF layouts, no media library needed.  Full pixel/sample
-decoding is STUBBED (this container ships no image/audio libraries):
-``decode_stub`` produces a *deterministic fake* feature row derived from
-the raw bytes for unrecognized magics, and raises
-``NotImplementedError`` when full decoding is requested — swap the body
-for PIL/librosa in production; the schema, partitioning, and UDF
-signature do not change.
+BMP/PNG/GIF/RIFF layouts, no media library needed.
+
+Full decode is split by whether a codec is mathematically required:
+
+- **REAL, no library needed**: uncompressed BMP pixels
+  (``decode_bmp_pixels`` — BI_RGB 8/24/32-bpp, padding + bottom-up
+  handled) and WAV PCM samples (``decode_wav_samples`` — 8/16/32-bit
+  integer and float32 PCM).  ``media_stats`` feeds their per-channel
+  statistics through an Arrow-batched ``mapInPandas`` stage.
+- **STILL GATED**: PNG/GIF/JPEG pixels and compressed audio require an
+  actual codec (DEFLATE/LZW/DCT); ``decode_pixels`` raises a documented
+  ``NotImplementedError`` for those — swap in PIL/librosa in production;
+  the schema, partitioning, and UDF signature do not change.
 """
 
 from __future__ import annotations
@@ -100,6 +106,199 @@ def _parse_wav_header(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def decode_bmp_pixels(b: bytes):
+    """Uncompressed BMP → ``numpy`` RGB array of shape (height, width, 3).
+
+    Pure struct + numpy — the BI_RGB layout (public BMP spec) needs no
+    codec: pixel rows are raw bytes, 4-byte-aligned, stored bottom-up
+    unless height is negative.  Supported: 24-bpp BGR, 32-bpp BGRA
+    (alpha dropped), and 8-bpp palette (mapped through the BGRA color
+    table).  Compressed BMPs (BI_RLE*/BI_BITFIELDS) raise
+    ``NotImplementedError`` like the codec formats.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_sz,) = struct.unpack_from("<I", b, 14)
+    width, height = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} needs a codec; only BI_RGB is "
+            "decodable without one"
+        )
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"unsupported BMP bit depth {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    stride = ((width * bpp + 31) // 32) * 4
+    raw = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=data_off)
+    rows = raw.reshape(height, stride)
+    if bpp == 8:
+        # palette: BGRA quads between the info header and the pixel data
+        pal_off = 14 + hdr_sz
+        n_entries = (data_off - pal_off) // 4
+        palette = np.frombuffer(
+            b, dtype=np.uint8, count=n_entries * 4, offset=pal_off
+        ).reshape(n_entries, 4)[:, :3][:, ::-1]  # BGRA → RGB
+        img = palette[rows[:, :width]]
+    else:
+        n_ch = bpp // 8
+        px = rows[:, : width * n_ch].reshape(height, width, n_ch)
+        img = px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+    return img if top_down else img[::-1]
+
+
+def decode_wav_samples(b: bytes):
+    """RIFF/WAVE PCM → (samples ``(n, channels)`` numpy array, sample_rate).
+
+    Pure struct + numpy — integer and float PCM are raw interleaved
+    samples, no codec involved.  Supported ``fmt`` codes: 1 (integer PCM
+    at 8/16/32 bits; 8-bit is unsigned per the spec, wider are signed LE)
+    and 3 (float32).  Compressed codes (µ-law, MP3, …) raise
+    ``NotImplementedError``.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    fmt = None
+    off = 12
+    while off + 8 <= len(b):
+        chunk_id = b[off : off + 4]
+        (chunk_sz,) = struct.unpack_from("<I", b, off + 4)
+        body = off + 8
+        if chunk_id == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", b, body)
+            (bits,) = struct.unpack_from("<H", b, body + 14)
+            fmt = (audio_fmt, n_ch, rate, bits)
+        elif chunk_id == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            audio_fmt, n_ch, rate, bits = fmt
+            if audio_fmt == 1 and bits in (8, 16, 32):
+                dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
+            elif audio_fmt == 3 and bits == 32:
+                dtype = np.dtype("<f4")
+            else:
+                raise NotImplementedError(
+                    f"WAV format code {audio_fmt} @ {bits} bits needs a codec"
+                )
+            n = min(chunk_sz, len(b) - body) // (bits // 8)
+            n -= n % n_ch
+            samples = np.frombuffer(b, dtype=dtype, count=n, offset=body)
+            return samples.reshape(-1, n_ch), rate
+        off = body + chunk_sz + (chunk_sz & 1)  # chunks are word-aligned
+    raise ValueError("WAV has no data chunk")
+
+
+def decode_pixels(b: bytes):
+    """Dispatch full pixel decode by magic — REAL for BMP, gated otherwise.
+
+    PNG (DEFLATE), GIF (LZW), and JPEG (DCT) pixels cannot be recovered
+    without a real codec; those raise ``NotImplementedError`` with the
+    library swap documented (PIL in production — signature unchanged).
+    """
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:6] in (b"GIF87a", b"GIF89a") or b[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "PNG/GIF/JPEG pixel decode requires a real codec (DEFLATE/LZW/DCT); "
+            "swap in PIL here — header metadata is already parsed without it"
+        )
+    raise ValueError("unrecognized image magic")
+
+
+#: Output schema of the REAL decode-stats stage: per-channel pixel means
+#: for images, RMS/peak/duration for audio.  Null where the media kind is
+#: compressed (codec-gated) or opaque.
+MEDIA_STATS_SCHEMA = (
+    "path string, media_kind string, decodable boolean, "
+    "width int, height int, n_pixels long, ch_means string, "
+    "px_min int, px_max int, "
+    "sample_rate int, n_channels int, n_samples long, duration_ms long, "
+    "audio_rms double, audio_peak double"
+)
+
+
+def media_stats(batches: Iterator[pd.DataFrame]):
+    """mapInPandas stage: (path, content) → REAL decoded per-channel stats.
+
+    BMP pixels and WAV PCM samples are fully decoded (pure numpy, see
+    ``decode_bmp_pixels``/``decode_wav_samples``); compressed/opaque kinds
+    yield ``decodable=false`` with null stats instead of failing the batch
+    — at 100 TB a poison file must not kill the stage (same contract as
+    the corrupt-record routing in the ingest path).
+    """
+    import numpy as np
+
+    def _row(path: str, b: bytes) -> dict:
+        out: dict = {
+            "path": path.rsplit("/", 1)[-1],
+            "media_kind": "opaque",
+            "decodable": False,
+            "width": None, "height": None, "n_pixels": None,
+            "ch_means": None, "px_min": None, "px_max": None,
+            "sample_rate": None, "n_channels": None, "n_samples": None,
+            "duration_ms": None, "audio_rms": None, "audio_peak": None,
+        }
+        if b[:2] == b"BM":
+            out["media_kind"] = "bmp"
+            try:
+                img = decode_bmp_pixels(b)
+            except Exception:  # compressed OR poison/truncated: never kill the batch
+                return out
+            out.update(
+                decodable=True,
+                width=img.shape[1], height=img.shape[0],
+                n_pixels=int(img.shape[0] * img.shape[1]),
+                ch_means=":".join(
+                    f"{m:.4f}" for m in img.reshape(-1, img.shape[2]).mean(axis=0)
+                ),
+                px_min=int(img.min()), px_max=int(img.max()),
+            )
+        elif b[:8] == b"\x89PNG\r\n\x1a\n":
+            out["media_kind"] = "png"
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            out["media_kind"] = "gif"
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            out["media_kind"] = "wav"
+            try:
+                samples, rate = decode_wav_samples(b)
+            except Exception:  # compressed OR poison/truncated: never kill the batch
+                return out
+            x = samples.astype(np.float64)
+            if samples.dtype == np.uint8:
+                x -= 128.0  # 8-bit PCM is unsigned; center before RMS
+            out.update(
+                decodable=True,
+                sample_rate=int(rate), n_channels=int(samples.shape[1]),
+                n_samples=int(samples.shape[0]),
+                duration_ms=int(samples.shape[0] * 1000 // rate) if rate else None,
+                audio_rms=float(np.sqrt((x**2).mean())) if x.size else 0.0,
+                audio_peak=float(np.abs(x).max()) if x.size else 0.0,
+            )
+        return out
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            [_row(p, c) for p, c in zip(pdf["path"], pdf["content"])],
+            columns=[
+                "path", "media_kind", "decodable", "width", "height",
+                "n_pixels", "ch_means", "px_min", "px_max", "sample_rate",
+                "n_channels", "n_samples", "duration_ms", "audio_rms",
+                "audio_peak",
+            ],
+        )
+
+
 def decode_stub(batches: Iterator[pd.DataFrame], real_decode: bool = False):
     """mapInPandas stage: (path, content) batches → feature rows.
 
@@ -117,8 +316,9 @@ def decode_stub(batches: Iterator[pd.DataFrame], real_decode: bool = False):
 
     if real_decode:
         raise NotImplementedError(
-            "full pixel/sample decoding requires an image/audio library; "
-            "this container ships header parsing (BMP/WAV) + the stub only"
+            "decode_stub is the header-metadata stage; full decode moved to "
+            "media_stats (REAL for BMP pixels / WAV PCM — pure numpy) and "
+            "decode_pixels (PNG/GIF/JPEG remain codec-gated)"
         )
 
     def _features(b: bytes) -> tuple:
@@ -178,6 +378,108 @@ def f12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fixture parquet files themselves serve as the opaque binary corpus;
     # their magic bytes are 'PAR1'.
     return binary_features(spark, f"{sf_dir}/*.parquet").orderBy("path")
+
+
+def synth_bmp(width: int, height: int, bpp: int = 24, seed: int = 0) -> bytes:
+    """Deterministic in-memory BMP (BI_RGB) — fixture generator.
+
+    Pixel (x, y) channel c = ``(seed + x*7 + y*13 + c*29) % 256`` — a
+    closed form tests can recompute independently of the decoder.
+    """
+    import struct
+
+    import numpy as np
+
+    if bpp not in (8, 24):
+        raise ValueError("fixture generator supports 8/24 bpp")
+    y, x = np.mgrid[0:height, 0:width]
+    if bpp == 24:
+        img = np.stack(
+            [(seed + x * 7 + y * 13 + c * 29) % 256 for c in range(3)], axis=-1
+        ).astype("uint8")
+        rows = img[:, :, ::-1].reshape(height, width * 3)  # RGB → BGR
+        palette = b""
+    else:
+        img = ((seed + x * 7 + y * 13) % 256).astype("uint8")
+        rows = img.reshape(height, width)
+        palette = b"".join(
+            bytes((i, i, i, 0)) for i in range(256)
+        )  # grayscale BGRA table
+    stride = ((width * bpp + 31) // 32) * 4
+    padded = np.zeros((height, stride), dtype="uint8")
+    padded[:, : rows.shape[1]] = rows
+    pixel_data = padded[::-1].tobytes()  # bottom-up storage
+    data_off = 14 + 40 + len(palette)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(pixel_data), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pixel_data),
+            2835, 2835, 256 if palette else 0, 0,
+        )
+    )
+    return header + palette + pixel_data
+
+
+def synth_wav(
+    n_samples: int, n_channels: int = 2, rate: int = 8000, bits: int = 16,
+    seed: int = 0,
+) -> bytes:
+    """Deterministic in-memory PCM WAV — fixture generator.
+
+    Sample (i, ch) = ``(seed + i*31 + ch*17) % 200 - 100`` (shifted +128
+    into unsigned range for 8-bit) — closed form, recomputable in tests.
+    """
+    import struct
+
+    import numpy as np
+
+    i, ch = np.mgrid[0:n_samples, 0:n_channels]
+    vals = (seed + i * 31 + ch * 17) % 200 - 100
+    if bits == 8:
+        data = (vals + 128).astype("uint8").tobytes()
+    elif bits == 16:
+        data = vals.astype("<i2").tobytes()
+    elif bits == 32:
+        data = vals.astype("<i4").tobytes()
+    else:
+        raise ValueError("fixture generator supports 8/16/32 bits")
+    block = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate, rate * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+@graded(
+    "f12c_media_stats",
+    oracle=None,  # python-side binary decode: no DuckDB analog
+    section="F12,G5",
+    description="REAL pixel/sample decode: uncompressed BMP + PCM WAV fixture "
+    "bytes -> per-channel means / RMS / duration via mapInPandas (rows-only)",
+)
+def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decodes a deterministic mixed media corpus — BMPs (24-bpp and
+    8-bpp palette), WAVs (8/16/32-bit PCM), a PNG header-only file, and
+    an opaque blob — and emits the REAL decoded statistics.  ``sf_dir``
+    is unused: the corpus is synthesized (no media files ship in the
+    testdata), which is exactly the fixture-byte strategy the pytest
+    pins use."""
+    corpus = [
+        ("img_24bpp.bmp", synth_bmp(32, 16, bpp=24, seed=3)),
+        ("img_8bpp.bmp", synth_bmp(17, 9, bpp=8, seed=5)),
+        ("tone_16bit.wav", synth_wav(4000, n_channels=2, rate=8000, bits=16)),
+        ("tone_8bit.wav", synth_wav(1000, n_channels=1, rate=4000, bits=8)),
+        ("tone_32bit.wav", synth_wav(600, n_channels=3, rate=16000, bits=32)),
+        ("gated.png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+        ("opaque.bin", b"PAR1" + bytes(range(64))),
+    ]
+    raw = spark.createDataFrame(corpus, "path string, content binary")
+    return (
+        raw.repartition(4)  # prove the stage is partition-parallel
+        .mapInPandas(media_stats, schema=MEDIA_STATS_SCHEMA)
+        .orderBy("path")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -253,12 +555,31 @@ def resize_stub(
     Deterministic fake resize: truncate/zero-pad content to width*height
     bytes.  Pins the 1→1 rewrite shape (payload replaced, metadata typed),
     which is identical under a real image library.
+
+    ``real_decode=True`` performs a REAL nearest-neighbor resize for
+    uncompressed BMPs (decode via ``decode_bmp_pixels``, integer index
+    sampling, RGB bytes out) — no image library needed; non-BMP content
+    falls back to the deterministic stub payload so a mixed corpus never
+    kills the stage.
     """
     if real_decode:
-        raise NotImplementedError(
-            "real image resizing requires an image library; "
-            "this container intentionally ships the stub path only"
-        )
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                b = bytes(content)
+                try:
+                    img = decode_bmp_pixels(b)
+                    ys = (np.arange(height) * img.shape[0]) // height
+                    xs = (np.arange(width) * img.shape[1]) // width
+                    px = img[ys][:, xs].tobytes()
+                except (ValueError, NotImplementedError):
+                    px = bytes(b[: width * height]).ljust(width * height, b"\x00")
+                rows.append((name, width, height, px))
+            yield pd.DataFrame(rows, columns=["path", "width", "height", "pixels"])
+        return
     size = width * height
     for pdf in batches:
         content = pdf["content"]

@@ -442,11 +442,13 @@ def test_stratified_sample_proportions(spark):
 
 
 def test_real_decode_paths_are_gated(spark):
-    """The marked extension points must raise, not silently fake, when real
-    decoding is requested."""
+    """The codec-requiring extension points must raise, not silently fake,
+    when real decoding is requested.  (BMP/WAV full decode is REAL as of
+    round 10 — see test_round10_ops.py — so resize_stub's real path no
+    longer raises; frame sampling still needs a video codec.)"""
     from pulsar_message_filter_spark.operators.multimodal import (
+        decode_pixels,
         frame_sample_stub,
-        resize_stub,
     )
 
     import pandas as pd
@@ -455,9 +457,10 @@ def test_real_decode_paths_are_gated(spark):
     with pytest.raises(NotImplementedError):
         list(frame_sample_stub(batch, real_decode=True))
     with pytest.raises(NotImplementedError):
-        list(resize_stub(batch, real_decode=True))
-    with pytest.raises(NotImplementedError):
         list(decode_stub(batch, real_decode=True))
+    for magic in (b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8"):
+        with pytest.raises(NotImplementedError):
+            decode_pixels(magic + b"\x00" * 32)
 
 
 def test_multimodal_real_decode_is_marked_todo():

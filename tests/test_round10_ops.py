@@ -1,0 +1,183 @@
+"""Round-10 additions: REAL BMP pixel / WAV PCM sample decode (F12 stub
+retirement — VERDICT r05 next-round item 3).
+
+Every pin recomputes the expected values from the fixture generators'
+closed forms (pixel(x,y,c) = (seed+7x+13y+29c)%256; sample(i,ch) =
+(seed+31i+17ch)%200-100) independently of the decoder under test.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pulsar_message_filter_spark.operators.multimodal import (
+    decode_bmp_pixels,
+    decode_pixels,
+    decode_wav_samples,
+    media_stats,
+    resize_stub,
+    synth_bmp,
+    synth_wav,
+)
+
+
+def _expected_bmp(width: int, height: int, seed: int) -> np.ndarray:
+    y, x = np.mgrid[0:height, 0:width]
+    return np.stack(
+        [(seed + x * 7 + y * 13 + c * 29) % 256 for c in range(3)], axis=-1
+    ).astype("uint8")
+
+
+def _expected_wav(n: int, ch: int, seed: int = 0) -> np.ndarray:
+    i, c = np.mgrid[0:n, 0:ch]
+    return (seed + i * 31 + c * 17) % 200 - 100
+
+
+def test_bmp_24bpp_roundtrip_exact():
+    # width 5 → 15-byte rows padded to 16: exercises the 4-byte stride
+    img = decode_bmp_pixels(synth_bmp(5, 4, bpp=24, seed=3))
+    assert img.shape == (4, 5, 3)
+    np.testing.assert_array_equal(img, _expected_bmp(5, 4, 3))
+
+
+def test_bmp_8bpp_palette_roundtrip():
+    img = decode_bmp_pixels(synth_bmp(17, 9, bpp=8, seed=5))
+    assert img.shape == (9, 17, 3)
+    y, x = np.mgrid[0:9, 0:17]
+    gray = ((5 + x * 7 + y * 13) % 256).astype("uint8")
+    for c in range(3):  # grayscale palette: all channels equal the index
+        np.testing.assert_array_equal(img[:, :, c], gray)
+
+
+def test_bmp_top_down_negative_height():
+    """A top-down BMP (negative height, rows stored first-row-first) must
+    decode to the same image as its bottom-up twin."""
+    b = bytearray(synth_bmp(6, 3, bpp=24, seed=1))
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    height = struct.unpack_from("<i", b, 22)[0]
+    struct.pack_into("<i", b, 22, -height)
+    stride = ((6 * 24 + 31) // 32) * 4
+    rows = [bytes(b[data_off + r * stride : data_off + (r + 1) * stride]) for r in range(height)]
+    b[data_off:] = b"".join(reversed(rows))
+    np.testing.assert_array_equal(
+        decode_bmp_pixels(bytes(b)), _expected_bmp(6, 3, 1)
+    )
+
+
+def test_bmp_compressed_raises():
+    b = bytearray(synth_bmp(4, 4))
+    struct.pack_into("<I", b, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp_pixels(bytes(b))
+
+
+def test_decode_pixels_dispatch():
+    np.testing.assert_array_equal(
+        decode_pixels(synth_bmp(4, 2, seed=9)), _expected_bmp(4, 2, 9)
+    )
+    with pytest.raises(ValueError):
+        decode_pixels(b"PAR1not-an-image")
+
+
+def test_wav_16bit_stereo_roundtrip_exact():
+    samples, rate = decode_wav_samples(synth_wav(50, n_channels=2, rate=8000, bits=16))
+    assert rate == 8000 and samples.shape == (50, 2)
+    np.testing.assert_array_equal(samples, _expected_wav(50, 2))
+
+
+def test_wav_8bit_unsigned_and_32bit():
+    s8, _ = decode_wav_samples(synth_wav(20, n_channels=1, rate=4000, bits=8))
+    np.testing.assert_array_equal(s8.astype("int32") - 128, _expected_wav(20, 1))
+    s32, _ = decode_wav_samples(synth_wav(20, n_channels=3, rate=16000, bits=32))
+    np.testing.assert_array_equal(s32, _expected_wav(20, 3))
+
+
+def test_wav_float32_pcm():
+    vals = np.array([0.5, -0.25, 1.0, 0.0], dtype="<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", vals.nbytes) + vals.tobytes()
+    b = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    samples, rate = decode_wav_samples(b)
+    np.testing.assert_array_equal(samples[:, 0], vals)
+
+
+def test_wav_compressed_format_raises():
+    b = bytearray(synth_wav(10, bits=16))
+    struct.pack_into("<H", b, 20, 7)  # µ-law format code
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(bytes(b))
+
+
+def test_real_bmp_resize_nearest_neighbor():
+    import pandas as pd
+
+    src = synth_bmp(8, 8, seed=2)
+    [out] = list(
+        resize_stub(
+            iter([pd.DataFrame({"path": ["a.bmp"], "content": [src]})]),
+            width=4, height=4, real_decode=True,
+        )
+    )
+    img = _expected_bmp(8, 8, 2)
+    idx = (np.arange(4) * 8) // 4
+    expected = img[idx][:, idx].tobytes()
+    assert bytes(out["pixels"][0]) == expected
+    # non-BMP content falls back to the deterministic stub payload
+    [fb] = list(
+        resize_stub(
+            iter([pd.DataFrame({"path": ["x.bin"], "content": [b"abc"]})]),
+            width=2, height=2, real_decode=True,
+        )
+    )
+    assert bytes(fb["pixels"][0]) == b"abc\x00"
+
+
+def test_f12c_media_stats_values(spark):
+    """End-to-end graded query: decoded statistics match the closed forms."""
+    from pulsar_message_filter_spark.registry import all_graded
+
+    rows = {
+        r["path"]: r.asDict()
+        for r in all_graded()["f12c_media_stats"].fn(spark, "").collect()
+    }
+    assert len(rows) == 7
+
+    bmp = rows["img_24bpp.bmp"]
+    img = _expected_bmp(32, 16, 3)
+    assert bmp["decodable"] and bmp["media_kind"] == "bmp"
+    assert (bmp["width"], bmp["height"], bmp["n_pixels"]) == (32, 16, 512)
+    want_means = ":".join(f"{m:.4f}" for m in img.reshape(-1, 3).mean(axis=0))
+    assert bmp["ch_means"] == want_means
+    assert bmp["px_min"] == int(img.min()) and bmp["px_max"] == int(img.max())
+
+    wav = rows["tone_16bit.wav"]
+    s = _expected_wav(4000, 2).astype("float64")
+    assert wav["decodable"] and wav["media_kind"] == "wav"
+    assert (wav["sample_rate"], wav["n_channels"], wav["n_samples"]) == (8000, 2, 4000)
+    assert wav["duration_ms"] == 500
+    assert wav["audio_rms"] == pytest.approx(float(np.sqrt((s**2).mean())))
+    assert wav["audio_peak"] == float(np.abs(s).max())
+
+    wav8 = rows["tone_8bit.wav"]  # 8-bit path centers at 128 before RMS
+    s8 = _expected_wav(1000, 1).astype("float64")
+    assert wav8["audio_rms"] == pytest.approx(float(np.sqrt((s8**2).mean())))
+
+    assert rows["gated.png"]["media_kind"] == "png" and not rows["gated.png"]["decodable"]
+    assert rows["opaque.bin"]["media_kind"] == "opaque" and not rows["opaque.bin"]["decodable"]
+
+
+def test_media_stats_poison_file_does_not_kill_batch():
+    """A truncated BMP in the middle of a batch must yield decodable=false
+    for that row, not raise — 100 TB corpora contain poison files."""
+    import pandas as pd
+
+    poison = synth_bmp(4, 4)[:30]  # valid magic, truncated header
+    batch = pd.DataFrame(
+        {"path": ["ok.bmp", "bad.bmp"], "content": [synth_bmp(4, 4), poison]}
+    )
+    [out] = list(media_stats(iter([batch])))
+    assert list(out["decodable"]) == [True, False]
