@@ -181,3 +181,128 @@ def test_media_stats_poison_file_does_not_kill_batch():
     )
     [out] = list(media_stats(iter([batch])))
     assert list(out["decodable"]) == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# A3/A5 Pulsar connector contract tests (VERDICT r05 item 4) — no broker:
+# the readStream/writeStream option wiring is asserted via monkeypatched
+# builders, and the schema mapping runs on a real static DataFrame shaped
+# exactly like the public pulsar-spark connector's output frame.
+# ---------------------------------------------------------------------------
+
+
+class _SpyReader:
+    """Stands in for DataStreamReader: records format + options, so the
+    contract test pins exactly what a real connector would receive."""
+
+    def __init__(self):
+        self.fmt = None
+        self.options = {}
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def option(self, k, v):
+        self.options[k] = v
+        return self
+
+
+def test_pulsar_reader_option_contract(monkeypatch):
+    from types import SimpleNamespace
+
+    from pulsar_message_filter_spark.sources import pulsar as ps
+
+    spy = _SpyReader()
+    spark_stub = SimpleNamespace(readStream=spy)
+    out = ps.pulsar_stream_reader(
+        spark_stub, "pulsar://broker:6650", "persistent://t/ns/events",
+        admin_url="http://broker:8080", start="latest",
+    )
+    assert out is spy and spy.fmt == "pulsar"
+    assert spy.options == {
+        "service.url": "pulsar://broker:6650",
+        "topics": "persistent://t/ns/events",
+        "startingOffsets": "latest",
+        "admin.url": "http://broker:8080",
+    }
+    # admin.url is optional — absent when not supplied
+    spy2 = _SpyReader()
+    ps.pulsar_stream_reader(SimpleNamespace(readStream=spy2), "pulsar://b:6650", "t")
+    assert "admin.url" not in spy2.options
+    assert spy2.options["startingOffsets"] == "earliest"
+
+
+def test_pulsar_sink_option_contract():
+    from types import SimpleNamespace
+
+    from pulsar_message_filter_spark.sources import pulsar as ps
+
+    spy = _SpyReader()  # same fluent surface as DataStreamWriter
+    df_stub = SimpleNamespace(writeStream=spy)
+    ps.pulsar_sink_writer(df_stub, "pulsar://broker:6650", "accepted")
+    assert spy.fmt == "pulsar"
+    assert spy.options == {"service.url": "pulsar://broker:6650", "topic": "accepted"}
+
+
+def _connector_frame(spark, with_message_id=True):
+    """A static frame with the public pulsar-spark connector's schema
+    (key/value binary, topic string, properties map, publishTime/eventTime
+    timestamps, messageId binary)."""
+    import datetime
+
+    t = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        (b"user-1", b"payload-one", "persistent://t/ns/clicks",
+         {"pri": "9", "src": "web"}, t, t, b"\x08\x01\x10\x02"),
+        (b"user-2", b"pay2", "persistent://t/ns/views",
+         {}, t, t, b"\x08\x01\x10\x03"),
+        (None, b"", "persistent://t/ns/errs", None, t, t, b"\x08\x02\x10\x01"),
+    ]
+    schema = (
+        "key binary, value binary, topic string, "
+        "properties map<string,string>, publishTime timestamp, "
+        "eventTime timestamp, messageId binary"
+    )
+    df = spark.createDataFrame(rows, schema)
+    return df if with_message_id else df.drop("messageId")
+
+
+def test_pulsar_normalize_maps_to_engine_message_schema(spark):
+    """The normalized frame must be column-for-column the engine's message
+    model (the events table schema) so every downstream operator —
+    selectors, routing, windows — is connector-agnostic."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.sources.pulsar import normalize_pulsar_frame
+
+    got = normalize_pulsar_frame(_connector_frame(spark))
+    want = load(spark, "events", "/root/testdata/sf0.001")
+    assert got.schema.simpleString() == want.schema.simpleString()
+
+    rows = {r["event_type"]: r for r in got.collect()}
+    r = rows["persistent://t/ns/views"]
+    assert r["value"] == 4.0  # length of b"pay2"
+    import json
+
+    assert json.loads(rows["persistent://t/ns/clicks"]["props"]) == {
+        "pri": "9", "src": "web",
+    }
+
+
+def test_pulsar_normalize_event_id_replay_deterministic(spark):
+    """E4 stream dedup keys on event_id: a replayed micro-batch must yield
+    identical ids, with or without the broker messageId column."""
+    for with_mid in (True, False):
+        a = normalize_ids = sorted(
+            r["event_id"]
+            for r in __import__(
+                "pulsar_message_filter_spark.sources.pulsar", fromlist=["x"]
+            ).normalize_pulsar_frame(_connector_frame(spark, with_mid)).collect()
+        )
+        b = sorted(
+            r["event_id"]
+            for r in __import__(
+                "pulsar_message_filter_spark.sources.pulsar", fromlist=["x"]
+            ).normalize_pulsar_frame(_connector_frame(spark, with_mid)).collect()
+        )
+        assert a == b and len(set(a)) == 3, (with_mid, a)
