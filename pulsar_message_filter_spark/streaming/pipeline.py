@@ -310,9 +310,12 @@ def redelivery_counter_tws(stream: DataFrame) -> DataFrame:
 
     Requires the RocksDB state-store provider
     (``spark.sql.streaming.stateStore.providerClass``) and the
-    ``protobuf`` Python package (the TWS state-server protocol) — absent
-    in this container, so the test skips and ``applyInPandasWithState``
-    (:func:`stateful_user_stats`) is the locally-exercised E8 path.
+    ``protobuf`` Python package (the TWS state-server protocol).  No
+    protobuf wheel is installed in this container, but the test suite
+    shims the container's own pure-Python copy onto the worker path
+    (``tests/_pb_shim/sitecustomize.py``), so this path IS exercised
+    end-to-end here; ``applyInPandasWithState``
+    (:func:`stateful_user_stats`) remains the protobuf-free twin.
     """
     try:
         from google.protobuf import descriptor  # noqa: F401

@@ -11,6 +11,38 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def _ensure_protobuf() -> None:
+    """Make ``google.protobuf`` importable from the container's own Google
+    Cloud SDK bundle when no protobuf wheel is installed (E8: Spark 4's
+    ``transformWithStateInPandas`` speaks protobuf to its state server).
+
+    The mechanism lives in ``tests/_pb_shim/sitecustomize.py`` (see its
+    docstring for the two gaps it closes).  Here we (a) run it for the
+    driver process, and (b) export the shim dir on ``PYTHONPATH`` so
+    Spark's Python *worker* processes — which never import conftest — pick
+    it up via the interpreter's ``sitecustomize`` hook.  Must run before
+    any SparkSession exists so the JVM inherits the env var.
+    """
+    import os
+
+    shim_dir = str(Path(__file__).resolve().parent / "_pb_shim")
+    sys.path.append(shim_dir)
+    import sitecustomize  # noqa: F401  (runs _install for this process)
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return  # no bundle available: the TWS test keeps its importorskip
+    os.environ["PYTHONPATH"] = (
+        os.environ["PYTHONPATH"] + os.pathsep + shim_dir
+        if os.environ.get("PYTHONPATH")
+        else shim_dir
+    )
+
+
+_ensure_protobuf()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pulsar_message_filter_spark.session import get_spark

@@ -317,14 +317,14 @@ def test_transform_with_state_counter(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
-def test_tws_gate_error_is_actionable(spark, tmp_path):
+def test_tws_gate_error_is_actionable(spark, tmp_path, monkeypatch):
     """Without protobuf, the TWS builder fails fast with guidance (not a
-    mid-query worker crash)."""
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-        pytest.skip("protobuf present; gate inactive")
-    except ImportError:
-        pass
+    mid-query worker crash).  Absence is simulated by poisoning the module
+    cache (setting a sys.modules entry to None makes its import raise),
+    so this runs whether or not a protobuf is importable here."""
+    import sys as _sys
+
+    monkeypatch.setitem(_sys.modules, "google.protobuf", None)
     stream = file_message_stream(spark, str(tmp_path))
     with pytest.raises(RuntimeError, match="applyInPandasWithState"):
         redelivery_counter_tws(stream)
