@@ -306,3 +306,121 @@ def test_pulsar_normalize_event_id_replay_deterministic(spark):
             ).normalize_pulsar_frame(_connector_frame(spark, with_mid)).collect()
         )
         assert a == b and len(set(a)) == 3, (with_mid, a)
+
+
+# ---------------------------------------------------------------------------
+# KLL-lite quantile sketch (VERDICT r05 item 6): merge associativity,
+# determinism, and rank-error bound vs exact order statistics.
+# ---------------------------------------------------------------------------
+
+
+def _kll():
+    from pulsar_message_filter_spark.operators.sketch import KLLLite
+
+    return KLLLite
+
+
+def _rank_error(values, est, p) -> float:
+    """Distance from p to the est value's rank INTERVAL — with ties, every
+    rank inside the tie block belongs to the same value, so any p within
+    [bisect_left/n, bisect_right/n] is exactly answered by est."""
+    import bisect
+
+    values = sorted(values)
+    lo = bisect.bisect_left(values, est) / len(values)
+    hi = bisect.bisect_right(values, est) / len(values)
+    return max(lo - p, p - hi, 0.0)
+
+
+def _distributions(n=20000):
+    # no RNG: deterministic but unordered streams of distinct shapes
+    uniform = [(i * 7919) % n for i in range(n)]
+    zipf = [int(n / (1 + (i * 104729) % n) ** 0.7) for i in range(n)]
+    sorted_asc = list(range(n))
+    constant = [42.0] * n
+    return {"uniform": uniform, "zipf": zipf, "sorted": sorted_asc, "constant": constant}
+
+
+def test_kll_rank_error_bound_across_distributions():
+    KLL = _kll()
+    for name, vals in _distributions().items():
+        sk = KLL(200)
+        for i in range(0, len(vals), 1000):  # chunked, like Arrow batches
+            sk.update_many(vals[i : i + 1000])
+        for p in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+            err = _rank_error(vals, sk.quantile(p), p)
+            assert err <= 0.02, (name, p, err)
+
+
+def test_kll_merge_tree_shapes_agree_within_bound():
+    """Left-fold, balanced-tree, and reversed merge orders must all land
+    within the error bound — the associative-up-to-error contract."""
+    KLL = _kll()
+    vals = _distributions()["uniform"]
+    parts = [vals[i::16] for i in range(16)]  # 16 'partitions'
+
+    def sketch_of(chunk):
+        s = KLL(200)
+        s.update_many(chunk)
+        return s
+
+    def fold(sketches):
+        acc = sketches[0]
+        for s in sketches[1:]:
+            acc.merge(s)
+        return acc
+
+    def tree(sketches):
+        while len(sketches) > 1:
+            sketches = [
+                fold(sketches[i : i + 2]) for i in range(0, len(sketches), 2)
+            ]
+        return sketches[0]
+
+    left = fold([sketch_of(c) for c in parts])
+    bal = tree([sketch_of(c) for c in parts])
+    rev = fold([sketch_of(c) for c in reversed(parts)])
+    for sk in (left, bal, rev):
+        assert sk.n == len(vals)
+        for p in (0.25, 0.5, 0.75, 0.9):
+            assert _rank_error(vals, sk.quantile(p), p) <= 0.03, p
+
+
+def test_kll_deterministic_and_serializable():
+    """Task-retry safety: identical input → bit-identical sketch; dumps/
+    loads round-trips the full ladder state."""
+    KLL = _kll()
+    vals = _distributions()["zipf"]
+    a, b = KLL(100), KLL(100)
+    a.update_many(vals)
+    b.update_many(vals)
+    assert a.levels == b.levels and a.flips == b.flips and a.n == b.n
+    c = KLL.loads(a.dumps())
+    assert c.levels == a.levels and c.n == a.n and c.flips == a.flips
+    assert c.quantile(0.5) == a.quantile(0.5)
+
+
+def test_kll_weights_conserved():
+    """Total represented weight equals the raw count after any compaction
+    depth (items are promoted with doubled weight, never dropped net)."""
+    KLL = _kll()
+    sk = KLL(16)  # tiny k forces many compaction levels
+    vals = _distributions()["uniform"][:5000]
+    sk.update_many(vals)
+    total_weight = sum(len(buf) << lvl for lvl, buf in enumerate(sk.levels))
+    # each compaction keeps exactly half the buffer at double weight, so
+    # represented weight stays within one buffer of the true count
+    assert abs(total_weight - len(vals)) <= 16 * len(sk.levels)
+    assert sk.n == len(vals)
+
+
+def test_kll_graded_query_error_column(spark):
+    """End-to-end: the graded query's self-measured rank_error stays inside
+    the k=200 bound at the oracle SF."""
+    from pulsar_message_filter_spark.registry import all_graded
+
+    rows = all_graded()["sketch_kll_quantiles"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 12
+    assert all(r["rank_error"] <= 0.02 for r in rows)
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
+
