@@ -144,6 +144,16 @@ def main() -> None:
             and series[-1]["rows"] <= plateau * 1.25 + 100,
         }
 
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for f in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
     def sample_state(q) -> dict | None:
         """One (elapsed, rows, bytes) point from the query's last progress —
         recentProgress only retains ~100 entries, so long soaks need
@@ -170,6 +180,7 @@ def main() -> None:
         timeline: dict[str, list] = {
             "stateful_window": [], "sessionization": [], "throttle": []
         }
+        ck_timeline: list = []
         while time.time() - t0 < duration_s:
             time.sleep(min(sample_every, max(1, duration_s - (time.time() - t0))))
             for name, q in (
@@ -181,6 +192,16 @@ def main() -> None:
                 if s is not None:
                     s["elapsed_s"] = round(time.time() - t0)
                     timeline[name].append(s)
+            ck_timeline.append(
+                {
+                    "elapsed_s": round(time.time() - t0),
+                    "ck_bytes": {
+                        d: _dir_bytes(os.path.join(root, d))
+                        for d in sorted(os.listdir(root))
+                        if d.startswith("ck")
+                    },
+                }
+            )
         report = {}
         for name, q in (
             ("verdict_pipeline", q1),
@@ -225,6 +246,29 @@ def main() -> None:
         q4.stop()
         shutil.rmtree(root, ignore_errors=True)
 
+    # checkpoint growth: compaction + snapshot cleanup must keep the
+    # checkpoint dirs from growing linearly with processed volume — compare
+    # the last quarter's growth RATE to the second quarter's (warm-up
+    # excluded): bounded means the rate does not accelerate and the
+    # absolute size stays in the tens of MB at CI scale
+    if len(ck_timeline) >= 4:
+        totals = [sum(p["ck_bytes"].values()) for p in ck_timeline]
+        q2_growth = totals[len(totals) // 2 - 1] - totals[len(totals) // 4]
+        q4_growth = totals[-1] - totals[3 * len(totals) // 4]
+        report["checkpoints"] = {
+            "bytes_first": totals[0],
+            "bytes_last": totals[-1],
+            "growth_mid_window": q2_growth,
+            "growth_last_window": q4_growth,
+            "bounded": q4_growth <= max(q2_growth * 2, 16 << 20),
+            "timeline": ck_timeline,
+        }
+
+    total_batches = sum(
+        report[n]["batches"]
+        for n in ("verdict_pipeline", "stateful_window", "sessionization", "throttle")
+    )
+    report["total_batches"] = total_batches
     print(
         json.dumps(
             {"metric": "stream_soak", "rate_target": rate, "duration_s": duration_s, **report}
