@@ -424,3 +424,30 @@ def test_kll_graded_query_error_column(spark):
     assert all(r["rank_error"] <= 0.02 for r in rows)
     assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
 
+
+
+# ---------------------------------------------------------------------------
+# Streaming soak artifact (VERDICT r05 item 8): the checked-in SOAK_r*.json
+# must show sustained rate, bounded state, and bounded checkpoints over
+# >=100 micro-batches.  Regenerate with: python tools/stream_soak.py 20000 300
+# ---------------------------------------------------------------------------
+
+
+def test_soak_artifact_bounds():
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "SOAK_r*.json")))
+    assert paths, "no soak artifact checked in"
+    d = json.loads(open(paths[-1]).read())
+    assert d["total_batches"] >= 100
+    for leg in ("verdict_pipeline", "stateful_window", "sessionization", "throttle"):
+        r = d[leg]
+        assert not r["backlogged"], (leg, r["sustained_rows_per_sec"])
+        state = r.get("state") or {}
+        if state.get("batches"):  # stateful legs carry the bounded verdicts
+            assert state["bounded"], leg
+            assert state["bounded_over_duration"], leg
+    assert d["checkpoints"]["bounded"], d["checkpoints"]
