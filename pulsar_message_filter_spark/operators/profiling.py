@@ -413,3 +413,109 @@ def f67_consistent_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F14 — rendezvous (HRW) sharding, the ring's stateless sibling (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _hrw_hash(shard: int, key: Column) -> Column:
+    return _hex32(F.concat(F.lit(f"r{shard}:"), key.cast("string")))
+
+
+def rendezvous_assign(df: DataFrame, key_col: str, n_shards: int) -> Column:
+    """Highest-random-weight shard for each row as ONE row-local expression.
+
+    HRW (Thaler-Ravishankar, public paper): shard(key) = argmax_s
+    hash(s, key).  No ring state at all — adding shard N changes an
+    assignment only where the new shard's hash is the new max, so exactly
+    ~1/(N+1) of keys move and ONLY into the new shard.  The argmax over a
+    compile-time shard list is a struct-array max — zero shuffle, zero
+    join; ties (2^-32) break toward the larger shard id on both engines.
+    """
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _hrw_hash(s, F.col(key_col)).alias("h"),
+                    F.lit(s).cast("long").alias("shard"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    ).getField("shard")
+
+
+def _hrw_sql(shard: int) -> str:
+    return _CH_HEX32.format(key=f"'r{shard}:' || CAST(doc_id AS VARCHAR)")
+
+
+@graded(
+    "f70_rendezvous_sharding",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {", ".join(f"{_hrw_sql(s)} AS h{s}" for s in range(9))}
+            FROM documents
+        ),
+        assign AS (
+            SELECT doc_id,
+                   CASE {" ".join(f"WHEN h{s} = greatest(h0,h1,h2,h3,h4,h5,h6,h7) THEN {s}" for s in range(7, -1, -1))} END AS bs,
+                   CASE {" ".join(f"WHEN h{s} = greatest(h0,h1,h2,h3,h4,h5,h6,h7,h8) THEN {s}" for s in range(8, -1, -1))} END AS es
+            FROM h
+        ),
+        spine AS (SELECT unnest(generate_series(0, 8)) AS shard)
+        SELECT CAST(spine.shard AS BIGINT) AS shard,
+               CAST(coalesce(sum(CASE WHEN bs = spine.shard THEN 1 END), 0)
+                    AS BIGINT) AS n_base,
+               CAST(coalesce(sum(CASE WHEN es = spine.shard THEN 1 END), 0)
+                    AS BIGINT) AS n_exp,
+               CAST(coalesce(sum(CASE WHEN es = spine.shard AND bs <> es
+                                      THEN 1 END), 0) AS BIGINT) AS n_moved_in
+        FROM spine LEFT JOIN assign ON bs = spine.shard OR es = spine.shard
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    section="F14,D8",
+    description="rendezvous (HRW) sharding: argmax-of-hashes as one "
+    "row-local struct-array expression — no ring state, no join, no "
+    "shuffle; the 8 -> 9 elastic report proves keys move ONLY into the "
+    "new shard (n_moved_in = 0 for shards 0-7), same contract as the "
+    "f67 ring but stateless",
+)
+def f70_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both assignments are computed in the SAME scan pass (two row-local
+    expressions over one projection) — the movement report costs one
+    broadcast spine join + one agg; corpus rows shuffle once, keyed by
+    the 9-row spine filter."""
+    docs = load(spark, "documents", sf_dir)
+    assigned = docs.select(
+        "doc_id",
+        rendezvous_assign(docs, "doc_id", 8).alias("bs"),
+        rendezvous_assign(docs, "doc_id", 9).alias("es"),
+    )
+    spine = spark.range(9).select(F.col("id").cast("long").alias("shard"))
+    return (
+        assigned.crossJoin(F.broadcast(spine))
+        .filter((F.col("bs") == F.col("shard")) | (F.col("es") == F.col("shard")))
+        .groupBy("shard")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bs") == F.col("shard"), 1)), F.lit(0)
+            ).cast("long").alias("n_base"),
+            F.coalesce(
+                F.sum(F.when(F.col("es") == F.col("shard"), 1)), F.lit(0)
+            ).cast("long").alias("n_exp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("es") == F.col("shard")) & (F.col("bs") != F.col("es")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_moved_in"),
+        )
+        .orderBy("shard")
+    )

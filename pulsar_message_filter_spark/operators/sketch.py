@@ -1173,3 +1173,139 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_le").cast("double") / F.col("n") - F.col("p")), 4
         ).alias("rank_error"),
     ).orderBy("l_returnflag", "p")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the mergeable FREQUENT-ITEMS summary next to
+# CMS (point frequency), HLL/KMV (distinct), KLL (quantiles).
+# ---------------------------------------------------------------------------
+
+_MG_K = 16  # counters kept per summary: estimate error <= n / (k+1)
+_MG_SALTS = 8  # stage-1 sub-summaries (stand-ins for executor partials)
+
+
+@graded(
+    "sketch_misra_gries",
+    oracle=f"""
+        WITH salted AS (
+            SELECT user_id,
+                   CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1)
+                        * (16 ** (8 - i)))) AS BIGINT) % {_MG_SALTS} AS salt
+            FROM events
+        ),
+        counts AS (
+            SELECT salt, user_id, count(*) AS c
+            FROM salted GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT salt, user_id, c,
+                   row_number() OVER (PARTITION BY salt
+                                      ORDER BY c DESC, user_id) AS rk
+            FROM counts
+        ),
+        thresh AS (
+            SELECT salt,
+                   coalesce(max(CASE WHEN rk = {_MG_K} + 1 THEN c END), 0) AS t
+            FROM ranked GROUP BY 1
+        ),
+        partials AS (
+            SELECT r.user_id, r.c - t.t AS w
+            FROM ranked r JOIN thresh t USING (salt)
+            WHERE r.rk <= {_MG_K} AND r.c - t.t > 0
+        ),
+        merged AS (
+            SELECT user_id, sum(w) AS w FROM partials GROUP BY 1
+        ),
+        mranked AS (
+            SELECT user_id, w,
+                   row_number() OVER (ORDER BY w DESC, user_id) AS rk
+            FROM merged
+        ),
+        mthresh AS (
+            SELECT coalesce(max(CASE WHEN rk = {_MG_K} + 1 THEN w END), 0) AS t
+            FROM mranked
+        ),
+        kept AS (
+            SELECT user_id, w - (SELECT t FROM mthresh) AS est
+            FROM mranked
+            WHERE rk <= {_MG_K} AND w - (SELECT t FROM mthresh) > 0
+        ),
+        truth AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY 1)
+        SELECT CAST(k.user_id AS BIGINT) AS user_id,
+               CAST(k.est AS BIGINT) AS est_count,
+               CAST(t.true_count AS BIGINT) AS true_count,
+               CAST(t.true_count - k.est AS BIGINT) AS undercount
+        FROM kept k JOIN truth t USING (user_id)
+        ORDER BY est_count DESC, user_id
+    """,
+    section="C12,F14",
+    description="Misra-Gries mergeable heavy hitters: per-salt MG compress "
+    "-> counter-sum merge -> final compress, exact-twin join emits the "
+    "undercount (bounded by n/(k+1) per level, pytest-pinned) — hash-graded "
+    "end to end, no approximation outside the MG identity itself",
+)
+def sketch_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Misra-Gries (Agarwal et al.'s mergeable formulation,
+    public paper): a summary is k (key, weight) counters; COMPRESS
+    subtracts the (k+1)-th largest weight and drops non-positives; MERGE
+    sums counters key-wise then compresses.  Error is one-sided
+    (underestimate), at most n/(k+1) per compress level.
+
+    100 TB shape: stage 1 is a (salt, key) count — map-side combinable —
+    followed by a k-row-per-salt window; the merge stage sees at most
+    salts*k counter rows.  At cluster scale 'salt' is the executor
+    partial; here it is a deterministic md5-derived spray so the oracle
+    can replay it bit-exactly."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    salt = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % _MG_SALTS
+    ).alias("salt")
+
+    counts = ev.select(salt, "user_id").groupBy("salt", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    w_salt = Window.partitionBy("salt").orderBy(F.desc("c"), F.asc("user_id"))
+    ranked = counts.withColumn("rk", F.row_number().over(w_salt))
+    thresh = ranked.groupBy("salt").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _MG_K + 1, F.col("c"))), F.lit(0)
+        ).alias("t")
+    )
+    partials = (
+        ranked.filter(F.col("rk") <= _MG_K)
+        .join(F.broadcast(thresh), "salt")
+        .withColumn("w", F.col("c") - F.col("t"))
+        .filter(F.col("w") > 0)
+    )
+    merged = partials.groupBy("user_id").agg(F.sum("w").alias("w"))
+    w_all = Window.orderBy(F.desc("w"), F.asc("user_id"))
+    # the final window ranks at most salts*k rows — single-partition by
+    # design and size, not by accident (bounded-collect class)
+    mranked = merged.withColumn("rk", F.row_number().over(w_all))
+    mthresh = mranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _MG_K + 1, F.col("w"))), F.lit(0)
+        ).alias("t")
+    )
+    kept = (
+        mranked.filter(F.col("rk") <= _MG_K)
+        .crossJoin(F.broadcast(mthresh))
+        .withColumn("est", F.col("w") - F.col("t"))
+        .filter(F.col("est") > 0)
+    )
+    truth = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return (
+        kept.join(truth, "user_id")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("est").cast("long").alias("est_count"),
+            F.col("true_count").cast("long").alias("true_count"),
+            (F.col("true_count") - F.col("est")).cast("long").alias("undercount"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+    )
