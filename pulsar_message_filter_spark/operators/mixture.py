@@ -528,3 +528,122 @@ def mixture_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("kept") * F.col("score")).cast("long").alias("kept_chars"),
         F.sum("score").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F-series — preference-pair construction (DPO/RLHF prep, round 10)
+# ---------------------------------------------------------------------------
+
+_PREF_MAX_PAIRS = 3
+
+
+def preference_pairs(
+    docs: DataFrame, group_cols: list, score, max_pairs: int = _PREF_MAX_PAIRS
+) -> DataFrame:
+    """(chosen, rejected) training pairs per group: the i-th best document
+    paired with the i-th worst, i = 1..min(max_pairs, n//2).
+
+    The quantile-extremes pairing is the standard preference-data recipe
+    when only a scalar score exists (no human ranking): maximal margin
+    pairs first, and pairing i-th best with i-th worst guarantees the two
+    sides never overlap (i <= n//2).  One shuffle on the group key; both
+    rank directions come from the SAME sorted run (Spark computes the
+    descending rank and derives the ascending one from the group size, so
+    no second sort).  Ties break on doc_id so replays are deterministic.
+    """
+    from pyspark.sql import Window
+
+    w_desc = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__score"), F.asc("doc_id")
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    ranked = docs.select(
+        *group_cols, "doc_id", score.alias("__score")
+    ).select(
+        *group_cols,
+        "doc_id",
+        "__score",
+        F.row_number().over(w_desc).alias("rk_best"),
+        F.count("*").over(w_grp).alias("n"),
+    )
+    # i-th worst = rank (n - i + 1) in the SAME descending order: the
+    # ascending rank is derived, not re-sorted
+    best = ranked.filter(
+        (F.col("rk_best") <= max_pairs) & (F.col("rk_best") <= F.col("n") / 2)
+    ).select(
+        *group_cols,
+        F.col("rk_best").alias("pair_idx"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("__score").alias("chosen_score"),
+    )
+    worst = ranked.filter(
+        (F.col("n") - F.col("rk_best") + 1 <= max_pairs)
+        & (F.col("n") - F.col("rk_best") + 1 <= F.col("n") / 2)
+    ).select(
+        *group_cols,
+        (F.col("n") - F.col("rk_best") + 1).alias("pair_idx"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("__score").alias("rejected_score"),
+    )
+    return best.join(worst, [*group_cols, "pair_idx"]).select(
+        *group_cols,
+        F.col("pair_idx").cast("long").alias("pair_idx"),
+        F.col("chosen_doc").cast("long").alias("chosen_doc"),
+        F.col("rejected_doc").cast("long").alias("rejected_doc"),
+        (F.col("chosen_score") - F.col("rejected_score"))
+        .cast("long")
+        .alias("margin"),
+    )
+
+
+@graded(
+    "f71_preference_pairs",
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang, source, doc_id,
+                   len(string_split(text, ' ')) AS s
+            FROM documents
+        ),
+        ranked AS (
+            SELECT lang, source, doc_id, s,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY s DESC, doc_id) AS rk_best,
+                   count(*) OVER (PARTITION BY lang, source) AS n
+            FROM scored
+        ),
+        best AS (
+            SELECT lang, source, rk_best AS pair_idx, doc_id AS chosen_doc,
+                   s AS cs
+            FROM ranked
+            WHERE rk_best <= {_PREF_MAX_PAIRS} AND rk_best <= n / 2.0
+        ),
+        worst AS (
+            SELECT lang, source, n - rk_best + 1 AS pair_idx,
+                   doc_id AS rejected_doc, s AS rs
+            FROM ranked
+            WHERE n - rk_best + 1 <= {_PREF_MAX_PAIRS}
+              AND n - rk_best + 1 <= n / 2.0
+        )
+        SELECT b.lang AS lang, b.source AS source,
+               CAST(b.pair_idx AS BIGINT) AS pair_idx,
+               CAST(chosen_doc AS BIGINT) AS chosen_doc,
+               CAST(rejected_doc AS BIGINT) AS rejected_doc,
+               CAST(cs - rs AS BIGINT) AS margin
+        FROM best b JOIN worst w
+          ON b.lang = w.lang AND b.source = w.source
+         AND b.pair_idx = w.pair_idx
+        ORDER BY b.lang, b.source, pair_idx
+    """,
+    section="F14,C18",
+    description="DPO/RLHF preference pairs: i-th best vs i-th worst per "
+    "(lang, source) by token-count score, margins emitted, ascending rank "
+    "DERIVED from the descending one (one sort per group, no second "
+    "window) — hash-graded",
+)
+def f71_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_message_filter_spark.operators.text import tokens
+
+    docs = load(spark, "documents", sf_dir)
+    return preference_pairs(
+        docs, ["lang", "source"], F.size(tokens(F.col("text")))
+    ).orderBy("lang", "source", "pair_idx")

@@ -971,3 +971,88 @@ def winnowing_dedup_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def kll_rollup_pipeline(
+    event_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming percentiles as mergeable state (E-series × C14/F14): each
+    micro-batch appends one serialized KLL-lite sketch row per key as an
+    epoch-keyed partition; readers merge ladders across any epoch range
+    to answer quantile queries without re-reading raw events — the
+    quantile twin of :func:`sketch_rollup_pipeline`'s CMS/HLL rollups.
+
+    Per-epoch state is O(keys × k·log n) floats no matter the batch size;
+    the store grows in EPOCHS, not events.  Exactly-once by the same
+    epoch-keyed dynamic-overwrite discipline: the sketch build is
+    deterministic (alternating-offset compaction, no RNG), so a replayed
+    micro-batch rewrites its partition bit-for-bit.
+    """
+    from pulsar_message_filter_spark.operators.sketch import KLLLite
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+
+        def build(batches):
+            acc: dict = {}
+            for pdf in batches:
+                for g, vals in pdf.groupby(key_col, sort=False)[value_col]:
+                    acc.setdefault(g, KLLLite()).update_many(vals.to_numpy())
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        key_col: list(acc),
+                        "sketch": [s.dumps() for s in acc.values()],
+                    }
+                )
+
+        (
+            batch.select(key_col, value_col)
+            .mapInPandas(build, schema=f"{key_col} string, sketch string")
+            .withColumn("epoch_id", F.lit(e))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        event_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def read_kll_rollup(spark, store_dir: str, ps=(0.25, 0.5, 0.75, 0.9), epochs=None):
+    """Merge-on-read over the KLL store: one merged quantile row set per
+    key across the selected epochs (all when ``epochs`` is None).  The
+    ladder merge runs per key inside ``applyInPandas`` over a few sketch
+    rows — never over raw events."""
+    from pulsar_message_filter_spark.operators.sketch import KLLLite
+
+    df = spark.read.parquet(store_dir)
+    if epochs is not None:
+        df = df.filter(F.col("epoch_id").isin(list(epochs)))
+    key_col = [c for c in df.columns if c not in ("sketch", "epoch_id")][0]
+    ps = [float(p) for p in ps]
+
+    def merge(pdf):
+        sk = KLLLite()
+        for s in pdf["sketch"]:
+            sk.merge(KLLLite.loads(s))
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].iloc[0],
+                "p": ps,
+                "est_value": [float(sk.quantile(p)) for p in ps],
+                "sketch_n": sk.n,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        merge, schema=f"{key_col} string, p double, est_value double, sketch_n long"
+    )

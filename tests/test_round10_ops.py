@@ -522,3 +522,59 @@ def test_rendezvous_moves_only_into_new_shard(spark):
     assert rows[8]["n_base"] == 0 and rows[8]["n_exp"] == moved
     # expected movement ~ 1/9 of keys; allow generous sampling slack
     assert abs(moved / total - 1 / 9) < 0.05, (moved, total)
+
+
+def test_streaming_kll_rollup_quantiles(spark, tmp_path):
+    """Streaming percentiles as mergeable state: three micro-batches fold
+    into epoch-keyed KLL rows; merge-on-read quantiles match the exact
+    order statistics of ALL streamed rows within the k=200 rank bound."""
+    import time as _time
+
+    from pulsar_message_filter_spark.sources.streams import file_message_stream
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        kll_rollup_pipeline,
+        read_kll_rollup,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+
+    def write_events(n0, n):
+        rows = [
+            (n0 + i, "2024-01-01 10:00:00", i % 7,
+             "a" if (n0 + i) % 3 else "b", float((n0 + i) * 37 % 1000), "{}")
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+            "value", "props",
+        ).write.mode("append").parquet(str(inp))
+
+    write_events(0, 800)
+    stream = file_message_stream(spark, str(inp))
+    q = kll_rollup_pipeline(stream, store, ck).start()
+    try:
+        q.processAllAvailable()
+        write_events(800, 700)
+        q.processAllAvailable()
+        write_events(1500, 500)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["event_type"], r["p"]): r
+        for r in read_kll_rollup(spark, store).collect()
+    }
+    all_vals = {"a": [], "b": []}
+    for i in range(2000):
+        all_vals["a" if i % 3 else "b"].append(float(i * 37 % 1000))
+    for et, vals in all_vals.items():
+        assert got[(et, 0.5)]["sketch_n"] == len(vals)
+        for p in (0.25, 0.5, 0.75, 0.9):
+            assert _rank_error(vals, got[(et, p)]["est_value"], p) <= 0.02, (et, p)
