@@ -566,33 +566,38 @@ def preference_pairs(
         F.row_number().over(w_desc).alias("rk_best"),
         F.count("*").over(w_grp).alias("n"),
     )
-    # i-th worst = rank (n - i + 1) in the SAME descending order: the
-    # ascending rank is derived, not re-sorted
-    best = ranked.filter(
-        (F.col("rk_best") <= max_pairs) & (F.col("rk_best") <= F.col("n") / 2)
-    ).select(
-        *group_cols,
-        F.col("rk_best").alias("pair_idx"),
-        F.col("doc_id").alias("chosen_doc"),
-        F.col("__score").alias("chosen_score"),
+    # i-th worst = rank (n - i + 1) in the SAME descending order (the
+    # ascending rank is derived, not re-sorted), and a row is never both
+    # best- and worst-eligible (rk <= n/2 and n-rk+1 <= n/2 cannot both
+    # hold), so chosen and rejected collapse into one row per (group,
+    # pair_idx) via conditional aggregation — ONE scan, no self-join
+    rk_worst = F.col("n") - F.col("rk_best") + 1
+    half = F.col("n") / 2
+    pair_idx = F.when(
+        (F.col("rk_best") <= max_pairs) & (F.col("rk_best") <= half),
+        F.col("rk_best"),
+    ).when((rk_worst <= max_pairs) & (rk_worst <= half), rk_worst)
+    is_best = F.col("rk_best") * 2 <= F.col("n")
+    paired = ranked.withColumn("pair_idx", pair_idx).filter(
+        F.col("pair_idx").isNotNull()
     )
-    worst = ranked.filter(
-        (F.col("n") - F.col("rk_best") + 1 <= max_pairs)
-        & (F.col("n") - F.col("rk_best") + 1 <= F.col("n") / 2)
-    ).select(
-        *group_cols,
-        (F.col("n") - F.col("rk_best") + 1).alias("pair_idx"),
-        F.col("doc_id").alias("rejected_doc"),
-        F.col("__score").alias("rejected_score"),
-    )
-    return best.join(worst, [*group_cols, "pair_idx"]).select(
-        *group_cols,
-        F.col("pair_idx").cast("long").alias("pair_idx"),
-        F.col("chosen_doc").cast("long").alias("chosen_doc"),
-        F.col("rejected_doc").cast("long").alias("rejected_doc"),
-        (F.col("chosen_score") - F.col("rejected_score"))
-        .cast("long")
-        .alias("margin"),
+    return (
+        paired.groupBy(*group_cols, "pair_idx")
+        .agg(
+            F.max(F.when(is_best, F.col("doc_id"))).alias("chosen_doc"),
+            F.max(F.when(is_best, F.col("__score"))).alias("chosen_score"),
+            F.max(F.when(~is_best, F.col("doc_id"))).alias("rejected_doc"),
+            F.max(F.when(~is_best, F.col("__score"))).alias("rejected_score"),
+        )
+        .select(
+            *group_cols,
+            F.col("pair_idx").cast("long").alias("pair_idx"),
+            F.col("chosen_doc").cast("long").alias("chosen_doc"),
+            F.col("rejected_doc").cast("long").alias("rejected_doc"),
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("long")
+            .alias("margin"),
+        )
     )
 
 

@@ -1269,36 +1269,53 @@ def sketch_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.select(salt, "user_id").groupBy("salt", "user_id").agg(
         F.count("*").alias("c")
     )
+    # rank AND the (k+1)-th threshold in ONE pass: the plain window over
+    # the same (salt) partitioning adds no exchange, so the whole per-salt
+    # compress is a single shuffle on salt — no thresh re-aggregation, no
+    # branch recompute of the counts
     w_salt = Window.partitionBy("salt").orderBy(F.desc("c"), F.asc("user_id"))
-    ranked = counts.withColumn("rk", F.row_number().over(w_salt))
-    thresh = ranked.groupBy("salt").agg(
-        F.coalesce(
-            F.max(F.when(F.col("rk") == _MG_K + 1, F.col("c"))), F.lit(0)
-        ).alias("t")
-    )
+    w_salt_all = Window.partitionBy("salt")
     partials = (
-        ranked.filter(F.col("rk") <= _MG_K)
-        .join(F.broadcast(thresh), "salt")
+        counts.withColumn("rk", F.row_number().over(w_salt))
+        .withColumn(
+            "t",
+            F.coalesce(
+                F.max(F.when(F.col("rk") == _MG_K + 1, F.col("c"))).over(w_salt_all),
+                F.lit(0),
+            ),
+        )
+        .filter((F.col("rk") <= _MG_K) & (F.col("c") - F.col("t") > 0))
         .withColumn("w", F.col("c") - F.col("t"))
-        .filter(F.col("w") > 0)
     )
     merged = partials.groupBy("user_id").agg(F.sum("w").alias("w"))
+    # final compress over at most salts*k rows — single-partition by design
+    # and size (bounded-collect class); same one-pass rank+threshold trick
     w_all = Window.orderBy(F.desc("w"), F.asc("user_id"))
-    # the final window ranks at most salts*k rows — single-partition by
-    # design and size, not by accident (bounded-collect class)
-    mranked = merged.withColumn("rk", F.row_number().over(w_all))
-    mthresh = mranked.agg(
-        F.coalesce(
-            F.max(F.when(F.col("rk") == _MG_K + 1, F.col("w"))), F.lit(0)
-        ).alias("t")
-    )
+    w_every = Window.partitionBy()
     kept = (
-        mranked.filter(F.col("rk") <= _MG_K)
-        .crossJoin(F.broadcast(mthresh))
+        merged.withColumn("rk", F.row_number().over(w_all))
+        .withColumn(
+            "t",
+            F.coalesce(
+                F.max(F.when(F.col("rk") == _MG_K + 1, F.col("w"))).over(w_every),
+                F.lit(0),
+            ),
+        )
+        .filter((F.col("rk") <= _MG_K) & (F.col("w") - F.col("t") > 0))
         .withColumn("est", F.col("w") - F.col("t"))
-        .filter(F.col("est") > 0)
+        # <= k rows by construction: pin them so the truth-filter branch and
+        # the final join read ONE materialization instead of re-running the
+        # whole sketch pipeline (same bounded-intermediate discipline as
+        # functions/prefix.py)
+        .localCheckpoint(eager=True)
     )
-    truth = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    # exact-twin pass: semi-filter the re-scan by the <=k kept keys so the
+    # truth side aggregates only the heavy hitters' rows
+    truth = (
+        ev.join(F.broadcast(kept.select("user_id")), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+    )
     return (
         kept.join(truth, "user_id")
         .select(
