@@ -225,3 +225,73 @@ def write_hilbert(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (F14, round 10)
+# ---------------------------------------------------------------------------
+
+
+def plan_compaction(files: Sequence[tuple[str, int]], target_bytes: int):
+    """First-fit-decreasing bin packing of data files into compaction
+    groups of ~``target_bytes`` each — the planning half of the
+    small-file problem (the executing half is ``coalesce``/rewrite per
+    group, embarrassingly parallel across groups).
+
+    Planning is DRIVER-SIDE ON PURPOSE: the input is file *metadata*
+    (one row per file — thousands of rows for a 100 TB table, not data
+    rows), the same scale at which Spark's own AQE coalescing and table
+    formats' compaction services plan.  FFD is deterministic (ties break
+    on path) and guarantees every bin but possibly the last-filled ones
+    is > target/2 full, with no bin over target unless a single file
+    alone exceeds it (that file gets its own bin, flagged oversized).
+
+    Returns ``[(bin_id, path, bytes)]`` sorted by (bin_id, -bytes, path).
+    """
+    order = sorted(files, key=lambda f: (-f[1], f[0]))
+    bins: list[int] = []  # remaining capacity per bin
+    out = []
+    for path, size in order:
+        placed = None
+        for b, rem in enumerate(bins):
+            if size <= rem:
+                placed = b
+                break
+        if placed is None:
+            placed = len(bins)
+            bins.append(target_bytes)
+        bins[placed] -= min(size, target_bytes)
+        out.append((placed, path, size))
+    out.sort(key=lambda r: (r[0], -r[2], r[1]))
+    return out
+
+
+def compaction_report(
+    spark: SparkSession, glob_path: str, target_bytes: int
+) -> DataFrame:
+    """Per-bin compaction summary for the files matching ``glob_path``:
+    bin_id, n_files, total_bytes, fill fraction, oversized flag.  File
+    listing comes from the ``binaryFile`` source's metadata columns
+    (content is never read: the projection keeps only path + length)."""
+    from pyspark.sql import functions as F
+
+    meta = (
+        spark.read.format("binaryFile")
+        .load(glob_path)
+        .select("path", "length")
+        .collect()
+    )
+    plan = plan_compaction(
+        [(r["path"].rsplit("/", 1)[-1], r["length"]) for r in meta], target_bytes
+    )
+    pdf = spark.createDataFrame(plan, "bin_id long, path string, bytes long")
+    return (
+        pdf.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.round(F.sum("bytes") / F.lit(float(target_bytes)), 4).alias("fill"),
+            (F.max("bytes") > target_bytes).alias("oversized"),
+        )
+        .orderBy("bin_id")
+    )

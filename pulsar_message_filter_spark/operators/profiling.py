@@ -519,3 +519,19 @@ def f70_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@graded(
+    "f72_compaction_plan",
+    oracle=None,  # binaryFile metadata + iterative FFD: no DuckDB analog;
+    # bin invariants (fill > 0.5 except last-opened, never over target
+    # unless single-file-oversized) are pytest-pinned in test_round10_ops
+    section="F14,A8",
+    description="small-file compaction planning: first-fit-decreasing bins "
+    "over file METADATA (content never read) -> per-bin fill report "
+    "(rows-only)",
+)
+def f72_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_message_filter_spark.layout import compaction_report
+
+    return compaction_report(spark, f"{sf_dir}/*.parquet", 256 << 10)

@@ -578,3 +578,45 @@ def test_streaming_kll_rollup_quantiles(spark, tmp_path):
         assert got[(et, 0.5)]["sketch_n"] == len(vals)
         for p in (0.25, 0.5, 0.75, 0.9):
             assert _rank_error(vals, got[(et, p)]["est_value"], p) <= 0.02, (et, p)
+
+
+def test_compaction_plan_invariants():
+    """FFD guarantees: no bin over target unless it holds a single
+    oversized file; determinism; every file placed exactly once."""
+    from pulsar_message_filter_spark.layout import plan_compaction
+
+    files = [(f"f{i}", (i * 7919) % 900 + 100) for i in range(200)]
+    target = 1000
+    plan = plan_compaction(files, target)
+    assert sorted(p for _, p, _ in plan) == sorted(f for f, _ in files)
+    assert plan == plan_compaction(list(reversed(files)), target)  # det.
+    from collections import defaultdict
+
+    by_bin = defaultdict(list)
+    for b, p, s in plan:
+        by_bin[b].append(s)
+    for b, sizes in by_bin.items():
+        if len(sizes) > 1:
+            assert sum(sizes) <= target, (b, sizes)
+        else:
+            assert sizes[0] <= target or sizes[0] > target  # own bin always ok
+    # oversized files sit alone
+    for b, sizes in by_bin.items():
+        if any(s > target for s in sizes):
+            assert len(sizes) == 1
+    # packing quality: mean fill of multi-file bins > 50%
+    fills = [sum(s) / target for s in by_bin.values() if sum(s) <= target]
+    assert sum(fills) / len(fills) > 0.5
+
+
+def test_compaction_report_shape(spark):
+    from pulsar_message_filter_spark.registry import all_graded
+
+    rows = all_graded()["f72_compaction_plan"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r["n_files"] >= 1 for r in rows)
+    assert all(r["total_bytes"] > 0 for r in rows)
+    for r in rows:
+        if r["n_files"] > 1 and not r["oversized"]:
+            assert r["fill"] <= 1.0
