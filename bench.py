@@ -63,7 +63,6 @@ HEADLINE = [
     "behavior_markov_entropy",  # user-keyed lead + transition entropies
     "sample_reservoir_merge",  # salted two-level bottom-k reservoir
     "eval_auc_rank",  # rank-sum AUC via per-value agg + prefix scan
-    "f69_chunk_overlap",  # RAG chunking: explode(sequence)+slice, shuffle-free
     "f71_preference_pairs",  # DPO pairs: one window pass + conditional agg
     "sketch_kll_quantiles",  # KLL build+merge (Arrow) + exact-twin rank check
 ]
@@ -114,7 +113,6 @@ BUDGET_SEC = {
     "behavior_markov_entropy": 2.0,
     "sample_reservoir_merge": 2.0,
     "eval_auc_rank": 2.0,
-    "f69_chunk_overlap": 2.0,
     "f71_preference_pairs": 2.0,
     "sketch_kll_quantiles": 3.0,
 }

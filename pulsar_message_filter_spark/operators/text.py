@@ -850,83 +850,3 @@ def f62_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("zratio"), 4).alias("mean_ratio"),
         F.sum((F.col("zratio") < 0.4).cast("long")).alias("n_repetitive"),
     )
-
-
-# ---------------------------------------------------------------------------
-# F6/F14 — RAG-style document chunking with overlap (round 10)
-# ---------------------------------------------------------------------------
-
-_CHUNK_W = 32  # tokens per chunk
-_CHUNK_S = 24  # stride (overlap = W - S = 8 tokens)
-
-
-def chunk_documents(
-    docs: DataFrame, window: int = _CHUNK_W, stride: int = _CHUNK_S
-) -> DataFrame:
-    """Split each document into overlapping token-window chunks — the
-    retrieval/embedding prep stage of a training-data pipeline.
-
-    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``;
-    ``n_chunks = 1 + max(0, ceil((n_tok - window) / stride))`` so every
-    token lands in at least one chunk and a short document yields exactly
-    one.  Pure Column algebra: tokenize once, ``explode(sequence(...))``
-    fans out chunk indexes, ``slice`` cuts each chunk — no UDF, no
-    shuffle at all (chunking is embarrassingly row-parallel; the scan's
-    partitioning is preserved for whatever keyed stage follows).
-    """
-    t = tokens(F.col("text"))
-    n = F.size(t)
-    n_chunks = F.lit(1) + F.greatest(
-        F.lit(0), F.floor((n - window + stride - 1) / stride).cast("int")
-    )
-    ch = docs.select(
-        "doc_id",
-        t.alias("t"),
-        n.alias("n_tok"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-    )
-    piece = F.slice(F.col("t"), F.col("chunk_idx") * stride + 1, window)
-    return ch.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
-        F.size(piece).cast("long").alias("n_chunk_tok"),
-        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
-    )
-
-
-@graded(
-    "f69_chunk_overlap",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ),
-        spec AS (
-            SELECT doc_id, t, len(t) AS n,
-                   1 + greatest(0, (len(t) - {_CHUNK_W} + {_CHUNK_S} - 1)
-                                   // {_CHUNK_S}) AS n_chunks
-            FROM toks
-        ),
-        ch AS (
-            SELECT doc_id, t, n,
-                   unnest(generate_series(0, n_chunks - 1)) AS i
-            FROM spec
-        )
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST(i AS BIGINT) AS chunk_idx,
-               CAST(i * {_CHUNK_S} AS BIGINT) AS start_tok,
-               CAST(len(t[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_W}]) AS BIGINT)
-                   AS n_chunk_tok,
-               md5(array_to_string(t[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_W}],
-                                   ' ')) AS chunk_md5
-        FROM ch
-        ORDER BY doc_id, chunk_idx
-    """,
-    section="F6,F14",
-    description="RAG chunking: overlapping token windows (W=32, stride=24) "
-    "via explode(sequence)+slice — shuffle-free, hash-checked per chunk "
-    "(count/offset/md5 of every chunk)",
-)
-def f69_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
-    return chunk_documents(docs).orderBy("doc_id", "chunk_idx")

@@ -458,36 +458,6 @@ def test_soak_artifact_bounds():
 # ---------------------------------------------------------------------------
 
 
-def test_chunk_overlap_covers_every_token(spark):
-    """Every token index of every document falls inside >=1 chunk, and
-    consecutive chunks overlap by exactly W-S tokens (except the tail)."""
-    from pulsar_message_filter_spark.operators.text import (
-        _CHUNK_S, _CHUNK_W, chunk_documents,
-    )
-    from pulsar_message_filter_spark.io import load
-
-    docs = load(spark, "documents", "/root/testdata/sf0.001")
-    n_tok = {
-        r["doc_id"]: r["n"]
-        for r in docs.selectExpr("doc_id", "size(split(text, ' ')) n").collect()
-    }
-    chunks = chunk_documents(docs).collect()
-    by_doc: dict = {}
-    for r in chunks:
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    assert set(by_doc) == set(n_tok)
-    for doc_id, rows in by_doc.items():
-        rows.sort(key=lambda r: r["chunk_idx"])
-        covered = 0  # chunks are contiguous windows: track the max end
-        for i, r in enumerate(rows):
-            assert r["start_tok"] == i * _CHUNK_S
-            assert r["n_chunk_tok"] == min(_CHUNK_W, n_tok[doc_id] - r["start_tok"])
-            covered = max(covered, r["start_tok"] + r["n_chunk_tok"])
-        assert covered == n_tok[doc_id], doc_id  # full coverage, no gap
-        # one-chunk docs are exactly the short ones
-        assert (len(rows) == 1) == (n_tok[doc_id] <= _CHUNK_W)
-
-
 def test_misra_gries_undercount_bound(spark):
     """MG guarantee: estimates are one-sided underestimates, each within
     n/(k+1) per compress level (2 levels: per-salt + final merge)."""
