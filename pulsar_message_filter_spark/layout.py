@@ -295,3 +295,50 @@ def compaction_report(
         )
         .orderBy("bin_id")
     )
+
+
+def execute_compaction(
+    spark: SparkSession, glob_path: str, out_dir: str, target_bytes: int
+):
+    """Execute a compaction plan: rewrite the input files into one output
+    file per bin (``bin_id=N`` directories, one part file each).
+
+    The plan (driver-side FFD over metadata) maps every input file to a
+    bin; execution tags each ROW with its file's bin via a broadcast
+    ``input_file_name() -> bin_id`` lookup, repartitions on bin_id (the
+    only shuffle, sized by the plan so every output file lands near
+    ``target_bytes``), and writes with ``partitionBy`` — per-bin rewrite
+    work is independent, so a 100 TB compaction parallelizes across bins
+    and stragglers are bounded by the target size.  Returns the plan
+    DataFrame ``(bin_id, path, bytes)`` for verification.
+    """
+    from pyspark.sql import functions as F
+
+    meta = (
+        spark.read.format("binaryFile")
+        .load(glob_path)
+        .select("path", "length")
+        .collect()
+    )
+    plan = plan_compaction([(r["path"], r["length"]) for r in meta], target_bytes)
+    lookup = spark.createDataFrame(plan, "bin_id long, path string, bytes long")
+    # binaryFile paths and input_file_name() render the file: scheme
+    # differently — join on the basename (part-file names carry a UUID,
+    # so they are unique within any one table directory)
+    base = lambda c: F.substring_index(c, "/", -1)  # noqa: E731
+    data = spark.read.parquet(glob_path).withColumn(
+        "__file", base(F.input_file_name())
+    )
+    joined = data.join(
+        F.broadcast(lookup.select("bin_id", base(F.col("path")).alias("__file"))),
+        "__file",
+    )
+    (
+        joined
+        .drop("__file")
+        .repartition("bin_id")
+        .write.mode("overwrite")
+        .partitionBy("bin_id")
+        .parquet(out_dir)
+    )
+    return lookup

@@ -1326,3 +1326,214 @@ def sketch_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est_count"), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-difference estimation — |A \ B| from the same bottom-k sketches
+# that power the Jaccard estimate (theta-sketch style A-NOT-B).
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "kmv_set_difference",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                        * (16 ** (8 - i)))) AS BIGINT) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+            FROM hashed
+        ),
+        bottomk AS (SELECT * FROM ranked WHERE rk <= {_KMV_K}),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM bottomk) a
+            JOIN (SELECT DISTINCT event_type FROM bottomk) b
+              ON a.event_type < b.event_type
+        ),
+        pair_union AS (
+            SELECT DISTINCT p.type_a, p.type_b, u.h
+            FROM pairs p
+            JOIN bottomk u ON u.event_type IN (p.type_a, p.type_b)
+        ),
+        pair_ranked AS (
+            SELECT type_a, type_b, h,
+                   row_number() OVER (PARTITION BY type_a, type_b
+                                      ORDER BY h) AS rk
+            FROM pair_union
+        ),
+        xk AS (
+            SELECT type_a, type_b, h,
+                   count(*) OVER (PARTITION BY type_a, type_b) AS k_union,
+                   max(h) OVER (PARTITION BY type_a, type_b) AS tau
+            FROM pair_ranked WHERE rk <= {_KMV_K}
+        ),
+        tagged AS (
+            SELECT x.type_a, x.type_b, x.h, x.k_union, x.tau,
+                   max(CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END) AS in_a,
+                   max(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS in_b
+            FROM xk x
+            LEFT JOIN bottomk a ON a.event_type = x.type_a AND a.h = x.h
+            LEFT JOIN bottomk b ON b.event_type = x.type_b AND b.h = x.h
+            GROUP BY x.type_a, x.type_b, x.h, x.k_union, x.tau
+        ),
+        est AS (
+            SELECT type_a, type_b,
+                   round(CAST(k_union - 1 AS DOUBLE) * 4294967296.0
+                         / max(tau), 2) AS est_union,
+                   sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                       AS n_only_a,
+                   sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+                       AS n_only_b,
+                   max(k_union) AS k_union
+            FROM tagged GROUP BY type_a, type_b, k_union
+        ),
+        exact AS (
+            SELECT p.type_a, p.type_b,
+                   sum(CASE WHEN ib.h IS NULL THEN 1 ELSE 0 END)
+                       AS exact_a_minus_b
+            FROM pairs p
+            JOIN hashed ia ON ia.event_type = p.type_a
+            LEFT JOIN hashed ib
+              ON ib.event_type = p.type_b AND ib.h = ia.h
+            GROUP BY p.type_a, p.type_b
+        )
+        SELECT e.type_a, e.type_b,
+               CAST(e.k_union AS BIGINT) AS k_union,
+               e.est_union,
+               round(e.est_union * e.n_only_a / e.k_union, 2)
+                   AS est_a_minus_b,
+               round(e.est_union * e.n_only_b / e.k_union, 2)
+                   AS est_b_minus_a,
+               CAST(x.exact_a_minus_b AS BIGINT) AS exact_a_minus_b
+        FROM est e JOIN exact x
+          ON e.type_a = x.type_a AND e.type_b = x.type_b
+        ORDER BY e.type_a, e.type_b
+    """,
+    section="C12,C24,F14",
+    description="KMV set-difference (theta-style A-NOT-B): |A\\\\B| estimated "
+    "as est_union x (fraction of the union's bottom-k seen only in A), "
+    "exact twin joined in-result — the sketches are the SAME bottom-k rows "
+    "the Jaccard estimate uses, so a monitoring store keeps one sketch per "
+    "set and answers union/intersection/difference from it; hash-graded",
+)
+def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-side work is the one DISTINCT (type, hash) aggregation;
+    everything downstream runs on <= k rows per type.  The union's
+    threshold tau (k-th smallest of A union B's hashes) defines a uniform
+    sample of the union; membership tags against each side's bottom-k are
+    exact within the sample, so est(|A\\\\B|) = est(|A u B|) x n_onlyA/k —
+    the standard theta-sketch A-NOT-B estimator (public Apache DataSketches
+    formulation) expressed relationally."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = ev.select("event_type", h32.alias("h")).distinct()
+    w_local = Window.partitionBy(
+        "event_type", (F.col("h") % 32).alias("salt")
+    ).orderBy("h")
+    survivors = (
+        hashed.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= _KMV_K)
+        .drop("lrk")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    bottomk = (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)  # <= k x |types| rows: pin once, reuse 4x
+    )
+    types = bottomk.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        F.broadcast(types.select(F.col("event_type").alias("type_b"))),
+        F.col("type_a") < F.col("type_b"),
+    )
+    pair_union = (
+        pairs.join(
+            F.broadcast(bottomk),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    wpa = Window.partitionBy("type_a", "type_b")
+    xk = (
+        pair_union.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _KMV_K)
+        .withColumn("k_union", F.count("*").over(wpa))
+        .withColumn("tau", F.max("h").over(wpa))
+    )
+    ba = bottomk.select(F.col("event_type").alias("type_a"), F.col("h").alias("ha"))
+    bb = bottomk.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"))
+    tagged = (
+        xk.join(
+            F.broadcast(ba),
+            (xk.type_a == ba.type_a) & (xk.h == F.col("ha")),
+            "left",
+        )
+        .drop(ba.type_a)
+        .join(
+            F.broadcast(bb),
+            (xk.type_b == bb.type_b) & (xk.h == F.col("hb")),
+            "left",
+        )
+        .drop(bb.type_b)
+    )
+    est = tagged.groupBy("type_a", "type_b", "k_union").agg(
+        F.round(
+            (F.col("k_union") - 1).cast("double") * F.lit(4294967296.0) / F.max("tau"),
+            2,
+        ).alias("est_union"),
+        F.sum(
+            F.when(F.col("ha").isNotNull() & F.col("hb").isNull(), 1).otherwise(0)
+        ).alias("n_only_a"),
+        F.sum(
+            F.when(F.col("hb").isNotNull() & F.col("ha").isNull(), 1).otherwise(0)
+        ).alias("n_only_b"),
+    )
+    # exact twin: per-pair |A \ B| on the full distinct hash sets
+    ia = hashed.select(F.col("event_type").alias("type_a"), "h")
+    ib = hashed.select(F.col("event_type").alias("tb2"), F.col("h").alias("hb2"))
+    exact = (
+        pairs.join(ia, "type_a")
+        .join(
+            ib,
+            (F.col("type_b") == F.col("tb2")) & (F.col("h") == F.col("hb2")),
+            "left",
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.when(F.col("hb2").isNull(), 1).otherwise(0)).alias(
+                "exact_a_minus_b"
+            )
+        )
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.col("k_union").cast("long").alias("k_union"),
+            "est_union",
+            F.round(
+                F.col("est_union") * F.col("n_only_a") / F.col("k_union"), 2
+            ).alias("est_a_minus_b"),
+            F.round(
+                F.col("est_union") * F.col("n_only_b") / F.col("k_union"), 2
+            ).alias("est_b_minus_a"),
+            F.col("exact_a_minus_b").cast("long").alias("exact_a_minus_b"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1056,3 +1056,83 @@ def read_kll_rollup(spark, store_dir: str, ps=(0.25, 0.5, 0.75, 0.9), epochs=Non
     return df.groupBy(key_col).applyInPandas(
         merge, schema=f"{key_col} string, p double, est_value double, sketch_n long"
     )
+
+
+def mg_rollup_pipeline(
+    event_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    k: int = 16,
+):
+    """Streaming heavy hitters as mergeable state: each micro-batch writes
+    its Misra-Gries-compressed counter set (<= k rows) as an epoch-keyed
+    partition — the frequent-items member of the rollup family next to
+    CMS/HLL (:func:`sketch_rollup_pipeline`) and KLL
+    (:func:`kll_rollup_pipeline`).
+
+    Compression is the relational one-pass rank+threshold window (same
+    shape as ``operators.sketch.sketch_misra_gries``): counts per key,
+    subtract the (k+1)-th largest, keep positives.  Deterministic — a
+    replayed micro-batch rewrites its partition bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        counts = batch.groupBy(key_col).agg(F.count("*").alias("c"))
+        w_rank = Window.orderBy(F.desc("c"), F.asc(key_col))
+        w_all = Window.partitionBy()
+        summary = (
+            counts.withColumn("rk", F.row_number().over(w_rank))
+            .withColumn(
+                "t",
+                F.coalesce(
+                    F.max(F.when(F.col("rk") == k + 1, F.col("c"))).over(w_all),
+                    F.lit(0),
+                ),
+            )
+            .filter((F.col("rk") <= k) & (F.col("c") - F.col("t") > 0))
+            .select(
+                key_col,
+                (F.col("c") - F.col("t")).alias("w"),
+                F.lit(e).alias("epoch_id"),
+            )
+        )
+        (
+            summary.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        event_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def read_mg_rollup(spark, store_dir: str, k: int = 16):
+    """Merge-on-read over the MG store: counter-sum per key across all
+    epochs, then one final compress to k — the mergeable-MG theorem keeps
+    total undercount <= n/(k+1) regardless of how many epochs merged."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(store_dir)
+    key_col = [c for c in df.columns if c not in ("w", "epoch_id")][0]
+    merged = df.groupBy(key_col).agg(F.sum("w").alias("w"))
+    w_rank = Window.orderBy(F.desc("w"), F.asc(key_col))
+    w_all = Window.partitionBy()
+    return (
+        merged.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "t",
+            F.coalesce(
+                F.max(F.when(F.col("rk") == k + 1, F.col("w"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .filter((F.col("rk") <= k) & (F.col("w") - F.col("t") > 0))
+        .select(key_col, (F.col("w") - F.col("t")).alias("est_count"))
+    )

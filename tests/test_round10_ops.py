@@ -590,3 +590,104 @@ def test_compaction_report_shape(spark):
     for r in rows:
         if r["n_files"] > 1 and not r["oversized"]:
             assert r["fill"] <= 1.0
+
+
+def test_kmv_set_difference_estimate_quality(spark):
+    """Theta-style A-NOT-B: the estimate must track the exact difference
+    within the KMV k=32 sampling error (generous 3/sqrt(k) rel bound)."""
+    from pulsar_message_filter_spark.registry import all_graded
+
+    rows = all_graded()["kmv_set_difference"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["exact_a_minus_b"] >= 200:  # small diffs drown in sketch noise
+            rel = abs(r["est_a_minus_b"] - r["exact_a_minus_b"]) / r["exact_a_minus_b"]
+            assert rel < 3 / (32 ** 0.5), (r, rel)
+
+
+def test_execute_compaction_roundtrip(spark, tmp_path):
+    """Compaction must preserve every row and produce one output dir per
+    bin with the planned membership."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.layout import execute_compaction
+
+    src = str(tmp_path / "src")
+    # 12 small part-files of varying size appended into ONE directory —
+    # the real small-file-problem shape
+    for i in range(12):
+        spark.range(i * 1000, i * 1000 + 400 * (1 + i % 3)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "out")
+    plan = execute_compaction(spark, f"{src}/*.parquet", out, 64 << 10)
+    n_bins = plan.select("bin_id").distinct().count()
+    assert n_bins < 12  # actually compacts
+    before = spark.read.parquet(src).agg(
+        F.count("*"), F.sum("id")
+    ).collect()[0]
+    after_df = spark.read.parquet(out)
+    after = after_df.agg(F.count("*"), F.sum("id")).collect()[0]
+    assert tuple(before) == tuple(after)  # bit-for-bit row preservation
+    assert after_df.select("bin_id").distinct().count() == n_bins
+    assert len(_glob.glob(f"{out}/bin_id=*")) == n_bins
+
+
+def test_streaming_mg_rollup_heavy_hitters(spark, tmp_path):
+    """Streaming heavy hitters: merged MG estimates undercount the true
+    counts by at most n/(k+1) (mergeable-MG theorem), and the genuinely
+    hot keys all survive the rollup."""
+    from pulsar_message_filter_spark.sources.streams import file_message_stream
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        mg_rollup_pipeline,
+        read_mg_rollup,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+
+    true_counts: dict = {}
+
+    def write_events(n0, n):
+        rows = []
+        for i in range(n):
+            gi = n0 + i
+            user = gi % 3 if gi % 10 < 9 else 100 + gi % 50  # 3 hot keys ~90%
+            true_counts[user] = true_counts.get(user, 0) + 1
+            rows.append(
+                (gi, "2024-01-01 10:00:00", user, "view", 1.0, "{}")
+            )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+            "value", "props",
+        ).write.mode("append").parquet(str(inp))
+
+    write_events(0, 900)
+    stream = file_message_stream(spark, str(inp))
+    q = mg_rollup_pipeline(stream, store, ck, k=16).start()
+    try:
+        q.processAllAvailable()
+        write_events(900, 800)
+        q.processAllAvailable()
+        write_events(1700, 700)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    est = {r["user_id"]: r["est_count"] for r in read_mg_rollup(spark, store).collect()}
+    n = sum(true_counts.values())
+    bound = n / 17
+    hot = {u for u, c in true_counts.items() if c > 2 * bound}
+    assert hot <= set(est), (hot, set(est))  # every provably-heavy key kept
+    for u, e in est.items():
+        assert 0 < e <= true_counts[u], u  # one-sided
+        assert true_counts[u] - e <= 2 * bound, (u, e, true_counts[u])
