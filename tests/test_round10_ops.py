@@ -691,3 +691,38 @@ def test_streaming_mg_rollup_heavy_hitters(spark, tmp_path):
     for u, e in est.items():
         assert 0 < e <= true_counts[u], u  # one-sided
         assert true_counts[u] - e <= 2 * bound, (u, e, true_counts[u])
+
+
+def test_kll_hypothesis_rank_bound_and_determinism():
+    """Property-based: for ANY value list and any split into two parts,
+    (a) building is deterministic, (b) merge(a_part, b_part) answers every
+    queried quantile within the k=64 rank bound, (c) n is conserved."""
+    from hypothesis import given, settings, strategies as st
+
+    KLL = _kll()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            min_size=1,
+            max_size=2000,
+        ),
+        st.integers(min_value=0, max_value=2000),
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+    )
+    def prop(vals, cut, p):
+        cut = min(cut, len(vals))
+        a, b = KLL(64), KLL(64)
+        a.update_many(vals[:cut])
+        b.update_many(vals[cut:])
+        a.merge(b)
+        assert a.n == len(vals)
+        assert _rank_error(vals, a.quantile(p), p) <= 4 / 64 + 1e-9
+        a2, b2 = KLL(64), KLL(64)
+        a2.update_many(vals[:cut])
+        b2.update_many(vals[cut:])
+        a2.merge(b2)
+        assert a2.levels == a.levels and a2.n == a.n
+
+    prop()
