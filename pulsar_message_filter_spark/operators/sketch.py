@@ -998,17 +998,33 @@ class KLLLite:
     within the error bound; test_round10_ops pins this).
     """
 
-    __slots__ = ("k", "levels", "flips", "n")
+    __slots__ = ("k", "levels", "flips", "n", "dropped")
 
     def __init__(self, k: int = _KLL_K):
         self.k = k
         self.levels: list[list[float]] = [[]]
         self.flips: list[int] = [0]
         self.n = 0  # total weight (count of raw updates) represented
+        self.dropped = 0  # non-finite inputs rejected (NULL/NaN/inf)
 
     def update_many(self, values) -> None:
-        self.levels[0].extend(float(v) for v in values)
-        self.n += len(values)
+        """Fold a batch of values into level 0, dropping non-finite inputs.
+
+        NULLs reaching a pandas batch arrive as NaN (and a bare Python
+        ``None`` would raise in ``float()``); NaN inside the ladder breaks
+        ``list.sort`` total ordering — every NaN comparison is False, so
+        compaction order (and therefore the promoted sample, the rank-error
+        bound, and deterministic replay) becomes arbitrary.  Quantiles are
+        defined over the finite domain, so non-finite inputs are dropped
+        and counted in ``self.dropped`` for observability.
+        """
+        import numpy as np
+
+        arr = np.asarray(values, dtype="float64")  # None -> NaN
+        finite = arr[np.isfinite(arr)]
+        self.dropped += int(arr.size - finite.size)
+        self.levels[0].extend(finite.tolist())
+        self.n += int(finite.size)
         self._compress()
 
     def merge(self, other: "KLLLite") -> "KLLLite":
@@ -1018,6 +1034,7 @@ class KLLLite:
         for lvl, buf in enumerate(other.levels):
             self.levels[lvl].extend(buf)
         self.n += other.n
+        self.dropped += other.dropped
         self._compress()
         return self
 
@@ -1064,7 +1081,7 @@ class KLLLite:
         import json
 
         return json.dumps({"k": self.k, "n": self.n, "levels": self.levels,
-                           "flips": self.flips})
+                           "flips": self.flips, "dropped": self.dropped})
 
     @classmethod
     def loads(cls, s: str) -> "KLLLite":
@@ -1075,6 +1092,7 @@ class KLLLite:
         sk.levels = [list(map(float, b)) for b in d["levels"]]
         sk.flips = list(d["flips"])
         sk.n = d["n"]
+        sk.dropped = d.get("dropped", 0)  # absent in pre-r07 payloads
         return sk
 
 
@@ -1119,12 +1137,16 @@ def kll_group_quantiles(
             }
         )
 
+    # Derive the group-key type from the input schema: a numeric id key
+    # hardcoded as ``string`` would silently coerce (or crash the Arrow
+    # batch) — the stage schemas must carry the real type through.
+    gtype = df.schema[group_col].dataType.simpleString()
     sketches = df.select(group_col, value_col).mapInPandas(
-        build, schema=f"{group_col} string, sketch string"
+        build, schema=f"{group_col} {gtype}, sketch string"
     )
     return sketches.groupBy(group_col).applyInPandas(
         merge_and_query,
-        schema=f"{group_col} string, p double, est_cents long, sketch_n long",
+        schema=f"{group_col} {gtype}, p double, est_cents long, sketch_n long",
     )
 
 

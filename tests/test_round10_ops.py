@@ -414,6 +414,61 @@ def test_kll_weights_conserved():
     assert sk.n == len(vals)
 
 
+def test_kll_nonfinite_inputs_dropped_and_counted():
+    """ADVICE r06 (medium): NULL/NaN/inf reaching update_many must not
+    poison the ladder — NaN breaks list.sort total ordering and with it
+    both the rank bound and deterministic replay.  Non-finite values are
+    dropped, counted, and the surviving estimate equals the clean-input
+    estimate exactly."""
+    KLL = _kll()
+    vals = _distributions()["uniform"][:4000]
+    dirty = []
+    for i, v in enumerate(vals):
+        dirty.append(v)
+        if i % 7 == 0:
+            dirty.append(float("nan"))
+        if i % 11 == 0:
+            dirty.append(None)  # pandas NULL → NaN through np.asarray
+        if i % 13 == 0:
+            dirty.append(float("inf"))
+    clean, noisy = KLL(100), KLL(100)
+    clean.update_many(vals)
+    for i in range(0, len(dirty), 500):  # chunked like Arrow batches
+        noisy.update_many(dirty[i : i + 500])
+    assert noisy.n == len(vals)
+    assert noisy.dropped == len(dirty) - len(vals)
+    # dumps/loads carries the dropped counter; merge adds it
+    rt = KLL.loads(noisy.dumps())
+    assert rt.dropped == noisy.dropped
+    merged = KLL(100).merge(noisy).merge(rt)
+    assert merged.dropped == 2 * noisy.dropped
+    for p in (0.25, 0.5, 0.75):
+        assert _rank_error(vals, noisy.quantile(p), p) <= 0.04, p
+
+
+def test_kll_group_quantiles_numeric_group_key(spark):
+    """ADVICE r06 (low): the stage schemas must carry the real group-key
+    type — a bigint key through a hardcoded ``string`` schema would coerce
+    or crash the Arrow exchange."""
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.parity import cents
+    from pulsar_message_filter_spark.operators.sketch import kll_group_quantiles
+
+    li = (
+        load(spark, "lineitem", "/root/testdata/sf0.001")
+        .select(
+            (F.col("l_linenumber").cast("bigint")).alias("grp"),
+            cents("l_extendedprice").alias("v"),
+        )
+    )
+    out = kll_group_quantiles(li, "grp", "v", [0.5])
+    assert dict(out.dtypes)["grp"] == "bigint"
+    rows = out.collect()
+    assert rows and all(isinstance(r["grp"], int) for r in rows)
+
+
 def test_kll_graded_query_error_column(spark):
     """End-to-end: the graded query's self-measured rank_error stays inside
     the k=200 bound at the oracle SF."""
