@@ -13,11 +13,13 @@ Full decode is split by whether a codec is mathematically required:
 
 - **REAL, no library needed**: uncompressed BMP pixels
   (``decode_bmp_pixels`` — BI_RGB 8/24/32-bpp, padding + bottom-up
-  handled) and WAV PCM samples (``decode_wav_samples`` — 8/16/32-bit
+  handled), non-interlaced 8-bit PNG pixels (``decode_png_pixels`` —
+  DEFLATE via stdlib ``zlib`` + numpy scanline unfilter, gray/RGB/
+  palette/RGBA), and WAV PCM samples (``decode_wav_samples`` — 8/16/32-bit
   integer and float32 PCM).  ``media_stats`` feeds their per-channel
   statistics through an Arrow-batched ``mapInPandas`` stage.
-- **STILL GATED**: PNG/GIF/JPEG pixels and compressed audio require an
-  actual codec (DEFLATE/LZW/DCT); ``decode_pixels`` raises a documented
+- **STILL GATED**: GIF/JPEG pixels and compressed audio require an
+  actual codec (LZW/DCT); ``decode_pixels`` raises a documented
   ``NotImplementedError`` for those — swap in PIL/librosa in production;
   the schema, partitioning, and UDF signature do not change.
 """
@@ -199,19 +201,136 @@ def decode_wav_samples(b: bytes):
     raise ValueError("WAV has no data chunk")
 
 
-def decode_pixels(b: bytes):
-    """Dispatch full pixel decode by magic — REAL for BMP, gated otherwise.
+def decode_png_pixels(b: bytes):
+    """Non-interlaced 8-bit PNG → ``numpy`` RGB array (height, width, 3).
 
-    PNG (DEFLATE), GIF (LZW), and JPEG (DCT) pixels cannot be recovered
-    without a real codec; those raise ``NotImplementedError`` with the
-    library swap documented (PIL in production — signature unchanged).
+    Pure stdlib + numpy — PNG's only compression is DEFLATE, which ships
+    in ``zlib`` (the "needs a codec" claim was only ever true for JPEG's
+    DCT and GIF's LZW).  Pipeline per the public PNG spec (RFC 2083):
+    chunk walk → concatenated IDAT ``zlib.decompress`` → per-scanline
+    unfilter (None/Sub/Up/Average/Paeth; each scanline is prefixed by its
+    filter byte) → channel assembly.  Supported: bit depth 8, color types
+    0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA) —
+    alpha dropped, gray replicated, so the output contract matches
+    ``decode_bmp_pixels``.  Adam7 interlacing and sub-byte depths raise
+    ``NotImplementedError``; malformed bytes raise ``ValueError``.
+
+    Filters Sub and Up vectorize (lane-cumsum / row-add mod 256); Average
+    and Paeth are sequential per byte by definition (each reconstructed
+    byte feeds its right neighbor's predictor) — fine for the Arrow-batch
+    shapes this stage sees, and the loop is per-scanline, never per-file.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    width = height = color = None
+    plte = None
+    idat: list[bytes] = []
+    off = 8
+    while off + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, off)
+        ctype = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNG not supported")
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} not supported")
+            if color not in (0, 2, 3, 4, 6):
+                raise ValueError(f"invalid PNG color type {color}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        off += 12 + length  # length + type + data + CRC
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt DEFLATE stream is malformed input
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = width * nch
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG pixel data shorter than geometry requires")
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = row[0]
+        f = np.frombuffer(row, np.uint8, count=stride, offset=1)
+        if ftype == 0:  # None
+            cur = f.copy()
+        elif ftype == 1:  # Sub: recon[x] = f[x] + recon[x-nch] → lane cumsum
+            lanes = f.reshape(width, nch).astype(np.uint32)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+            cur = f + prev
+        elif ftype == 3:  # Average
+            cur = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                cur[x] = (int(f[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                up = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[x] = (int(f[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        recon[y] = cur
+        prev = cur
+    if color == 2:
+        return recon.reshape(height, width, 3)
+    if color == 6:
+        return np.ascontiguousarray(recon.reshape(height, width, 4)[:, :, :3])
+    if color == 0:
+        return np.repeat(recon.reshape(height, width, 1), 3, axis=2)
+    if color == 4:
+        return np.repeat(recon.reshape(height, width, 2)[:, :, :1], 3, axis=2)
+    # color == 3: palette
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    idx = recon.reshape(height, width)
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("PNG palette index out of range")
+    return plte[idx]
+
+
+def decode_pixels(b: bytes):
+    """Dispatch full pixel decode by magic — REAL for BMP and PNG, gated
+    for GIF/JPEG.
+
+    GIF (LZW) and JPEG (DCT) pixels cannot be recovered with stdlib-only
+    code at reasonable effort; those raise ``NotImplementedError`` with
+    the library swap documented (PIL in production — signature unchanged).
     """
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
-    if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:6] in (b"GIF87a", b"GIF89a") or b[:2] == b"\xff\xd8":
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a") or b[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "PNG/GIF/JPEG pixel decode requires a real codec (DEFLATE/LZW/DCT); "
-            "swap in PIL here — header metadata is already parsed without it"
+            "GIF/JPEG pixel decode requires a real codec (LZW/DCT); swap in "
+            "PIL here — header metadata is already parsed without it"
         )
     raise ValueError("unrecognized image magic")
 
@@ -249,10 +368,10 @@ def media_stats(batches: Iterator[pd.DataFrame]):
             "sample_rate": None, "n_channels": None, "n_samples": None,
             "duration_ms": None, "audio_rms": None, "audio_peak": None,
         }
-        if b[:2] == b"BM":
-            out["media_kind"] = "bmp"
+        if b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n":
+            out["media_kind"] = "bmp" if b[:2] == b"BM" else "png"
             try:
-                img = decode_bmp_pixels(b)
+                img = decode_pixels(b)
             except Exception:  # compressed OR poison/truncated: never kill the batch
                 return out
             out.update(
@@ -264,8 +383,6 @@ def media_stats(batches: Iterator[pd.DataFrame]):
                 ),
                 px_min=int(img.min()), px_max=int(img.max()),
             )
-        elif b[:8] == b"\x89PNG\r\n\x1a\n":
-            out["media_kind"] = "png"
         elif b[:6] in (b"GIF87a", b"GIF89a"):
             out["media_kind"] = "gif"
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -451,27 +568,111 @@ def synth_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def synth_png(
+    width: int, height: int, color_type: int = 2, seed: int = 0,
+    filters=None,
+) -> bytes:
+    """Deterministic in-memory PNG — fixture generator (stdlib zlib only).
+
+    Same closed-form pixels as ``synth_bmp`` — channel c of pixel (x, y)
+    is ``(seed + x*7 + y*13 + c*29) % 256`` (alpha channel, where present,
+    is ``(seed + x*11 + y*3) % 256``) — so tests recompute expectations
+    independently of both the encoder and the decoder.  ``filters`` picks
+    the filter byte per scanline (default cycles 0..4 so one fixture
+    exercises every unfilter path); the encoder applies the chosen filter
+    FORWARD per the spec, which the decoder must invert exactly.
+    Supported color types: 0 (gray), 2 (RGB), 3 (palette, grayscale
+    table), 6 (RGBA).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    y, x = np.mgrid[0:height, 0:width]
+    if color_type in (0, 3):
+        img = (((seed + x * 7 + y * 13) % 256).astype("uint8")
+               .reshape(height, width, 1))
+    else:
+        chans = [((seed + x * 7 + y * 13 + c * 29) % 256) for c in range(3)]
+        if color_type == 6:
+            chans.append((seed + x * 11 + y * 3) % 256)
+        img = np.stack(chans, axis=-1).astype("uint8")
+    rows = img.reshape(height, width * nch)
+    if filters is None:
+        filters = [yy % 5 for yy in range(height)]
+    out_lines = []
+    prev = np.zeros(width * nch, dtype=np.uint8)
+    for yy in range(height):
+        cur = rows[yy]
+        ftype = filters[yy % len(filters)]
+        left = np.concatenate([np.zeros(nch, np.uint8), cur[:-nch]]) if width > 1 else np.zeros_like(cur)
+        ul = np.concatenate([np.zeros(nch, np.uint8), prev[:-nch]]) if width > 1 else np.zeros_like(prev)
+        if ftype == 0:
+            filt = cur.copy()
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            a = left.astype(np.int32)
+            up = prev.astype(np.int32)
+            c = ul.astype(np.int32)
+            p = a + up - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - up), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, up, c)
+            ).astype(np.uint8)
+            filt = cur - pred
+        out_lines.append(bytes([ftype]) + filt.tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        body += chunk(
+            b"PLTE", b"".join(bytes((i, i, i)) for i in range(256))
+        )
+    body += chunk(b"IDAT", zlib.compress(b"".join(out_lines)))
+    body += chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
 @graded(
     "f12c_media_stats",
     oracle=None,  # python-side binary decode: no DuckDB analog
     section="F12,G5",
-    description="REAL pixel/sample decode: uncompressed BMP + PCM WAV fixture "
-    "bytes -> per-channel means / RMS / duration via mapInPandas (rows-only)",
+    description="REAL pixel/sample decode: uncompressed BMP + zlib-decoded "
+    "PNG + PCM WAV fixture bytes -> per-channel means / RMS / duration via "
+    "mapInPandas (rows-only)",
 )
 def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decodes a deterministic mixed media corpus — BMPs (24-bpp and
-    8-bpp palette), WAVs (8/16/32-bit PCM), a PNG header-only file, and
-    an opaque blob — and emits the REAL decoded statistics.  ``sf_dir``
-    is unused: the corpus is synthesized (no media files ship in the
-    testdata), which is exactly the fixture-byte strategy the pytest
-    pins use."""
+    8-bpp palette), PNGs (RGB with all five scanline filters, RGBA,
+    palette — real DEFLATE decode via stdlib zlib), WAVs (8/16/32-bit
+    PCM), a truncated-PNG poison file, and an opaque blob — and emits the
+    REAL decoded statistics.  ``sf_dir`` is unused: the corpus is
+    synthesized (no media files ship in the testdata), which is exactly
+    the fixture-byte strategy the pytest pins use."""
     corpus = [
         ("img_24bpp.bmp", synth_bmp(32, 16, bpp=24, seed=3)),
         ("img_8bpp.bmp", synth_bmp(17, 9, bpp=8, seed=5)),
+        ("img_rgb.png", synth_png(21, 13, color_type=2, seed=7)),
+        ("img_rgba.png", synth_png(9, 7, color_type=6, seed=4)),
+        ("img_pal.png", synth_png(15, 6, color_type=3, seed=2)),
         ("tone_16bit.wav", synth_wav(4000, n_channels=2, rate=8000, bits=16)),
         ("tone_8bit.wav", synth_wav(1000, n_channels=1, rate=4000, bits=8)),
         ("tone_32bit.wav", synth_wav(600, n_channels=3, rate=16000, bits=32)),
-        ("gated.png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+        ("poison.png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
         ("opaque.bin", b"PAR1" + bytes(range(64))),
     ]
     raw = spark.createDataFrame(corpus, "path string, content binary")
@@ -541,7 +742,10 @@ def frame_samples(
 
 
 #: Resize output: same row count as input, rewritten payload + typed dims.
-RESIZE_SCHEMA = "path string, width int, height int, pixels binary"
+#: ``decoded`` disambiguates the payload convention (ADVICE r06): true →
+#: ``width*height*3`` interleaved RGB bytes from a real decode; false →
+#: ``width*height`` truncated/zero-padded raw bytes (the stub fallback).
+RESIZE_SCHEMA = "path string, width int, height int, decoded boolean, pixels binary"
 
 
 def resize_stub(
@@ -557,11 +761,14 @@ def resize_stub(
     which is identical under a real image library.
 
     ``real_decode=True`` performs a REAL nearest-neighbor resize for
-    uncompressed BMPs (decode via ``decode_bmp_pixels``, integer index
-    sampling, RGB bytes out) — no image library needed; non-BMP content
-    falls back to the deterministic stub payload so a mixed corpus never
-    kills the stage.
+    uncompressed BMPs and non-interlaced 8-bit PNGs (decode via
+    ``decode_pixels``, integer index sampling, RGB bytes out) — no image
+    library needed; undecodable content falls back to the deterministic
+    stub payload so a mixed corpus never kills the stage.  The ``decoded``
+    flag tells consumers which of the two payload conventions a row
+    carries (RGB triplets vs raw bytes).
     """
+    cols = ["path", "width", "height", "decoded", "pixels"]
     if real_decode:
         import numpy as np
 
@@ -571,14 +778,16 @@ def resize_stub(
                 name = path.rsplit("/", 1)[-1]
                 b = bytes(content)
                 try:
-                    img = decode_bmp_pixels(b)
+                    img = decode_pixels(b)
                     ys = (np.arange(height) * img.shape[0]) // height
                     xs = (np.arange(width) * img.shape[1]) // width
                     px = img[ys][:, xs].tobytes()
+                    ok = True
                 except (ValueError, NotImplementedError):
                     px = bytes(b[: width * height]).ljust(width * height, b"\x00")
-                rows.append((name, width, height, px))
-            yield pd.DataFrame(rows, columns=["path", "width", "height", "pixels"])
+                    ok = False
+                rows.append((name, width, height, ok, px))
+            yield pd.DataFrame(rows, columns=cols)
         return
     size = width * height
     for pdf in batches:
@@ -588,6 +797,7 @@ def resize_stub(
                 "path": pdf["path"].map(lambda p: p.rsplit("/", 1)[-1]),
                 "width": width,
                 "height": height,
+                "decoded": False,
                 "pixels": content.map(
                     lambda b: bytes(b[:size]).ljust(size, b"\x00")
                 ),

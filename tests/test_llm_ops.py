@@ -363,11 +363,12 @@ def test_resize_stub_rewrites_payload(spark):
     )
     out = raw.mapInPandas(
         lambda it: resize_stub(it, width=4, height=4),
-        schema="path string, width int, height int, pixels binary",
+        schema="path string, width int, height int, decoded boolean, pixels binary",
     ).collect()
     assert len(out) == 1
     r = out[0]
     assert (r.width, r.height) == (4, 4) and len(r.pixels) == 16
+    assert r.decoded is False  # stub payload convention, not RGB triplets
     assert bytes(r.pixels) == open(f"{SF_SMOKE}/region.parquet", "rb").read()[:16]
 
 
@@ -444,8 +445,8 @@ def test_stratified_sample_proportions(spark):
 def test_real_decode_paths_are_gated(spark):
     """The codec-requiring extension points must raise, not silently fake,
     when real decoding is requested.  (BMP/WAV full decode is REAL as of
-    round 10 — see test_round10_ops.py — so resize_stub's real path no
-    longer raises; frame sampling still needs a video codec.)"""
+    round 10 and PNG as of round 11 — see test_round10_ops.py — so only
+    GIF/JPEG pixels and video frames remain codec-gated.)"""
     from pulsar_message_filter_spark.operators.multimodal import (
         decode_pixels,
         frame_sample_stub,
@@ -458,9 +459,13 @@ def test_real_decode_paths_are_gated(spark):
         list(frame_sample_stub(batch, real_decode=True))
     with pytest.raises(NotImplementedError):
         list(decode_stub(batch, real_decode=True))
-    for magic in (b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8"):
+    for magic in (b"GIF89a", b"\xff\xd8"):
         with pytest.raises(NotImplementedError):
             decode_pixels(magic + b"\x00" * 32)
+    # PNG is no longer gated: garbage after a valid signature is a
+    # malformed file (ValueError), not a missing codec
+    with pytest.raises(ValueError):
+        decode_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
 
 
 def test_multimodal_real_decode_is_marked_todo():

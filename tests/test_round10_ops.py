@@ -82,6 +82,77 @@ def test_decode_pixels_dispatch():
         decode_pixels(b"PAR1not-an-image")
 
 
+def _png():
+    from pulsar_message_filter_spark.operators.multimodal import (
+        decode_png_pixels,
+        synth_png,
+    )
+
+    return decode_png_pixels, synth_png
+
+
+def test_png_filter0_only_baseline():
+    """Filter-0 fixture: pixels pass straight from zlib.decompress with NO
+    filter arithmetic on either side — validates chunk walk, DEFLATE, and
+    channel assembly independently of the filter implementations (so a
+    canceling encoder/decoder filter bug cannot hide here)."""
+    decode, synth = _png()
+    img = decode(synth(7, 5, color_type=2, seed=11, filters=[0]))
+    np.testing.assert_array_equal(img, _expected_bmp(7, 5, 11))
+
+
+def test_png_each_filter_type_roundtrip():
+    """Each scanline filter (Sub/Up/Average/Paeth) applied alone must
+    reconstruct the same closed-form pixels as the filter-0 baseline."""
+    decode, synth = _png()
+    want = _expected_bmp(16, 8, 3)
+    for ftype in (1, 2, 3, 4):
+        np.testing.assert_array_equal(
+            decode(synth(16, 8, color_type=2, seed=3, filters=[ftype])),
+            want,
+            err_msg=f"filter {ftype}",
+        )
+    # default fixture cycles all five filters across scanlines
+    np.testing.assert_array_equal(
+        decode(synth(16, 8, color_type=2, seed=3)), want
+    )
+
+
+def test_png_color_types_assemble_to_rgb():
+    decode, synth = _png()
+    # RGBA: alpha dropped
+    np.testing.assert_array_equal(
+        decode(synth(9, 7, color_type=6, seed=4)), _expected_bmp(9, 7, 4)
+    )
+    # gray + palette (grayscale table): all three channels equal the value
+    y, x = np.mgrid[0:6, 0:15]
+    gray = ((2 + x * 7 + y * 13) % 256).astype("uint8")
+    for ct in (0, 3):
+        img = decode(synth(15, 6, color_type=ct, seed=2))
+        for c in range(3):
+            np.testing.assert_array_equal(img[:, :, c], gray, err_msg=f"ct {ct}")
+
+
+def test_png_gates_and_poison():
+    decode, synth = _png()
+    # interlaced flag → still gated (Adam7 pass layout not implemented)
+    b = bytearray(synth(4, 4))
+    ihdr_off = bytes(b).index(b"IHDR")
+    b[ihdr_off + 4 + 12] = 1  # interlace byte is last of the 13 IHDR fields
+    with pytest.raises(NotImplementedError):
+        decode(bytes(b))
+    # 16-bit depth → gated
+    b2 = bytearray(synth(4, 4))
+    off = bytes(b2).index(b"IHDR")
+    b2[off + 4 + 8] = 16  # bit-depth byte
+    with pytest.raises(NotImplementedError):
+        decode(bytes(b2))
+    # truncated IDAT → ValueError, never a crash elsewhere
+    whole = synth(8, 8, seed=1)
+    with pytest.raises(ValueError):
+        decode(whole[: len(whole) // 2])
+
+
 def test_wav_16bit_stereo_roundtrip_exact():
     samples, rate = decode_wav_samples(synth_wav(50, n_channels=2, rate=8000, bits=16))
     assert rate == 8000 and samples.shape == (50, 2)
@@ -126,7 +197,9 @@ def test_real_bmp_resize_nearest_neighbor():
     idx = (np.arange(4) * 8) // 4
     expected = img[idx][:, idx].tobytes()
     assert bytes(out["pixels"][0]) == expected
-    # non-BMP content falls back to the deterministic stub payload
+    assert bool(out["decoded"][0]) is True  # RGB-triplet payload convention
+    # undecodable content falls back to the deterministic stub payload,
+    # flagged decoded=false so consumers can tell the conventions apart
     [fb] = list(
         resize_stub(
             iter([pd.DataFrame({"path": ["x.bin"], "content": [b"abc"]})]),
@@ -134,6 +207,26 @@ def test_real_bmp_resize_nearest_neighbor():
         )
     )
     assert bytes(fb["pixels"][0]) == b"abc\x00"
+    assert bool(fb["decoded"][0]) is False
+
+
+def test_real_png_resize_nearest_neighbor():
+    import pandas as pd
+
+    from pulsar_message_filter_spark.operators.multimodal import synth_png
+
+    src = synth_png(10, 6, color_type=2, seed=5)
+    [out] = list(
+        resize_stub(
+            iter([pd.DataFrame({"path": ["a.png"], "content": [src]})]),
+            width=5, height=3, real_decode=True,
+        )
+    )
+    img = _expected_bmp(10, 6, 5)  # same closed-form pixels as the BMP fixture
+    ys = (np.arange(3) * 6) // 3
+    xs = (np.arange(5) * 10) // 5
+    assert bytes(out["pixels"][0]) == img[ys][:, xs].tobytes()
+    assert bool(out["decoded"][0]) is True
 
 
 def test_f12c_media_stats_values(spark):
@@ -144,7 +237,18 @@ def test_f12c_media_stats_values(spark):
         r["path"]: r.asDict()
         for r in all_graded()["f12c_media_stats"].fn(spark, "").collect()
     }
-    assert len(rows) == 7
+    assert len(rows) == 10
+
+    png = rows["img_rgb.png"]
+    pimg = _expected_bmp(21, 13, 7)  # PNG fixture shares the closed form
+    assert png["decodable"] and png["media_kind"] == "png"
+    assert (png["width"], png["height"], png["n_pixels"]) == (21, 13, 273)
+    assert png["ch_means"] == ":".join(
+        f"{m:.4f}" for m in pimg.reshape(-1, 3).mean(axis=0)
+    )
+    assert png["px_min"] == int(pimg.min()) and png["px_max"] == int(pimg.max())
+    assert rows["img_rgba.png"]["decodable"]  # alpha dropped, RGB stats
+    assert rows["img_pal.png"]["decodable"]  # PLTE-mapped indices
 
     bmp = rows["img_24bpp.bmp"]
     img = _expected_bmp(32, 16, 3)
@@ -166,7 +270,7 @@ def test_f12c_media_stats_values(spark):
     s8 = _expected_wav(1000, 1).astype("float64")
     assert wav8["audio_rms"] == pytest.approx(float(np.sqrt((s8**2).mean())))
 
-    assert rows["gated.png"]["media_kind"] == "png" and not rows["gated.png"]["decodable"]
+    assert rows["poison.png"]["media_kind"] == "png" and not rows["poison.png"]["decodable"]
     assert rows["opaque.bin"]["media_kind"] == "opaque" and not rows["opaque.bin"]["decodable"]
 
 
