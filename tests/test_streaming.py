@@ -330,6 +330,16 @@ def test_tws_gate_error_is_actionable(spark, tmp_path, monkeypatch):
         redelivery_counter_tws(stream)
 
 
+def test_pb_shim_scoped_to_jvm(spark):
+    """ADVICE r06: the protobuf shim must reach Spark's Python workers via
+    the JVM's inherited env only — the test process's own ``PYTHONPATH``
+    is restored once the JVM is up, so subprocesses spawned by tests do
+    not silently load the shim's ``sitecustomize``."""
+    import os
+
+    assert "_pb_shim" not in os.environ.get("PYTHONPATH", "")
+
+
 def test_retry_loop_redelivers_then_dead_letters(spark, tmp_path):
     """B13/§7.4.6 full retry loop: a RESCHEDULEd message is re-ingested
     with an incremented redelivery count and dead-letters (REJECT) once
