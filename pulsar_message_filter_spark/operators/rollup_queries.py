@@ -1,0 +1,172 @@
+"""Graded read-path queries for the streaming sketch-rollup stores.
+
+``streaming.pipeline`` maintains epoch-keyed mergeable-sketch stores
+(E-series × C12/C14/F14): each micro-batch appends one tiny summary
+partition, and readers merge across epochs without touching raw events.
+The pipelines themselves are exercised live under ``readStream`` in
+``tests/test_streaming.py`` / ``tests/test_round10_ops.py``; the queries
+here grade the *read path* (VERDICT r06 #6): they build a multi-epoch
+store in batch emulation through the SAME per-epoch summary builders and
+the SAME epoch-keyed parquet layout the streaming ``foreachBatch`` sinks
+use, then answer through ``read_mg_rollup`` / ``read_kll_rollup``.
+
+Epoch emulation is deterministic — ``event_id % 3`` splits the events
+table into three "micro-batches" identically on both engines — so the
+relational MG rollup is hash-exact against a DuckDB oracle that replays
+the summarize→merge→recompress algebra, and the KLL rollup (iterative
+compaction, not SQL-expressible) ships its exact-quantile twin and
+measured rank error in-result, the ``sketch_kll_quantiles`` pattern.
+
+Scale shape (100 TB): per-epoch state is ≤ k rows (MG) or O(keys·k·log n)
+floats (KLL) regardless of batch size; merge-on-read is a grouped
+aggregation over #epochs × that many rows — the store grows in EPOCHS,
+not events, and raw values never shuffle twice.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+
+_EPOCHS = 3
+_MG_K = 12  # < #users (150 at sf0.01) so the threshold subtraction is live
+
+
+def _epoch_write(summary: DataFrame, epoch: int, store_dir: str) -> None:
+    """The exact epoch-keyed dynamic-overwrite discipline of the streaming
+    sinks (``streaming/pipeline.py``): a replayed epoch rewrites only its
+    own partition."""
+    (
+        summary.withColumn("epoch_id", F.lit(epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(store_dir)
+    )
+
+
+@graded(
+    "stream_mg_rollup_readpath",
+    oracle=f"""
+        WITH counts AS (
+            SELECT event_id % {_EPOCHS} AS epoch_id, user_id, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT epoch_id, user_id, c,
+                   row_number() OVER (PARTITION BY epoch_id
+                                      ORDER BY c DESC, user_id) AS rk
+            FROM counts
+        ),
+        thresh AS (
+            SELECT epoch_id,
+                   coalesce(max(CASE WHEN rk = {_MG_K} + 1 THEN c END), 0) AS t
+            FROM ranked GROUP BY 1
+        ),
+        partials AS (
+            SELECT r.user_id, r.c - t.t AS w
+            FROM ranked r JOIN thresh t USING (epoch_id)
+            WHERE r.rk <= {_MG_K} AND r.c - t.t > 0
+        ),
+        merged AS (
+            SELECT user_id, CAST(sum(w) AS BIGINT) AS w
+            FROM partials GROUP BY 1
+        ),
+        reranked AS (
+            SELECT user_id, w,
+                   row_number() OVER (ORDER BY w DESC, user_id) AS rk
+            FROM merged
+        ),
+        final_t AS (
+            SELECT coalesce(max(CASE WHEN rk = {_MG_K} + 1 THEN w END), 0) AS t
+            FROM reranked
+        )
+        SELECT user_id, CAST(w - t AS BIGINT) AS est_count
+        FROM reranked, final_t
+        WHERE rk <= {_MG_K} AND w - t > 0
+    """,
+    section="E10,C12,F14",
+    description="streaming MG heavy-hitter rollup READ PATH, hash-exact: "
+    "3 emulated epochs written through the pipeline's per-epoch summarize + "
+    "epoch-keyed store, answered via read_mg_rollup merge-on-read; oracle "
+    "replays the summarize->merge->recompress algebra in SQL",
+)
+def stream_mg_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives ``mg_epoch_summary`` → epoch-keyed parquet store →
+    ``read_mg_rollup`` end-to-end through the graded surface.  Plan-time
+    side job (store build) — keep off bench HEADLINE per TODO watch list."""
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        mg_epoch_summary,
+        read_mg_rollup,
+    )
+
+    store = tempfile.mkdtemp(prefix="pmf_mg_readpath_")
+    events = load(spark, "events", sf_dir)
+    for e in range(_EPOCHS):
+        batch = events.filter(F.col("event_id") % _EPOCHS == e)
+        _epoch_write(mg_epoch_summary(batch, "user_id", k=_MG_K), e, store)
+    return read_mg_rollup(spark, store, k=_MG_K)
+
+
+@graded(
+    "stream_kll_rollup_readpath",
+    oracle=None,  # iterative ladder compaction: not SQL-expressible; the
+    # exact twin ships IN the result (rank_error column) and pytest pins
+    # the bound — the sketch_kll_quantiles grading pattern.
+    section="E10,C14,F14",
+    description="streaming KLL quantile rollup READ PATH: 3 emulated epochs "
+    "of per-key sketch rows written through the pipeline's epoch-keyed "
+    "store, merged on read via read_kll_rollup; result carries the measured "
+    "rank error vs the raw events (rows-only)",
+)
+def stream_kll_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives ``kll_epoch_summary`` → epoch-keyed parquet store →
+    ``read_kll_rollup`` end-to-end, then grades itself: each merged
+    estimate is joined back against the raw values to emit
+    ``|rank(est)/n - p|``.  Plan-time side job — off bench HEADLINE."""
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        kll_epoch_summary,
+        read_kll_rollup,
+    )
+
+    store = tempfile.mkdtemp(prefix="pmf_kll_readpath_")
+    events = load(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("value").alias("v")
+    )
+    for e in range(_EPOCHS):
+        batch = events.filter(F.col("event_id") % _EPOCHS == e)
+        _epoch_write(kll_epoch_summary(batch, "event_type", "v"), e, store)
+
+    est = read_kll_rollup(spark, store, ps=(0.25, 0.5, 0.75, 0.9))
+    # exact rank of each estimate: broadcast the ~20 estimate rows against
+    # one scan of the raw values — no sort, no quadratic anything
+    ranked = (
+        events.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "p", "est_value", "sketch_n")
+        .agg(
+            F.sum(
+                F.when(F.col("v") <= F.col("est_value"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.count("*").alias("n"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "p",
+        F.round("est_value", 4).alias("est_value"),
+        "sketch_n",
+        F.round(
+            F.abs(F.col("n_le").cast("double") / F.col("n") - F.col("p")), 4
+        ).alias("rank_error"),
+    ).orderBy("event_type", "p")
+
+
+__all__ = [
+    "stream_mg_rollup_readpath",
+    "stream_kll_rollup_readpath",
+]

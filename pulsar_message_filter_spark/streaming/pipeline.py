@@ -973,6 +973,33 @@ def winnowing_dedup_pipeline(
     )
 
 
+def kll_epoch_summary(
+    batch: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """One micro-batch's KLL state: one serialized KLL-lite sketch row per
+    key (partition-local build, then the tiny per-key rows merge on read).
+    Shared by :func:`kll_rollup_pipeline` and the graded read-path query
+    ``stream_kll_rollup_readpath`` so both exercise identical build code."""
+    from pulsar_message_filter_spark.operators.sketch import KLLLite
+
+    def build(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for g, vals in pdf.groupby(key_col, sort=False)[value_col]:
+                acc.setdefault(g, KLLLite()).update_many(vals.to_numpy())
+        if acc:
+            yield pd.DataFrame(
+                {
+                    key_col: list(acc),
+                    "sketch": [s.dumps() for s in acc.values()],
+                }
+            )
+
+    return batch.select(key_col, value_col).mapInPandas(
+        build, schema=f"{key_col} string, sketch string"
+    )
+
+
 def kll_rollup_pipeline(
     event_stream: DataFrame,
     store_dir: str,
@@ -992,27 +1019,10 @@ def kll_rollup_pipeline(
     deterministic (alternating-offset compaction, no RNG), so a replayed
     micro-batch rewrites its partition bit-for-bit.
     """
-    from pulsar_message_filter_spark.operators.sketch import KLLLite
-
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         e = int(epoch_id)
-
-        def build(batches):
-            acc: dict = {}
-            for pdf in batches:
-                for g, vals in pdf.groupby(key_col, sort=False)[value_col]:
-                    acc.setdefault(g, KLLLite()).update_many(vals.to_numpy())
-            if acc:
-                yield pd.DataFrame(
-                    {
-                        key_col: list(acc),
-                        "sketch": [s.dumps() for s in acc.values()],
-                    }
-                )
-
         (
-            batch.select(key_col, value_col)
-            .mapInPandas(build, schema=f"{key_col} string, sketch string")
+            kll_epoch_summary(batch, key_col, value_col)
             .withColumn("epoch_id", F.lit(e))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1058,6 +1068,32 @@ def read_kll_rollup(spark, store_dir: str, ps=(0.25, 0.5, 0.75, 0.9), epochs=Non
     )
 
 
+def mg_epoch_summary(batch: DataFrame, key_col: str, k: int = 16) -> DataFrame:
+    """One micro-batch's Misra-Gries summary: ``(key, w)`` with ≤ k rows —
+    counts per key, subtract the (k+1)-th largest, keep positives (the
+    one-pass rank+threshold window, same shape as
+    ``operators.sketch.sketch_misra_gries``).  Shared by
+    :func:`mg_rollup_pipeline` and the graded read-path query
+    ``stream_mg_rollup_readpath`` so both exercise identical compression."""
+    from pyspark.sql import Window
+
+    counts = batch.groupBy(key_col).agg(F.count("*").alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc(key_col))
+    w_all = Window.partitionBy()
+    return (
+        counts.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "t",
+            F.coalesce(
+                F.max(F.when(F.col("rk") == k + 1, F.col("c"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .filter((F.col("rk") <= k) & (F.col("c") - F.col("t") > 0))
+        .select(key_col, (F.col("c") - F.col("t")).alias("w"))
+    )
+
+
 def mg_rollup_pipeline(
     event_stream: DataFrame,
     store_dir: str,
@@ -1076,28 +1112,10 @@ def mg_rollup_pipeline(
     subtract the (k+1)-th largest, keep positives.  Deterministic — a
     replayed micro-batch rewrites its partition bit-for-bit.
     """
-    from pyspark.sql import Window
-
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         e = int(epoch_id)
-        counts = batch.groupBy(key_col).agg(F.count("*").alias("c"))
-        w_rank = Window.orderBy(F.desc("c"), F.asc(key_col))
-        w_all = Window.partitionBy()
-        summary = (
-            counts.withColumn("rk", F.row_number().over(w_rank))
-            .withColumn(
-                "t",
-                F.coalesce(
-                    F.max(F.when(F.col("rk") == k + 1, F.col("c"))).over(w_all),
-                    F.lit(0),
-                ),
-            )
-            .filter((F.col("rk") <= k) & (F.col("c") - F.col("t") > 0))
-            .select(
-                key_col,
-                (F.col("c") - F.col("t")).alias("w"),
-                F.lit(e).alias("epoch_id"),
-            )
+        summary = mg_epoch_summary(batch, key_col, k).withColumn(
+            "epoch_id", F.lit(e)
         )
         (
             summary.write.mode("overwrite")
