@@ -353,6 +353,99 @@ def redelivery_counter_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_ttl_tws(
+    stream: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """E8 timer surface: event-time TTL session expiry on
+    ``transformWithStateInPandas`` registered timers.
+
+    Per user, a session accumulates (n_events, start, last); every arrival
+    re-arms ONE event-time timer at ``last + gap_ms`` (the previous timer
+    is deleted — ``listTimers``/``deleteTimer``).  Nothing is emitted on
+    input; when the watermark passes the armed expiry,
+    ``handleExpiredTimer`` fires, emits the closed session, and EVICTS the
+    key's state — bounded state by construction, the streaming form of E3's
+    ``session_window`` (which is the batch-equivalence twin, pinned in
+    ``tests/test_streaming.py``).
+
+    Requires the RocksDB state-store provider and the protobuf package
+    (shimmed in tests via ``tests/_pb_shim``); expects columns ``user_id``
+    and ``ts`` (timestamp).  Scale shape: state is one fixed-width row +
+    one timer per LIVE key, keyed on the same ``user_id`` shuffle as every
+    stateful op here; expired keys leave nothing behind.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' python package "
+            "(Spark's TWS state-server protocol); use the batch "
+            "session_window twin where protobuf is unavailable"
+        ) from e
+    from typing import Iterator as _Iterator
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class SessionTTL(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "n BIGINT, start_ms BIGINT, last_ms BIGINT"
+            )
+
+        def handleInputRows(
+            self, key, rows: _Iterator[pd.DataFrame], timerValues
+        ) -> _Iterator[pd.DataFrame]:
+            if self._sess.exists():
+                n, start_ms, last_ms = self._sess.get()
+            else:
+                n, start_ms, last_ms = 0, None, None
+            for pdf in rows:
+                ms = pdf["ts"].astype("int64") // 1_000_000
+                n += len(pdf)
+                lo, hi = int(ms.min()), int(ms.max())
+                start_ms = lo if start_ms is None else min(start_ms, lo)
+                last_ms = hi if last_ms is None else max(last_ms, hi)
+            # one live timer per key: re-arm at last event + gap
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_ms + gap_ms)
+            self._sess.update((n, start_ms, last_ms))
+            return iter(())
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> _Iterator[pd.DataFrame]:
+            if self._sess.exists():
+                n, start_ms, last_ms = self._sess.get()
+                self._sess.clear()  # eviction: closed sessions hold no state
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start_ms": [start_ms],
+                        "session_end_ms": [last_ms],
+                        "n_events": [n],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionTTL(),
+            outputStructType="user_id bigint, session_start_ms bigint, "
+            "session_end_ms bigint, n_events bigint",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def bloom_dedup_pipeline(
     doc_stream: DataFrame,
     store_dir: str,

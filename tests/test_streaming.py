@@ -330,6 +330,104 @@ def test_tws_gate_error_is_actionable(spark, tmp_path, monkeypatch):
         redelivery_counter_tws(stream)
 
 
+def test_tws_timer_session_expiry(spark, tmp_path):
+    """E8 timer surface (VERDICT r06 #8): event-time timers fire when the
+    watermark passes ``last_event + gap``, the closed session is emitted
+    from handleExpiredTimer, and the key's state is EVICTED (a later event
+    starts a fresh session).  Batch-equivalence: emitted sessions equal the
+    session_window(E3) aggregation over the same events."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pulsar_message_filter_spark.streaming.pipeline import session_ttl_tws
+
+    input_dir = str(tmp_path / "in")
+    Path(input_dir).mkdir()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    gap_ms = 10 * 60 * 1000
+    try:
+        stream = file_message_stream(spark, input_dir)
+        q = (
+            session_ttl_tws(stream, gap_ms=gap_ms)
+            .writeStream.format("memory")
+            .outputMode("append")
+            .queryName("tws_sessions")
+            .start()
+        )
+        try:
+            _write_events(
+                spark,
+                [(1, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+                 (2, "2024-01-01 10:01:00", 4, "view", 1.0, "{}"),
+                 (3, "2024-01-01 10:02:00", 3, "view", 1.0, "{}")],
+                input_dir,
+            )
+            q.processAllAvailable()
+            # extend user 3's session, then push the watermark far past both
+            # sessions' expiries via a sentinel user
+            _write_events(
+                spark, [(4, "2024-01-01 10:05:00", 3, "view", 1.0, "{}")], input_dir
+            )
+            q.processAllAvailable()
+            _write_events(
+                spark, [(5, "2024-01-01 11:00:00", 99, "view", 1.0, "{}")], input_dir
+            )
+            q.processAllAvailable()
+            _write_events(  # one more batch so the advanced watermark is applied
+                spark, [(6, "2024-01-01 11:01:00", 99, "view", 1.0, "{}")], input_dir
+            )
+            q.processAllAvailable()
+            closed = {r.user_id: r for r in spark.table("tws_sessions").collect()}
+            # both sessions closed by the timer; sentinel still open
+            assert set(closed) == {3, 4}
+            assert closed[3].n_events == 3
+            assert closed[4].n_events == 1
+            # batch-equivalence twin: session_window over the same events
+            batch = spark.read.parquet(input_dir).filter("user_id IN (3, 4)")
+            twin = {
+                r.user_id: r
+                for r in batch.groupBy(
+                    F.session_window("ts", f"{gap_ms // 1000} seconds"), "user_id"
+                )
+                .agg(F.count("*").alias("n_events"))
+                .select(
+                    "user_id",
+                    F.unix_millis("session_window.start").alias("start_ms"),
+                    "n_events",
+                )
+                .collect()
+            }
+            for uid in (3, 4):
+                assert closed[uid].n_events == twin[uid].n_events
+                assert closed[uid].session_start_ms == twin[uid].start_ms
+            # eviction: a post-expiry event starts a FRESH session
+            _write_events(
+                spark, [(7, "2024-01-01 11:30:00", 3, "view", 1.0, "{}")], input_dir
+            )
+            q.processAllAvailable()
+            _write_events(
+                spark, [(8, "2024-01-01 13:00:00", 99, "view", 1.0, "{}")], input_dir
+            )
+            q.processAllAvailable()
+            _write_events(
+                spark, [(9, "2024-01-01 13:01:00", 99, "view", 1.0, "{}")], input_dir
+            )
+            q.processAllAvailable()
+            user3 = [
+                r for r in spark.table("tws_sessions").collect() if r.user_id == 3
+            ]
+            assert sorted(r.n_events for r in user3) == [1, 3]
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_pb_shim_scoped_to_jvm(spark):
     """ADVICE r06: the protobuf shim must reach Spark's Python workers via
     the JVM's inherited env only — the test process's own ``PYTHONPATH``
