@@ -609,6 +609,14 @@ def test_soak_artifact_bounds():
         if state.get("batches"):  # stateful legs carry the bounded verdicts
             assert state["bounded"], leg
             assert state["bounded_over_duration"], leg
+            if d.get("rocksdb"):  # r07+: on-disk axis observed + named mem cap
+                assert state["sst_bytes_last"] and state["sst_bytes_last"] > 0, leg
+                cap = d["rocksdb"]["max_memory_usage_mb"] << 20
+                assert state["state_mem_bytes_last"] <= cap * 1.1, (
+                    leg,
+                    state["state_mem_bytes_last"],
+                    cap,
+                )
     assert d["checkpoints"]["bounded"], d["checkpoints"]
 
 
