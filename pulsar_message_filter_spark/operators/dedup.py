@@ -647,6 +647,8 @@ def f18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
+    shortcut: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Transitive closure of a near-dup pair graph: ``(node, cluster_id)``
     with ``cluster_id`` = the minimum node id in the component.
@@ -655,20 +657,30 @@ def connected_components(
     find *edges*; an actual dedup decision needs *components* — A≈B and
     B≈C must collapse to one survivor even when A≈C was never emitted.
 
-    Algorithm: iterative min-label propagation (the standard large-graph
-    shape — e.g. the "hash-to-min" family, public literature).  Each round
-    every node adopts ``min(own label, neighbor labels)``; convergence
-    takes O(diameter) rounds, and near-dup components are short chains in
-    practice (the `max_iterations` bound is a safety rail, hit only by a
-    pathological 2^20-long chain).  Each round is one join + one
-    aggregation, both keyed on node id — the same shuffle partitioning
-    every round, no quadratic anything.  The driver-side loop carries only
-    a converged/not flag per round (an O(1) ``count``), labels stay
+    Algorithm: iterative min-label propagation with POINTER-JUMP
+    shortcutting (the standard large-graph shape — the "hash-to-min" /
+    shortcutting family, public literature; same trick as GraphFrames'
+    big-star/small-star CC).  Each round every node adopts
+    ``min(own label, neighbor labels)``, then labels jump through labels
+    (``lab := lab(lab)``) — the propagation distance roughly DOUBLES per
+    round, so convergence is O(log diameter) rounds instead of the plain
+    O(diameter) (measured on a diameter ladder: 7 rounds vs 256+ on a
+    256-long chain — tools/iterative_ladder.py, SCALING.md round-11).
+    ``lab(x) <= x`` and "lab(x) is in x's component" are invariants of
+    both steps, so the fixpoint is unchanged: every edge ends with equal
+    labels == the component minimum.  Each round is two node-id-keyed
+    joins + one aggregation — the same shuffle partitioning every round,
+    no quadratic anything.  The driver-side loop carries only a
+    converged/not flag per round (an O(1) ``count``), labels stay
     distributed; each round's label frame is ``localCheckpoint``-ed —
     without lineage truncation the plan doubles per round and the driver
     OOMs analyzing it long before the data is a problem (on a real
     cluster with an unreliable-executor concern, swap in
     ``checkpoint()`` against the checkpoint dir).
+
+    ``shortcut=False`` keeps the plain one-hop propagation (exposed for
+    the ladder measurement and the equivalence test); ``stats``, when a
+    dict is passed, receives ``{"iterations": n}``.
 
     Input: ``(id_a, id_b)`` rows (any extra columns ignored); undirected.
     """
@@ -684,20 +696,31 @@ def connected_components(
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy(edges["a"].alias("node2"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(
+            neighbor_min, labels["node"] == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
         )
+        if shortcut:
+            # pointer jump: lab := lab(lab).  Every lab value is a node id
+            # in the same component, so the self-join always resolves; the
+            # left join + coalesce is belt-and-braces.
+            jump = new_labels.select(
+                F.col("node").alias("jn"), F.col("lab").alias("jlab")
+            )
+            new_labels = new_labels.join(
+                jump, new_labels["lab"] == F.col("jn"), "left"
+            ).select("node", F.coalesce("jlab", "lab").alias("lab"))
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -708,6 +731,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = rounds
     return labels.select(F.col("node"), F.col("lab").alias("cluster_id"))
 
 

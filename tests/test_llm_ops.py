@@ -593,6 +593,40 @@ def test_connected_components_transitivity(spark):
     assert set(labels.values()) == {100}
 
 
+def test_connected_components_shortcut_equivalence(spark):
+    """Pointer-jump shortcutting changes ROUNDS, never labels: identical
+    output to plain propagation on a mixed graph, and O(log diameter)
+    iterations on a long chain (a 60-chain converges in <=10 rounds where
+    plain needs ~60 — and would silently mislabel under the default
+    20-round rail)."""
+    import random
+
+    from pulsar_message_filter_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    # random graph: 120 nodes, 90 edges → many components of varied shape
+    edges = {(a, b) for a, b in (
+        sorted(rng.sample(range(120), 2)) for _ in range(90)
+    )}
+    pairs = spark.createDataFrame(
+        sorted(edges), "id_a bigint, id_b bigint"
+    )
+    fast = {r.node: r.cluster_id
+            for r in connected_components(pairs, shortcut=True).collect()}
+    slow = {r.node: r.cluster_id
+            for r in connected_components(pairs, max_iterations=200,
+                                          shortcut=False).collect()}
+    assert fast == slow
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(500, 560)], "id_a bigint, id_b bigint"
+    )
+    stats: dict = {}
+    labels = connected_components(chain, stats=stats).collect()
+    assert {r.cluster_id for r in labels} == {500}
+    assert stats["iterations"] <= 10, stats
+
+
 def test_dedup_near_collapses_transitive_chains(spark):
     """dedup_near keeps exactly one survivor per near-dup component, even
     when the duplicate relation is only transitively connected."""
