@@ -652,3 +652,84 @@ def f71_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(
         docs, ["lang", "source"], F.size(tokens(F.col("text")))
     ).orderBy("lang", "source", "pair_idx")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle — reproducible training order without a
+# global sort
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int, n_shards: int = _SHUFFLE_SHARDS
+) -> DataFrame:
+    """Reproducible pseudo-random training order for one epoch:
+    ``(id, shard, pos)`` where the permutation is a pure function of
+    ``(id, epoch)`` — re-running the epoch (or recovering a failed job)
+    regenerates the identical order, and changing the epoch reshuffles.
+
+    Order key is the first 32 bits of ``md5(epoch:id)`` (cross-engine
+    exact, no engine RNG); shard = key mod ``n_shards``.  Scale shape
+    (100 TB): there is NO global sort — the writer path is
+    ``repartition(shard)`` + ``sortWithinPartitions(key)`` (each shard
+    sorts independently; readers consume shards in any order, which is
+    exactly how sharded training data is packed).  The graded form uses
+    the equivalent per-shard rank window so position is a checkable
+    column; id is the tiebreak for 32-bit hash collisions.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"e{epoch}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(id_col, h.alias("h"))
+        .withColumn("shard", F.col("h") % n_shards)
+        .select(
+            id_col,
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+_EPOCH_HEX32 = """CAST(list_sum(list_transform(generate_series(1, 8), i ->
+    (strpos('0123456789abcdef', substr(md5({key}), i, 1)) - 1)
+    * (16 ** (8 - i)))) AS BIGINT)"""
+
+
+@graded(
+    "epoch_shuffle_order",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {_EPOCH_HEX32.format(key="'e7:' || CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               h % {_SHUFFLE_SHARDS} AS shard,
+               CAST(row_number() OVER (PARTITION BY h % {_SHUFFLE_SHARDS}
+                                       ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM h
+    """,
+    section="C18,D8,F14",
+    description="deterministic epoch shuffle: md5(epoch:id)-keyed shard + "
+    "in-shard rank gives a reproducible training permutation with no "
+    "global sort (writer path: repartition(shard) + sortWithinPartitions)",
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return epoch_shuffle(docs, "doc_id", epoch=7)

@@ -684,6 +684,95 @@ def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F12 — audio analysis frames over REAL decoded PCM (windowed DSP features)
+# ---------------------------------------------------------------------------
+
+#: One row per analysis frame: energy (RMS), zero-crossing rate, peak.
+AUDIO_FRAME_SCHEMA = (
+    "path string, frame_idx long, start_ms double, rms double, zcr double, "
+    "peak double"
+)
+
+
+def audio_frame_features(
+    batches: Iterator[pd.DataFrame], frame: int = 256, hop: int = 128
+):
+    """mapInPandas stage: (path, content) WAV bytes → windowed DSP features.
+
+    REAL signal processing on really-decoded PCM (``decode_wav_samples``):
+    channels are averaged to mono (8-bit unsigned is centered first), then
+    each length-``frame`` window at stride ``hop`` emits RMS energy,
+    zero-crossing rate, and peak amplitude — the standard front-end for
+    audio dedup / silence trimming / VAD-style quality filters.  Windowing
+    is a numpy stride view (no per-sample Python), undecodable or
+    compressed payloads emit nothing (poison-tolerant, same contract as
+    ``media_stats``), and only FULL frames are emitted so every row's
+    features are defined on exactly ``frame`` samples.
+    """
+    import numpy as np
+
+    cols = ["path", "frame_idx", "start_ms", "rms", "zcr", "peak"]
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name = path.rsplit("/", 1)[-1]
+            try:
+                samples, rate = decode_wav_samples(bytes(content))
+            except (ValueError, NotImplementedError):
+                continue
+            mono = samples.astype(np.float64)
+            if samples.dtype == np.uint8:
+                mono = mono - 128.0  # 8-bit PCM is unsigned per the spec
+            mono = mono.mean(axis=1)
+            if len(mono) < frame:
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(mono, frame)[::hop]
+            rms = np.sqrt((wins**2).mean(axis=1))
+            zcr = (np.signbit(wins[:, 1:]) != np.signbit(wins[:, :-1])).mean(axis=1)
+            peak = np.abs(wins).max(axis=1)
+            for i in range(wins.shape[0]):
+                rows.append(
+                    (
+                        name,
+                        i,
+                        round(i * hop * 1000.0 / rate, 4),
+                        round(float(rms[i]), 6),
+                        round(float(zcr[i]), 6),
+                        float(peak[i]),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@graded(
+    "f12d_audio_frames",
+    oracle=None,  # python-side PCM decode + windowed DSP: no DuckDB analog;
+    # pytest pins the features closed-form against the synth_wav formula.
+    section="F12,G5",
+    description="audio analysis frames: REAL PCM decode -> mono mixdown -> "
+    "strided windows -> RMS / zero-crossing rate / peak per frame "
+    "(poison-tolerant mapInPandas, rows-only)",
+)
+def f12d_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over a deterministic PCM corpus (8/16/32-bit,
+    1-3 channels, mixed rates) plus a poison row that must vanish.
+    ``sf_dir`` unused — no media ships in testdata (fixture-byte strategy,
+    same as f12c)."""
+    corpus = [
+        ("tone_16bit.wav", synth_wav(4000, n_channels=2, rate=8000, bits=16)),
+        ("tone_8bit.wav", synth_wav(1500, n_channels=1, rate=4000, bits=8)),
+        ("tone_32bit.wav", synth_wav(900, n_channels=3, rate=16000, bits=32)),
+        ("poison.wav", b"RIFF\x00\x00\x00\x00WAVEjunk"),
+    ]
+    raw = spark.createDataFrame(corpus, "path string, content binary")
+    return (
+        raw.repartition(2)
+        .mapInPandas(audio_frame_features, schema=AUDIO_FRAME_SCHEMA)
+        .orderBy("path", "frame_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # F12 — frame sampling (1→N fan-out) and resize (1→1 rewrite) stages
 # ---------------------------------------------------------------------------
 

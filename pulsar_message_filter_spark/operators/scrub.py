@@ -224,3 +224,76 @@ def f26_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return domain_profile(aug, "text")
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit — k-anonymity / l-diversity over quasi-identifier groups
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5  # groups smaller than this are re-identification risks
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = _K_ANON,
+) -> DataFrame:
+    """Per-quasi-identifier-group privacy audit: group size (k-anonymity)
+    and distinct sensitive values (l-diversity).
+
+    A record is k-anonymous iff at least ``k`` records share its full
+    quasi-identifier combination; a group is l-diverse iff its sensitive
+    attribute takes multiple values (a size-k group with ONE sensitive
+    value still leaks it).  Before shipping a corpus with user-derived
+    metadata, this is the standard re-identification sweep (Sweeney's
+    k-anonymity, public literature).
+
+    Scale (100 TB): ONE hash aggregation keyed on the quasi-identifier
+    tuple — map-side combinable for both the count and the distinct
+    (partial distinct-sets merge); the k/l verdicts are row-local flags
+    on the aggregated (small) group table.  Suppression is then a
+    broadcast semi-join of the failing groups back against the corpus.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").alias("group_n"),
+            F.count_distinct(F.col(sensitive_col)).alias("l_diversity"),
+        )
+        .select(
+            *quasi_cols,
+            "group_n",
+            "l_diversity",
+            (F.col("group_n") >= k).cast("int").alias("k_anonymous"),
+        )
+    )
+
+
+@graded(
+    "privacy_k_anonymity",
+    oracle=f"""
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               count(*) AS group_n,
+               count(DISTINCT c_acctbal) AS l_diversity,
+               CASE WHEN count(*) >= {_K_ANON} THEN 1 ELSE 0 END AS k_anonymous
+        FROM customer
+        GROUP BY 1, 2, 3
+    """,
+    section="C11,C12,F11",
+    description="k-anonymity/l-diversity privacy audit: group sizes and "
+    "distinct sensitive values per quasi-identifier combination "
+    "(nation, segment, balance bucket) — one map-side-combinable hash agg",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, "customer", sf_dir).withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return k_anonymity_audit(
+        cust,
+        ["c_nationkey", "c_mktsegment", "bal_bucket"],
+        "c_acctbal",
+        k=_K_ANON,
+    )

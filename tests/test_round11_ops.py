@@ -1,0 +1,127 @@
+"""Round-11 breadth ops: privacy audit, deterministic epoch shuffle."""
+
+from conftest import SF_SMOKE
+
+
+def test_k_anonymity_audit_semantics(spark):
+    """Hand-built groups: sizes, l-diversity, and the k flag are exact."""
+    from pulsar_message_filter_spark.operators.scrub import k_anonymity_audit
+
+    rows = [
+        # QI group (1, 'a'): 3 records, 2 distinct sensitive values
+        (1, "a", 100.0), (1, "a", 100.0), (1, "a", 200.0),
+        # QI group (2, 'b'): 1 record → not k-anonymous at k=2
+        (2, "b", 300.0),
+    ]
+    df = spark.createDataFrame(rows, "qi1 int, qi2 string, sens double")
+    got = {
+        (r.qi1, r.qi2): r
+        for r in k_anonymity_audit(df, ["qi1", "qi2"], "sens", k=2).collect()
+    }
+    assert got[(1, "a")].group_n == 3
+    assert got[(1, "a")].l_diversity == 2
+    assert got[(1, "a")].k_anonymous == 1
+    assert got[(2, "b")].group_n == 1
+    assert got[(2, "b")].k_anonymous == 0
+
+
+def test_epoch_shuffle_is_reproducible_permutation(spark):
+    """Same epoch → identical order; different epoch → different order;
+    positions are a contiguous 1..n_shard permutation within every shard."""
+    from pulsar_message_filter_spark.operators.mixture import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    n = docs.count()
+
+    a1 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 7).collect()}
+    a2 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 7).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 8).collect()}
+    assert a1 == a2  # replay-deterministic
+    assert a1 != b  # a new epoch is a new permutation
+    assert len(a1) == n
+
+    by_shard: dict = {}
+    for shard, pos in a1.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # shards are reasonably balanced (hash-uniform): no shard > 2x mean
+    mean = n / len(by_shard)
+    assert all(len(ps) <= 2 * mean for ps in by_shard.values())
+
+
+def test_epoch_shuffle_matches_writer_path(spark):
+    """The graded window form and the scale writer path
+    (repartition(shard) + sortWithinPartitions) produce the same in-shard
+    order — the claim in the docstring is executable."""
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.operators.mixture import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    ranked = epoch_shuffle(docs, "doc_id", epoch=3)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("e3:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    writer = (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.col("h") % 8)
+        .repartition("shard")
+        .sortWithinPartitions("h", "doc_id")
+    )
+    # within each partition the writer order must equal the pos order
+    per_shard_writer = {}
+    for row in writer.collect():  # sf0.001: tiny
+        per_shard_writer.setdefault(row.shard, []).append(row.doc_id)
+    per_shard_ranked = {}
+    for row in ranked.orderBy("shard", "pos").collect():
+        per_shard_ranked.setdefault(row.shard, []).append(row.doc_id)
+    # writer.collect() preserves within-partition order per shard because
+    # each shard is one partition after repartition("shard")... but two
+    # shards may share a partition; group by shard instead of partition
+    assert per_shard_writer.keys() == per_shard_ranked.keys()
+    for s in per_shard_ranked:
+        assert per_shard_writer[s] == per_shard_ranked[s], s
+
+
+def test_audio_frame_features_closed_form(spark):
+    """The windowed DSP features match an independent numpy recomputation
+    from the synth_wav closed form, the poison row vanishes, and frame
+    counts follow the full-frames-only rule."""
+    import numpy as np
+
+    from pulsar_message_filter_spark.registry import all_graded
+
+    rows = [
+        r.asDict()
+        for r in all_graded()["f12d_audio_frames"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert not any(r["path"] == "poison.wav" for r in rows)
+
+    def expected(n, n_ch, frame=256, hop=128):
+        i, ch = np.mgrid[0:n, 0:n_ch]
+        vals = ((0 + i * 31 + ch * 17) % 200 - 100).astype(np.float64)
+        mono = vals.mean(axis=1)
+        wins = np.lib.stride_tricks.sliding_window_view(mono, frame)[::hop]
+        return wins
+
+    for name, n, n_ch in (
+        ("tone_16bit.wav", 4000, 2),
+        ("tone_8bit.wav", 1500, 1),
+        ("tone_32bit.wav", 900, 3),
+    ):
+        wins = expected(n, n_ch)
+        got = sorted(
+            (r for r in rows if r["path"] == name), key=lambda r: r["frame_idx"]
+        )
+        assert len(got) == wins.shape[0], name
+        for i in (0, len(got) - 1):  # first and last frame, exact
+            w = wins[i]
+            assert abs(got[i]["rms"] - round(float(np.sqrt((w**2).mean())), 6)) < 1e-9
+            zcr = float(
+                (np.signbit(w[1:]) != np.signbit(w[:-1])).mean()
+            )
+            assert abs(got[i]["zcr"] - round(zcr, 6)) < 1e-9
+            assert got[i]["peak"] == float(np.abs(w).max())
