@@ -65,6 +65,8 @@ HEADLINE = [
     "eval_auc_rank",  # rank-sum AUC via per-value agg + prefix scan
     "f71_preference_pairs",  # DPO pairs: one window pass + conditional agg
     "sketch_kll_quantiles",  # KLL build+merge (Arrow) + exact-twin rank check
+    "privacy_k_anonymity",  # quasi-identifier k-anonymity/l-diversity audit
+    "epoch_shuffle_order",  # deterministic training permutation (no global sort)
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -115,6 +117,8 @@ BUDGET_SEC = {
     "eval_auc_rank": 2.0,
     "f71_preference_pairs": 2.0,
     "sketch_kll_quantiles": 3.0,
+    "privacy_k_anonymity": 2.0,
+    "epoch_shuffle_order": 2.0,
 }
 
 

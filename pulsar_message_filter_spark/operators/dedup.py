@@ -1915,3 +1915,152 @@ def f66_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F14 — quality-aware survivor per near-dup COMPONENT
+# ---------------------------------------------------------------------------
+
+
+def cluster_survivors(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str,
+    q_col: str,
+    comps: DataFrame | None = None,
+) -> DataFrame:
+    """One survivor per connected component of the near-dup pair graph:
+    the member with the highest ``q_col`` (lowest id on ties).
+
+    This is the component-level complement of
+    :func:`~pulsar_message_filter_spark.operators.ngrams.survivor_pick`
+    (edge-local, iteration-free): when edges are only transitively
+    connected — A≈B, B≈C, no A≈C edge — a dedup policy of "keep the best
+    document of each duplicate GROUP" needs the component, so this runs
+    :func:`connected_components` (pointer-jump, O(log diameter) rounds)
+    and then ONE rank window per cluster.
+
+    Output: ``(cluster_id, survivor_id, survivor_q, n_members)``, one row
+    per component.  Scale: the rank window is keyed on cluster_id (the
+    same node-id domain the CC rounds already shuffle on) and its
+    per-group state is one row.
+    """
+    if comps is None:
+        comps = connected_components(pairs)  # (node, cluster_id)
+    members = comps.join(
+        quality.select(F.col(id_col).alias("node"), F.col(q_col).alias("_q")),
+        "node",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_q"), F.asc("node"))
+    return (
+        members.withColumn("_rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("_rk") == 1, F.col("node"))).alias("survivor_id"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_q"))).alias("survivor_q"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+@graded(
+    "f73_cluster_survivors",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, lang, source, n_chars,
+                   list_distinct(string_split(text, ' ')) AS t
+            FROM documents WHERE doc_id < 120
+        ),
+        prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b
+              ON a.doc_id < b.doc_id
+             AND a.lang = b.lang AND a.source = b.source
+            WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                     / len(list_distinct(a.t || b.t)) > 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM prs
+            UNION SELECT id_b, id_a FROM prs
+        ),
+        reach(node, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        clusters AS (
+            SELECT node, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY 1
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.node, d.n_chars,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY d.n_chars DESC, c.node) AS rk
+            FROM clusters c JOIN toks d ON c.node = d.doc_id
+        ),
+        grouped AS (
+            SELECT cluster_id,
+                   max(CASE WHEN rk = 1 THEN node END) AS survivor_id,
+                   max(CASE WHEN rk = 1 THEN n_chars END) AS survivor_q,
+                   count(*) AS n_members
+            FROM ranked GROUP BY 1
+        )
+        SELECT cluster_id, survivor_id, survivor_q, n_members FROM grouped
+        UNION ALL
+        SELECT doc_id AS cluster_id, doc_id AS survivor_id,
+               n_chars AS survivor_q, CAST(1 AS BIGINT) AS n_members
+        FROM toks
+        WHERE doc_id NOT IN (SELECT node FROM clusters)
+    """,
+    section="F1,F2,F14,C18",
+    description="quality-aware dedup survivors per near-dup COMPONENT: "
+    "blocked exact-Jaccard pair graph (same lang+source, docs <120) -> "
+    "pointer-jump connected components -> per-cluster best-quality pick "
+    "(n_chars, id tiebreak), singletons surviving as their own cluster; "
+    "oracle replays it with a recursive-CTE closure",
+)
+def f73_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking (lang+source equality) is the same candidate-limiting
+    discipline as linkage/LSH: pair generation is an equi-join on the
+    block key, never all-pairs.  Docs touching no pair survive alone —
+    the output IS the post-dedup keep-list, one row per final cluster."""
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 120)
+        .select(
+            "doc_id", "lang", "source", "n_chars",
+            F.array_distinct(F.split("text", " ")).alias("t"),
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", F.col("t").alias("ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("t").alias("tb"),
+    )
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b")),
+        )
+        .filter(jac > 0.5)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs)  # iterate ONCE, reuse both ways
+    clustered = cluster_survivors(pairs, docs, "doc_id", "n_chars", comps=comps)
+    members = comps.select(F.col("node").alias("doc_id"))
+    singles = docs.join(members, "doc_id", "left_anti").select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_chars").alias("survivor_q"),
+        F.lit(1).cast("long").alias("n_members"),
+    )
+    return clustered.unionByName(singles)

@@ -125,3 +125,34 @@ def test_audio_frame_features_closed_form(spark):
             )
             assert abs(got[i]["zcr"] - round(zcr, 6)) < 1e-9
             assert got[i]["peak"] == float(np.abs(w).max())
+
+
+def test_cluster_survivors_semantics(spark):
+    """Component survivor is the quality max (id tiebreak); every doc in
+    the universe lands in exactly one cluster (members sum to universe)."""
+    from pulsar_message_filter_spark.operators.dedup import cluster_survivors
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3 (transitive only), pair 10-11, singleton 20 (no edge)
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    quality = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 2.0), (20, 7.0)],
+        "doc_id bigint, q double",
+    )
+    got = {r.cluster_id: r for r in cluster_survivors(pairs, quality, "doc_id", "q").collect()}
+    assert got[1].survivor_id == 2  # q=9.0 tie between 2 and 3 → lower id
+    assert got[1].survivor_q == 9.0 and got[1].n_members == 3
+    assert got[10].survivor_id == 11 and got[10].n_members == 2
+    assert 20 not in got  # singletons are the caller's concern (f73 unions them)
+
+    from pulsar_message_filter_spark.registry import all_graded
+
+    rows = all_graded()["f73_cluster_survivors"].fn(spark, SF_SMOKE).collect()
+    n_docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("doc_id < 120")
+        .count()
+    )
+    assert sum(r.n_members for r in rows) == n_docs
+    assert len({r.cluster_id for r in rows}) == len(rows)
