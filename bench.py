@@ -114,7 +114,10 @@ BUDGET_SEC = {
     "behavior_session_pmi": 2.0,
     "behavior_markov_entropy": 2.0,
     "sample_reservoir_merge": 2.0,
-    "eval_auc_rank": 2.0,
+    # 2x the r05/r06 measured 1.7-1.8 s (the 2.0 floor left only ~11%
+    # headroom over its own historical mean — mis-set vs the 2x policy;
+    # adjudicated in BASELINE.md "Round-7 note, addendum")
+    "eval_auc_rank": 3.5,
     "f71_preference_pairs": 2.0,
     "sketch_kll_quantiles": 3.0,
     "privacy_k_anonymity": 2.0,
