@@ -297,3 +297,77 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         k=_K_ANON,
     )
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = _K_ANON,
+    min_l: int = 2,
+) -> DataFrame:
+    """Generalization step after the audit: drop every record whose
+    quasi-identifier group fails k-anonymity OR l-diversity.
+
+    Scale (100 TB): the audit table is tiny (one row per QI combo), so the
+    failing groups broadcast and suppression is a broadcast LEFT-ANTI join
+    against the corpus — one scan, no corpus-keyed shuffle.
+    """
+    failing = (
+        k_anonymity_audit(df, quasi_cols, sensitive_col, k=k)
+        .filter((F.col("group_n") < k) | (F.col("l_diversity") < min_l))
+        .select(*quasi_cols)
+    )
+    return df.join(F.broadcast(failing), quasi_cols, "left_anti")
+
+
+@graded(
+    "privacy_suppression",
+    oracle=f"""
+        WITH audit AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                   count(*) AS group_n,
+                   count(DISTINCT c_acctbal) AS l_diversity
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        kept AS (
+            SELECT c.c_mktsegment, c.c_custkey
+            FROM (SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+                  FROM customer) c
+            JOIN audit a
+              ON c.c_nationkey = a.c_nationkey
+             AND c.c_mktsegment = a.c_mktsegment
+             AND c.bal_bucket = a.bal_bucket
+            WHERE a.group_n >= {_K_ANON} AND a.l_diversity >= 2
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_kept,
+               (SELECT count(*) FROM customer c2
+                WHERE c2.c_mktsegment = kept.c_mktsegment) - count(*)
+                   AS n_suppressed
+        FROM kept GROUP BY c_mktsegment
+    """,
+    section="C6,C8,F11",
+    description="privacy suppression join-back: records in groups failing "
+    "k-anonymity or l-diversity are dropped via a broadcast anti-join; "
+    "per-segment kept/suppressed census (hash-exact)",
+)
+def privacy_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, "customer", sf_dir).withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    kept = suppress_small_groups(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], "c_acctbal"
+    )
+    totals = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_total"))
+    return (
+        kept.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_kept"))
+        .join(F.broadcast(totals), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_suppressed"),
+        )
+    )

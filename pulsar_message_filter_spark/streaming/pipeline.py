@@ -446,6 +446,73 @@ def session_ttl_tws(
     )
 
 
+def idle_key_eviction_tws(stream: DataFrame, idle_ms: int = 0) -> DataFrame:
+    """E8 timer surface, PROCESSING-time mode: per-key running count with
+    idle-key eviction by wall clock — the cache-expiry twin of
+    :func:`session_ttl_tws`'s event-time sessions.
+
+    Every arrival re-arms one timer at ``now + idle_ms``
+    (``timerValues.getCurrentProcessingTimeInMs``); when a later
+    micro-batch runs past the expiry the key's state is evicted and a
+    tombstone row (``evicted=true``, final count) is emitted.  Counts are
+    deterministic; eviction TIMING is inherently wall-clock (that is the
+    point of processing-time mode) — tests drive it with ``idle_ms=0`` so
+    the very next micro-batch fires the timer.  State is one fixed-width
+    row + one timer per live key; idle keys leave nothing behind.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' python package "
+            "(Spark's TWS state-server protocol)"
+        ) from e
+    from typing import Iterator as _Iterator
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class IdleEvict(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(
+            self, key, rows: _Iterator[pd.DataFrame], timerValues
+        ) -> _Iterator[pd.DataFrame]:
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + idle_ms
+            )
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_seen": [n], "evicted": [False]}
+            )
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> _Iterator[pd.DataFrame]:
+            if self._n.exists():
+                n = self._n.get()[0]
+                self._n.clear()
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_seen": [n], "evicted": [True]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=IdleEvict(),
+        outputStructType="user_id bigint, n_seen bigint, evicted boolean",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
 def bloom_dedup_pipeline(
     doc_stream: DataFrame,
     store_dir: str,

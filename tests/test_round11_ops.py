@@ -156,3 +156,47 @@ def test_cluster_survivors_semantics(spark):
     )
     assert sum(r.n_members for r in rows) == n_docs
     assert len({r.cluster_id for r in rows}) == len(rows)
+
+
+def test_audio_spectral_closed_form(spark):
+    """Spectral descriptors match an independent numpy recomputation from
+    the synth_wav closed form; poison emits nothing; centroid/rolloff stay
+    inside the Nyquist band."""
+    import numpy as np
+
+    from pulsar_message_filter_spark.registry import all_graded
+
+    rows = [
+        r.asDict()
+        for r in all_graded()["f12e_audio_spectral"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert rows and not any(r["path"] == "poison.wav" for r in rows)
+
+    frame, hop = 256, 128
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+
+    def expected(n, n_ch, rate):
+        i, ch = np.mgrid[0:n, 0:n_ch]
+        mono = (((0 + i * 31 + ch * 17) % 200 - 100).astype(np.float64)).mean(axis=1)
+        wins = np.lib.stride_tricks.sliding_window_view(mono, frame)[::hop]
+        mag = np.abs(np.fft.rfft(wins * hann, axis=1))
+        freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+        power = mag.sum(axis=1)
+        centroid = (mag * freqs).sum(axis=1) / power
+        return centroid, freqs
+
+    for name, n, n_ch, rate in (
+        ("tone_16bit.wav", 4000, 2, 8000),
+        ("tone_8bit.wav", 1500, 1, 4000),
+    ):
+        centroid, freqs = expected(n, n_ch, rate)
+        got = sorted(
+            (r for r in rows if r["path"] == name), key=lambda r: r["frame_idx"]
+        )
+        assert len(got) == len(centroid), name
+        nyquist = rate / 2
+        for i in (0, len(got) - 1):
+            assert abs(got[i]["centroid_hz"] - round(float(centroid[i]), 4)) < 1e-6
+            assert 0 <= got[i]["rolloff_hz"] <= nyquist
+            assert 0 <= got[i]["flatness"] <= 1.0
+            assert got[i]["bandwidth_hz"] >= 0

@@ -428,6 +428,66 @@ def test_tws_timer_session_expiry(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_tws_processing_time_idle_eviction(spark, tmp_path):
+    """E8 timer surface, processing-time mode: an idle key is evicted by
+    wall clock with NO further input — the engine keeps scheduling
+    micro-batches so expired timers fire, the tombstone carries the final
+    count, and a later event restarts the key from scratch.
+
+    processAllAvailable() is NOT usable here: in ProcessingTime mode the
+    engine runs timer-only batches continuously, so the test polls the
+    memory sink with a deadline instead."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pulsar_message_filter_spark.streaming.pipeline import idle_key_eviction_tws
+
+    input_dir = str(tmp_path / "in")
+    Path(input_dir).mkdir()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def wait_for(row, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if row in {tuple(r) for r in spark.table("tws_idle").collect()}:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"{row} never appeared in the sink")
+
+    try:
+        stream = file_message_stream(spark, input_dir)
+        q = (
+            idle_key_eviction_tws(stream, idle_ms=200)
+            .writeStream.format("memory")
+            .outputMode("update")
+            .trigger(processingTime="200 milliseconds")
+            .queryName("tws_idle")
+            .start()
+        )
+        try:
+            _write_events(
+                spark,
+                [(1, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+                 (2, "2024-01-01 10:01:00", 3, "view", 1.0, "{}")],
+                input_dir,
+            )
+            wait_for((3, 2, False))  # running count seen
+            wait_for((3, 2, True))  # evicted by wall clock, no new input
+            _write_events(
+                spark, [(3, "2024-01-01 10:02:00", 3, "view", 1.0, "{}")], input_dir
+            )
+            wait_for((3, 1, False))  # state was cleared: restarts at 1
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_pb_shim_scoped_to_jvm(spark):
     """ADVICE r06: the protobuf shim must reach Spark's Python workers via
     the JVM's inherited env only — the test process's own ``PYTHONPATH``
