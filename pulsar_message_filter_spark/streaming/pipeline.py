@@ -513,6 +513,83 @@ def idle_key_eviction_tws(stream: DataFrame, idle_ms: int = 0) -> DataFrame:
     )
 
 
+def user_profile_tws(stream: DataFrame, keep_last: int = 3) -> DataFrame:
+    """E8 composite-state surface: MapState + ListState in one processor.
+
+    Per user the processor maintains (a) a MapState ``event_type → count``
+    (the per-key sub-keyed aggregate a plain value state can't express
+    without serializing the whole map every update — MapState updates are
+    per-sub-key in the state store) and (b) a ListState of the last
+    ``keep_last`` event values (bounded recent-history buffer: append,
+    then rewrite only when trimming).  Emits one profile row per key per
+    micro-batch: distinct types seen, modal type (count desc, name asc),
+    total events, and the recent values as a CSV string.
+
+    With :func:`redelivery_counter_tws` (value state),
+    :func:`session_ttl_tws` (event-time timers) and
+    :func:`idle_key_eviction_tws` (processing-time timers) this pins the
+    complete Spark-4 TWS state API under the container's protobuf shim.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' python package "
+            "(Spark's TWS state-server protocol)"
+        ) from e
+    from typing import Iterator as _Iterator
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("type_counts", "t string", "c BIGINT")
+            self._recent = handle.getListState("recent_values", "v double")
+
+        def handleInputRows(
+            self, key, rows: _Iterator[pd.DataFrame], timerValues
+        ) -> _Iterator[pd.DataFrame]:
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])  # arrival order
+            for t, n in batch.groupby("event_type", sort=False).size().items():
+                prev = (
+                    self._counts.getValue((t,))[0]
+                    if self._counts.containsKey((t,))
+                    else 0
+                )
+                self._counts.updateValue((t,), (prev + int(n),))
+            self._recent.appendList(
+                [(float(v),) for v in batch["value"].tail(keep_last)]
+            )
+            vals = [v[0] for v in self._recent.get()]
+            if len(vals) > keep_last:
+                vals = vals[-keep_last:]
+                self._recent.clear()
+                self._recent.put([(v,) for v in vals])
+            counts = {k[0]: self._counts.getValue(k)[0] for k in self._counts.keys()}
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_types": [len(counts)],
+                    "top_type": [top],
+                    "n_events": [sum(counts.values())],
+                    "recent_csv": [",".join(f"{v:g}" for v in vals)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfile(),
+        outputStructType="user_id bigint, n_types int, top_type string, "
+        "n_events bigint, recent_csv string",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def bloom_dedup_pipeline(
     doc_stream: DataFrame,
     store_dir: str,

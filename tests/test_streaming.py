@@ -488,6 +488,71 @@ def test_tws_processing_time_idle_eviction(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_tws_map_and_list_state(spark, tmp_path):
+    """E8 composite state: MapState sub-key counts accumulate across
+    micro-batches, ListState keeps a bounded last-N buffer, and both
+    carry per-key isolation (user 4 unaffected by user 3's history)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pulsar_message_filter_spark.streaming.pipeline import user_profile_tws
+
+    input_dir = str(tmp_path / "in")
+    Path(input_dir).mkdir()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_message_stream(spark, input_dir)
+        q = (
+            user_profile_tws(stream, keep_last=3)
+            .writeStream.format("memory")
+            .outputMode("update")
+            .queryName("tws_profile")
+            .start()
+        )
+        try:
+            _write_events(
+                spark,
+                [(1, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+                 (2, "2024-01-01 10:01:00", 3, "click", 2.0, "{}"),
+                 (3, "2024-01-01 10:02:00", 3, "view", 3.0, "{}")],
+                input_dir,
+            )
+            q.processAllAvailable()
+            _write_events(
+                spark,
+                [(4, "2024-01-01 10:03:00", 3, "click", 4.0, "{}"),
+                 (5, "2024-01-01 10:04:00", 3, "click", 5.0, "{}"),
+                 (6, "2024-01-01 10:05:00", 4, "purchase", 9.0, "{}")],
+                input_dir,
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.table("tws_profile").collect():
+                if (
+                    r.user_id not in latest
+                    or r.n_events > latest[r.user_id].n_events
+                ):
+                    latest[r.user_id] = r
+            u3 = latest[3]
+            # MapState across batches: view=2, click=3 → top=click, 5 events
+            assert u3.n_types == 2 and u3.n_events == 5
+            assert u3.top_type == "click"
+            # ListState bounded buffer: last 3 of [1,2,3,4,5]
+            assert u3.recent_csv == "3,4,5"
+            u4 = latest[4]
+            assert (u4.n_types, u4.n_events, u4.top_type) == (1, 1, "purchase")
+            assert u4.recent_csv == "9"
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_pb_shim_scoped_to_jvm(spark):
     """ADVICE r06: the protobuf shim must reach Spark's Python workers via
     the JVM's inherited env only — the test process's own ``PYTHONPATH``
