@@ -145,6 +145,13 @@ QUERIES = [
     "sketch_sample_quantiles",
     "eval_auc_rank",
     "feature_target_encode_loo",
+    # round-11 additions: deterministic epoch shuffle (shard-keyed rank
+    # window over documents) and the MG rollup read path's merge-on-read
+    # shape (summarize is per-epoch-bounded).  privacy_k_anonymity reads
+    # only the customer DIM (not replicated → no ladder signal);
+    # f73_cluster_survivors is pair-output on a clone fixture (excluded
+    # like f24/f57 — quadratic by replication construction, not by plan).
+    "epoch_shuffle_order",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
