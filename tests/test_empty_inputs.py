@@ -135,3 +135,42 @@ def test_round7_ops_on_empty_inputs(spark):
     assert pagerank_lite_int(no_pairs).count() == 0
     no_edges = spark.createDataFrame([], "u bigint, v bigint")
     assert node_triangle_counts(no_edges).count() == 0
+
+
+def test_round11_ops_on_empty_inputs(spark):
+    from pulsar_message_filter_spark.operators.dedup import cluster_survivors
+    from pulsar_message_filter_spark.operators.mixture import epoch_shuffle
+    from pulsar_message_filter_spark.operators.multimodal import (
+        AUDIO_FRAME_SCHEMA,
+        AUDIO_SPECTRAL_SCHEMA,
+        audio_frame_features,
+        audio_spectral_features,
+    )
+    from pulsar_message_filter_spark.operators.scrub import (
+        k_anonymity_audit,
+        suppress_small_groups,
+    )
+
+    empty_docs = _empty_docs(spark)
+    assert epoch_shuffle(empty_docs, "doc_id", epoch=1).count() == 0
+
+    empty_cust = load(spark, "customer", SF_SMOKE).filter("c_custkey < 0")
+    audit = k_anonymity_audit(empty_cust, ["c_nationkey"], "c_acctbal")
+    assert audit.count() == 0
+    assert suppress_small_groups(empty_cust, ["c_nationkey"], "c_acctbal").count() == 0
+    # suppression with NO failing groups keeps every record
+    full = load(spark, "customer", SF_SMOKE)
+    assert (
+        suppress_small_groups(full, ["c_mktsegment"], "c_acctbal", k=1, min_l=1).count()
+        == full.count()
+    )
+
+    no_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    quality = spark.createDataFrame([(1, 10)], ["doc_id", "n_chars"])
+    assert cluster_survivors(no_pairs, quality, "doc_id", "n_chars").count() == 0
+
+    # audio stages on an empty / non-audio binary corpus: empty, right schema
+    empty_bin = spark.createDataFrame([], "path string, content binary")
+    assert empty_bin.mapInPandas(audio_frame_features, AUDIO_FRAME_SCHEMA).count() == 0
+    junk = spark.createDataFrame([("x.bin", b"not audio")], "path string, content binary")
+    assert junk.mapInPandas(audio_spectral_features, AUDIO_SPECTRAL_SCHEMA).count() == 0
