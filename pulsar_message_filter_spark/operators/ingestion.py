@@ -99,3 +99,60 @@ def a_ingest_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         F.lit(n_corrupt).cast("long").alias("n_corrupt_total"),
     )
+
+
+@graded(
+    "a_schema_evolution_read",
+    oracle="""
+        WITH evolved AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 3 = 0 THEN source END AS source,
+                   n_chars,
+                   CASE WHEN doc_id % 3 = 0 THEN n_chars / 100.0 END
+                       AS quality_score
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_rows,
+               count(source) AS n_with_source,
+               count(quality_score) AS n_scored,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(quality_score) AS min_quality,
+               max(quality_score) AS max_quality
+        FROM evolved GROUP BY 1
+    """,
+    section="A1,A2,C11",
+    description="schema-evolution read: two parquet generations (the old "
+    "writer lacks source/quality_score) merge-read with mergeSchema=true; "
+    "missing columns surface as NULLs; oracle recomputes the evolved "
+    "union relationally (hash-exact)",
+)
+def a_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB reality this pins: a long-lived dataset's early files
+    lack columns added later, and every reader must see ONE union schema
+    with NULLs for pre-evolution rows (Spark ``mergeSchema``; the DuckDB
+    twin of the same layout is ``union_by_name``).  The Spark side builds
+    the two-generation layout for real — writes gen-1 without the new
+    columns, gen-2 with them — and answers from the merged scan; only the
+    EXPECTED result is recomputed relationally in the oracle.  Fixture
+    build is a plan-time side job (off bench HEADLINE)."""
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="pmf_schema_evo_")
+    gen1 = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "lang", "n_chars")
+    gen2 = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "quality_score", F.col("n_chars") / 100.0
+    )
+    p1, p2 = os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    gen1.write.mode("overwrite").parquet(p1)
+    gen2.write.mode("overwrite").parquet(p2)
+    evolved = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return evolved.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("source").alias("n_with_source"),
+        F.count("quality_score").alias("n_scored"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )

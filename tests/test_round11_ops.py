@@ -200,3 +200,19 @@ def test_audio_spectral_closed_form(spark):
             assert 0 <= got[i]["rolloff_hz"] <= nyquist
             assert 0 <= got[i]["flatness"] <= 1.0
             assert got[i]["bandwidth_hz"] >= 0
+
+
+def test_schema_evolution_read_nulls(spark):
+    """mergeSchema materializes the union schema: pre-evolution rows carry
+    NULL for columns the old writer never had, and no row is lost."""
+    from pulsar_message_filter_spark.registry import all_graded
+
+    rows = {r.lang: r for r in all_graded()["a_schema_evolution_read"].fn(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert sum(r.n_rows for r in rows.values()) == docs.count()
+    for r in rows.values():
+        # only gen-2 (doc_id % 3 == 0) rows carry the evolved columns
+        assert r.n_with_source == r.n_scored <= r.n_rows
+        if r.n_scored:
+            assert r.min_quality is not None and r.max_quality >= r.min_quality
+    assert any(r.n_scored < r.n_rows for r in rows.values())  # both gens present
