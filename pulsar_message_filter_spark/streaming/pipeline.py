@@ -590,6 +590,53 @@ def user_profile_tws(stream: DataFrame, keep_last: int = 3) -> DataFrame:
     )
 
 
+def ttl_counter_tws(stream: DataFrame, ttl_ms: int) -> DataFrame:
+    """E8 state-TTL surface: a per-key counter whose VALUE STATE carries a
+    declarative ``ttlDurationMs`` — the store evicts it by wall clock with
+    no timer code at all (the third expiry mechanism next to
+    :func:`session_ttl_tws`'s event-time timers and
+    :func:`idle_key_eviction_tws`'s processing-time timers).
+
+    TTL state requires ``timeMode="ProcessingTime"``.  A key silent past
+    its TTL restarts from zero on its next arrival — the standard
+    bounded-state discipline for per-key caches (rate-limit counters,
+    enrichment caches) where explicit timer bookkeeping isn't worth it.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' python package "
+            "(Spark's TWS state-server protocol)"
+        ) from e
+    from typing import Iterator as _Iterator
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TTLCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n BIGINT", ttlDurationMs=ttl_ms)
+
+        def handleInputRows(
+            self, key, rows: _Iterator[pd.DataFrame], timerValues
+        ) -> _Iterator[pd.DataFrame]:
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TTLCounter(),
+        outputStructType="user_id bigint, n_seen bigint",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
 def bloom_dedup_pipeline(
     doc_stream: DataFrame,
     store_dir: str,

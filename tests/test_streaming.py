@@ -553,6 +553,69 @@ def test_tws_map_and_list_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_tws_state_ttl_expires_by_wall_clock(spark, tmp_path):
+    """E8 state TTL: value state declared with ttlDurationMs is evicted by
+    the store itself — a key arriving within the TTL accumulates, one
+    arriving after it restarts from zero, with no timer code."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pulsar_message_filter_spark.streaming.pipeline import ttl_counter_tws
+
+    input_dir = str(tmp_path / "in")
+    Path(input_dir).mkdir()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def wait_for_count(n, times=1, deadline_s=90):
+            t0 = time.time()
+            while time.time() - t0 < deadline_s:
+                counts = [r.n_seen for r in spark.table("tws_ttl").collect()]
+                if counts.count(n) >= times:
+                    return
+                time.sleep(0.5)
+            raise AssertionError(f"count {n} (x{times}) never appeared")
+
+        stream = file_message_stream(spark, input_dir)
+        # ProcessingTime mode (required for TTL) runs batches continuously,
+        # so processAllAvailable() hangs — poll the sink instead (same
+        # pattern as test_tws_processing_time_idle_eviction).
+        q = (
+            ttl_counter_tws(stream, ttl_ms=30_000)
+            .writeStream.format("memory")
+            .outputMode("update")
+            .trigger(processingTime="200 milliseconds")
+            .queryName("tws_ttl")
+            .start()
+        )
+        try:
+            _write_events(
+                spark, [(1, "2024-01-01 10:00:00", 3, "view", 1.0, "{}")], input_dir
+            )
+            wait_for_count(1)
+            # within TTL: state carries
+            _write_events(
+                spark, [(2, "2024-01-01 10:01:00", 3, "view", 1.0, "{}")], input_dir
+            )
+            wait_for_count(2)
+            time.sleep(35.0)  # wall clock past the 30 s TTL
+            _write_events(
+                spark, [(3, "2024-01-01 10:02:00", 3, "view", 1.0, "{}")], input_dir
+            )
+            # restarted from zero after TTL eviction: a SECOND n_seen=1 row
+            wait_for_count(1, times=2)
+            counts = [r.n_seen for r in spark.table("tws_ttl").collect()]
+            assert 3 not in counts  # expired state never reached 3
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_pb_shim_scoped_to_jvm(spark):
     """ADVICE r06: the protobuf shim must reach Spark's Python workers via
     the JVM's inherited env only — the test process's own ``PYTHONPATH``
