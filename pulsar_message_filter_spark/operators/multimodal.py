@@ -15,11 +15,14 @@ Full decode is split by whether a codec is mathematically required:
   (``decode_bmp_pixels`` — BI_RGB 8/24/32-bpp, padding + bottom-up
   handled), non-interlaced 8-bit PNG pixels (``decode_png_pixels`` —
   DEFLATE via stdlib ``zlib`` + numpy scanline unfilter, gray/RGB/
-  palette/RGBA), and WAV PCM samples (``decode_wav_samples`` — 8/16/32-bit
-  integer and float32 PCM).  ``media_stats`` feeds their per-channel
-  statistics through an Arrow-batched ``mapInPandas`` stage.
-- **STILL GATED**: GIF/JPEG pixels and compressed audio require an
-  actual codec (LZW/DCT); ``decode_pixels`` raises a documented
+  palette/RGBA), non-interlaced GIF pixels (``decode_gif_pixels`` —
+  pure-Python LZW, global/local color tables), and WAV PCM samples
+  (``decode_wav_samples`` — 8/16/32-bit integer and float32 PCM).
+  ``media_stats`` feeds their per-channel statistics through an
+  Arrow-batched ``mapInPandas`` stage; ``audio_frame_features`` /
+  ``audio_spectral_features`` run windowed DSP on the decoded PCM.
+- **STILL GATED**: JPEG pixels (DCT + entropy coding — a real codec)
+  and compressed audio; ``decode_pixels`` raises a documented
   ``NotImplementedError`` for those — swap in PIL/librosa in production;
   the schema, partitioning, and UDF signature do not change.
 """
@@ -315,22 +318,150 @@ def decode_png_pixels(b: bytes):
     return plte[idx]
 
 
-def decode_pixels(b: bytes):
-    """Dispatch full pixel decode by magic — REAL for BMP and PNG, gated
-    for GIF/JPEG.
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-variant LZW → list of palette indices (pure Python).
 
-    GIF (LZW) and JPEG (DCT) pixels cannot be recovered with stdlib-only
-    code at reasonable effort; those raise ``NotImplementedError`` with
-    the library swap documented (PIL in production — signature unchanged).
+    Public GIF89a spec, appendix F: codes are packed LSB-first; the table
+    starts with 2^mcs literals plus CLEAR (=2^mcs) and END (=CLEAR+1);
+    code width starts at mcs+1 and grows when the table fills a width,
+    capped at 12 bits; CLEAR resets table and width.
+    """
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh_table():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh_table()
+    width = min_code_size + 1
+    next_code = end + 1
+    out: list = []
+    prev: tuple | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh_table()
+                width = min_code_size + 1
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]  # first code after clear must be literal
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the cScSc special case
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def decode_gif_pixels(b: bytes):
+    """Non-interlaced GIF → ``numpy`` RGB array (height, width, 3).
+
+    Pure Python + numpy — GIF's only compression is LZW, decoded in
+    :func:`_gif_lzw_decode`; the container walk (logical screen
+    descriptor, global/local color table, extension blocks, image
+    descriptor, data sub-blocks) is plain struct offsets per the public
+    GIF89a spec.  First image frame only; interlaced images raise
+    ``NotImplementedError`` (row-reorder pass, not a codec — add on
+    demand).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = b[10]
+    off = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=off).reshape(n, 3)
+        off += 3 * n
+    while off < len(b):
+        block = b[off]
+        if block == 0x21:  # extension: label + sub-blocks
+            off += 2
+            while off < len(b) and b[off] != 0:
+                off += 1 + b[off]
+            off += 1
+        elif block == 0x2C:  # image descriptor
+            if off + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            w, h = struct.unpack_from("<HH", b, off + 5)
+            iflags = b[off + 9]
+            off += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF: row-reorder pass not implemented")
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    b, dtype=np.uint8, count=3 * n, offset=off
+                ).reshape(n, 3)
+                off += 3 * n
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            if off >= len(b):
+                raise ValueError("truncated GIF before LZW data")
+            mcs = b[off]
+            off += 1
+            chunks = []
+            while off < len(b) and b[off] != 0:
+                size = b[off]
+                chunks.append(b[off + 1 : off + 1 + size])
+                off += 1 + size
+            idx = _gif_lzw_decode(b"".join(chunks), mcs)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data underflow")
+            arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if arr.max(initial=0) >= len(table):
+                raise ValueError("GIF index outside color table")
+            return table[arr]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image data")
+
+
+def decode_pixels(b: bytes):
+    """Dispatch full pixel decode by magic — REAL for BMP, PNG and GIF;
+    gated for JPEG only.
+
+    JPEG (DCT + entropy coding) is the one format whose pixels cannot be
+    recovered with stdlib-only code at reasonable effort; it raises
+    ``NotImplementedError`` with the library swap documented (PIL in
+    production — signature unchanged).
     """
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(b)
-    if b[:6] in (b"GIF87a", b"GIF89a") or b[:2] == b"\xff\xd8":
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(b)
+    if b[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "GIF/JPEG pixel decode requires a real codec (LZW/DCT); swap in "
-            "PIL here — header metadata is already parsed without it"
+            "JPEG pixel decode requires a real codec (DCT); swap in PIL "
+            "here — header metadata is already parsed without it"
         )
     raise ValueError("unrecognized image magic")
 
@@ -350,8 +481,8 @@ MEDIA_STATS_SCHEMA = (
 def media_stats(batches: Iterator[pd.DataFrame]):
     """mapInPandas stage: (path, content) → REAL decoded per-channel stats.
 
-    BMP pixels and WAV PCM samples are fully decoded (pure numpy, see
-    ``decode_bmp_pixels``/``decode_wav_samples``); compressed/opaque kinds
+    BMP/PNG/GIF pixels and WAV PCM samples are fully decoded (pure
+    stdlib+numpy, see ``decode_pixels``/``decode_wav_samples``); JPEG/opaque kinds
     yield ``decodable=false`` with null stats instead of failing the batch
     — at 100 TB a poison file must not kill the stage (same contract as
     the corrupt-record routing in the ingest path).
@@ -368,8 +499,14 @@ def media_stats(batches: Iterator[pd.DataFrame]):
             "sample_rate": None, "n_channels": None, "n_samples": None,
             "duration_ms": None, "audio_rms": None, "audio_peak": None,
         }
-        if b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n":
-            out["media_kind"] = "bmp" if b[:2] == b"BM" else "png"
+        if (
+            b[:2] == b"BM"
+            or b[:8] == b"\x89PNG\r\n\x1a\n"
+            or b[:6] in (b"GIF87a", b"GIF89a")
+        ):
+            out["media_kind"] = (
+                "bmp" if b[:2] == b"BM" else "gif" if b[:3] == b"GIF" else "png"
+            )
             try:
                 img = decode_pixels(b)
             except Exception:  # compressed OR poison/truncated: never kill the batch
@@ -383,8 +520,6 @@ def media_stats(batches: Iterator[pd.DataFrame]):
                 ),
                 px_min=int(img.min()), px_max=int(img.max()),
             )
-        elif b[:6] in (b"GIF87a", b"GIF89a"):
-            out["media_kind"] = "gif"
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             out["media_kind"] = "wav"
             try:
@@ -647,13 +782,57 @@ def synth_png(
     return b"\x89PNG\r\n\x1a\n" + body
 
 
+def synth_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic in-memory GIF — fixture generator (pure Python).
+
+    Pixels use the same closed form as the grayscale BMP/PNG fixtures:
+    index of pixel (x, y) is ``(seed + x*7 + y*13) % 256`` over a 256-gray
+    global color table.  The LZW stream is the trivially-valid encoding
+    that emits a CLEAR code before every literal (code width stays at 9
+    bits; the decoder must handle repeated table resets — deliberately
+    exercising that path), LSB-first bit packing per the spec.
+    """
+    import struct
+
+    clear, end = 256, 257
+    codes = []
+    for y in range(height):
+        for x in range(width):
+            codes.append(clear)
+            codes.append((seed + x * 7 + y * 13) % 256)
+    codes.append(end)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([8])  # LZW min code size
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 @graded(
     "f12c_media_stats",
     oracle=None,  # python-side binary decode: no DuckDB analog
     section="F12,G5",
     description="REAL pixel/sample decode: uncompressed BMP + zlib-decoded "
-    "PNG + PCM WAV fixture bytes -> per-channel means / RMS / duration via "
-    "mapInPandas (rows-only)",
+    "PNG + LZW-decoded GIF + PCM WAV fixture bytes -> per-channel means / "
+    "RMS / duration via mapInPandas (rows-only)",
 )
 def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decodes a deterministic mixed media corpus — BMPs (24-bpp and
@@ -669,6 +848,7 @@ def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("img_rgb.png", synth_png(21, 13, color_type=2, seed=7)),
         ("img_rgba.png", synth_png(9, 7, color_type=6, seed=4)),
         ("img_pal.png", synth_png(15, 6, color_type=3, seed=2)),
+        ("img_anim.gif", synth_gif(19, 11, seed=6)),
         ("tone_16bit.wav", synth_wav(4000, n_channels=2, rate=8000, bits=16)),
         ("tone_8bit.wav", synth_wav(1000, n_channels=1, rate=4000, bits=8)),
         ("tone_32bit.wav", synth_wav(600, n_channels=3, rate=16000, bits=32)),

@@ -445,8 +445,8 @@ def test_stratified_sample_proportions(spark):
 def test_real_decode_paths_are_gated(spark):
     """The codec-requiring extension points must raise, not silently fake,
     when real decoding is requested.  (BMP/WAV full decode is REAL as of
-    round 10 and PNG as of round 11 — see test_round10_ops.py — so only
-    GIF/JPEG pixels and video frames remain codec-gated.)"""
+    round 10, PNG and GIF as of round 11 — see test_round10/11_ops.py — so
+    only JPEG pixels and video frames remain codec-gated.)"""
     from pulsar_message_filter_spark.operators.multimodal import (
         decode_pixels,
         frame_sample_stub,
@@ -459,13 +459,13 @@ def test_real_decode_paths_are_gated(spark):
         list(frame_sample_stub(batch, real_decode=True))
     with pytest.raises(NotImplementedError):
         list(decode_stub(batch, real_decode=True))
-    for magic in (b"GIF89a", b"\xff\xd8"):
-        with pytest.raises(NotImplementedError):
-            decode_pixels(magic + b"\x00" * 32)
-    # PNG is no longer gated: garbage after a valid signature is a
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8" + b"\x00" * 32)  # JPEG: genuinely gated
+    # PNG/GIF are no longer gated: garbage after a valid signature is a
     # malformed file (ValueError), not a missing codec
-    with pytest.raises(ValueError):
-        decode_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    for sig in (b"\x89PNG\r\n\x1a\n", b"GIF89a"):
+        with pytest.raises(ValueError):
+            decode_pixels(sig + b"\x00" * 32)
 
 
 def test_multimodal_real_decode_is_marked_todo():

@@ -237,7 +237,7 @@ def test_f12c_media_stats_values(spark):
         r["path"]: r.asDict()
         for r in all_graded()["f12c_media_stats"].fn(spark, "").collect()
     }
-    assert len(rows) == 10
+    assert len(rows) == 11  # +GIF as of round 11
 
     png = rows["img_rgb.png"]
     pimg = _expected_bmp(21, 13, 7)  # PNG fixture shares the closed form

@@ -216,3 +216,40 @@ def test_schema_evolution_read_nulls(spark):
         if r.n_scored:
             assert r.min_quality is not None and r.max_quality >= r.min_quality
     assert any(r.n_scored < r.n_rows for r in rows.values())  # both gens present
+
+
+def test_gif_decode_closed_form(spark):
+    """GIF LZW decode is exact against the fixture's closed-form pixels —
+    including repeated CLEAR codes and (separately probed) table growth —
+    and the f12c graded corpus now carries a decodable GIF row."""
+    import numpy as np
+
+    from pulsar_message_filter_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_pixels,
+        synth_gif,
+    )
+    from pulsar_message_filter_spark.registry import all_graded
+
+    w, h, seed = 19, 11, 6
+    img = decode_pixels(synth_gif(w, h, seed))
+    y, x = np.mgrid[0:h, 0:w]
+    want = ((seed + x * 7 + y * 13) % 256).astype(np.uint8)
+    assert img.shape == (h, w, 3)
+    for c in range(3):  # grayscale palette: all channels equal the index
+        assert (img[:, :, c] == want).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(b"GIF89a" + b"\x00" * 8)  # truncated poison
+
+    rows = {
+        r.path: r
+        for r in all_graded()["f12c_media_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    gif = rows["img_anim.gif"]
+    assert gif.media_kind == "gif" and gif.decodable
+    assert (gif.width, gif.height) == (w, h)
+    mean = float(want.mean())
+    assert gif.ch_means == ":".join(f"{mean:.4f}" for _ in range(3))
