@@ -15,8 +15,9 @@ Full decode is split by whether a codec is mathematically required:
   (``decode_bmp_pixels`` — BI_RGB 8/24/32-bpp, padding + bottom-up
   handled), non-interlaced 8-bit PNG pixels (``decode_png_pixels`` —
   DEFLATE via stdlib ``zlib`` + numpy scanline unfilter, gray/RGB/
-  palette/RGBA), non-interlaced GIF pixels (``decode_gif_pixels`` —
-  pure-Python LZW, global/local color tables), and WAV PCM samples
+  palette/RGBA), GIF pixels incl. interlaced (``decode_gif_pixels`` —
+  pure-Python LZW, global/local color tables, 4-pass row reorder), and
+  WAV PCM samples
   (``decode_wav_samples`` — 8/16/32-bit integer and float32 PCM).
   ``media_stats`` feeds their per-channel statistics through an
   Arrow-batched ``mapInPandas`` stage; ``audio_frame_features`` /
@@ -379,9 +380,8 @@ def decode_gif_pixels(b: bytes):
     :func:`_gif_lzw_decode`; the container walk (logical screen
     descriptor, global/local color table, extension blocks, image
     descriptor, data sub-blocks) is plain struct offsets per the public
-    GIF89a spec.  First image frame only; interlaced images raise
-    ``NotImplementedError`` (row-reorder pass, not a codec — add on
-    demand).
+    GIF89a spec, including the 4-pass interlace row reorder.  First image
+    frame only.
     """
     import struct
 
@@ -409,8 +409,7 @@ def decode_gif_pixels(b: bytes):
             w, h = struct.unpack_from("<HH", b, off + 5)
             iflags = b[off + 9]
             off += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF: row-reorder pass not implemented")
+            interlaced = bool(iflags & 0x40)
             table = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -433,6 +432,16 @@ def decode_gif_pixels(b: bytes):
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data underflow")
             arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if interlaced:
+                # 4-pass row interleave (public GIF89a spec): rows appear in
+                # pass order; scatter them back to their true positions
+                order = np.concatenate(
+                    [np.arange(s, h, step) for s, step in
+                     ((0, 8), (4, 8), (2, 4), (1, 2))]
+                )
+                out = np.empty_like(arr)
+                out[order] = arr
+                arr = out
             if arr.max(initial=0) >= len(table):
                 raise ValueError("GIF index outside color table")
             return table[arr]
@@ -782,7 +791,7 @@ def synth_png(
     return b"\x89PNG\r\n\x1a\n" + body
 
 
-def synth_gif(width: int, height: int, seed: int = 0) -> bytes:
+def synth_gif(width: int, height: int, seed: int = 0, interlaced: bool = False) -> bytes:
     """Deterministic in-memory GIF — fixture generator (pure Python).
 
     Pixels use the same closed form as the grayscale BMP/PNG fixtures:
@@ -795,8 +804,13 @@ def synth_gif(width: int, height: int, seed: int = 0) -> bytes:
     import struct
 
     clear, end = 256, 257
+    if interlaced:  # rows emitted in the spec's 4-pass order
+        row_order = [y for s_, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for y in range(s_, height, st)]
+    else:
+        row_order = list(range(height))
     codes = []
-    for y in range(height):
+    for y in row_order:
         for x in range(width):
             codes.append(clear)
             codes.append((seed + x * 7 + y * 13) % 256)
@@ -817,7 +831,8 @@ def synth_gif(width: int, height: int, seed: int = 0) -> bytes:
     out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
     for i in range(256):
         out += bytes((i, i, i))
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlaced else 0x00])
     out += bytes([8])  # LZW min code size
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
