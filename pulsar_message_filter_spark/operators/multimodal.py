@@ -13,9 +13,10 @@ Full decode is split by whether a codec is mathematically required:
 
 - **REAL, no library needed**: uncompressed BMP pixels
   (``decode_bmp_pixels`` — BI_RGB 8/24/32-bpp, padding + bottom-up
-  handled), non-interlaced 8-bit PNG pixels (``decode_png_pixels`` —
+  handled), 8-bit PNG pixels (``decode_png_pixels`` —
   DEFLATE via stdlib ``zlib`` + numpy scanline unfilter, gray/RGB/
-  palette/RGBA), GIF pixels incl. interlaced (``decode_gif_pixels`` —
+  palette/RGBA, sequential AND Adam7-interlaced), GIF pixels incl.
+  interlaced (``decode_gif_pixels`` —
   pure-Python LZW, global/local color tables, 4-pass row reorder), and
   WAV PCM samples
   (``decode_wav_samples`` — 8/16/32-bit integer and float32 PCM).
@@ -205,68 +206,26 @@ def decode_wav_samples(b: bytes):
     raise ValueError("WAV has no data chunk")
 
 
-def decode_png_pixels(b: bytes):
-    """Non-interlaced 8-bit PNG → ``numpy`` RGB array (height, width, 3).
+#: Adam7 pass grid (public PNG spec): (x_start, y_start, x_step, y_step).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Pure stdlib + numpy — PNG's only compression is DEFLATE, which ships
-    in ``zlib`` (the "needs a codec" claim was only ever true for JPEG's
-    DCT and GIF's LZW).  Pipeline per the public PNG spec (RFC 2083):
-    chunk walk → concatenated IDAT ``zlib.decompress`` → per-scanline
-    unfilter (None/Sub/Up/Average/Paeth; each scanline is prefixed by its
-    filter byte) → channel assembly.  Supported: bit depth 8, color types
-    0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA) —
-    alpha dropped, gray replicated, so the output contract matches
-    ``decode_bmp_pixels``.  Adam7 interlacing and sub-byte depths raise
-    ``NotImplementedError``; malformed bytes raise ``ValueError``.
 
-    Filters Sub and Up vectorize (lane-cumsum / row-add mod 256); Average
-    and Paeth are sequential per byte by definition (each reconstructed
-    byte feeds its right neighbor's predictor) — fine for the Arrow-batch
-    shapes this stage sees, and the loop is per-scanline, never per-file.
+def _png_unfilter(raw: bytes, width: int, height: int, nch: int):
+    """Reverse PNG scanline filtering over one (sub-)image.
+
+    ``raw`` must start at the first scanline's filter byte and hold at
+    least ``height * (width*nch + 1)`` bytes.  Filters Sub and Up
+    vectorize (lane-cumsum / row-add mod 256); Average and Paeth are
+    sequential per byte by definition (each reconstructed byte feeds its
+    right neighbor's predictor) — fine for the Arrow-batch shapes this
+    stage sees, and the loop is per-scanline, never per-file.  Returns
+    the reconstructed (height, width*nch) array.
     """
-    import struct
-    import zlib
-
     import numpy as np
 
-    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    width = height = color = None
-    plte = None
-    idat: list[bytes] = []
-    off = 8
-    while off + 8 <= len(b):
-        (length,) = struct.unpack_from(">I", b, off)
-        ctype = b[off + 4 : off + 8]
-        data = b[off + 8 : off + 8 + length]
-        if len(data) < length:
-            raise ValueError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data[:13]
-            )
-            if comp != 0 or filt != 0:
-                raise ValueError("non-standard PNG compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("Adam7-interlaced PNG not supported")
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} not supported")
-            if color not in (0, 2, 3, 4, 6):
-                raise ValueError(f"invalid PNG color type {color}")
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        off += 12 + length  # length + type + data + CRC
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:  # corrupt DEFLATE stream is malformed input
-        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = width * nch
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG pixel data shorter than geometry requires")
@@ -302,18 +261,95 @@ def decode_png_pixels(b: bytes):
             raise ValueError(f"invalid PNG filter type {ftype}")
         recon[y] = cur
         prev = cur
+    return recon
+
+
+def decode_png_pixels(b: bytes):
+    """8-bit PNG (sequential or Adam7-interlaced) → RGB (height, width, 3).
+
+    Pure stdlib + numpy — PNG's only compression is DEFLATE, which ships
+    in ``zlib`` (the "needs a codec" claim was only ever true for JPEG's
+    DCT).  Pipeline per the public PNG spec (RFC 2083): chunk walk →
+    concatenated IDAT ``zlib.decompress`` → per-scanline unfilter
+    (None/Sub/Up/Average/Paeth — :func:`_png_unfilter`) → channel
+    assembly.  Adam7 images run the unfilter once per pass (each pass is
+    an independently-filtered sub-image) and scatter pixels onto the
+    pass grid.  Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+    3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA) — alpha dropped, gray
+    replicated, so the output contract matches ``decode_bmp_pixels``.
+    Sub-byte depths raise ``NotImplementedError``; malformed bytes raise
+    ``ValueError``.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    width = height = color = None
+    plte = None
+    idat: list[bytes] = []
+    off = 8
+    while off + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, off)
+        ctype = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard PNG compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} not supported")
+            if color not in (0, 2, 3, 4, 6):
+                raise ValueError(f"invalid PNG color type {color}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        off += 12 + length  # length + type + data + CRC
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt DEFLATE stream is malformed input
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    if interlace == 0:
+        chan = _png_unfilter(raw, width, height, nch).reshape(height, width, nch)
+    else:  # Adam7: each pass is an independently-filtered sub-image
+        chan = np.zeros((height, width, nch), dtype=np.uint8)
+        off2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes
+            sub = _png_unfilter(raw[off2:], pw, ph, nch)
+            off2 += ph * (pw * nch + 1)
+            ys = np.arange(y0, height, dy)
+            xs = np.arange(x0, width, dx)
+            chan[np.ix_(ys, xs)] = sub.reshape(ph, pw, nch)
     if color == 2:
-        return recon.reshape(height, width, 3)
+        return chan
     if color == 6:
-        return np.ascontiguousarray(recon.reshape(height, width, 4)[:, :, :3])
+        return np.ascontiguousarray(chan[:, :, :3])
     if color == 0:
-        return np.repeat(recon.reshape(height, width, 1), 3, axis=2)
+        return np.repeat(chan, 3, axis=2)
     if color == 4:
-        return np.repeat(recon.reshape(height, width, 2)[:, :, :1], 3, axis=2)
+        return np.repeat(chan[:, :, :1], 3, axis=2)
     # color == 3: palette
     if plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    idx = recon.reshape(height, width)
+    idx = chan.reshape(height, width)
     if int(idx.max(initial=0)) >= len(plte):
         raise ValueError("PNG palette index out of range")
     return plte[idx]
@@ -714,7 +750,7 @@ def synth_wav(
 
 def synth_png(
     width: int, height: int, color_type: int = 2, seed: int = 0,
-    filters=None,
+    filters=None, interlace: bool = False,
 ) -> bytes:
     """Deterministic in-memory PNG — fixture generator (stdlib zlib only).
 
@@ -725,8 +761,9 @@ def synth_png(
     the filter byte per scanline (default cycles 0..4 so one fixture
     exercises every unfilter path); the encoder applies the chosen filter
     FORWARD per the spec, which the decoder must invert exactly.
-    Supported color types: 0 (gray), 2 (RGB), 3 (palette, grayscale
-    table), 6 (RGBA).
+    ``interlace=True`` emits the Adam7 pass layout (each pass filtered
+    independently).  Supported color types: 0 (gray), 2 (RGB), 3
+    (palette, grayscale table), 6 (RGBA).
     """
     import struct
     import zlib
@@ -743,44 +780,67 @@ def synth_png(
         if color_type == 6:
             chans.append((seed + x * 11 + y * 3) % 256)
         img = np.stack(chans, axis=-1).astype("uint8")
-    rows = img.reshape(height, width * nch)
     if filters is None:
         filters = [yy % 5 for yy in range(height)]
-    out_lines = []
-    prev = np.zeros(width * nch, dtype=np.uint8)
-    for yy in range(height):
-        cur = rows[yy]
-        ftype = filters[yy % len(filters)]
-        left = np.concatenate([np.zeros(nch, np.uint8), cur[:-nch]]) if width > 1 else np.zeros_like(cur)
-        ul = np.concatenate([np.zeros(nch, np.uint8), prev[:-nch]]) if width > 1 else np.zeros_like(prev)
-        if ftype == 0:
-            filt = cur.copy()
-        elif ftype == 1:
-            filt = cur - left
-        elif ftype == 2:
-            filt = cur - prev
-        elif ftype == 3:
-            filt = cur - (
-                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
-            ).astype(np.uint8)
-        else:  # Paeth
-            a = left.astype(np.int32)
-            up = prev.astype(np.int32)
-            c = ul.astype(np.int32)
-            p = a + up - c
-            pa, pb, pc = np.abs(p - a), np.abs(p - up), np.abs(p - c)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, up, c)
-            ).astype(np.uint8)
-            filt = cur - pred
-        out_lines.append(bytes([ftype]) + filt.tobytes())
-        prev = cur
+
+    def filter_lines(rows, pw):
+        """Apply the chosen forward filters over one (sub-)image's rows."""
+        lines = []
+        prev = np.zeros(pw * nch, dtype=np.uint8)
+        for yy in range(rows.shape[0]):
+            cur = rows[yy]
+            ftype = filters[yy % len(filters)]
+            left = (
+                np.concatenate([np.zeros(nch, np.uint8), cur[:-nch]])
+                if pw > 1 else np.zeros_like(cur)
+            )
+            ul = (
+                np.concatenate([np.zeros(nch, np.uint8), prev[:-nch]])
+                if pw > 1 else np.zeros_like(prev)
+            )
+            if ftype == 0:
+                filt = cur.copy()
+            elif ftype == 1:
+                filt = cur - left
+            elif ftype == 2:
+                filt = cur - prev
+            elif ftype == 3:
+                filt = cur - (
+                    (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+                ).astype(np.uint8)
+            else:  # Paeth
+                a = left.astype(np.int32)
+                up = prev.astype(np.int32)
+                c = ul.astype(np.int32)
+                p = a + up - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - up), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, up, c)
+                ).astype(np.uint8)
+                filt = cur - pred
+            lines.append(bytes([ftype]) + filt.tobytes())
+            prev = cur
+        return lines
+
+    if interlace:
+        out_lines = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out_lines += filter_lines(
+                sub.reshape(sub.shape[0], sub.shape[1] * nch), sub.shape[1]
+            )
+    else:
+        out_lines = filter_lines(img.reshape(height, width * nch), width)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     body = chunk(b"IHDR", ihdr)
     if color_type == 3:
         body += chunk(
@@ -864,6 +924,7 @@ def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("img_rgba.png", synth_png(9, 7, color_type=6, seed=4)),
         ("img_pal.png", synth_png(15, 6, color_type=3, seed=2)),
         ("img_anim.gif", synth_gif(19, 11, seed=6)),
+        ("img_adam7.png", synth_png(21, 13, color_type=2, seed=7, interlace=True)),
         ("tone_16bit.wav", synth_wav(4000, n_channels=2, rate=8000, bits=16)),
         ("tone_8bit.wav", synth_wav(1000, n_channels=1, rate=4000, bits=8)),
         ("tone_32bit.wav", synth_wav(600, n_channels=3, rate=16000, bits=32)),

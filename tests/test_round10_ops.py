@@ -135,11 +135,11 @@ def test_png_color_types_assemble_to_rgb():
 
 def test_png_gates_and_poison():
     decode, synth = _png()
-    # interlaced flag → still gated (Adam7 pass layout not implemented)
+    # invalid interlace method byte → malformed, not silently accepted
     b = bytearray(synth(4, 4))
     ihdr_off = bytes(b).index(b"IHDR")
-    b[ihdr_off + 4 + 12] = 1  # interlace byte is last of the 13 IHDR fields
-    with pytest.raises(NotImplementedError):
+    b[ihdr_off + 4 + 12] = 7  # interlace byte is last of the 13 IHDR fields
+    with pytest.raises(ValueError):
         decode(bytes(b))
     # 16-bit depth → gated
     b2 = bytearray(synth(4, 4))
@@ -237,7 +237,7 @@ def test_f12c_media_stats_values(spark):
         r["path"]: r.asDict()
         for r in all_graded()["f12c_media_stats"].fn(spark, "").collect()
     }
-    assert len(rows) == 11  # +GIF as of round 11
+    assert len(rows) == 12  # +GIF, +Adam7 PNG as of round 11
 
     png = rows["img_rgb.png"]
     pimg = _expected_bmp(21, 13, 7)  # PNG fixture shares the closed form
@@ -249,6 +249,9 @@ def test_f12c_media_stats_values(spark):
     assert png["px_min"] == int(pimg.min()) and png["px_max"] == int(pimg.max())
     assert rows["img_rgba.png"]["decodable"]  # alpha dropped, RGB stats
     assert rows["img_pal.png"]["decodable"]  # PLTE-mapped indices
+    # the Adam7 fixture is the same logical image as img_rgb.png: identical stats
+    assert rows["img_adam7.png"]["ch_means"] == png["ch_means"]
+    assert rows["img_adam7.png"]["decodable"]
 
     bmp = rows["img_24bpp.bmp"]
     img = _expected_bmp(32, 16, 3)

@@ -272,3 +272,23 @@ def test_gif_interlaced_decode():
         y, x = np.mgrid[0:h, 0:w]
         want = ((seed + x * 7 + y * 13) % 256).astype(np.uint8)
         np.testing.assert_array_equal(inter[:, :, 0], want)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: seven independently-filtered passes scatter back to the same
+    image the sequential encoding produces — across color types, partial
+    passes (odd sizes) and empty passes (tiny images)."""
+    import numpy as np
+
+    from pulsar_message_filter_spark.operators.multimodal import (
+        decode_png_pixels,
+        synth_png,
+    )
+
+    for (w, h, ct, seed) in (
+        (21, 13, 2, 7), (9, 7, 6, 4), (15, 6, 3, 2), (16, 8, 0, 3),
+        (1, 1, 2, 0), (2, 3, 2, 1), (7, 1, 2, 5), (1, 9, 2, 9),
+    ):
+        inter = decode_png_pixels(synth_png(w, h, color_type=ct, seed=seed, interlace=True))
+        plain = decode_png_pixels(synth_png(w, h, color_type=ct, seed=seed))
+        np.testing.assert_array_equal(inter, plain, err_msg=f"{w}x{h} ct{ct}")
