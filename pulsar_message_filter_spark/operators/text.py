@@ -605,7 +605,7 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     total = toks.agg(F.count("*").alias("n"))
     return (
         toks.join(counts, "term")
-        .crossJoin(total)
+        .crossJoin(F.broadcast(total))  # 1-row aggregate: always broadcast
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tok"),
