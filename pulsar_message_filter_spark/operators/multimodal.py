@@ -1123,6 +1123,109 @@ def f12e_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: One row per analysis frame: log-mel energies as a fixed-width CSV (no
+#: array output columns — registry rule).
+MEL_SCHEMA = "path string, frame_idx long, logmel_csv string"
+
+
+def mel_filterbank(n_mels: int, frame: int, rate: int):
+    """Triangular mel filterbank matrix ``(n_mels, frame//2 + 1)``.
+
+    Standard HTK-style construction (public literature): mel(f) =
+    2595·log10(1 + f/700); ``n_mels + 2`` equally-mel-spaced points from
+    0 to Nyquist become triangle corners over the rfft bin grid.  Pure
+    numpy; deterministic — tests recompute it independently.
+    """
+    import numpy as np
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    n_bins = frame // 2 + 1
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+    pts = from_mel(np.linspace(0.0, to_mel(rate / 2.0), n_mels + 2))
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, mid, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (freqs - lo) / max(mid - lo, 1e-12)
+        down = (hi - freqs) / max(hi - mid, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def mel_frame_features(
+    batches: Iterator[pd.DataFrame],
+    frame: int = 256,
+    hop: int = 128,
+    n_mels: int = 8,
+):
+    """mapInPandas stage: (path, content) WAV bytes → log-mel energies.
+
+    The standard speech/audio front-end one level above
+    :func:`audio_spectral_features`: Hann + rfft magnitude, triangular
+    mel filterbank, log.  Batch-vectorized numpy (one matmul per file:
+    ``(n_frames, n_bins) @ fb.T``); undecodable payloads emit nothing.
+    Energies ship as a rounded CSV string (registry rule: no raw arrays).
+    """
+    import numpy as np
+
+    cols = ["path", "frame_idx", "logmel_csv"]
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+    fbs: dict = {}
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name = path.rsplit("/", 1)[-1]
+            try:
+                samples, rate = decode_wav_samples(bytes(content))
+            except (ValueError, NotImplementedError):
+                continue
+            mono = samples.astype(np.float64)
+            if samples.dtype == np.uint8:
+                mono = mono - 128.0
+            mono = mono.mean(axis=1)
+            if len(mono) < frame:
+                continue
+            if rate not in fbs:
+                fbs[rate] = mel_filterbank(n_mels, frame, rate)
+            wins = np.lib.stride_tricks.sliding_window_view(mono, frame)[::hop]
+            mag = np.abs(np.fft.rfft(wins * hann, axis=1))
+            logmel = np.log10(mag @ fbs[rate].T + 1e-10)
+            for i in range(wins.shape[0]):
+                rows.append(
+                    (name, i, ",".join(f"{v:.4f}" for v in logmel[i]))
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@graded(
+    "f12f_mel_filterbank",
+    oracle=None,  # FFT + filterbank over python-decoded PCM: no DuckDB
+    # analog; pytest recomputes the log-mel matrix independently.
+    section="F12,G5",
+    description="log-mel filterbank energies per analysis frame: REAL PCM "
+    "decode -> Hann + rfft -> triangular mel filters -> log (one matmul "
+    "per file, rows-only)",
+)
+def f12f_mel_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-ready audio representation over the deterministic PCM
+    corpus (fixture-byte strategy; ``sf_dir`` unused)."""
+    corpus = [
+        ("tone_16bit.wav", synth_wav(4000, n_channels=2, rate=8000, bits=16)),
+        ("tone_8bit.wav", synth_wav(1500, n_channels=1, rate=4000, bits=8)),
+        ("poison.wav", b"RIFFjunk"),
+    ]
+    raw = spark.createDataFrame(corpus, "path string, content binary")
+    return (
+        raw.repartition(2)
+        .mapInPandas(mel_frame_features, schema=MEL_SCHEMA)
+        .orderBy("path", "frame_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # F12 — frame sampling (1→N fan-out) and resize (1→1 rewrite) stages
 # ---------------------------------------------------------------------------

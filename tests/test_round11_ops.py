@@ -292,3 +292,40 @@ def test_png_adam7_interlaced_decode():
         inter = decode_png_pixels(synth_png(w, h, color_type=ct, seed=seed, interlace=True))
         plain = decode_png_pixels(synth_png(w, h, color_type=ct, seed=seed))
         np.testing.assert_array_equal(inter, plain, err_msg=f"{w}x{h} ct{ct}")
+
+
+def test_mel_filterbank_closed_form(spark):
+    """Log-mel energies match an independent recomputation from the
+    synth_wav closed form; filter triangles partition the mel axis (every
+    interior rfft bin gets nonzero total weight); poison emits nothing."""
+    import numpy as np
+
+    from pulsar_message_filter_spark.operators.multimodal import mel_filterbank
+    from pulsar_message_filter_spark.registry import all_graded
+
+    fb = mel_filterbank(8, 256, 8000)
+    assert fb.shape == (8, 129)
+    assert (fb.sum(axis=0)[1:-1] > 0).all()  # interior bins covered
+
+    rows = [
+        r.asDict()
+        for r in all_graded()["f12f_mel_filterbank"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert rows and not any(r["path"] == "poison.wav" for r in rows)
+
+    frame, hop = 256, 128
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+    i, ch = np.mgrid[0:4000, 0:2]
+    mono = (((0 + i * 31 + ch * 17) % 200 - 100).astype(np.float64)).mean(axis=1)
+    wins = np.lib.stride_tricks.sliding_window_view(mono, frame)[::hop]
+    mag = np.abs(np.fft.rfft(wins * hann, axis=1))
+    want = np.log10(mag @ mel_filterbank(8, frame, 8000).T + 1e-10)
+    got = sorted(
+        (r for r in rows if r["path"] == "tone_16bit.wav"),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(got) == wins.shape[0]
+    for idx in (0, len(got) - 1):
+        vals = [float(v) for v in got[idx]["logmel_csv"].split(",")]
+        assert len(vals) == 8
+        np.testing.assert_allclose(vals, np.round(want[idx], 4), atol=1e-9)
