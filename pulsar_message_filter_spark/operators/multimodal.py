@@ -392,7 +392,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list:
             if code == end:
                 return out
             if prev is None:
-                entry = table[code]  # first code after clear must be literal
+                if code not in table:  # first code after clear must be literal
+                    raise ValueError("corrupt GIF LZW stream")
+                entry = table[code]
             elif code in table:
                 entry = table[code]
             elif code == next_code:  # the cScSc special case
@@ -974,7 +976,7 @@ def audio_frame_features(
             name = path.rsplit("/", 1)[-1]
             try:
                 samples, rate = decode_wav_samples(bytes(content))
-            except (ValueError, NotImplementedError):
+            except Exception:  # poison contract: malformed payloads emit nothing
                 continue
             mono = samples.astype(np.float64)
             if samples.dtype == np.uint8:
@@ -1058,7 +1060,7 @@ def audio_spectral_features(
             name = path.rsplit("/", 1)[-1]
             try:
                 samples, rate = decode_wav_samples(bytes(content))
-            except (ValueError, NotImplementedError):
+            except Exception:  # poison contract: malformed payloads emit nothing
                 continue
             mono = samples.astype(np.float64)
             if samples.dtype == np.uint8:
@@ -1181,7 +1183,7 @@ def mel_frame_features(
             name = path.rsplit("/", 1)[-1]
             try:
                 samples, rate = decode_wav_samples(bytes(content))
-            except (ValueError, NotImplementedError):
+            except Exception:  # poison contract: malformed payloads emit nothing
                 continue
             mono = samples.astype(np.float64)
             if samples.dtype == np.uint8:
@@ -1326,7 +1328,7 @@ def resize_stub(
                     xs = (np.arange(width) * img.shape[1]) // width
                     px = img[ys][:, xs].tobytes()
                     ok = True
-                except (ValueError, NotImplementedError):
+                except Exception:  # poison contract: fall back to the stub payload
                     px = bytes(b[: width * height]).ljust(width * height, b"\x00")
                     ok = False
                 rows.append((name, width, height, ok, px))

@@ -329,3 +329,59 @@ def test_mel_filterbank_closed_form(spark):
         vals = [float(v) for v in got[idx]["logmel_csv"].split(",")]
         assert len(vals) == 8
         np.testing.assert_allclose(vals, np.round(want[idx], 4), atol=1e-9)
+
+
+def test_poison_contract_covers_non_valueerror_failures(spark):
+    """Malformed payloads whose failures are NOT ValueError — a WAV with a
+    truncated fmt chunk (struct.error) and a GIF whose first post-clear
+    code is out of table — must not kill any poison-tolerant stage."""
+    import struct
+
+    from pulsar_message_filter_spark.operators.multimodal import (
+        AUDIO_FRAME_SCHEMA,
+        MEDIA_STATS_SCHEMA,
+        MEL_SCHEMA,
+        audio_frame_features,
+        media_stats,
+        mel_frame_features,
+        resize_stub,
+        synth_wav,
+    )
+
+    # struct.error class: fmt chunk declared 16 bytes but file ends after 6
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 30) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00\x40\x1f"
+    )
+    # KeyError class: CLEAR then a code beyond the literal table
+    bad_gif = bytearray(b"GIF89a") + struct.pack("<HH", 2, 2) + bytes([0x87, 0, 0])
+    for i in range(256):
+        bad_gif += bytes((i, i, i))
+    bad_gif += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00" + bytes([8])
+    word = (256) | (300 << 9)  # clear, then an out-of-table code
+    payload = word.to_bytes(3, "little")
+    bad_gif += bytes([len(payload)]) + payload + b"\x00\x3b"
+
+    corpus = [
+        ("bad.wav", bad_wav),
+        ("bad.gif", bytes(bad_gif)),
+        ("good.wav", synth_wav(600, n_channels=1, rate=4000, bits=16)),
+    ]
+    raw = spark.createDataFrame(corpus, "path string, content binary")
+
+    stats = {r.path: r for r in raw.mapInPandas(media_stats, MEDIA_STATS_SCHEMA).collect()}
+    assert not stats["bad.wav"].decodable and not stats["bad.gif"].decodable
+    assert stats["good.wav"].decodable
+
+    frames = raw.mapInPandas(audio_frame_features, AUDIO_FRAME_SCHEMA).collect()
+    assert frames and all(r.path == "good.wav" for r in frames)
+    mels = raw.mapInPandas(mel_frame_features, MEL_SCHEMA).collect()
+    assert mels and all(r.path == "good.wav" for r in mels)
+    resized = {
+        r.path: r
+        for r in raw.mapInPandas(
+            lambda it: resize_stub(it, 2, 2, real_decode=True), 
+            "path string, width int, height int, decoded boolean, pixels binary",
+        ).collect()
+    }
+    assert not resized["bad.gif"].decoded  # fell back to the stub payload
