@@ -166,7 +166,52 @@ def stream_kll_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "p")
 
 
+def _cms_readpath_oracle() -> str:
+    """The CMS rollup read path is hash-exact against the DIRECT
+    build+estimate oracle because merge-by-sum is exact: per-epoch cell
+    counts sum to the whole-table cell counts (the cell function is a
+    deterministic literal family).  Reuses the cms_user_event_counts
+    oracle template."""
+    from pulsar_message_filter_spark.operators.sketch import _cms_sql
+
+    return _cms_sql("user_id", "events", "WHERE user_id < 40", 1024, 4)
+
+
+@graded(
+    "stream_cms_rollup_readpath",
+    oracle=_cms_readpath_oracle(),
+    section="E10,C12,F14",
+    description="streaming CMS rollup READ PATH, hash-exact: 3 emulated "
+    "epochs of counter cells written through the epoch-keyed store, merged "
+    "on read (SUM over cells, the sketch's merge) and point-queried; the "
+    "oracle builds the same sketch directly — sum-merge exactness makes "
+    "the two answers identical",
+)
+def stream_cms_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives ``cms_build``/``hll_registers`` → epoch-keyed store →
+    ``read_sketch_rollup`` (merge-on-read, incl. the both-stores-committed
+    consistency semi-join) → ``cms_estimate`` end-to-end.  Plan-time side
+    job (store build) — off bench HEADLINE."""
+    from pulsar_message_filter_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        hll_registers,
+    )
+    from pulsar_message_filter_spark.streaming.pipeline import read_sketch_rollup
+
+    store = tempfile.mkdtemp(prefix="pmf_cms_readpath_")
+    events = load(spark, "events", sf_dir)
+    for e in range(_EPOCHS):
+        batch = events.filter(F.col("event_id") % _EPOCHS == e)
+        _epoch_write(cms_build(batch, "user_id"), e, f"{store}/cms")
+        _epoch_write(hll_registers(batch, "user_id"), e, f"{store}/hll")
+    merged_cms, _merged_hll = read_sketch_rollup(spark, store)
+    keys = events.filter(F.col("user_id") < 40).select("user_id").distinct()
+    return cms_estimate(merged_cms, keys, "user_id")
+
+
 __all__ = [
     "stream_mg_rollup_readpath",
     "stream_kll_rollup_readpath",
+    "stream_cms_rollup_readpath",
 ]

@@ -83,3 +83,34 @@ def test_rollup_readpath_store_is_epoch_keyed(spark, tmp_path):
     write_epoch(1)  # replayed micro-batch
     after = sorted(map(tuple, read_mg_rollup(spark, store, k=MG_K).collect()))
     assert before == after
+
+
+def test_cms_rollup_readpath_merge_identity(spark, tmp_path):
+    """Sum-merging per-epoch CMS cells equals building the sketch over the
+    whole table (merge exactness), and an epoch present in only ONE of the
+    two stores is excluded from the merge (the crash-consistency rule)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.operators.sketch import cms_build, hll_registers
+    from pulsar_message_filter_spark.streaming.pipeline import read_sketch_rollup
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    store = str(tmp_path / "store")
+
+    def write(df, sub, e):
+        (df.withColumn("epoch_id", F.lit(e))
+           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+           .partitionBy("epoch_id").parquet(f"{store}/{sub}"))
+
+    for e in range(EPOCHS):
+        batch = events.filter(F.col("event_id") % EPOCHS == e)
+        write(cms_build(batch, "user_id"), "cms", e)
+        write(hll_registers(batch, "user_id"), "hll", e)
+    merged, _ = read_sketch_rollup(spark, store)
+    direct = cms_build(events, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    # torn epoch: CMS written, HLL missing → that epoch must drop out
+    write(cms_build(events.limit(5), "user_id"), "cms", 99)
+    merged2, _ = read_sketch_rollup(spark, store)
+    assert sorted(map(tuple, merged2.collect())) == sorted(map(tuple, direct.collect()))
