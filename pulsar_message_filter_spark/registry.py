@@ -77,8 +77,9 @@ def graded(
 # after never-verified ones, so provenance is explicit and the window
 # drains the least-evidenced queries first.
 _DRIVER_VERIFIED = frozenset(
-    {"abtest_cuped", "abtest_mann_whitney", "abtest_poisson_bootstrap",
-    "abtest_ratio_bootstrap", "abtest_two_proportion", "abtest_welch_t",
+    {"a_schema_evolution_read", "abtest_cuped", "abtest_mann_whitney",
+    "abtest_poisson_bootstrap", "abtest_ratio_bootstrap",
+    "abtest_two_proportion", "abtest_welch_t", "activity_heatmap",
     "agg_approx_count_distinct", "agg_approx_percentile", "agg_argminmax",
     "agg_bitwise", "agg_collect_sorted", "agg_corr_exact",
     "agg_count_distinct", "agg_cube", "agg_distinct", "agg_gini_exact",
@@ -86,52 +87,67 @@ _DRIVER_VERIFIED = frozenset(
     "agg_moments_exact", "agg_percentiles", "agg_pivot",
     "agg_predicate_family", "agg_rollup", "agg_stats", "agg_trimmed_mean",
     "agg_unpivot", "agg_weighted_median", "agg_weighted_quantiles",
-    "anomaly_mad_outliers", "basket_lift_pairs", "basket_lift_weekly",
+    "alloc_largest_remainder", "anomaly_mad_outliers",
+    "anomaly_rolling_zscore", "attribution_first_touch",
+    "attribution_linear", "basket_lift_pairs", "basket_lift_weekly",
     "basket_rules", "behavior_activity_streaks", "behavior_markov_entropy",
     "behavior_markov_stationary", "behavior_session_pmi",
-    "calib_isotonic_binned", "changepoint_cusum", "cms_user_event_counts",
-    "corpus_zipf_slope", "crosstab_cramers_v", "drift_benford_profile",
+    "calib_isotonic_binned", "cdc_snapshot_diff", "cdc_table_checksum",
+    "changepoint_cusum", "cms_user_event_counts", "cohort_retention",
+    "cohort_retention_monthly", "corpus_zipf_slope", "crosstab_cramers_v",
+    "decay_score_asof", "dq_violation_report", "drift_benford_profile",
     "drift_ks_two_sample", "drift_psi_value", "drift_wasserstein",
-    "f10_corpus_profile", "f11_quality_filter", "f11b_gopher_ratios",
-    "f12_multimodal_features", "f13_label_centroids", "f13_normalize",
-    "f15_curation_pipeline", "f18_incremental_dedup", "f1_exact_dedup",
-    "f20_dedup_clusters", "f21_topk_int8", "f29_train_val_test_split",
+    "epoch_shuffle_order", "f10_corpus_profile", "f11_quality_filter",
+    "f11b_gopher_ratios", "f12_multimodal_features", "f13_label_centroids",
+    "f13_normalize", "f15_curation_pipeline", "f16_training_mixture",
+    "f17_sequence_packing", "f18_incremental_dedup",
+    "f19_curation_to_packing", "f1_exact_dedup", "f20_dedup_clusters",
+    "f21_topk_int8", "f22_contamination", "f23_repetition_profile",
+    "f24_span_dedup", "f25_pii_scrub", "f26_domain_profile",
+    "f27_shard_balance", "f28_price_histogram", "f29_train_val_test_split",
     "f2_embedding_neardup", "f2_jaccard_pairs", "f2_minhash_lsh",
     "f2_minhash_lsh_tuned", "f2_simhash", "f30_label_balanced_sample",
-    "f34_bloom_prefilter_dedup", "f36_token_entropy",
-    "f37_containment_pairs", "f38_unigram_surprisal",
+    "f31_neardup_degree_profile", "f32_quality_weighted_keep",
+    "f33_dedup_survivor_pick", "f34_bloom_prefilter_dedup",
+    "f36_token_entropy", "f37_containment_pairs", "f38_unigram_surprisal",
     "f39_prefix_filter_jaccard", "f3_cosine_pairs", "f40_matryoshka_recall",
-    "f41_rrf_fusion", "f42_doc_chunking", "f49_mmr_rerank",
-    "f4_topk_cosine", "f4_topk_ivf", "f4_topk_ivf_auto", "f4_topk_lsh",
-    "f4_topk_numpy", "f54_bigram_perplexity", "f55_vocab_coverage",
-    "f56_ngram_novelty", "f57_winnowing_candidates", "f58_hard_negatives",
+    "f41_rrf_fusion", "f42_doc_chunking", "f48_quantile_normalize",
+    "f49_mmr_rerank", "f4_topk_cosine", "f4_topk_ivf", "f4_topk_ivf_auto",
+    "f4_topk_lsh", "f4_topk_numpy", "f53_bpe_pair_merges",
+    "f54_bigram_perplexity", "f55_vocab_coverage", "f56_ngram_novelty",
+    "f57_winnowing_candidates", "f58_hard_negatives",
     "f59_retrieval_metrics", "f5_knn_vote", "f60_knn_eval",
     "f61_common_substring_spans", "f64_power_iteration_pca",
     "f65_dataset_card", "f66_threshold_sweep", "f67_consistent_sharding",
     "f6_token_stats", "f6b_char_profile", "f6c_subword_counts",
     "f6d_rolling_fingerprint", "f6e_langid_heuristic",
-    "f70_rendezvous_sharding", "f71_preference_pairs", "f7_stopword_filter",
-    "f8_top_bigrams", "f9_tfidf", "feature_quantile_bins",
-    "feature_target_encode_loo", "feature_winsorize", "feature_zscore",
+    "f70_rendezvous_sharding", "f71_preference_pairs",
+    "f73_cluster_survivors", "f7_stopword_filter", "f8_top_bigrams",
+    "f9_tfidf", "feature_quantile_bins", "feature_target_encode_loo",
+    "feature_winsorize", "feature_zscore", "forecast_seasonal_backtest",
     "func_array", "func_array2", "func_array3", "func_array4",
     "func_bitwise", "func_conditional", "func_datetime", "func_datetime2",
     "func_datetime3", "func_hash", "func_hash_spark_native", "func_map2",
     "func_map3", "func_map_json", "func_math", "func_regex", "func_string",
     "func_string2", "func_string3", "funnel_conversion",
-    "fuzzy_jaro_winkler", "fuzzy_mutual_best", "fuzzy_vocab_pairs",
-    "g1_scalar_udf", "g3_pandas_udaf", "g4_grouped_map", "g5_map_in_pandas",
+    "funnel_conversion_lag", "funnel_session_strict", "fuzzy_jaro_winkler",
+    "fuzzy_mutual_best", "fuzzy_vocab_pairs", "g1_scalar_udf",
+    "g3_pandas_udaf", "g4_grouped_map", "g5_map_in_pandas",
     "g5b_map_in_arrow", "g6_udtf_shingles", "global_dense_ids",
     "global_topk", "graph_khop_reachability", "graph_label_propagation",
     "graph_local_clustering", "graph_triangle_count",
     "hll_audience_overlap", "hll_distinct_users", "hll_windowed_merge",
-    "impute_group_median", "interval_campaign_overlap", "join_anti",
+    "impute_group_median", "incremental_partial_merge",
+    "interevent_gap_profile", "interval_campaign_overlap",
+    "interval_max_concurrency", "ivm_agg_maintenance", "join_anti",
     "join_asof", "join_asof_nearest", "join_asof_tolerance",
     "join_broadcast_dims", "join_cross", "join_full_outer",
     "join_left_outer", "join_null_safe", "join_range_theta", "join_semi",
     "kmv_distinct_jaccard", "kmv_set_difference", "linkage_entity_clusters",
     "mi_type_hour_profile", "mixture_nucleus_topp",
     "mixture_temperature_weights", "order_nulls_last",
-    "pagerank_neardup_hubs", "pareto_frontier_2d", "pipeline_composite",
+    "pagerank_neardup_hubs", "pareto_frontier_2d", "path_transitions",
+    "pipeline_composite", "privacy_k_anonymity", "privacy_suppression",
     "q10_returned_items", "q11_important_parts", "q12_shipping_buckets",
     "q13_order_count_distribution", "q14_promo_revenue_share",
     "q15_top_supplier", "q16_part_supplier_variety",
@@ -141,48 +157,35 @@ _DRIVER_VERIFIED = frozenset(
     "q4_order_priority", "q5_local_supplier_revenue", "q6_forecast_revenue",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "quantile_histogram_estimate", "regression_residual_profile",
-    "robust_theil_sen", "rollup_two_level", "salted_hot_key_agg",
-    "sample_hash_deterministic", "sample_neyman_allocation",
-    "sample_reservoir_merge", "sample_seeded", "sample_stratified",
-    "sample_weighted_deterministic", "scalar_subquery", "scd2_asof_revenue",
-    "scd2_multi_epoch", "selector_3vl_null", "selector_between",
-    "selector_comparison_arith", "selector_documents", "selector_fanout",
-    "selector_flagship_window", "selector_header_time", "selector_in",
-    "selector_like", "selector_like_escape", "selector_params",
-    "selector_props_coercion", "selector_regex", "selector_verdict_routing",
-    "setop_all_variants", "setop_intersect_except", "setop_union_all",
-    "setop_union_missing_cols", "sketch_misra_gries",
+    "rfm_segmentation", "robust_theil_sen", "rolling_active_users",
+    "rollup_two_level", "salted_hot_key_agg", "sample_hash_deterministic",
+    "sample_neyman_allocation", "sample_reservoir_merge", "sample_seeded",
+    "sample_stratified", "sample_weighted_deterministic", "scalar_subquery",
+    "scd2_asof_revenue", "scd2_multi_epoch", "selector_3vl_null",
+    "selector_between", "selector_comparison_arith", "selector_documents",
+    "selector_fanout", "selector_flagship_window", "selector_header_time",
+    "selector_in", "selector_like", "selector_like_escape",
+    "selector_params", "selector_props_coercion", "selector_regex",
+    "selector_verdict_routing", "session_top_paths", "setop_all_variants",
+    "setop_intersect_except", "setop_union_all", "setop_union_missing_cols",
+    "share_of_total", "sketch_misra_gries", "sketch_sample_quantiles",
     "sql_shared_case_join", "sql_shared_cte_setops", "sql_shared_exists",
     "sql_shared_grouping_sets", "sql_shared_in_subquery",
-    "sql_shared_pricing", "sql_shared_window", "stream_dedup_first",
-    "stream_static_join", "stream_stream_join", "survival_kaplan_meier",
-    "throttle_per_user_hour", "timeseries_seasonal_decompose",
+    "sql_shared_pricing", "sql_shared_window", "stream_cms_rollup_readpath",
+    "stream_dedup_first", "stream_mg_rollup_readpath", "stream_static_join",
+    "stream_stream_join", "survival_kaplan_meier", "throttle_per_user_hour",
+    "timeseries_autocorr", "timeseries_ewma", "timeseries_gapfill",
+    "timeseries_seasonal_decompose", "timeseries_trend_slope",
     "topk_per_group", "topk_with_ties", "window_distribution",
     "window_lag_lead", "window_range_frame", "window_rank",
     "window_rolling_corr", "window_running_sum", "window_session",
     "window_sliding", "window_tumbling", "window_value_functions"}
 )
 _LOCALLY_VERIFIED = frozenset(
-    {"activity_heatmap", "alloc_largest_remainder",
-    "anomaly_rolling_zscore", "attribution_first_touch",
-    "attribution_linear", "cdc_snapshot_diff", "cdc_table_checksum",
-    "cohort_retention", "cohort_retention_monthly", "decay_score_asof",
-    "dq_violation_report", "eval_auc_rank", "f16_training_mixture",
-    "f17_sequence_packing", "f19_curation_to_packing", "f22_contamination",
-    "f23_repetition_profile", "f24_span_dedup", "f25_pii_scrub",
-    "f26_domain_profile", "f27_shard_balance", "f28_price_histogram",
-    "f31_neardup_degree_profile", "f32_quality_weighted_keep",
-    "f33_dedup_survivor_pick", "f43_bm25_topk", "f44_inverted_index",
+    {"eval_auc_rank", "f43_bm25_topk", "f44_inverted_index",
     "f45_chi2_token_label", "f46_pmi_token_pairs",
-    "f47_js_divergence_sources", "f48_quantile_normalize",
-    "f50_sorted_neighborhood", "f51_semantic_dedup", "f52_dsir_weights",
-    "f53_bpe_pair_merges", "forecast_seasonal_backtest",
-    "funnel_conversion_lag", "funnel_session_strict",
-    "incremental_partial_merge", "interevent_gap_profile",
-    "interval_max_concurrency", "ivm_agg_maintenance", "path_transitions",
-    "rfm_segmentation", "rolling_active_users", "session_top_paths",
-    "share_of_total", "sketch_sample_quantiles", "timeseries_autocorr",
-    "timeseries_ewma", "timeseries_gapfill", "timeseries_trend_slope"}
+    "f47_js_divergence_sources", "f50_sorted_neighborhood",
+    "f51_semantic_dedup", "f52_dsir_weights"}
 )
 
 
