@@ -624,9 +624,16 @@ def f18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-1 docs under new ids, plus fresh docs) dedups against it.  The
     expected survivor set is exactly the fresh docs — pinned in pytest
     ``test_minhash_dedup_incremental`` with the same construction."""
+    import os
+    import shutil
     import tempfile
 
-    store = tempfile.mkdtemp(prefix="pmf_sigstore_")
+    # Deterministic per-sf store, wiped at invocation start: the demo needs
+    # an EMPTY history (batch-1 signatures append), and a fresh mkdtemp per
+    # run leaked a /tmp dir per gate/bench invocation (VERDICT r07 hygiene).
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    store = os.path.join(tempfile.gettempdir(), f"pmf_sigstore_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
     docs = load(spark, "documents", sf_dir)
     batch1 = docs.filter(F.col("doc_id") < 40)
     minhash_dedup_incremental(batch1, store).count()  # materialize ingest 1

@@ -139,7 +139,10 @@ def a_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
     )
-    root = tempfile.mkdtemp(prefix="pmf_schema_evo_")
+    # Deterministic per-sf fixture dir (not mkdtemp): repeated gate/bench
+    # runs overwrite in place instead of leaking a fresh /tmp dir each time.
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"pmf_schema_evo_{tag}")
     gen1 = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "lang", "n_chars")
     gen2 = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
         "quality_score", F.col("n_chars") / 100.0

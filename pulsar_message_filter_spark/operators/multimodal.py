@@ -298,6 +298,8 @@ def decode_png_pixels(b: bytes):
         if len(data) < length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(data) < 13:  # declared length < 13 → struct.error otherwise
+                raise ValueError("truncated PNG IHDR")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
@@ -412,7 +414,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list:
 
 
 def decode_gif_pixels(b: bytes):
-    """Non-interlaced GIF → ``numpy`` RGB array (height, width, 3).
+    """GIF (incl. interlaced) → ``numpy`` RGB array (height, width, 3).
 
     Pure Python + numpy — GIF's only compression is LZW, decoded in
     :func:`_gif_lzw_decode`; the container walk (logical screen

@@ -25,6 +25,7 @@ not events, and raw values never shuffle twice.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,15 @@ from pulsar_message_filter_spark.registry import graded
 
 _EPOCHS = 3
 _MG_K = 12  # < #users (150 at sf0.01) so the threshold subtraction is live
+
+
+def _store_dir(query: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) store path (not ``mkdtemp``): repeated
+    gate/bench runs rewrite the same epoch partitions via the dynamic
+    overwrite in :func:`_epoch_write` instead of leaking a fresh /tmp dir
+    per invocation (VERDICT r07 hygiene note)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"pmf_{query}_{tag}_e{_EPOCHS}")
 
 
 def _epoch_write(summary: DataFrame, epoch: int, store_dir: str) -> None:
@@ -105,7 +115,7 @@ def stream_mg_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_mg_rollup,
     )
 
-    store = tempfile.mkdtemp(prefix="pmf_mg_readpath_")
+    store = _store_dir("mg_readpath", sf_dir)
     events = load(spark, "events", sf_dir)
     for e in range(_EPOCHS):
         batch = events.filter(F.col("event_id") % _EPOCHS == e)
@@ -134,7 +144,7 @@ def stream_kll_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_kll_rollup,
     )
 
-    store = tempfile.mkdtemp(prefix="pmf_kll_readpath_")
+    store = _store_dir("kll_readpath", sf_dir)
     events = load(spark, "events", sf_dir).select(
         "event_id", "event_type", F.col("value").alias("v")
     )
@@ -199,7 +209,7 @@ def stream_cms_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pulsar_message_filter_spark.streaming.pipeline import read_sketch_rollup
 
-    store = tempfile.mkdtemp(prefix="pmf_cms_readpath_")
+    store = _store_dir("cms_readpath", sf_dir)
     events = load(spark, "events", sf_dir)
     for e in range(_EPOCHS):
         batch = events.filter(F.col("event_id") % _EPOCHS == e)

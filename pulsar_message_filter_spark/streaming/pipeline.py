@@ -1279,8 +1279,12 @@ def kll_epoch_summary(
                 }
             )
 
+    # Derive the key type from the input schema (a hardcoded 'string' would
+    # silently coerce or fail the Arrow exchange for numeric keys — the same
+    # bug class fixed in sketch.kll_group_quantiles).
+    gtype = batch.schema[key_col].dataType.simpleString()
     return batch.select(key_col, value_col).mapInPandas(
-        build, schema=f"{key_col} string, sketch string"
+        build, schema=f"{key_col} {gtype}, sketch string"
     )
 
 
@@ -1347,8 +1351,9 @@ def read_kll_rollup(spark, store_dir: str, ps=(0.25, 0.5, 0.75, 0.9), epochs=Non
             }
         )
 
+    gtype = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).applyInPandas(
-        merge, schema=f"{key_col} string, p double, est_value double, sketch_n long"
+        merge, schema=f"{key_col} {gtype}, p double, est_value double, sketch_n long"
     )
 
 

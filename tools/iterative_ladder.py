@@ -115,7 +115,9 @@ def run_khop(spark, n_components: int, chain_len: int, hops: int = 4) -> dict:
     return {"sec": round(sec, 2), "iterations": hops}
 
 
-def exponent(t1: float, tn: float, n: int) -> float:
+def exponent(t1: float, tn: float, n: int) -> float | None:
+    if n <= 1:  # single-factor run: no span to fit an exponent over
+        return None
     return round(math.log(max(tn, 1e-9) / max(t1, 1e-9)) / math.log(n), 2)
 
 
