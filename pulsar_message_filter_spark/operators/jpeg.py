@@ -1,0 +1,554 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) in pure numpy —
+retires the last F12 codec gate (VERDICT r07 "what's missing" #3).
+
+Same fixture philosophy as the PNG/GIF/BMP/WAV decoders in
+``multimodal.py``: :func:`synth_jpeg` is a from-spec FORWARD encoder
+(level shift → 8×8 DCT-II → quantize → zigzag → category/Huffman
+entropy coding with byte stuffing), and :func:`decode_jpeg_pixels`
+independently INVERTS the format from the spec (marker walk, DQT/DHT/
+SOF0/SOS parse, canonical-Huffman bit reader, dequant, IDCT, chroma
+upsample, YCbCr→RGB).  Because JPEG is lossy, tests pin exactness only
+where the math is exact — constant blocks (all AC = 0) and all-ones
+quant tables (round-trip error bounded by IDCT float rounding, ≤1 LSB)
+— plus geometry/subsampling invariants on multi-MCU images.
+
+Scope: baseline sequential (SOF0), 8-bit, grayscale or 3-component
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart markers honored
+on decode.  Progressive (SOF2), arithmetic coding, and 12-bit precision
+raise ``NotImplementedError`` — documented gates, not silent wrongness.
+Malformed bytes raise ``ValueError`` (the poison contract upstream
+stages rely on).
+
+At scale this decoder is fixture-grade (pure-Python entropy loop); the
+production swap is a vectorized codec behind the same signature — the
+Spark-side plumbing (Arrow-batched ``mapInPandas``, poison handling)
+is identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- 8-point orthonormal DCT-II basis: forward F = A @ f @ A.T ------------
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if k == 0 else 1.0)
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            / 2.0
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+# zigzag scan order: anti-diagonals, direction alternating (T.81 fig. 5)
+_ZIGZAG = sorted(
+    ((i, j) for i in range(8) for j in range(8)),
+    key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else p[1]),
+)
+_ZZ_ROWS = np.array([i for i, _ in _ZIGZAG])
+_ZZ_COLS = np.array([j for _, j in _ZIGZAG])
+
+#: Annex K.1 luminance quantization table (the public reference table).
+LUMA_QUANT = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+#: Annex K.2 chrominance quantization table.
+CHROMA_QUANT = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per the T.81 canonical algorithm (C.2)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# Encoder-side Huffman tables.  The stream carries its own DHT segments,
+# so these need only be VALID canonical tables covering every symbol the
+# encoder can emit — they are deliberately simple, not the Annex K typical
+# tables (decoders must honor whatever DHT says; ours does).
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]  # 12 × len-4
+_DC_HUFFVAL = list(range(12))
+_AC_HUFFVAL = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)  # EOB, ZRL, and every (run, size): 162 symbols
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 34, 0, 0, 0, 0, 0, 0, 0]
+assert sum(_AC_BITS) == len(_AC_HUFFVAL)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    """Reads entropy-coded bits; de-stuffs FF00, surfaces restart markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self._b = data
+        self._pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None  # pending non-RST marker, if hit
+
+    def _fill(self) -> None:
+        if self._pos >= len(self._b):
+            raise ValueError("truncated JPEG entropy data")
+        byte = self._b[self._pos]
+        self._pos += 1
+        if byte == 0xFF:
+            if self._pos >= len(self._b):
+                raise ValueError("truncated JPEG marker in entropy data")
+            nxt = self._b[self._pos]
+            if nxt == 0x00:
+                self._pos += 1  # stuffed FF
+            else:
+                # a real marker: rewind, let the caller handle it
+                self._pos -= 1
+                raise ValueError("marker inside entropy-coded data")
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self, expect: int) -> None:
+        """Consume an RSTn marker at a restart boundary (byte-aligned)."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self._pos + 1 < len(self._b)
+            and self._b[self._pos] == 0xFF
+            and 0xD0 <= self._b[self._pos + 1] <= 0xD7
+        ):
+            if self._b[self._pos + 1] != 0xD0 + (expect & 7):
+                raise ValueError("out-of-sequence JPEG restart marker")
+            self._pos += 2
+        else:
+            raise ValueError("missing JPEG restart marker")
+
+    def tell(self) -> int:
+        return self._pos
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_magnitude(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _extend(raw: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return raw if raw >= (1 << (t - 1)) else raw - (1 << t) + 1
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _plane_blocks(plane: np.ndarray, quant: np.ndarray):
+    """Yield quantized zigzag coefficient vectors for each 8×8 block,
+    row-major; plane is already padded to multiples of 8 and level-shifted."""
+    h, w = plane.shape
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = plane[by : by + 8, bx : bx + 8]
+            coef = _A @ block @ _A.T
+            q = np.round(coef / quant).astype(np.int64)
+            yield q[_ZZ_ROWS, _ZZ_COLS]
+
+
+def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    return np.pad(
+        plane,
+        ((0, h - plane.shape[0]), (0, w - plane.shape[1])),
+        mode="edge",
+    )
+
+
+def synth_jpeg(
+    width: int,
+    height: int,
+    seed: int = 0,
+    grayscale: bool = False,
+    subsampling: tuple[int, int] = (2, 2),
+    luma_quant: np.ndarray | None = None,
+    chroma_quant: np.ndarray | None = None,
+    pixels: np.ndarray | None = None,
+) -> bytes:
+    """Deterministic in-memory baseline JPEG — fixture generator.
+
+    Default pixels use the shared closed form ``(seed + x*7 + y*13 +
+    c*29) % 256`` (same as ``synth_bmp``/``synth_png``) so tests can
+    recompute expectations independently; ``pixels`` overrides for exact
+    round-trip pins.  ``subsampling`` is the luma (H, V) sampling factor
+    — (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0; chroma is always
+    (1, 1).
+    """
+    if pixels is None:
+        y, x = np.mgrid[0:height, 0:width]
+        pixels = np.stack(
+            [(seed + x * 7 + y * 13 + c * 29) % 256 for c in range(3)], axis=-1
+        ).astype(np.uint8)
+    lq = LUMA_QUANT if luma_quant is None else np.asarray(luma_quant, np.int32)
+    cq = CHROMA_QUANT if chroma_quant is None else np.asarray(chroma_quant, np.int32)
+
+    if grayscale:
+        comps = [(1, (1, 1), 0)]  # (comp id, (h, v), quant slot)
+        planes = [_rgb_to_ycbcr(pixels)[..., 0]]
+        tables = [lq]
+    else:
+        hs, vs = subsampling
+        ycc = _rgb_to_ycbcr(pixels)
+        yp = ycc[..., 0]
+        # chroma planes: box-average over the sampling cell, the spec-
+        # conventional downsample
+        ch, cw = -(-height // vs), -(-width // hs)
+        cbp = np.zeros((ch, cw))
+        crp = np.zeros((ch, cw))
+        pad_y = _pad_to(ycc[..., 1], ch * vs, cw * hs)
+        pad_r = _pad_to(ycc[..., 2], ch * vs, cw * hs)
+        cbp = pad_y.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
+        crp = pad_r.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
+        comps = [(1, (hs, vs), 0), (2, (1, 1), 1), (3, (1, 1), 1)]
+        planes = [yp, cbp, crp]
+        tables = [lq, cq]
+
+    hmax = max(h for _, (h, _v), _ in comps)
+    vmax = max(v for _, (_h, v), _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # pad each plane to whole MCUs at ITS sampling rate, quantize blocks
+    blocks: list[list[np.ndarray]] = []
+    for (cid, (h, v), slot), plane in zip(comps, planes):
+        ph, pw = 8 * v * mcus_y, 8 * h * mcus_x
+        padded = _pad_to(plane, ph, pw) - 128.0
+        # index blocks row-major within the padded plane
+        bw = pw // 8
+        blk = list(_plane_blocks(padded, tables[slot]))
+        blocks.append((blk, bw, h, v))
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_HUFFVAL)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_HUFFVAL)
+
+    bw_out = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((blk, bw_, h, v)) in enumerate(blocks):
+                for dy in range(v):
+                    for dx in range(h):
+                        zz = blk[(my * v + dy) * bw_ + (mx * h + dx)]
+                        dc = int(zz[0])
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        t = _category(diff)
+                        code, ln = dc_codes[t]
+                        bw_out.write(code, ln)
+                        if t:
+                            bw_out.write(_encode_magnitude(diff, t), t)
+                        run = 0
+                        last_nz = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last_nz = (nz[-1] + 1) if len(nz) else 0
+                        for k in range(1, last_nz + 1):
+                            v_ = int(zz[k])
+                            if v_ == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[0xF0]  # ZRL
+                                bw_out.write(code, ln)
+                                run -= 16
+                            t = _category(v_)
+                            code, ln = ac_codes[(run << 4) | t]
+                            bw_out.write(code, ln)
+                            bw_out.write(_encode_magnitude(v_, t), t)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_codes[0x00]  # EOB
+                            bw_out.write(code, ln)
+    bw_out.flush()
+
+    # --- container ---------------------------------------------------------
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for slot, q in enumerate(tables):
+        zz = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([slot]) + zz
+    # SOF0
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, (h, v), slot in comps:
+        sof += bytes([cid, (h << 4) | v, slot])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: one DC + one AC table, shared by all components (class<<4 | id)
+    for cls, bits, huffval in (
+        (0, _DC_BITS, _DC_HUFFVAL),
+        (1, _AC_BITS, _AC_HUFFVAL),
+    ):
+        payload = bytes([cls << 4]) + bytes(bits) + bytes(huffval)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOS
+    sos = bytes([len(comps)])
+    for cid, _hv, _slot in comps:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw_out.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _parse_dht(payload: bytes, tables: dict) -> None:
+    pos = 0
+    while pos < len(payload):
+        tc_th = payload[pos]
+        pos += 1
+        bits = list(payload[pos : pos + 16])
+        pos += 16
+        n = sum(bits)
+        huffval = list(payload[pos : pos + n])
+        if len(huffval) < n:
+            raise ValueError("truncated JPEG DHT")
+        pos += n
+        codes = _canonical_codes(bits, huffval)
+        # invert to (length, code) → symbol for the bit-serial decoder
+        tables[(tc_th >> 4, tc_th & 0x0F)] = {
+            (ln, code): sym for sym, (code, ln) in codes.items()
+        }
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg_pixels(b: bytes) -> np.ndarray:
+    """Baseline JPEG → numpy array: (h, w, 3) uint8 RGB for color
+    streams, (h, w) uint8 for grayscale.  From-spec inverse of
+    :func:`synth_jpeg` — but table-driven, so it decodes any conforming
+    baseline stream, not just our encoder's output."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, quant slot)
+    width = height = None
+    restart_interval = 0
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    data_start = None
+
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seg_len,) = struct.unpack_from(">H", b, pos)
+        payload = b[pos + 2 : pos + seg_len]
+        if len(payload) < seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(payload[p : p + 64], np.uint8)
+                    p += 64
+                else:
+                    vals = np.frombuffer(payload[p : p + 128], ">u2")
+                    p += 128
+                if len(vals) < 64:
+                    raise ValueError("truncated JPEG DQT")
+                tbl = np.zeros((8, 8), np.int32)
+                tbl[_ZZ_ROWS, _ZZ_COLS] = vals
+                quant[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+            precision = payload[0]
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision} not supported")
+            height, width, ncomp = struct.unpack_from(">HHB", payload, 1)
+            p = 6
+            for _ in range(ncomp):
+                cid, hv, tq = payload[p : p + 3]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                p += 3
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended sequential Huffman JPEG (SOF0/SOF1) "
+                "is supported (progressive/lossless/arithmetic gated)"
+            )
+        elif marker == 0xC4:  # DHT
+            _parse_dht(payload, huff)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            p = 1
+            for _ in range(ns):
+                cs, tables_ = payload[p : p + 2]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+                scan.append((idx, tables_ >> 4, tables_ & 0x0F))
+                p += 2
+            data_start = pos + seg_len
+            break
+        # APPn / COM / others: skip
+        pos += seg_len
+
+    if width is None or data_start is None or not comps:
+        raise ValueError("JPEG missing SOF or SOS")
+    hmax = max(h for _, h, _v, _ in comps)
+    vmax = max(v for _, _h, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    planes = [
+        np.zeros((8 * v * mcus_y, 8 * h * mcus_x), np.float64)
+        for _, h, v, _ in comps
+    ]
+
+    reader = _BitReader(b, data_start)
+    preds = [0] * len(comps)
+    rst_count = 0
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.sync_restart(rst_count)
+                rst_count += 1
+                preds = [0] * len(comps)
+            mcu_i += 1
+            for ci, dc_t, ac_t in scan:
+                _, h, v, tq = comps[ci]
+                if tq not in quant:
+                    raise ValueError("JPEG references undefined quant table")
+                for dy in range(v):
+                    for dx in range(h):
+                        zz = np.zeros(64, np.int64)
+                        t = _huff_decode(reader, huff[(0, dc_t)])
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _huff_decode(reader, huff[(1, ac_t)])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            size = rs & 0x0F
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        coef = np.zeros((8, 8), np.float64)
+                        coef[_ZZ_ROWS, _ZZ_COLS] = zz
+                        coef *= quant[tq]
+                        block = _A.T @ coef @ _A + 128.0
+                        py = (my * v + dy) * 8
+                        px = (mx * h + dx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0][:height, :width]), 0, 255).astype(
+            np.uint8
+        )
+    # upsample chroma to luma grid, crop, color-convert
+    full = []
+    for (cid, h, v, _), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(up[:height, :width])
+    ycc = np.stack(full, axis=-1)
+    return _ycbcr_to_rgb(ycc)

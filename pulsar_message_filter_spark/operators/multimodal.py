@@ -23,10 +23,15 @@ Full decode is split by whether a codec is mathematically required:
   ``media_stats`` feeds their per-channel statistics through an
   Arrow-batched ``mapInPandas`` stage; ``audio_frame_features`` /
   ``audio_spectral_features`` run windowed DSP on the decoded PCM.
-- **STILL GATED**: JPEG pixels (DCT + entropy coding — a real codec)
-  and compressed audio; ``decode_pixels`` raises a documented
-  ``NotImplementedError`` for those — swap in PIL/librosa in production;
-  the schema, partitioning, and UDF signature do not change.
+- **REAL as of round 8**: baseline sequential JPEG pixels too
+  (``operators/jpeg.py`` — marker walk, canonical Huffman, dequant,
+  IDCT, chroma upsample, YCbCr→RGB; pinned via a from-spec forward
+  encoder + exactness-where-exact tests).  All five fixture formats now
+  decode for real.
+- **STILL GATED**: progressive/arithmetic/12-bit JPEG and compressed
+  audio — documented ``NotImplementedError`` gates; swap in PIL/librosa
+  in production; the schema, partitioning, and UDF signature do not
+  change.
 """
 
 from __future__ import annotations
@@ -493,13 +498,14 @@ def decode_gif_pixels(b: bytes):
 
 
 def decode_pixels(b: bytes):
-    """Dispatch full pixel decode by magic — REAL for BMP, PNG and GIF;
-    gated for JPEG only.
+    """Dispatch full pixel decode by magic — REAL for BMP, PNG, GIF and
+    baseline JPEG (all five formats as of round 8).
 
-    JPEG (DCT + entropy coding) is the one format whose pixels cannot be
-    recovered with stdlib-only code at reasonable effort; it raises
-    ``NotImplementedError`` with the library swap documented (PIL in
-    production — signature unchanged).
+    Baseline sequential JPEG (SOF0/SOF1, Huffman, 8-bit) decodes for real
+    in ``operators/jpeg.py`` — marker walk, canonical-Huffman entropy
+    decode, dequant, IDCT, chroma upsample, YCbCr→RGB, all numpy+stdlib.
+    Progressive/arithmetic/12-bit JPEG raise ``NotImplementedError``
+    (documented gates inside the decoder).
     """
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
@@ -508,10 +514,12 @@ def decode_pixels(b: bytes):
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(b)
     if b[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG pixel decode requires a real codec (DCT); swap in PIL "
-            "here — header metadata is already parsed without it"
-        )
+        from pulsar_message_filter_spark.operators.jpeg import decode_jpeg_pixels
+
+        img = decode_jpeg_pixels(b)
+        # grayscale JPEG is (h, w); every decode_pixels caller sees the
+        # (h, w, nch) contract the other decoders follow
+        return img if img.ndim == 3 else img[..., None]
     raise ValueError("unrecognized image magic")
 
 
@@ -530,8 +538,9 @@ MEDIA_STATS_SCHEMA = (
 def media_stats(batches: Iterator[pd.DataFrame]):
     """mapInPandas stage: (path, content) → REAL decoded per-channel stats.
 
-    BMP/PNG/GIF pixels and WAV PCM samples are fully decoded (pure
-    stdlib+numpy, see ``decode_pixels``/``decode_wav_samples``); JPEG/opaque kinds
+    BMP/PNG/GIF/baseline-JPEG pixels and WAV PCM samples are fully decoded
+    (pure stdlib+numpy, see ``decode_pixels``/``decode_wav_samples``);
+    opaque kinds and gated codecs (progressive JPEG, compressed audio)
     yield ``decodable=false`` with null stats instead of failing the batch
     — at 100 TB a poison file must not kill the stage (same contract as
     the corrupt-record routing in the ingest path).
@@ -552,9 +561,16 @@ def media_stats(batches: Iterator[pd.DataFrame]):
             b[:2] == b"BM"
             or b[:8] == b"\x89PNG\r\n\x1a\n"
             or b[:6] in (b"GIF87a", b"GIF89a")
+            or b[:2] == b"\xff\xd8"
         ):
             out["media_kind"] = (
-                "bmp" if b[:2] == b"BM" else "gif" if b[:3] == b"GIF" else "png"
+                "bmp"
+                if b[:2] == b"BM"
+                else "gif"
+                if b[:3] == b"GIF"
+                else "jpeg"
+                if b[:2] == b"\xff\xd8"
+                else "png"
             )
             try:
                 img = decode_pixels(b)
@@ -617,9 +633,9 @@ def decode_stub(batches: Iterator[pd.DataFrame], real_decode: bool = False):
 
     if real_decode:
         raise NotImplementedError(
-            "decode_stub is the header-metadata stage; full decode moved to "
-            "media_stats (REAL for BMP pixels / WAV PCM — pure numpy) and "
-            "decode_pixels (PNG/GIF/JPEG remain codec-gated)"
+            "decode_stub is the header-metadata stage; full decode lives in "
+            "media_stats / decode_pixels (REAL for BMP/PNG/GIF/baseline-JPEG "
+            "pixels and WAV PCM — pure numpy+stdlib)"
         )
 
     def _features(b: bytes) -> tuple:
@@ -905,22 +921,34 @@ def synth_gif(width: int, height: int, seed: int = 0, interlaced: bool = False) 
     return bytes(out)
 
 
+def _synth_jpeg_const(width: int, height: int, value: int, grayscale=False):
+    import numpy as np
+
+    from pulsar_message_filter_spark.operators.jpeg import synth_jpeg
+
+    px = np.full((height, width, 3), value, np.uint8)
+    return synth_jpeg(width, height, pixels=px, grayscale=grayscale)
+
+
 @graded(
     "f12c_media_stats",
     oracle=None,  # python-side binary decode: no DuckDB analog
     section="F12,G5",
     description="REAL pixel/sample decode: uncompressed BMP + zlib-decoded "
-    "PNG + LZW-decoded GIF + PCM WAV fixture bytes -> per-channel means / "
-    "RMS / duration via mapInPandas (rows-only)",
+    "PNG + LZW-decoded GIF + Huffman/IDCT-decoded baseline JPEG + PCM WAV "
+    "fixture bytes -> per-channel means / RMS / duration via mapInPandas "
+    "(rows-only)",
 )
 def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decodes a deterministic mixed media corpus — BMPs (24-bpp and
     8-bpp palette), PNGs (RGB with all five scanline filters, RGBA,
-    palette — real DEFLATE decode via stdlib zlib), WAVs (8/16/32-bit
-    PCM), a truncated-PNG poison file, and an opaque blob — and emits the
-    REAL decoded statistics.  ``sf_dir`` is unused: the corpus is
-    synthesized (no media files ship in the testdata), which is exactly
-    the fixture-byte strategy the pytest pins use."""
+    palette — real DEFLATE decode via stdlib zlib), baseline JPEGs
+    (4:2:0 color + grayscale — real Huffman + IDCT decode, see
+    operators/jpeg.py), WAVs (8/16/32-bit PCM), truncated PNG/JPEG
+    poison files, and an opaque blob — and emits the REAL decoded
+    statistics.  ``sf_dir`` is unused: the corpus is synthesized (no
+    media files ship in the testdata), which is exactly the fixture-byte
+    strategy the pytest pins use."""
     corpus = [
         ("img_24bpp.bmp", synth_bmp(32, 16, bpp=24, seed=3)),
         ("img_8bpp.bmp", synth_bmp(17, 9, bpp=8, seed=5)),
@@ -934,6 +962,12 @@ def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tone_32bit.wav", synth_wav(600, n_channels=3, rate=16000, bits=32)),
         ("poison.png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
         ("opaque.bin", b"PAR1" + bytes(range(64))),
+        # constant tiles decode pixel-EXACT through the lossy JPEG path
+        # (all AC = 0, DC chosen so Annex-K quantization divides evenly:
+        # (v-128)*8 % 16 == 0) — the one closed form a lossy codec can pin
+        ("img_420.jpg", _synth_jpeg_const(20, 12, 200)),
+        ("img_gray.jpg", _synth_jpeg_const(11, 7, 98, grayscale=True)),
+        ("poison.jpg", b"\xff\xd8" + b"\x00" * 16),
     ]
     raw = spark.createDataFrame(corpus, "path string, content binary")
     return (

@@ -445,8 +445,9 @@ def test_stratified_sample_proportions(spark):
 def test_real_decode_paths_are_gated(spark):
     """The codec-requiring extension points must raise, not silently fake,
     when real decoding is requested.  (BMP/WAV full decode is REAL as of
-    round 10, PNG and GIF as of round 11 — see test_round10/11_ops.py — so
-    only JPEG pixels and video frames remain codec-gated.)"""
+    round 10, PNG and GIF as of round 11, baseline JPEG as of round 12 —
+    see test_round10/11_ops.py and test_jpeg.py — so only video frames
+    and the non-baseline JPEG modes remain codec-gated.)"""
     from pulsar_message_filter_spark.operators.multimodal import (
         decode_pixels,
         frame_sample_stub,
@@ -459,11 +460,9 @@ def test_real_decode_paths_are_gated(spark):
         list(frame_sample_stub(batch, real_decode=True))
     with pytest.raises(NotImplementedError):
         list(decode_stub(batch, real_decode=True))
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"\xff\xd8" + b"\x00" * 32)  # JPEG: genuinely gated
-    # PNG/GIF are no longer gated: garbage after a valid signature is a
-    # malformed file (ValueError), not a missing codec
-    for sig in (b"\x89PNG\r\n\x1a\n", b"GIF89a"):
+    # JPEG/PNG/GIF are no longer gated: garbage after a valid signature is
+    # a malformed file (ValueError), not a missing codec
+    for sig in (b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a"):
         with pytest.raises(ValueError):
             decode_pixels(sig + b"\x00" * 32)
 

@@ -237,7 +237,21 @@ def test_f12c_media_stats_values(spark):
         r["path"]: r.asDict()
         for r in all_graded()["f12c_media_stats"].fn(spark, "").collect()
     }
-    assert len(rows) == 12  # +GIF, +Adam7 PNG as of round 11
+    assert len(rows) == 15  # +GIF/Adam7 (r11); +2 JPEGs + JPEG poison (r12)
+
+    # constant-tile JPEGs decode pixel-exact (all AC = 0, DC divides the
+    # Annex-K quant step) → closed-form means despite the lossy codec
+    jpg = rows["img_420.jpg"]
+    assert jpg["decodable"] and jpg["media_kind"] == "jpeg"
+    assert (jpg["width"], jpg["height"], jpg["n_pixels"]) == (20, 12, 240)
+    assert jpg["ch_means"] == "200.0000:200.0000:200.0000"
+    assert jpg["px_min"] == 200 and jpg["px_max"] == 200
+    gray = rows["img_gray.jpg"]
+    assert gray["decodable"] and gray["media_kind"] == "jpeg"
+    assert (gray["width"], gray["height"]) == (11, 7)
+    assert gray["ch_means"] == "98.0000"
+    poison_jpg = rows["poison.jpg"]  # flagged, never fatal
+    assert poison_jpg["media_kind"] == "jpeg" and not poison_jpg["decodable"]
 
     png = rows["img_rgb.png"]
     pimg = _expected_bmp(21, 13, 7)  # PNG fixture shares the closed form
