@@ -82,6 +82,98 @@ def session_ttl_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E8 twins #2 and #3 — MapState/ListState profile and the value-state
+# running counter, final/update-mode semantics graded relationally
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "user_profile_batch_twin",
+    oracle="""
+        WITH tc AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        modal AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, event_type) AS rk
+            FROM tc
+        ),
+        heads AS (
+            SELECT t.user_id,
+                   CAST(count(*) AS INTEGER) AS n_types,
+                   sum(t.c) AS n_events,
+                   max(CASE WHEN m.rk = 1 THEN m.event_type END) AS top_type
+            FROM tc t JOIN modal m
+              ON t.user_id = m.user_id AND t.event_type = m.event_type
+            GROUP BY 1
+        ),
+        lastk AS (
+            SELECT user_id, ts_us, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts) DESC,
+                                                   event_id DESC) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        ),
+        recent AS (
+            SELECT user_id,
+                   string_agg(CAST(cents AS VARCHAR), ':'
+                              ORDER BY ts_us, event_id) AS recent_csv
+            FROM lastk GROUP BY 1
+        )
+        SELECT h.user_id, h.n_types, h.top_type,
+               CAST(h.n_events AS BIGINT) AS n_events, r.recent_csv
+        FROM heads h JOIN recent r ON h.user_id = r.user_id
+    """,
+    section="E8,C15,C18",
+    description="batch twin of user_profile_tws (MapState + ListState): "
+    "final per-user type counts, modal type with the processor's exact "
+    "tiebreak, and the last-3 value buffer as the SAME cents-CSV string "
+    "the streaming op emits — MapState/ListState semantics made "
+    "driver-hash-checkable",
+)
+def user_profile_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs ``streaming.pipeline.user_profile_batch`` — the function the
+    MapState/ListState pytest compares against live ``user_profile_tws``
+    output — over the events table."""
+    from pulsar_message_filter_spark.streaming.pipeline import user_profile_batch
+
+    return user_profile_batch(load(spark, "events", sf_dir), keep_last=3)
+
+
+@graded(
+    "redelivery_counter_batch_twin",
+    oracle="""
+        WITH per_epoch AS (
+            SELECT user_id, event_id % 3 AS epoch_id, count(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, epoch_id,
+               CAST(sum(c) OVER (PARTITION BY user_id ORDER BY epoch_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_seen
+        FROM per_epoch
+    """,
+    section="E8,C20",
+    description="batch twin of redelivery_counter_tws update-mode output: "
+    "per (user, emulated micro-batch) the RUNNING count the value-state "
+    "processor would emit — deterministic event_id%3 epoch split, grouped "
+    "count + cumulative window",
+)
+def redelivery_counter_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        redelivery_counter_batch,
+    )
+
+    return redelivery_counter_batch(load(spark, "events", sf_dir), epochs=3)
+
+
+# ---------------------------------------------------------------------------
 # E2 — sliding-window distinct reach (3h window / 1h slide)
 # ---------------------------------------------------------------------------
 

@@ -591,13 +591,17 @@ def user_profile_tws(stream: DataFrame, keep_last: int = 3) -> DataFrame:
                 self._recent.put([(v,) for v in vals])
             counts = {k[0]: self._counts.getValue(k)[0] for k in self._counts.keys()}
             top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            # recent values as integer CENTS joined by ':' — the one float
+            # rendering that is identical across Python, Spark SQL and
+            # DuckDB, so the graded batch twin (user_profile_batch_twin)
+            # can hash-match this exact string
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_types": [len(counts)],
                     "top_type": [top],
                     "n_events": [sum(counts.values())],
-                    "recent_csv": [",".join(f"{v:g}" for v in vals)],
+                    "recent_csv": [":".join(str(round(v * 100)) for v in vals)],
                 }
             )
 
@@ -610,6 +614,95 @@ def user_profile_tws(stream: DataFrame, keep_last: int = 3) -> DataFrame:
         "n_events bigint, recent_csv string",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def user_profile_batch(df: DataFrame, keep_last: int = 3) -> DataFrame:
+    """Batch-equivalence twin of :func:`user_profile_tws` — the final
+    MapState/ListState contents computed relationally: per user the
+    distinct-type count, modal type (count desc, name asc — the exact
+    tiebreak the processor applies), total events, and the last
+    ``keep_last`` values in arrival order (ts, event_id) as the same
+    cents-CSV string the streaming op emits.
+
+    One definition serves the TWS pytest binding AND the graded driver
+    query ``user_profile_batch_twin``.  Scale shape: two aggregations on
+    the same ``user_id`` key (type counts, recent buffer) — the recent
+    buffer is bounded by construction (``slice`` keeps ``keep_last``
+    elements per key, the ListState trim made relational).
+    """
+    from pyspark.sql import Window
+
+    type_counts = df.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w_modal = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    counts = (
+        type_counts.withColumn("rk", F.row_number().over(w_modal))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("int").alias("n_types"),
+            F.sum("c").alias("n_events"),
+            # modal type with the processor's exact tiebreak (count desc,
+            # name asc): only the rk=1 row is non-null under the max
+            F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias(
+                "top_type"
+            ),
+        )
+    )
+    recent = (
+        df.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("eid"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(
+                    # negative-start slice is empty when |start| > size —
+                    # clamp so keys with < keep_last events keep them all
+                    F.slice(
+                        F.col("arr"),
+                        F.greatest(F.lit(-keep_last), -F.size("arr")),
+                        F.lit(keep_last),
+                    ),
+                    lambda x: x["cents"].cast("string"),
+                ),
+                ":",
+            ).alias("recent_csv"),
+        )
+    )
+    return counts.join(recent, "user_id").select(
+        "user_id", "n_types", "top_type", "n_events", "recent_csv"
+    )
+
+
+def redelivery_counter_batch(df: DataFrame, epochs: int = 3) -> DataFrame:
+    """Batch-equivalence twin of :func:`redelivery_counter_tws`'s
+    update-mode emission: splitting the table into ``epochs`` deterministic
+    micro-batches (``event_id % epochs``), the op emits one row per
+    (user, epoch-with-arrivals) carrying the RUNNING count — a grouped
+    count plus a cumulative window, never a per-event state row."""
+    from pyspark.sql import Window
+
+    per_epoch = (
+        df.withColumn("epoch_id", F.col("event_id") % epochs)
+        .groupBy("user_id", "epoch_id")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_epoch.select(
+        "user_id", "epoch_id", F.sum("c").over(w).alias("n_seen")
     )
 
 

