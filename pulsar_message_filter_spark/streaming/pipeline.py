@@ -650,32 +650,33 @@ def user_profile_batch(df: DataFrame, keep_last: int = 3) -> DataFrame:
             ),
         )
     )
+    # prune to the last keep_last rows per key BEFORE collecting — a bare
+    # collect_list-then-slice would buffer a hot key's ENTIRE history in
+    # the aggregation state at 100 TB; after the row_number filter the
+    # collected array is ≤ keep_last elements per key by construction
+    w_recent = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("eid")
+    )
     recent = (
         df.select(
             "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("ts_us"),
-                F.col("event_id").alias("eid"),
-                F.round(F.col("value") * 100).cast("long").alias("cents"),
-            ).alias("s"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("eid"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
+        .withColumn("rn", F.row_number().over(w_recent))
+        .filter(F.col("rn") <= keep_last)
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
-        .select(
-            "user_id",
+        .agg(
             F.array_join(
                 F.transform(
-                    # negative-start slice is empty when |start| > size —
-                    # clamp so keys with < keep_last events keep them all
-                    F.slice(
-                        F.col("arr"),
-                        F.greatest(F.lit(-keep_last), -F.size("arr")),
-                        F.lit(keep_last),
+                    F.sort_array(
+                        F.collect_list(F.struct("ts_us", "eid", "cents"))
                     ),
                     lambda x: x["cents"].cast("string"),
                 ),
                 ":",
-            ).alias("recent_csv"),
+            ).alias("recent_csv")
         )
     )
     return counts.join(recent, "user_id").select(
