@@ -67,6 +67,10 @@ HEADLINE = [
     "sketch_kll_quantiles",  # KLL build+merge (Arrow) + exact-twin rank check
     "privacy_k_anonymity",  # quasi-identifier k-anonymity/l-diversity audit
     "epoch_shuffle_order",  # deterministic training permutation (no global sort)
+    "session_ttl_batch_twin",  # TWS session-TTL semantics, batch form
+    "user_profile_batch_twin",  # MapState/ListState profile, batch form
+    "window_sliding_reach",  # sliding 3h/1h distinct reach (Expand plan)
+    "f78_token_budget_curve",  # token-budget curation curve (broadcast dim)
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -122,6 +126,11 @@ BUDGET_SEC = {
     "sketch_kll_quantiles": 3.0,
     "privacy_k_anonymity": 2.0,
     "epoch_shuffle_order": 2.0,
+    # round-8 additions, measured 0.44-0.90 s min-of-3 at sf0.1 → floor
+    "session_ttl_batch_twin": 2.0,
+    "user_profile_batch_twin": 2.0,
+    "window_sliding_reach": 2.0,
+    "f78_token_budget_curve": 2.0,
 }
 
 
