@@ -710,6 +710,213 @@ def dlq_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A1 × A2 — CSV round trip with quoting (the second ingest format)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "a_csv_roundtrip_read",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        FROM documents WHERE doc_id < 3000
+        GROUP BY 1
+    """,
+    section="A1,A2,D1",
+    description="CSV write→read round trip with quote/escape handling: free "
+    "text (spaces, potential delimiters) survives the quoted CSV sink and "
+    "the schema-first read byte-exactly — the oracle recomputes from the "
+    "source table, so any quoting bug breaks the text-length hash",
+)
+def a_csv_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: CSV remains the interchange format the perimeter
+    speaks; correctness there is quoting, not speed.  Deterministic per-sf
+    fixture dir, overwritten in place (same hygiene as the other
+    store-building queries)."""
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 3000)
+        .select("doc_id", "lang", "text", "n_chars")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"pmf_csv_rt_{tag}")
+    docs.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(root)
+    back = (
+        spark.read.schema("doc_id long, lang string, text string, n_chars long")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(root)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_chars"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 × F14 — cross-epoch vocabulary novelty (training-data freshness)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f80_epoch_vocab_novelty",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id % 4 AS epoch_id,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        first_seen AS (
+            SELECT tok, min(epoch_id) AS first_epoch
+            FROM tok GROUP BY 1
+        ),
+        per_epoch AS (
+            SELECT epoch_id, count(DISTINCT tok) AS vocab
+            FROM tok GROUP BY 1
+        )
+        SELECT p.epoch_id,
+               CAST(p.vocab AS BIGINT) AS vocab,
+               CAST(coalesce(n.novel, 0) AS BIGINT) AS novel_tokens,
+               round(CAST(coalesce(n.novel, 0) AS DOUBLE) / p.vocab, 4)
+                   AS novelty_rate
+        FROM per_epoch p
+        LEFT JOIN (SELECT first_epoch AS epoch_id, count(*) AS novel
+                   FROM first_seen GROUP BY 1) n
+          ON p.epoch_id = n.epoch_id
+    """,
+    section="F8,F14,C11",
+    description="cross-epoch vocabulary novelty: per ingest epoch the "
+    "distinct-token count and how many tokens were never seen in ANY "
+    "earlier epoch — the freshness signal that tells a continual-training "
+    "pipeline when new data stops adding new language",
+)
+def f80_epoch_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one explode pass, then token-keyed aggs (map-side
+    combinable); 'novel' is min(first_epoch) per token — never a
+    self-join of epoch vocabularies."""
+    tok = (
+        load(spark, "documents", sf_dir)
+        .select(
+            (F.col("doc_id") % 4).alias("epoch_id"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+    )
+    per_epoch = tok.groupBy("epoch_id").agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    novel = (
+        tok.groupBy("tok")
+        .agg(F.min("epoch_id").alias("epoch_id"))
+        .groupBy("epoch_id")
+        .agg(F.count("*").alias("novel"))
+    )
+    return per_epoch.join(novel, "epoch_id", "left").select(
+        "epoch_id",
+        F.col("vocab").cast("long").alias("vocab"),
+        F.coalesce("novel", F.lit(0)).cast("long").alias("novel_tokens"),
+        F.round(
+            F.coalesce("novel", F.lit(0)).cast("double") / F.col("vocab"), 4
+        ).alias("novelty_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 × F10 — per-source duplication profile (curation health metric)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f81_source_dup_profile",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                   AS n_dup_docs,
+               round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                     / count(*), 4) AS dup_rate
+        FROM documents GROUP BY 1
+    """,
+    section="F1,F10,D8",
+    description="per-source exact-duplication profile via content digest: "
+    "docs, distinct contents, and the dup rate — the first health metric a "
+    "curation pipeline computes per provenance bucket",
+)
+def f81_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "documents", sf_dir)
+        .select("source", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 — time-bounded keep-first dedup (the dropDuplicatesWithinWatermark
+# batch form: dedup scope is a day, not all time)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "stream_dedup_daily_first",
+    oracle="""
+        SELECT user_id, event_type, day,
+               event_id AS first_event_id
+        FROM (
+            SELECT user_id, event_type, event_id,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type, strftime(ts, '%Y-%m-%d')
+                       ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    section="E4,D2",
+    description="keep-first dedup scoped to a day bucket — the batch form "
+    "of dropDuplicatesWithinWatermark, where the dedup horizon (and the "
+    "state the stream must keep) is the watermark window, not all of time",
+)
+def stream_dedup_daily_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.date_format("ts", "yyyy-MM-dd")
+    w = Window.partitionBy("user_id", "event_type", day.alias("day")).orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    return (
+        load(spark, "events", sf_dir)
+        .withColumn("day", day)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "day",
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F6 × F14 × C7 — token-budget curation curve
 # ---------------------------------------------------------------------------
 

@@ -152,6 +152,19 @@ QUERIES = [
     # f73_cluster_survivors is pair-output on a clone fixture (excluded
     # like f24/f57 — quadratic by replication construction, not by plan).
     "epoch_shuffle_order",
+    # round-12 additions: TWS batch twins (sessionization via session_window,
+    # bounded last-k profile buffer, epoch-cumulative counter), sliding
+    # distinct reach (Expand ×3), keep-last dedup (keyed window), DISTINCT-
+    # as-stage day profile, 3VL DLQ taxonomy (scan + one agg), and the
+    # token-budget curve (broadcast cutoff dim × one corpus pass).
+    "session_ttl_batch_twin",
+    "user_profile_batch_twin",
+    "redelivery_counter_batch_twin",
+    "window_sliding_reach",
+    "stream_dedup_keep_last",
+    "distinct_event_days",
+    "dlq_reject_reasons",
+    "f78_token_budget_curve",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range
