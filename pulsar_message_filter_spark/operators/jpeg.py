@@ -254,6 +254,7 @@ def synth_jpeg(
     luma_quant: np.ndarray | None = None,
     chroma_quant: np.ndarray | None = None,
     pixels: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Deterministic in-memory baseline JPEG — fixture generator.
 
@@ -262,7 +263,10 @@ def synth_jpeg(
     recompute expectations independently; ``pixels`` overrides for exact
     round-trip pins.  ``subsampling`` is the luma (H, V) sampling factor
     — (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0; chroma is always
-    (1, 1).
+    (1, 1).  ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs (byte-aligned, DC predictors reset) —
+    the error-resilience feature real encoders use so a bit flip only
+    poisons one restart span.
     """
     if pixels is None:
         y, x = np.mgrid[0:height, 0:width]
@@ -313,8 +317,18 @@ def synth_jpeg(
 
     bw_out = _BitWriter()
     preds = [0] * len(comps)
+    mcu_i = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align (1-fill), emit RSTn (markers are never
+                # stuffed), reset every DC predictor — B.2.1.2
+                bw_out.flush()
+                bw_out.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+                rst_n += 1
+                preds = [0] * len(comps)
+            mcu_i += 1
             for ci, ((blk, bw_, h, v)) in enumerate(blocks):
                 for dy in range(v):
                     for dx in range(h):
@@ -370,6 +384,8 @@ def synth_jpeg(
     ):
         payload = bytes([cls << 4]) + bytes(bits) + bytes(huffval)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS
     sos = bytes([len(comps)])
     for cid, _hv, _slot in comps:

@@ -109,6 +109,30 @@ def test_decoder_honors_stream_tables_not_ours():
     assert coarse_err > fine_err * 2  # visibly lossier, as the DQT dictates
 
 
+def test_restart_markers_roundtrip():
+    """DRI/RSTn: byte-aligned restart spans with DC-predictor resets decode
+    identically to the unsegmented stream (and the markers are really
+    there — they're what bounds poison blast radius in a real corpus)."""
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (40, 33, 3)).astype(np.uint8)
+    b = synth_jpeg(
+        33, 40, pixels=px, restart_interval=2, subsampling=(1, 1),
+        luma_quant=_ONES, chroma_quant=_ONES,
+    )
+    n_rst = sum(
+        1 for i in range(len(b) - 1) if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7
+    )
+    assert n_rst == 12  # 25 MCUs, restart every 2
+    out = decode_jpeg_pixels(b)
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 2
+    # missing restart marker where DRI promises one → malformed, ValueError
+    first_rst = next(
+        i for i in range(len(b) - 1) if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b[:first_rst] + b[first_rst + 2 :])
+
+
 def test_poison_contract():
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"hello world")
