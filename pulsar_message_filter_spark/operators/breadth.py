@@ -710,6 +710,47 @@ def dlq_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C20 × C19 × D2 — trailing TIME-range frame per key (rolling exposure)
+# ---------------------------------------------------------------------------
+
+_TRAIL_US = 3_600_000_000  # 1 hour
+
+
+@graded(
+    "window_trailing_hour",
+    oracle=f"""
+        SELECT event_id,
+               CAST(sum({cents_sql('value')}) OVER w AS BIGINT)
+                   AS trail_cents,
+               CAST(count(*) OVER w AS BIGINT) AS trail_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+    """,
+    section="C20,C19,D2",
+    description="per-user trailing-1-hour RANGE frame at every event (value "
+    "sum + count over [t-1h, t]) — the rolling-exposure / rate-limit "
+    "window; value-defined frames make the result tie-order-independent, "
+    "so it hashes exactly",
+)
+def window_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one shuffle on user_id + an in-partition ordered scan;
+    the frame is bounded by TIME, so per-row state is the trailing hour's
+    rows regardless of corpus size (contrast a global RANGE window, which
+    serializes — see window_range_frame's distinct-value rewrite)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    return load(spark, "events", sf_dir).select(
+        "event_id",
+        F.sum(cents("value")).over(w).cast("long").alias("trail_cents"),
+        F.count("*").over(w).cast("long").alias("trail_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1 × A2 — CSV round trip with quoting (the second ingest format)
 # ---------------------------------------------------------------------------
 
