@@ -174,3 +174,42 @@ def test_round11_ops_on_empty_inputs(spark):
     assert empty_bin.mapInPandas(audio_frame_features, AUDIO_FRAME_SCHEMA).count() == 0
     junk = spark.createDataFrame([("x.bin", b"not audio")], "path string, content binary")
     assert junk.mapInPandas(audio_spectral_features, AUDIO_SPECTRAL_SCHEMA).count() == 0
+
+
+def test_tws_batch_twins_on_empty_stream(spark):
+    """The three E8 batch twins (round 12) must return empty frames with
+    their full schemas when the upstream filter leaves nothing."""
+    from pulsar_message_filter_spark.streaming.pipeline import (
+        redelivery_counter_batch,
+        session_ttl_batch,
+        user_profile_batch,
+    )
+
+    empty = load(spark, "events", SF_SMOKE).filter(F.col("event_id") < 0)
+    sess = session_ttl_batch(empty)
+    assert sess.columns == [
+        "user_id", "session_start_ms", "session_end_ms", "n_events",
+    ]
+    assert sess.count() == 0
+    prof = user_profile_batch(empty)
+    assert prof.columns == [
+        "user_id", "n_types", "top_type", "n_events", "recent_csv",
+    ]
+    assert prof.count() == 0
+    assert redelivery_counter_batch(empty).count() == 0
+
+
+def test_jpeg_single_pixel_roundtrip():
+    """The degenerate 1x1 image — a single MCU that is almost entirely
+    edge padding — must round-trip exactly (constant tile, exact DC)."""
+    import numpy as np
+
+    from pulsar_message_filter_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        synth_jpeg,
+    )
+
+    px = np.full((1, 1, 3), 160, np.uint8)
+    out = decode_jpeg_pixels(synth_jpeg(1, 1, pixels=px))
+    assert out.shape == (1, 1, 3)
+    assert int(np.abs(out.astype(int) - 160).max()) == 0
