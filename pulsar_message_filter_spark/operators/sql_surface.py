@@ -96,6 +96,32 @@ SHARED_SQL: dict[str, str] = {
             SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM lo
         )
     """,
+    # WITH RECURSIVE is new in Spark 4 (SPARK-24497) and long-standing in
+    # DuckDB — one text, two engines, bounded-depth transitive closure
+    # over a DERIVED edge set (event-type transition graph).  The depth
+    # guard makes it terminate on the cyclic graph; min(depth) collapses
+    # the path multiset to shortest-hops, so the result is set-stable.
+    "sql_shared_recursive_reach": """
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT event_type AS src, next_type AS dst
+            FROM (
+                SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS next_type
+                FROM events
+            ) WHERE next_type IS NOT NULL AND next_type <> event_type
+        ),
+        reach(src, dst, depth) AS (
+            SELECT src, dst, 1 AS depth FROM edges
+            UNION ALL
+            SELECT r.src, e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON r.dst = e.src
+            WHERE r.depth < 3
+        )
+        SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_hops
+        FROM reach GROUP BY src, dst
+    """,
 }
 
 
@@ -152,4 +178,12 @@ _make(
     SHARED_SQL["sql_shared_case_join"],
     "B12,C4,D4",
     "shared-dialect SQL: join + CASE aggregates — identical text on both engines",
+)
+_make(
+    "sql_shared_recursive_reach",
+    SHARED_SQL["sql_shared_recursive_reach"],
+    "B12,C25,C4",
+    "shared-dialect SQL: WITH RECURSIVE bounded transitive closure over a "
+    "derived transition graph (Spark-4 recursive CTE) — identical text on "
+    "both engines",
 )
