@@ -710,6 +710,104 @@ def dlq_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D7 — VARIANT (Spark 4 semi-structured type): parse_json → variant_get
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "func_variant_json",
+    oracle=f"""
+        SELECT o_orderkey AS okey,
+               {cents_sql('o_totalprice')} AS price_cents,
+               o_orderpriority AS tag2,
+               o_orderstatus AS status,
+               CAST(length(o_orderpriority) AS INTEGER) AS tag2_len
+        FROM orders WHERE o_orderkey < 1500
+    """,
+    section="D7,D6",
+    description="Spark-4 VARIANT type: build a nested JSON doc, parse_json "
+    "into a VARIANT column, extract typed scalars with variant_get paths "
+    "(incl. an array index) — every output equals the source column, so "
+    "the oracle is direct selection (manual-twin, like func_json_roundtrip)",
+)
+def func_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT is the Spark-4-native answer to schemaless JSON columns:
+    parse once into a binary-encoded tree, then typed path extraction
+    without a declared schema — the open-ended twin of ``from_json``'s
+    schema-first path.  DuckDB has no VARIANT, so the oracle recomputes
+    the extracted scalars directly (round-trip identity)."""
+    load(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") < 1500
+    ).createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH j AS (
+            SELECT parse_json(
+                to_json(named_struct(
+                    'okey', o_orderkey,
+                    'meta', named_struct(
+                        'price_cents', CAST(round(o_totalprice * 100) AS BIGINT),
+                        'status', o_orderstatus),
+                    'tags', array('x', o_orderpriority)))) AS v
+            FROM orders_v
+        )
+        SELECT variant_get(v, '$.okey', 'long') AS okey,
+               variant_get(v, '$.meta.price_cents', 'long') AS price_cents,
+               variant_get(v, '$.tags[1]', 'string') AS tag2,
+               variant_get(v, '$.meta.status', 'string') AS status,
+               length(variant_get(v, '$.tags[1]', 'string')) AS tag2_len
+        FROM j
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# G7 × D3 — SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "g7_sql_scalar_udf",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n
+        FROM lineitem WHERE l_quantity < 25
+        GROUP BY 1
+    """,
+    section="G7,D3,C11",
+    description="SQL scalar UDF (Spark-4 CREATE FUNCTION ... RETURN expr): "
+    "the discounted-revenue formula defined ONCE as a catalog function and "
+    "applied in an aggregate — Catalyst inlines it, so the plan is "
+    "identical to the written-out expression (no Python, no serialization); "
+    "oracle inlines the same formula",
+)
+def g7_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale point: SQL UDFs are the ONLY UDF flavor with zero
+    executor-side cost — they are macro-expanded into the plan, keeping
+    whole-stage codegen intact (contrast G1's row-at-a-time Python UDF,
+    kept as the documented anti-pattern demo)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pmf_revenue_cents("
+        "price DOUBLE, disc DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(round(price * (1 - disc) * 100) AS BIGINT)"
+    )
+    load(spark, "lineitem", sf_dir).filter(
+        F.col("l_quantity") < 25
+    ).createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(pmf_revenue_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS revenue_cents,
+               count(*) AS n
+        FROM lineitem_v GROUP BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # C20 × C19 × D2 — trailing TIME-range frame per key (rolling exposure)
 # ---------------------------------------------------------------------------
 
