@@ -12,10 +12,15 @@ where the math is exact — constant blocks (all AC = 0) and all-ones
 quant tables (round-trip error bounded by IDCT float rounding, ≤1 LSB)
 — plus geometry/subsampling invariants on multi-MCU images.
 
-Scope: baseline sequential (SOF0), 8-bit, grayscale or 3-component
-YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart markers honored
-on decode.  Progressive (SOF2), arithmetic coding, and 12-bit precision
-raise ``NotImplementedError`` — documented gates, not silent wrongness.
+Scope: baseline sequential (SOF0/SOF1) AND progressive (SOF2) — DC/AC
+successive approximation, spectral selection, EOB-run coding, buffered
+correction bits — 8-bit, grayscale or 3-component YCbCr with 4:4:4 /
+4:2:2 / 4:2:0 subsampling, restart markers honored on decode.  All
+scans accumulate into coefficient buffers and one vectorized IDCT
+epilogue runs at the end, so a progressive stream of the same quantized
+coefficients decodes BIT-IDENTICAL to the baseline stream (the pytest
+pin).  Lossless/arithmetic SOFs and 12-bit precision raise
+``NotImplementedError`` — documented gates, not silent wrongness.
 Malformed bytes raise ``ValueError`` (the poison contract upstream
 stages rely on).
 
@@ -109,6 +114,12 @@ _AC_HUFFVAL = (
 )  # EOB, ZRL, and every (run, size): 162 symbols
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 34, 0, 0, 0, 0, 0, 0, 0]
 assert sum(_AC_BITS) == len(_AC_HUFFVAL)
+
+# progressive AC table: the sequential symbols PLUS every EOBn
+# (r<<4 | 0 for r=1..14 — EOB-run lengths 2..2^15-1); 176 symbols
+_AC_PROG_HUFFVAL = _AC_HUFFVAL + [(r << 4) for r in range(1, 15)]
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 48, 0, 0, 0, 0, 0, 0, 0]
+assert sum(_AC_PROG_BITS) == len(_AC_PROG_HUFFVAL)
 
 
 class _BitWriter:
@@ -245,6 +256,61 @@ def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
     )
 
 
+def _prepare_encode(
+    width, height, seed, grayscale, subsampling, luma_quant, chroma_quant,
+    pixels,
+):
+    """Shared encoder front half: pixels → color transform → subsample →
+    MCU-pad → quantized zigzag blocks.  Returns
+    ``(comps, blocks, tables, hmax, vmax, mcus_x, mcus_y)`` where
+    ``blocks[ci] = (flat block list, padded block-grid width, h, v)``."""
+    if pixels is None:
+        y, x = np.mgrid[0:height, 0:width]
+        pixels = np.stack(
+            [(seed + x * 7 + y * 13 + c * 29) % 256 for c in range(3)], axis=-1
+        ).astype(np.uint8)
+    lq = LUMA_QUANT if luma_quant is None else np.asarray(luma_quant, np.int32)
+    cq = (
+        CHROMA_QUANT
+        if chroma_quant is None
+        else np.asarray(chroma_quant, np.int32)
+    )
+
+    if grayscale:
+        comps = [(1, (1, 1), 0)]  # (comp id, (h, v), quant slot)
+        planes = [_rgb_to_ycbcr(pixels)[..., 0]]
+        tables = [lq]
+    else:
+        hs, vs = subsampling
+        ycc = _rgb_to_ycbcr(pixels)
+        yp = ycc[..., 0]
+        # chroma planes: box-average over the sampling cell, the spec-
+        # conventional downsample
+        ch, cw = -(-height // vs), -(-width // hs)
+        pad_y = _pad_to(ycc[..., 1], ch * vs, cw * hs)
+        pad_r = _pad_to(ycc[..., 2], ch * vs, cw * hs)
+        cbp = pad_y.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
+        crp = pad_r.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
+        comps = [(1, (hs, vs), 0), (2, (1, 1), 1), (3, (1, 1), 1)]
+        planes = [yp, cbp, crp]
+        tables = [lq, cq]
+
+    hmax = max(h for _, (h, _v), _ in comps)
+    vmax = max(v for _, (_h, v), _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # pad each plane to whole MCUs at ITS sampling rate, quantize blocks
+    blocks = []
+    for (cid, (h, v), slot), plane in zip(comps, planes):
+        ph, pw = 8 * v * mcus_y, 8 * h * mcus_x
+        padded = _pad_to(plane, ph, pw) - 128.0
+        bw = pw // 8  # blocks row-major within the padded plane
+        blk = list(_plane_blocks(padded, tables[slot]))
+        blocks.append((blk, bw, h, v))
+    return comps, blocks, tables, hmax, vmax, mcus_x, mcus_y
+
+
 def synth_jpeg(
     width: int,
     height: int,
@@ -268,49 +334,10 @@ def synth_jpeg(
     the error-resilience feature real encoders use so a bit flip only
     poisons one restart span.
     """
-    if pixels is None:
-        y, x = np.mgrid[0:height, 0:width]
-        pixels = np.stack(
-            [(seed + x * 7 + y * 13 + c * 29) % 256 for c in range(3)], axis=-1
-        ).astype(np.uint8)
-    lq = LUMA_QUANT if luma_quant is None else np.asarray(luma_quant, np.int32)
-    cq = CHROMA_QUANT if chroma_quant is None else np.asarray(chroma_quant, np.int32)
-
-    if grayscale:
-        comps = [(1, (1, 1), 0)]  # (comp id, (h, v), quant slot)
-        planes = [_rgb_to_ycbcr(pixels)[..., 0]]
-        tables = [lq]
-    else:
-        hs, vs = subsampling
-        ycc = _rgb_to_ycbcr(pixels)
-        yp = ycc[..., 0]
-        # chroma planes: box-average over the sampling cell, the spec-
-        # conventional downsample
-        ch, cw = -(-height // vs), -(-width // hs)
-        cbp = np.zeros((ch, cw))
-        crp = np.zeros((ch, cw))
-        pad_y = _pad_to(ycc[..., 1], ch * vs, cw * hs)
-        pad_r = _pad_to(ycc[..., 2], ch * vs, cw * hs)
-        cbp = pad_y.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
-        crp = pad_r.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
-        comps = [(1, (hs, vs), 0), (2, (1, 1), 1), (3, (1, 1), 1)]
-        planes = [yp, cbp, crp]
-        tables = [lq, cq]
-
-    hmax = max(h for _, (h, _v), _ in comps)
-    vmax = max(v for _, (_h, v), _ in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-
-    # pad each plane to whole MCUs at ITS sampling rate, quantize blocks
-    blocks: list[list[np.ndarray]] = []
-    for (cid, (h, v), slot), plane in zip(comps, planes):
-        ph, pw = 8 * v * mcus_y, 8 * h * mcus_x
-        padded = _pad_to(plane, ph, pw) - 128.0
-        # index blocks row-major within the padded plane
-        bw = pw // 8
-        blk = list(_plane_blocks(padded, tables[slot]))
-        blocks.append((blk, bw, h, v))
+    comps, blocks, tables, hmax, vmax, mcus_x, mcus_y = _prepare_encode(
+        width, height, seed, grayscale, subsampling,
+        luma_quant, chroma_quant, pixels,
+    )
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_HUFFVAL)
     ac_codes = _canonical_codes(_AC_BITS, _AC_HUFFVAL)
@@ -365,18 +392,7 @@ def synth_jpeg(
     bw_out.flush()
 
     # --- container ---------------------------------------------------------
-    out = bytearray(b"\xff\xd8")  # SOI
-    # JFIF APP0
-    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
-    for slot, q in enumerate(tables):
-        zz = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
-        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([slot]) + zz
-    # SOF0
-    sof = struct.pack(">BHHB", 8, height, width, len(comps))
-    for cid, (h, v), slot in comps:
-        sof += bytes([cid, (h << 4) | v, slot])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out = _container_prefix(tables, comps, width, height, sof_marker=0xC0)
     # DHT: one DC + one AC table, shared by all components (class<<4 | id)
     for cls, bits, huffval in (
         (0, _DC_BITS, _DC_HUFFVAL),
@@ -393,6 +409,238 @@ def synth_jpeg(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw_out.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _container_prefix(tables, comps, width, height, sof_marker) -> bytearray:
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for slot, q in enumerate(tables):
+        zz = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([slot]) + zz
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, (h, v), slot in comps:
+        sof += bytes([cid, (h << 4) | v, slot])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def synth_jpeg_progressive(
+    width: int,
+    height: int,
+    seed: int = 0,
+    grayscale: bool = False,
+    subsampling: tuple[int, int] = (2, 2),
+    luma_quant: np.ndarray | None = None,
+    chroma_quant: np.ndarray | None = None,
+    pixels: np.ndarray | None = None,
+    spectral_only: bool = False,
+) -> bytes:
+    """Deterministic in-memory PROGRESSIVE JPEG (SOF2) — fixture generator
+    encoding the SAME quantized coefficients as :func:`synth_jpeg`, so the
+    two streams must decode to bit-identical pixels.
+
+    Default profile exercises the full progressive feature set:
+    DC first pass at Al=1, DC refinement, then per-component AC first
+    passes at Al=1 (with EOB-run coding) and AC refinements to full
+    precision (newly-significant run coding + buffered correction bits).
+    ``spectral_only=True`` instead emits everything at Al=0 with the AC
+    band SPLIT (1–5, 6–63) — the successive-approximation-free profile.
+    """
+    comps, blocks, tables, hmax, vmax, mcus_x, mcus_y = _prepare_encode(
+        width, height, seed, grayscale, subsampling,
+        luma_quant, chroma_quant, pixels,
+    )
+    dc_codes = _canonical_codes(_DC_BITS, _DC_HUFFVAL)
+    ac_codes = _canonical_codes(_AC_PROG_BITS, _AC_PROG_HUFFVAL)
+
+    out = _container_prefix(tables, comps, width, height, sof_marker=0xC2)
+    for cls, bits, huffval in (
+        (0, _DC_BITS, _DC_HUFFVAL),
+        (1, _AC_PROG_BITS, _AC_PROG_HUFFVAL),
+    ):
+        payload = bytes([cls << 4]) + bytes(bits) + bytes(huffval)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    def sos_header(scan_comps, ss, se, ah, al) -> bytes:
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([comps[ci][0], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def dc_scan(ah, al) -> bytes:
+        bw_out = _BitWriter()
+        preds = [0] * len(comps)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (blk, bw_, h, v) in enumerate(blocks):
+                    for dy in range(v):
+                        for dx in range(h):
+                            zz = blk[(my * v + dy) * bw_ + (mx * h + dx)]
+                            dc = int(zz[0])
+                            if ah == 0:
+                                pt = dc >> al  # arithmetic shift (G.1.2.1)
+                                diff = pt - preds[ci]
+                                preds[ci] = pt
+                                t = _category(diff)
+                                code, ln = dc_codes[t]
+                                bw_out.write(code, ln)
+                                if t:
+                                    bw_out.write(_encode_magnitude(diff, t), t)
+                            else:
+                                bw_out.write((dc >> al) & 1, 1)
+        bw_out.flush()
+        return bytes(bw_out.out)
+
+    def _nc_blocks(ci):
+        """The component's own (unpadded-to-MCU) block grid, raster order."""
+        blk, bw_, h, v = blocks[ci]
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield blk[by * bw_ + bx]
+
+    def ac_first_scan(ci, ss, se, al) -> bytes:
+        bw_out = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_codes[n << 4]
+                bw_out.write(code, ln)
+                if n:
+                    bw_out.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        for zz in _nc_blocks(ci):
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            pt = [(1 if x > 0 else -1) * (abs(x) >> al) for x in band]
+            nz = [i for i, x in enumerate(pt) if x]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for i in range(nz[-1] + 1):
+                v = pt[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw_out.write(code, ln)
+                    r -= 16
+                s = _category(v)
+                code, ln = ac_codes[(r << 4) | s]
+                bw_out.write(code, ln)
+                bw_out.write(_encode_magnitude(v, s), s)
+                r = 0
+            if nz[-1] < len(band) - 1:
+                eobrun += 1  # trailing zeros: this block ends with EOB
+        flush_eob()
+        bw_out.flush()
+        return bytes(bw_out.out)
+
+    def ac_refine_scan(ci, ss, se, al) -> bytes:
+        """G.1.2.3 with the reference implementation's buffered-bit order:
+        correction bits collect until the next symbol (new coefficient,
+        ZRL, or EOBn) and are emitted right after it."""
+        bw_out = _BitWriter()
+        eobrun = 0
+        ebits: list[int] = []  # correction bits owed to the pending EOB run
+
+        def flush_eob():
+            nonlocal eobrun, ebits
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_codes[n << 4]
+                bw_out.write(code, ln)
+                if n:
+                    bw_out.write(eobrun - (1 << n), n)
+                for bit in ebits:
+                    bw_out.write(bit, 1)
+                eobrun = 0
+                ebits = []
+
+        for zz in _nc_blocks(ci):
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            pt_abs = [abs(x) >> al for x in band]
+            hist = [abs(x) >> (al + 1) for x in band]
+            new_idx = [
+                i for i, (a, hh) in enumerate(zip(pt_abs, hist))
+                if a == 1 and hh == 0
+            ]
+            if not new_idx:
+                # whole band joins the EOB run; its correction bits queue up
+                eobrun += 1
+                ebits.extend(
+                    pt_abs[i] & 1 for i in range(len(band)) if hist[i]
+                )
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            k_eob = new_idx[-1]
+            r = 0
+            pend: list[int] = []
+            for i in range(k_eob + 1):
+                if pt_abs[i] == 0 and hist[i] == 0:
+                    r += 1
+                    continue
+                # ZRL flush happens at EVERY nonzero — history or new —
+                # so each buffered correction bit always lies within the
+                # 16-zero span the decoder walks for the matching ZRL
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw_out.write(code, ln)
+                    for bit in pend:
+                        bw_out.write(bit, 1)
+                    pend = []
+                    r -= 16
+                if hist[i]:
+                    pend.append(pt_abs[i] & 1)  # does NOT count toward r
+                    continue
+                # newly significant ±1 at this precision
+                code, ln = ac_codes[(r << 4) | 1]
+                bw_out.write(code, ln)
+                bw_out.write(1 if band[i] > 0 else 0, 1)
+                for bit in pend:
+                    bw_out.write(bit, 1)
+                pend = []
+                r = 0
+            # positions after the last new coefficient join the EOB run
+            tail_bits = [
+                pt_abs[i] & 1 for i in range(k_eob + 1, len(band)) if hist[i]
+            ]
+            if k_eob < len(band) - 1 or pend:
+                eobrun += 1
+                ebits.extend(pend)
+                ebits.extend(tail_bits)
+        flush_eob()
+        bw_out.flush()
+        return bytes(bw_out.out)
+
+    all_comps = list(range(len(comps)))
+    if spectral_only:
+        out += sos_header(all_comps, 0, 0, 0, 0) + dc_scan(0, 0)
+        for ci in all_comps:
+            out += sos_header([ci], 1, 5, 0, 0) + ac_first_scan(ci, 1, 5, 0)
+            out += sos_header([ci], 6, 63, 0, 0) + ac_first_scan(ci, 6, 63, 0)
+    else:
+        out += sos_header(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
+        out += sos_header(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
+        for ci in all_comps:
+            out += sos_header([ci], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
+        for ci in all_comps:
+            out += sos_header([ci], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -426,11 +674,203 @@ def _huff_decode(reader: _BitReader, table: dict) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
+class _ScanCtx:
+    """Per-scan state shared by the sequential and progressive decoders."""
+
+    def __init__(self, reader, huff, restart_interval, ncomp):
+        self.reader = reader
+        self.huff = huff
+        self.ri = restart_interval
+        self.preds = [0] * ncomp
+        self.eobrun = 0
+        self.rst_count = 0
+        self.unit_i = 0  # data units (MCUs, or blocks when non-interleaved)
+
+    def maybe_restart(self) -> None:
+        if self.ri and self.unit_i and self.unit_i % self.ri == 0:
+            self.reader.sync_restart(self.rst_count)
+            self.rst_count += 1
+            self.preds = [0] * len(self.preds)
+            self.eobrun = 0
+        self.unit_i += 1
+
+
+def _decode_block_sequential(ctx, zz, dc_t, ac_t, ci) -> None:
+    t = _huff_decode(ctx.reader, ctx.huff[(0, dc_t)])
+    diff = _extend(ctx.reader.bits(t), t) if t else 0
+    ctx.preds[ci] += diff
+    zz[0] = ctx.preds[ci]
+    k = 1
+    while k <= 63:
+        rs = _huff_decode(ctx.reader, ctx.huff[(1, ac_t)])
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        size = rs & 0x0F
+        zz[k] = _extend(ctx.reader.bits(size), size)
+        k += 1
+
+
+def _decode_block_dc_prog(ctx, zz, dc_t, ci, ah, al) -> None:
+    """Progressive DC (Ss=Se=0): first pass decodes the point-transformed
+    diff chain; refinement appends one magnitude bit (T.81 G.1.2.1)."""
+    if ah == 0:
+        t = _huff_decode(ctx.reader, ctx.huff[(0, dc_t)])
+        diff = _extend(ctx.reader.bits(t), t) if t else 0
+        ctx.preds[ci] += diff
+        zz[0] = ctx.preds[ci] << al
+    else:
+        if ctx.reader.bit():
+            zz[0] |= 1 << al  # two's-complement OR, as in the reference impl
+
+
+def _decode_block_ac_first(ctx, zz, ac_t, ss, se, al) -> None:
+    """Progressive AC first pass (Ah=0): band run coding + EOB runs
+    (T.81 G.1.2.2)."""
+    if ctx.eobrun > 0:
+        ctx.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(ctx.reader, ctx.huff[(1, ac_t)])
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            ctx.eobrun = (1 << r) - 1  # EOBn: this block ends the band now
+            if r:
+                ctx.eobrun += ctx.reader.bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows band")
+        zz[k] = _extend(ctx.reader.bits(s), s) << al
+        k += 1
+
+
+def _refine_nonzero(ctx, zz, k, p1) -> None:
+    """One correction bit for a coefficient already nonzero in history."""
+    if ctx.reader.bit() and not (int(zz[k]) & p1):
+        zz[k] += p1 if zz[k] > 0 else -p1
+
+
+def _decode_block_ac_refine(ctx, zz, ac_t, ss, se, al) -> None:
+    """Progressive AC refinement (Ah=Al+1): newly-significant ±1·2^Al
+    coefficients run-coded over ZERO-history positions, with interleaved
+    correction bits for nonzero-history ones (T.81 G.1.2.3; bit order
+    matches the reference implementation)."""
+    p1 = 1 << al
+    k = ss
+    if ctx.eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(ctx.reader, ctx.huff[(1, ac_t)])
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:  # EOBn
+                    ctx.eobrun = 1 << r
+                    if r:
+                        ctx.eobrun += ctx.reader.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC-refinement size")
+                newval = p1 if ctx.reader.bit() else -p1
+            # advance past r zero-history positions, reading correction
+            # bits for every nonzero-history coefficient on the way
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(ctx, zz, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if ctx.eobrun > 0:
+        # EOB span: only correction bits remain in this block's band
+        while k <= se:
+            if zz[k] != 0:
+                _refine_nonzero(ctx, zz, k, p1)
+            k += 1
+        ctx.eobrun -= 1
+
+
+def _decode_one_scan(
+    b, pos, comps, huff, quant, coefs, geom, progressive,
+    scan_comps, ss, se, ah, al, restart_interval,
+):
+    """Decode one scan's entropy-coded data; returns the byte offset of
+    the next marker.  ``scan_comps`` is [(comp idx, dc table, ac table)].
+    """
+    width, height, hmax, vmax, mcus_x, mcus_y = geom
+    reader = _BitReader(b, pos)
+    ctx = _ScanCtx(reader, huff, restart_interval, len(comps))
+
+    def block(ci, by, bx, dc_t, ac_t):
+        zz = coefs[ci][by, bx]
+        if not progressive:
+            _decode_block_sequential(ctx, zz, dc_t, ac_t, ci)
+        elif ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            _decode_block_dc_prog(ctx, zz, dc_t, ci, ah, al)
+        elif ah == 0:
+            _decode_block_ac_first(ctx, zz, ac_t, ss, se, al)
+        else:
+            _decode_block_ac_refine(ctx, zz, ac_t, ss, se, al)
+
+    if len(scan_comps) == 1 and progressive and ss > 0:
+        # non-interleaved AC scan: raster order over the COMPONENT's own
+        # (unpadded-to-MCU) block grid — T.81 A.2.2
+        ci, dc_t, ac_t = scan_comps[0]
+        _, h, v, _ = comps[ci]
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        bw_nc, bh_nc = -(-cw // 8), -(-ch // 8)
+        for by in range(bh_nc):
+            for bx in range(bw_nc):
+                ctx.maybe_restart()
+                block(ci, by, bx, dc_t, ac_t)
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                ctx.maybe_restart()
+                for ci, dc_t, ac_t in scan_comps:
+                    _, h, v, _ = comps[ci]
+                    for dy in range(v):
+                        for dx in range(h):
+                            block(ci, my * v + dy, mx * h + dx, dc_t, ac_t)
+
+    # byte-align and find the next marker
+    p = reader.tell()
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] not in (0x00,) and not (
+            0xD0 <= b[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(b)
+
+
 def decode_jpeg_pixels(b: bytes) -> np.ndarray:
-    """Baseline JPEG → numpy array: (h, w, 3) uint8 RGB for color
-    streams, (h, w) uint8 for grayscale.  From-spec inverse of
-    :func:`synth_jpeg` — but table-driven, so it decodes any conforming
-    baseline stream, not just our encoder's output."""
+    """Baseline-sequential OR progressive JPEG → numpy array: (h, w, 3)
+    uint8 RGB for color streams, (h, w) uint8 for grayscale.  From-spec
+    inverse of :func:`synth_jpeg` / :func:`synth_jpeg_progressive` — but
+    table-driven, so it decodes any conforming Huffman 8-bit stream, not
+    just our encoders' outputs.  All scans accumulate into per-component
+    coefficient buffers; dequant + IDCT + upsample + color run once at
+    the end (vectorized), so sequential and progressive streams of the
+    same quantized coefficients decode to IDENTICAL pixels."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -438,17 +878,21 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray:
     huff: dict = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, quant slot)
     width = height = None
+    progressive = False
     restart_interval = 0
-    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
-    data_start = None
+    coefs: list[np.ndarray] = []
+    geom = None
+    saw_scan = False
 
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = b[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment header")
         (seg_len,) = struct.unpack_from(">H", b, pos)
         payload = b[pos + 2 : pos + seg_len]
         if len(payload) < seg_len - 2:
@@ -469,7 +913,8 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray:
                 tbl = np.zeros((8, 8), np.int32)
                 tbl[_ZZ_ROWS, _ZZ_COLS] = vals
                 quant[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             precision = payload[0]
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} not supported")
@@ -479,89 +924,70 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray:
                 cid, hv, tq = payload[p : p + 3]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
                 p += 3
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(h for _, h, _v, _ in comps)
+            vmax = max(v for _, _h, v, _ in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            geom = (width, height, hmax, vmax, mcus_x, mcus_y)
+            coefs = [
+                np.zeros((v * mcus_y, h * mcus_x, 64), np.int64)
+                for _, h, v, _ in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended sequential Huffman JPEG (SOF0/SOF1) "
-                "is supported (progressive/lossless/arithmetic gated)"
+                "only Huffman sequential (SOF0/SOF1) and progressive (SOF2) "
+                "JPEG are supported (lossless/arithmetic gated)"
             )
         elif marker == 0xC4:  # DHT
             _parse_dht(payload, huff)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
+            if geom is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = payload[0]
             p = 1
+            scan_comps = []
             for _ in range(ns):
                 cs, tables_ = payload[p : p + 2]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cs)
-                scan.append((idx, tables_ >> 4, tables_ & 0x0F))
+                scan_comps.append((idx, tables_ >> 4, tables_ & 0x0F))
                 p += 2
-            data_start = pos + seg_len
-            break
+            ss, se, ahal = payload[p : p + 3]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if progressive and ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            pos = _decode_one_scan(
+                b, pos + seg_len, comps, huff, quant, coefs, geom,
+                progressive, scan_comps, ss, se, ah, al, restart_interval,
+            )
+            saw_scan = True
+            continue
         # APPn / COM / others: skip
         pos += seg_len
 
-    if width is None or data_start is None or not comps:
+    if geom is None or not saw_scan:
         raise ValueError("JPEG missing SOF or SOS")
-    hmax = max(h for _, h, _v, _ in comps)
-    vmax = max(v for _, _h, v, _ in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
+    width, height, hmax, vmax, mcus_x, mcus_y = geom
 
-    planes = [
-        np.zeros((8 * v * mcus_y, 8 * h * mcus_x), np.float64)
-        for _, h, v, _ in comps
-    ]
-
-    reader = _BitReader(b, data_start)
-    preds = [0] * len(comps)
-    rst_count = 0
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                reader.sync_restart(rst_count)
-                rst_count += 1
-                preds = [0] * len(comps)
-            mcu_i += 1
-            for ci, dc_t, ac_t in scan:
-                _, h, v, tq = comps[ci]
-                if tq not in quant:
-                    raise ValueError("JPEG references undefined quant table")
-                for dy in range(v):
-                    for dx in range(h):
-                        zz = np.zeros(64, np.int64)
-                        t = _huff_decode(reader, huff[(0, dc_t)])
-                        diff = _extend(reader.bits(t), t) if t else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k <= 63:
-                            rs = _huff_decode(reader, huff[(1, ac_t)])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows block")
-                            size = rs & 0x0F
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
-                        coef = np.zeros((8, 8), np.float64)
-                        coef[_ZZ_ROWS, _ZZ_COLS] = zz
-                        coef *= quant[tq]
-                        block = _A.T @ coef @ _A + 128.0
-                        py = (my * v + dy) * 8
-                        px = (mx * h + dx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = block
+    planes = []
+    for (cid, h, v, tq), cf in zip(comps, coefs):
+        if tq not in quant:
+            raise ValueError("JPEG references undefined quant table")
+        bh, bw = cf.shape[:2]
+        arr = np.zeros((bh, bw, 8, 8), np.float64)
+        arr[:, :, _ZZ_ROWS, _ZZ_COLS] = cf
+        arr *= quant[tq][None, None]
+        # IDCT over every block at once: f = A.T @ F @ A
+        blocks = np.einsum("ki,yxkl,lj->yxij", _A, arr, _A) + 128.0
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
 
     if len(comps) == 1:
         return np.clip(np.round(planes[0][:height, :width]), 0, 255).astype(
             np.uint8
         )
-    # upsample chroma to luma grid, crop, color-convert
     full = []
     for (cid, h, v, _), plane in zip(comps, planes):
         up = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)

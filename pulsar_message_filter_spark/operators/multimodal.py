@@ -23,12 +23,13 @@ Full decode is split by whether a codec is mathematically required:
   ``media_stats`` feeds their per-channel statistics through an
   Arrow-batched ``mapInPandas`` stage; ``audio_frame_features`` /
   ``audio_spectral_features`` run windowed DSP on the decoded PCM.
-- **REAL as of round 8**: baseline sequential JPEG pixels too
-  (``operators/jpeg.py`` — marker walk, canonical Huffman, dequant,
-  IDCT, chroma upsample, YCbCr→RGB; pinned via a from-spec forward
-  encoder + exactness-where-exact tests).  All five fixture formats now
-  decode for real.
-- **STILL GATED**: progressive/arithmetic/12-bit JPEG and compressed
+- **REAL as of round 8**: JPEG pixels too — BOTH sequential (SOF0/1)
+  and progressive (SOF2 with DC/AC successive approximation, spectral
+  selection, EOB runs) in ``operators/jpeg.py`` (marker walk, canonical
+  Huffman, dequant, IDCT, chroma upsample, YCbCr→RGB; pinned via
+  from-spec forward encoders, with progressive-vs-baseline decode
+  proven BIT-IDENTICAL).  All five fixture formats now decode for real.
+- **STILL GATED**: lossless/arithmetic/12-bit JPEG and compressed
   audio — documented ``NotImplementedError`` gates; swap in PIL/librosa
   in production; the schema, partitioning, and UDF signature do not
   change.
@@ -499,12 +500,13 @@ def decode_gif_pixels(b: bytes):
 
 def decode_pixels(b: bytes):
     """Dispatch full pixel decode by magic — REAL for BMP, PNG, GIF and
-    baseline JPEG (all five formats as of round 8).
+    JPEG (all five formats, both JPEG modes, as of round 8).
 
-    Baseline sequential JPEG (SOF0/SOF1, Huffman, 8-bit) decodes for real
-    in ``operators/jpeg.py`` — marker walk, canonical-Huffman entropy
+    Sequential (SOF0/SOF1) AND progressive (SOF2, incl. successive
+    approximation + EOB runs) JPEG decode for real in
+    ``operators/jpeg.py`` — marker walk, canonical-Huffman entropy
     decode, dequant, IDCT, chroma upsample, YCbCr→RGB, all numpy+stdlib.
-    Progressive/arithmetic/12-bit JPEG raise ``NotImplementedError``
+    Lossless/arithmetic/12-bit JPEG raise ``NotImplementedError``
     (documented gates inside the decoder).
     """
     if b[:2] == b"BM":
@@ -921,13 +923,19 @@ def synth_gif(width: int, height: int, seed: int = 0, interlaced: bool = False) 
     return bytes(out)
 
 
-def _synth_jpeg_const(width: int, height: int, value: int, grayscale=False):
+def _synth_jpeg_const(
+    width: int, height: int, value: int, grayscale=False, progressive=False
+):
     import numpy as np
 
-    from pulsar_message_filter_spark.operators.jpeg import synth_jpeg
+    from pulsar_message_filter_spark.operators.jpeg import (
+        synth_jpeg,
+        synth_jpeg_progressive,
+    )
 
     px = np.full((height, width, 3), value, np.uint8)
-    return synth_jpeg(width, height, pixels=px, grayscale=grayscale)
+    enc = synth_jpeg_progressive if progressive else synth_jpeg
+    return enc(width, height, pixels=px, grayscale=grayscale)
 
 
 @graded(
@@ -967,6 +975,7 @@ def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (v-128)*8 % 16 == 0) — the one closed form a lossy codec can pin
         ("img_420.jpg", _synth_jpeg_const(20, 12, 200)),
         ("img_gray.jpg", _synth_jpeg_const(11, 7, 98, grayscale=True)),
+        ("img_prog.jpg", _synth_jpeg_const(20, 12, 200, progressive=True)),
         ("poison.jpg", b"\xff\xd8" + b"\x00" * 16),
     ]
     raw = spark.createDataFrame(corpus, "path string, content binary")

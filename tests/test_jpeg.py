@@ -22,6 +22,7 @@ from pulsar_message_filter_spark.operators.jpeg import (
     _rgb_to_ycbcr,
     decode_jpeg_pixels,
     synth_jpeg,
+    synth_jpeg_progressive,
 )
 
 _ONES = np.ones((8, 8), dtype=int)
@@ -143,10 +144,41 @@ def test_poison_contract():
         decode_jpeg_pixels(whole[:-20])  # truncated entropy data
 
 
-def test_progressive_is_gated_not_wrong():
+@pytest.mark.parametrize(
+    "kw,shape",
+    [
+        (dict(grayscale=True), (24, 17)),
+        (dict(subsampling=(1, 1)), (24, 17)),
+        (dict(subsampling=(2, 1)), (21, 33)),
+        (dict(subsampling=(2, 2)), (29, 37)),
+    ],
+)
+@pytest.mark.parametrize("spectral_only", [False, True])
+def test_progressive_decodes_bit_identical_to_baseline(kw, shape, spectral_only):
+    """The strongest claim a lossy format allows: a progressive stream
+    carries the SAME quantized coefficients as the baseline stream, so the
+    decoded pixels must be IDENTICAL — across grayscale/4:4:4/4:2:2/4:2:0
+    and both profiles (DC+AC successive approximation with EOB runs and
+    buffered correction bits; spectral-selection-only with a split AC
+    band)."""
+    h, w = shape
+    rng = np.random.RandomState(h * w)
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg_pixels(synth_jpeg(w, h, pixels=px, **kw))
+    prog = decode_jpeg_pixels(
+        synth_jpeg_progressive(w, h, pixels=px, spectral_only=spectral_only, **kw)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_poison_and_remaining_gates():
+    whole = synth_jpeg_progressive(16, 16, seed=1)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(whole[:-30])  # truncated mid-scan
+    # lossless/arithmetic SOFs stay gated, loudly
     b = bytearray(synth_jpeg(16, 16, seed=1))
     i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    b[i + 1] = 0xC3  # lossless sequential
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(b))
 

@@ -237,7 +237,13 @@ def test_f12c_media_stats_values(spark):
         r["path"]: r.asDict()
         for r in all_graded()["f12c_media_stats"].fn(spark, "").collect()
     }
-    assert len(rows) == 15  # +GIF/Adam7 (r11); +2 JPEGs + JPEG poison (r12)
+    assert len(rows) == 16  # +GIF/Adam7 (r11); +3 JPEGs + JPEG poison (r12)
+
+    # the progressive JPEG carries the same constant tile: identical stats
+    prog = rows["img_prog.jpg"]
+    assert prog["decodable"] and prog["media_kind"] == "jpeg"
+    assert prog["ch_means"] == "200.0000:200.0000:200.0000"
+    assert (prog["width"], prog["height"]) == (20, 12)
 
     # constant-tile JPEGs decode pixel-exact (all AC = 0, DC divides the
     # Annex-K quant step) → closed-form means despite the lossy codec
