@@ -101,6 +101,19 @@ SHARED_SQL: dict[str, str] = {
     # over a DERIVED edge set (event-type transition graph).  The depth
     # guard makes it terminate on the cyclic graph; min(depth) collapses
     # the path multiset to shortest-hops, so the result is set-stable.
+    # LATERAL correlated subquery — the top-1-per-group idiom in its
+    # portable SQL form (Spark 4 lateral subquery ⇄ DuckDB LATERAL)
+    "sql_shared_lateral_top1": """
+        SELECT n.n_name, t.top_cust, t.top_bal_cents
+        FROM nation n, LATERAL (
+            SELECT c.c_name AS top_cust,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) AS top_bal_cents
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c.c_acctbal DESC, c.c_custkey
+            LIMIT 1
+        ) t
+    """,
     "sql_shared_recursive_reach": """
         WITH RECURSIVE edges AS (
             SELECT DISTINCT event_type AS src, next_type AS dst
@@ -178,6 +191,13 @@ _make(
     SHARED_SQL["sql_shared_case_join"],
     "B12,C4,D4",
     "shared-dialect SQL: join + CASE aggregates — identical text on both engines",
+)
+_make(
+    "sql_shared_lateral_top1",
+    SHARED_SQL["sql_shared_lateral_top1"],
+    "B12,C25,C21",
+    "shared-dialect SQL: LATERAL correlated top-1 subquery per dim row — "
+    "identical text on both engines",
 )
 _make(
     "sql_shared_recursive_reach",
