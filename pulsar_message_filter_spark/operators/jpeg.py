@@ -829,9 +829,15 @@ def _decode_one_scan(
         else:
             _decode_block_ac_refine(ctx, zz, ac_t, ss, se, al)
 
-    if len(scan_comps) == 1 and progressive and ss > 0:
-        # non-interleaved AC scan: raster order over the COMPONENT's own
-        # (unpadded-to-MCU) block grid — T.81 A.2.2
+    if len(scan_comps) == 1:
+        # ANY single-component scan is non-interleaved (T.81 A.2.2):
+        # raster order over the COMPONENT's own (unpadded-to-MCU) block
+        # grid, one block per restart-counted MCU.  This covers
+        # progressive AC scans, progressive DC scans of a single
+        # component, AND sequential per-component scans — previously only
+        # the first case took this path, so a conforming sequential
+        # single-component scan of a subsampled component was walked on
+        # the full-resolution MCU grid and misdecoded (ADVICE r08).
         ci, dc_t, ac_t = scan_comps[0]
         _, h, v, _ = comps[ci]
         cw = -(-width * h // hmax)
@@ -851,13 +857,19 @@ def _decode_one_scan(
                         for dx in range(h):
                             block(ci, my * v + dy, mx * h + dx, dc_t, ac_t)
 
-    # byte-align and find the next marker
+    # byte-align and find the next marker; runs of 0xFF are FILL bytes
+    # (B.1.1.2) — the marker is the final 0xFF + code pair, so skip over
+    # leading fills instead of returning a position whose "code" byte is
+    # itself 0xFF (ADVICE r08)
     p = reader.tell()
     while p + 1 < len(b):
-        if b[p] == 0xFF and b[p + 1] not in (0x00,) and not (
-            0xD0 <= b[p + 1] <= 0xD7
-        ):
-            return p
+        if b[p] == 0xFF:
+            nxt = b[p + 1]
+            if nxt == 0xFF:  # fill byte: real marker code follows later
+                p += 1
+                continue
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return p
         p += 1
     return len(b)
 

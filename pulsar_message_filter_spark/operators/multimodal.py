@@ -540,12 +540,13 @@ MEDIA_STATS_SCHEMA = (
 def media_stats(batches: Iterator[pd.DataFrame]):
     """mapInPandas stage: (path, content) → REAL decoded per-channel stats.
 
-    BMP/PNG/GIF/baseline-JPEG pixels and WAV PCM samples are fully decoded
-    (pure stdlib+numpy, see ``decode_pixels``/``decode_wav_samples``);
-    opaque kinds and gated codecs (progressive JPEG, compressed audio)
-    yield ``decodable=false`` with null stats instead of failing the batch
-    — at 100 TB a poison file must not kill the stage (same contract as
-    the corrupt-record routing in the ingest path).
+    BMP/PNG/GIF/JPEG (both modes — sequential AND progressive SOF2)
+    pixels and WAV PCM samples are fully decoded (pure stdlib+numpy, see
+    ``decode_pixels``/``decode_wav_samples``); opaque kinds and the
+    remaining gated codecs (lossless/arithmetic/12-bit JPEG, compressed
+    audio) yield ``decodable=false`` with null stats instead of failing
+    the batch — at 100 TB a poison file must not kill the stage (same
+    contract as the corrupt-record routing in the ingest path).
     """
     import numpy as np
 

@@ -26,25 +26,27 @@ not events, and raw values never shuffle twice.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
 from pulsar_message_filter_spark.registry import graded
+from pulsar_message_filter_spark.tmpdirs import run_scoped_dir
 
 _EPOCHS = 3
 _MG_K = 12  # < #users (150 at sf0.01) so the threshold subtraction is live
 
 
 def _store_dir(query: str, sf_dir: str) -> str:
-    """Deterministic per-(query, sf) store path (not ``mkdtemp``): repeated
-    gate/bench runs rewrite the same epoch partitions via the dynamic
-    overwrite in :func:`_epoch_write` instead of leaking a fresh /tmp dir
-    per invocation (VERDICT r07 hygiene note)."""
+    """Per-(query, sf) store path, deterministic WITHIN this process only:
+    repeated gate/bench runs in one interpreter rewrite the same epoch
+    partitions via the dynamic overwrite in :func:`_epoch_write` instead of
+    leaking a fresh /tmp dir per invocation (VERDICT r07 hygiene note),
+    while concurrent processes get disjoint roots (ADVICE r08: a fully
+    fixed path raced gate-vs-bench on the same sf)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"pmf_{query}_{tag}_e{_EPOCHS}")
+    return run_scoped_dir(f"pmf_{query}_{tag}_e{_EPOCHS}")
 
 
 def _epoch_write(summary: DataFrame, epoch: int, store_dir: str) -> None:

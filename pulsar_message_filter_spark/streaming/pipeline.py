@@ -11,6 +11,7 @@ file source, or the Pulsar connector — semantics are identical.
 
 from __future__ import annotations
 
+import math as _math
 from typing import Iterator
 
 import pandas as pd
@@ -22,6 +23,15 @@ from pyspark.sql.streaming.state import GroupState
 
 from pulsar_message_filter_spark.filtering import REJECT, RESCHEDULE, with_verdict
 from pulsar_message_filter_spark.selector import Selector
+
+
+def _cents_half_up(v: float) -> int:
+    """Integer cents with HALF-UP ties (away from zero) — the rounding of
+    Spark's ``F.round`` and DuckDB's ``round()``.  Python's built-in
+    ``round`` is banker's (half-to-even) and would diverge from the
+    hash-graded batch twin on exact .5 cents (ADVICE r08)."""
+    cents = _math.floor(abs(v) * 100 + 0.5)
+    return cents if v >= 0 else -cents
 
 
 def route_batch(
@@ -591,17 +601,20 @@ def user_profile_tws(stream: DataFrame, keep_last: int = 3) -> DataFrame:
                 self._recent.put([(v,) for v in vals])
             counts = {k[0]: self._counts.getValue(k)[0] for k in self._counts.keys()}
             top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-            # recent values as integer CENTS joined by ':' — the one float
-            # rendering that is identical across Python, Spark SQL and
-            # DuckDB, so the graded batch twin (user_profile_batch_twin)
-            # can hash-match this exact string
+            # recent values as integer CENTS joined by ':'.  The rounding
+            # must be HALF-UP to match the batch twin's F.round and the
+            # DuckDB oracle's round() — Python's built-in round() is
+            # banker's (half-to-even) and diverges on exact .5 cents
+            # (e.g. 0.125 -> 12 vs 13; ADVICE r08).
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_types": [len(counts)],
                     "top_type": [top],
                     "n_events": [sum(counts.values())],
-                    "recent_csv": [":".join(str(round(v * 100)) for v in vals)],
+                    "recent_csv": [
+                        ":".join(str(_cents_half_up(v)) for v in vals)
+                    ],
                 }
             )
 
