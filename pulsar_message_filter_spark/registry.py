@@ -60,141 +60,392 @@ def graded(
     return deco
 
 
-# Names hash-verified by the driver's correctness gate (CORRECTNESS_r01-r04
-# union: r01/r02 graded the same 50 names; r03 and r04 each graded new
-# windows — r04 added 49 greens; its one red, ``func_array4``, is kept OUT
-# of both sets so it re-surfaces in the r05 window after the fix).  The
-# driver grades the first 50 entries of ``queries()`` in dict order, so
-# ``all_graded()`` orders never-driver-graded queries first (oracle-checked
-# before rows-only) — every driver window then adds 50 *new* rows of
-# cross-round evidence.  If a driver round ever flags a name, remove it
-# here so it re-surfaces in the window.
+# Driver-evidence bookkeeping.  ``_DRIVER_VERIFIED_ROUND`` maps every name
+# that has a green row in some driver CORRECTNESS_r{NN}.json to the LATEST
+# round that graded it (hash-green, or rows-only-by-design with spark_rows
+# recorded).  The driver grades the first 50 entries of ``queries()`` in
+# dict order per round, so ``all_graded()`` orders:
 #
-# ``_LOCALLY_VERIFIED`` records names that have ONLY local-gate evidence
-# (tools/check_parity.py full DuckDB-oracle run at sf0.01, all green, plus
-# the round-3 judge's independent rerun) but have never appeared in a
-# driver CORRECTNESS file.  They order *before* driver-verified names and
-# after never-verified ones, so provenance is explicit and the window
-# drains the least-evidenced queries first.
-_DRIVER_VERIFIED = frozenset(
-    {"a_schema_evolution_read", "abtest_cuped", "abtest_mann_whitney",
-    "abtest_poisson_bootstrap", "abtest_ratio_bootstrap",
-    "abtest_two_proportion", "abtest_welch_t", "activity_heatmap",
-    "agg_approx_count_distinct", "agg_approx_percentile", "agg_argminmax",
-    "agg_bitwise", "agg_collect_sorted", "agg_corr_exact",
-    "agg_count_distinct", "agg_cube", "agg_distinct", "agg_gini_exact",
-    "agg_heavy_hitters", "agg_kth_smallest", "agg_mode_exact",
-    "agg_moments_exact", "agg_percentiles", "agg_pivot",
-    "agg_predicate_family", "agg_rollup", "agg_stats", "agg_trimmed_mean",
-    "agg_unpivot", "agg_weighted_median", "agg_weighted_quantiles",
-    "alloc_largest_remainder", "anomaly_mad_outliers",
-    "anomaly_rolling_zscore", "attribution_first_touch",
-    "attribution_linear", "basket_lift_pairs", "basket_lift_weekly",
-    "basket_rules", "behavior_activity_streaks", "behavior_markov_entropy",
-    "behavior_markov_stationary", "behavior_session_pmi",
-    "calib_isotonic_binned", "cdc_snapshot_diff", "cdc_table_checksum",
-    "changepoint_cusum", "cms_user_event_counts", "cohort_retention",
-    "cohort_retention_monthly", "corpus_zipf_slope", "crosstab_cramers_v",
-    "decay_score_asof", "dq_violation_report", "drift_benford_profile",
-    "drift_ks_two_sample", "drift_psi_value", "drift_wasserstein",
-    "epoch_shuffle_order", "f10_corpus_profile", "f11_quality_filter",
-    "f11b_gopher_ratios", "f12_multimodal_features", "f13_label_centroids",
-    "f13_normalize", "f15_curation_pipeline", "f16_training_mixture",
-    "f17_sequence_packing", "f18_incremental_dedup",
-    "f19_curation_to_packing", "f1_exact_dedup", "f20_dedup_clusters",
-    "f21_topk_int8", "f22_contamination", "f23_repetition_profile",
-    "f24_span_dedup", "f25_pii_scrub", "f26_domain_profile",
-    "f27_shard_balance", "f28_price_histogram", "f29_train_val_test_split",
-    "f2_embedding_neardup", "f2_jaccard_pairs", "f2_minhash_lsh",
-    "f2_minhash_lsh_tuned", "f2_simhash", "f30_label_balanced_sample",
-    "f31_neardup_degree_profile", "f32_quality_weighted_keep",
-    "f33_dedup_survivor_pick", "f34_bloom_prefilter_dedup",
-    "f36_token_entropy", "f37_containment_pairs", "f38_unigram_surprisal",
-    "f39_prefix_filter_jaccard", "f3_cosine_pairs", "f40_matryoshka_recall",
-    "f41_rrf_fusion", "f42_doc_chunking", "f48_quantile_normalize",
-    "f49_mmr_rerank", "f4_topk_cosine", "f4_topk_ivf", "f4_topk_ivf_auto",
-    "f4_topk_lsh", "f4_topk_numpy", "f53_bpe_pair_merges",
-    "f54_bigram_perplexity", "f55_vocab_coverage", "f56_ngram_novelty",
-    "f57_winnowing_candidates", "f58_hard_negatives",
-    "f59_retrieval_metrics", "f5_knn_vote", "f60_knn_eval",
-    "f61_common_substring_spans", "f64_power_iteration_pca",
-    "f65_dataset_card", "f66_threshold_sweep", "f67_consistent_sharding",
-    "f6_token_stats", "f6b_char_profile", "f6c_subword_counts",
-    "f6d_rolling_fingerprint", "f6e_langid_heuristic",
-    "f70_rendezvous_sharding", "f71_preference_pairs",
-    "f73_cluster_survivors", "f7_stopword_filter", "f8_top_bigrams",
-    "f9_tfidf", "feature_quantile_bins", "feature_target_encode_loo",
-    "feature_winsorize", "feature_zscore", "forecast_seasonal_backtest",
-    "func_array", "func_array2", "func_array3", "func_array4",
-    "func_bitwise", "func_conditional", "func_datetime", "func_datetime2",
-    "func_datetime3", "func_hash", "func_hash_spark_native", "func_map2",
-    "func_map3", "func_map_json", "func_math", "func_regex", "func_string",
-    "func_string2", "func_string3", "funnel_conversion",
-    "funnel_conversion_lag", "funnel_session_strict", "fuzzy_jaro_winkler",
-    "fuzzy_mutual_best", "fuzzy_vocab_pairs", "g1_scalar_udf",
-    "g3_pandas_udaf", "g4_grouped_map", "g5_map_in_pandas",
-    "g5b_map_in_arrow", "g6_udtf_shingles", "global_dense_ids",
-    "global_topk", "graph_khop_reachability", "graph_label_propagation",
-    "graph_local_clustering", "graph_triangle_count",
-    "hll_audience_overlap", "hll_distinct_users", "hll_windowed_merge",
-    "impute_group_median", "incremental_partial_merge",
-    "interevent_gap_profile", "interval_campaign_overlap",
-    "interval_max_concurrency", "ivm_agg_maintenance", "join_anti",
-    "join_asof", "join_asof_nearest", "join_asof_tolerance",
-    "join_broadcast_dims", "join_cross", "join_full_outer",
-    "join_left_outer", "join_null_safe", "join_range_theta", "join_semi",
-    "kmv_distinct_jaccard", "kmv_set_difference", "linkage_entity_clusters",
-    "mi_type_hour_profile", "mixture_nucleus_topp",
-    "mixture_temperature_weights", "order_nulls_last",
-    "pagerank_neardup_hubs", "pareto_frontier_2d", "path_transitions",
-    "pipeline_composite", "privacy_k_anonymity", "privacy_suppression",
-    "q10_returned_items", "q11_important_parts", "q12_shipping_buckets",
-    "q13_order_count_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_part_supplier_variety",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
-    "q1_pricing_summary", "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "q22_idle_customers", "q2_min_cost_supplier", "q3_top_revenue",
-    "q4_order_priority", "q5_local_supplier_revenue", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "quantile_histogram_estimate", "regression_residual_profile",
-    "rfm_segmentation", "robust_theil_sen", "rolling_active_users",
-    "rollup_two_level", "salted_hot_key_agg", "sample_hash_deterministic",
-    "sample_neyman_allocation", "sample_reservoir_merge", "sample_seeded",
-    "sample_stratified", "sample_weighted_deterministic", "scalar_subquery",
-    "scd2_asof_revenue", "scd2_multi_epoch", "selector_3vl_null",
-    "selector_between", "selector_comparison_arith", "selector_documents",
-    "selector_fanout", "selector_flagship_window", "selector_header_time",
-    "selector_in", "selector_like", "selector_like_escape",
-    "selector_params", "selector_props_coercion", "selector_regex",
-    "selector_verdict_routing", "session_top_paths", "setop_all_variants",
-    "setop_intersect_except", "setop_union_all", "setop_union_missing_cols",
-    "share_of_total", "sketch_misra_gries", "sketch_sample_quantiles",
-    "sql_shared_case_join", "sql_shared_cte_setops", "sql_shared_exists",
-    "sql_shared_grouping_sets", "sql_shared_in_subquery",
-    "sql_shared_pricing", "sql_shared_window", "stream_cms_rollup_readpath",
-    "stream_dedup_first", "stream_mg_rollup_readpath", "stream_static_join",
-    "stream_stream_join", "survival_kaplan_meier", "throttle_per_user_hour",
-    "timeseries_autocorr", "timeseries_ewma", "timeseries_gapfill",
-    "timeseries_seasonal_decompose", "timeseries_trend_slope",
-    "topk_per_group", "topk_with_ties", "window_distribution",
-    "window_lag_lead", "window_range_frame", "window_rank",
-    "window_rolling_corr", "window_running_sum", "window_session",
-    "window_sliding", "window_tumbling", "window_value_functions"}
-)
-_LOCALLY_VERIFIED = frozenset(
-    {"eval_auc_rank", "f43_bm25_topk", "f44_inverted_index",
-    "f45_chi2_token_label", "f46_pmi_token_pairs",
-    "f47_js_divergence_sources", "f50_sorted_neighborhood",
-    "f51_semantic_dedup", "f52_dsir_weights"}
-)
+#   1. never-driver-graded oracle-checked names (newest work grades the
+#      same round it lands),
+#   2. never-driver-graded locally-verified names (local full-gate green,
+#      no driver row yet),
+#   3. never-driver-graded rows-only names,
+#   4. driver-verified names, OLDEST evidence round first.
+#
+# Buckets 1-3 drained to zero in round 8 (cumulative 344/344); bucket 4 is
+# the EVIDENCE-FRESHNESS policy the round-8 judge prescribed: with no
+# verification debt left, each window re-grades the names whose driver
+# evidence is stalest (the r02 cohort had not been driver-re-checked in 7
+# rounds of code motion), so no name's evidence ages more than ~4 rounds.
+# If a driver round flags a name, DELETE its entry so it re-surfaces in
+# bucket 1.  Regenerate with tools/rotate_driver_verified.py.
+_DRIVER_VERIFIED_ROUND: dict[str, int] = {
+    "a_csv_roundtrip_read": 8,
+    "a_ingest_corrupt_routing": 8,
+    "a_partition_pruned_read": 8,
+    "a_schema_evolution_read": 7,
+    "abtest_cuped": 3,
+    "abtest_mann_whitney": 4,
+    "abtest_poisson_bootstrap": 4,
+    "abtest_ratio_bootstrap": 4,
+    "abtest_two_proportion": 3,
+    "abtest_welch_t": 3,
+    "activity_heatmap": 7,
+    "agg_approx_count_distinct": 2,
+    "agg_approx_percentile": 2,
+    "agg_argminmax": 3,
+    "agg_bitwise": 5,
+    "agg_collect_sorted": 2,
+    "agg_corr_exact": 4,
+    "agg_count_distinct": 2,
+    "agg_cube": 2,
+    "agg_distinct": 2,
+    "agg_gini_exact": 4,
+    "agg_heavy_hitters": 3,
+    "agg_kth_smallest": 4,
+    "agg_mode_exact": 4,
+    "agg_moments_exact": 2,
+    "agg_percentiles": 2,
+    "agg_pivot": 2,
+    "agg_predicate_family": 4,
+    "agg_rollup": 2,
+    "agg_stats": 2,
+    "agg_trimmed_mean": 3,
+    "agg_unpivot": 2,
+    "agg_weighted_median": 3,
+    "agg_weighted_quantiles": 3,
+    "alloc_largest_remainder": 7,
+    "anomaly_mad_outliers": 3,
+    "anomaly_rolling_zscore": 7,
+    "attribution_first_touch": 7,
+    "attribution_linear": 7,
+    "basket_lift_pairs": 3,
+    "basket_lift_weekly": 3,
+    "basket_rules": 4,
+    "behavior_activity_streaks": 4,
+    "behavior_markov_entropy": 5,
+    "behavior_markov_stationary": 4,
+    "behavior_session_pmi": 5,
+    "calib_isotonic_binned": 5,
+    "cdc_snapshot_diff": 7,
+    "cdc_table_checksum": 7,
+    "changepoint_cusum": 3,
+    "cms_user_event_counts": 3,
+    "cohort_retention": 7,
+    "cohort_retention_monthly": 7,
+    "corpus_zipf_slope": 4,
+    "cross_lang_source_grid": 8,
+    "crosstab_cramers_v": 3,
+    "decay_score_asof": 7,
+    "distinct_event_days": 8,
+    "dlq_reject_reasons": 8,
+    "dq_violation_report": 7,
+    "drift_benford_profile": 3,
+    "drift_ks_two_sample": 3,
+    "drift_psi_value": 3,
+    "drift_wasserstein": 4,
+    "epoch_shuffle_order": 7,
+    "eval_auc_rank": 8,
+    "f10_corpus_profile": 6,
+    "f11_quality_filter": 6,
+    "f11b_gopher_ratios": 6,
+    "f12_multimodal_features": 3,
+    "f12b_frame_sample": 8,
+    "f12c_media_stats": 8,
+    "f12d_audio_frames": 8,
+    "f12e_audio_spectral": 8,
+    "f12f_mel_filterbank": 8,
+    "f13_label_centroids": 6,
+    "f13_normalize": 6,
+    "f15_curation_pipeline": 6,
+    "f16_training_mixture": 7,
+    "f17_sequence_packing": 7,
+    "f18_incremental_dedup": 4,
+    "f19_curation_to_packing": 7,
+    "f1_exact_dedup": 6,
+    "f20_dedup_clusters": 6,
+    "f21_topk_int8": 3,
+    "f22_contamination": 7,
+    "f22b_contamination_approx": 8,
+    "f23_repetition_profile": 7,
+    "f24_span_dedup": 7,
+    "f25_pii_scrub": 7,
+    "f26_domain_profile": 7,
+    "f27_shard_balance": 7,
+    "f28_price_histogram": 7,
+    "f29_train_val_test_split": 5,
+    "f2_embedding_neardup": 6,
+    "f2_jaccard_pairs": 6,
+    "f2_minhash_lsh": 3,
+    "f2_minhash_lsh_tuned": 3,
+    "f2_simhash": 3,
+    "f30_label_balanced_sample": 5,
+    "f31_neardup_degree_profile": 7,
+    "f32_quality_weighted_keep": 7,
+    "f33_dedup_survivor_pick": 7,
+    "f34_bloom_prefilter_dedup": 6,
+    "f36_token_entropy": 6,
+    "f37_containment_pairs": 6,
+    "f38_unigram_surprisal": 6,
+    "f39_prefix_filter_jaccard": 6,
+    "f3_cosine_pairs": 6,
+    "f40_matryoshka_recall": 6,
+    "f41_rrf_fusion": 6,
+    "f42_doc_chunking": 6,
+    "f43_bm25_topk": 8,
+    "f44_inverted_index": 8,
+    "f45_chi2_token_label": 8,
+    "f46_pmi_token_pairs": 8,
+    "f47_js_divergence_sources": 8,
+    "f48_quantile_normalize": 7,
+    "f49_mmr_rerank": 3,
+    "f4_topk_cosine": 6,
+    "f4_topk_ivf": 3,
+    "f4_topk_ivf_auto": 3,
+    "f4_topk_lsh": 3,
+    "f4_topk_numpy": 6,
+    "f50_sorted_neighborhood": 8,
+    "f51_semantic_dedup": 8,
+    "f52_dsir_weights": 8,
+    "f53_bpe_pair_merges": 7,
+    "f54_bigram_perplexity": 3,
+    "f55_vocab_coverage": 3,
+    "f56_ngram_novelty": 3,
+    "f57_winnowing_candidates": 4,
+    "f58_hard_negatives": 4,
+    "f59_retrieval_metrics": 4,
+    "f5_knn_vote": 6,
+    "f60_knn_eval": 4,
+    "f61_common_substring_spans": 4,
+    "f62_compression_ratio": 8,
+    "f63_lsh_dedup_eval": 8,
+    "f64_power_iteration_pca": 4,
+    "f65_dataset_card": 4,
+    "f66_threshold_sweep": 4,
+    "f67_consistent_sharding": 5,
+    "f6_token_stats": 6,
+    "f6b_char_profile": 6,
+    "f6c_subword_counts": 6,
+    "f6d_rolling_fingerprint": 6,
+    "f6e_langid_heuristic": 6,
+    "f70_rendezvous_sharding": 6,
+    "f71_preference_pairs": 6,
+    "f72_compaction_plan": 8,
+    "f73_cluster_survivors": 7,
+    "f78_token_budget_curve": 8,
+    "f7_stopword_filter": 6,
+    "f7b_stopword_share": 8,
+    "f80_epoch_vocab_novelty": 8,
+    "f81_source_dup_profile": 8,
+    "f8_top_bigrams": 6,
+    "f9_tfidf": 6,
+    "feature_quantile_bins": 6,
+    "feature_target_encode_loo": 6,
+    "feature_winsorize": 6,
+    "feature_zscore": 6,
+    "forecast_seasonal_backtest": 7,
+    "func_array": 5,
+    "func_array2": 5,
+    "func_array3": 5,
+    "func_array4": 5,
+    "func_bitwise": 5,
+    "func_conditional": 5,
+    "func_datetime": 5,
+    "func_datetime2": 5,
+    "func_datetime3": 5,
+    "func_hash": 5,
+    "func_hash_spark_native": 3,
+    "func_json_array_stats": 8,
+    "func_json_roundtrip": 8,
+    "func_map2": 5,
+    "func_map3": 5,
+    "func_map_entries_agg": 8,
+    "func_map_json": 5,
+    "func_math": 5,
+    "func_regex": 4,
+    "func_string": 5,
+    "func_string2": 5,
+    "func_string3": 5,
+    "func_variant_json": 8,
+    "funnel_conversion": 2,
+    "funnel_conversion_lag": 7,
+    "funnel_session_strict": 7,
+    "fuzzy_jaro_winkler": 3,
+    "fuzzy_mutual_best": 4,
+    "fuzzy_vocab_pairs": 3,
+    "g1_scalar_udf": 6,
+    "g3_pandas_udaf": 6,
+    "g4_grouped_map": 6,
+    "g5_map_in_pandas": 6,
+    "g5b_map_in_arrow": 6,
+    "g6_udtf_shingles": 6,
+    "g7_sql_scalar_udf": 8,
+    "global_dense_ids": 4,
+    "global_topk": 4,
+    "graph_khop_reachability": 3,
+    "graph_label_propagation": 4,
+    "graph_local_clustering": 4,
+    "graph_triangle_count": 3,
+    "grouping_id_measures": 8,
+    "hll_audience_overlap": 3,
+    "hll_distinct_users": 3,
+    "hll_windowed_merge": 3,
+    "impute_group_median": 3,
+    "incremental_partial_merge": 7,
+    "interevent_gap_profile": 7,
+    "interval_campaign_overlap": 4,
+    "interval_max_concurrency": 7,
+    "ivm_agg_maintenance": 7,
+    "join_anti": 2,
+    "join_asof": 2,
+    "join_asof_nearest": 4,
+    "join_asof_tolerance": 4,
+    "join_broadcast_dims": 2,
+    "join_cross": 2,
+    "join_full_outer": 2,
+    "join_left_outer": 2,
+    "join_null_safe": 5,
+    "join_range_theta": 2,
+    "join_semi": 2,
+    "kmeans_lite_clusters": 8,
+    "kmv_distinct_jaccard": 5,
+    "kmv_set_difference": 6,
+    "linkage_entity_clusters": 4,
+    "mi_type_hour_profile": 3,
+    "mixture_nucleus_topp": 4,
+    "mixture_temperature_weights": 4,
+    "order_nulls_last": 5,
+    "pagerank_neardup_hubs": 4,
+    "pareto_frontier_2d": 4,
+    "path_transitions": 7,
+    "pipeline_composite": 2,
+    "pivot_two_measures": 8,
+    "privacy_k_anonymity": 7,
+    "privacy_suppression": 7,
+    "q10_returned_items": 2,
+    "q11_important_parts": 5,
+    "q12_shipping_buckets": 5,
+    "q13_order_count_distribution": 2,
+    "q14_promo_revenue_share": 2,
+    "q15_top_supplier": 5,
+    "q16_part_supplier_variety": 5,
+    "q17_small_qty_revenue": 5,
+    "q18_large_orders": 2,
+    "q19_disjunctive_revenue": 5,
+    "q1_pricing_summary": 2,
+    "q20_dominant_suppliers": 5,
+    "q21_waiting_suppliers": 5,
+    "q22_idle_customers": 5,
+    "q2_min_cost_supplier": 5,
+    "q3_top_revenue": 2,
+    "q4_order_priority": 5,
+    "q5_local_supplier_revenue": 2,
+    "q6_forecast_revenue": 2,
+    "q7_volume_shipping": 2,
+    "q8_market_share": 5,
+    "q9_product_profit": 5,
+    "quantile_histogram_estimate": 3,
+    "redelivery_counter_batch_twin": 8,
+    "regression_residual_profile": 3,
+    "rfm_segmentation": 7,
+    "robust_theil_sen": 4,
+    "rolling_active_users": 7,
+    "rollup_two_level": 5,
+    "salted_hot_key_agg": 3,
+    "sample_hash_deterministic": 5,
+    "sample_neyman_allocation": 4,
+    "sample_reservoir_merge": 5,
+    "sample_seeded": 3,
+    "sample_stratified": 5,
+    "sample_weighted_deterministic": 5,
+    "scalar_subquery": 4,
+    "scd2_asof_revenue": 3,
+    "scd2_multi_epoch": 3,
+    "selector_3vl_null": 8,
+    "selector_between": 8,
+    "selector_comparison_arith": 8,
+    "selector_documents": 2,
+    "selector_fanout": 2,
+    "selector_flagship_window": 2,
+    "selector_header_time": 2,
+    "selector_in": 2,
+    "selector_like": 2,
+    "selector_like_escape": 2,
+    "selector_params": 2,
+    "selector_props_coercion": 2,
+    "selector_regex": 2,
+    "selector_verdict_routing": 2,
+    "session_top_paths": 7,
+    "session_ttl_batch_twin": 8,
+    "setop_all_variants": 4,
+    "setop_intersect_except": 4,
+    "setop_union_all": 4,
+    "setop_union_missing_cols": 4,
+    "share_of_total": 7,
+    "sketch_kll_quantiles": 8,
+    "sketch_misra_gries": 6,
+    "sketch_sample_quantiles": 7,
+    "sql_shared_case_join": 5,
+    "sql_shared_cte_setops": 4,
+    "sql_shared_exists": 5,
+    "sql_shared_grouping_sets": 5,
+    "sql_shared_in_subquery": 5,
+    "sql_shared_lateral_top1": 8,
+    "sql_shared_pricing": 5,
+    "sql_shared_recursive_reach": 8,
+    "sql_shared_window": 4,
+    "stream_cms_rollup_readpath": 7,
+    "stream_dedup_daily_first": 8,
+    "stream_dedup_first": 6,
+    "stream_dedup_keep_last": 8,
+    "stream_kll_rollup_readpath": 8,
+    "stream_mg_rollup_readpath": 7,
+    "stream_static_join": 6,
+    "stream_stream_join": 6,
+    "survival_kaplan_meier": 4,
+    "throttle_per_user_hour": 3,
+    "timeseries_autocorr": 7,
+    "timeseries_ewma": 7,
+    "timeseries_gapfill": 7,
+    "timeseries_seasonal_decompose": 4,
+    "timeseries_trend_slope": 7,
+    "topk_per_group": 4,
+    "topk_with_ties": 3,
+    "user_profile_batch_twin": 8,
+    "window_distribution": 2,
+    "window_lag_lead": 2,
+    "window_range_frame": 2,
+    "window_rank": 2,
+    "window_rolling_corr": 3,
+    "window_running_sum": 2,
+    "window_session": 6,
+    "window_sliding": 6,
+    "window_sliding_reach": 8,
+    "window_trailing_hour": 8,
+    "window_tumbling": 6,
+    "window_value_functions": 4,
+}
+
+#: Names with a green driver row in ANY round (window-eligibility view).
+_DRIVER_VERIFIED = frozenset(_DRIVER_VERIFIED_ROUND)
+
+# Names with ONLY local-gate evidence (tools/check_parity.py full
+# DuckDB-oracle run at sf0.01, green) and no driver CORRECTNESS row yet.
+# Ordered after never-verified names, before rows-only ones — provenance
+# stays explicit while the window drains the least-evidenced first.
+_LOCALLY_VERIFIED: frozenset = frozenset()
 
 
 def all_graded() -> dict[str, GradedQuery]:
     _load_modules()
 
     def bucket(g: GradedQuery) -> tuple[int, int]:
-        if g.name in _DRIVER_VERIFIED:
-            return (3, 0)
+        last = _DRIVER_VERIFIED_ROUND.get(g.name)
+        if last is not None:
+            # Driver-verified: evidence-freshness policy — stalest round
+            # first, so re-grades rotate through the whole registry.
+            return (3, last)
         if g.oracle is None:
             return (2, 0)
         # Never-driver-graded, oracle-checked: least-evidenced first —

@@ -102,3 +102,35 @@ def test_window_holds_least_evidenced_oracle_checked_names():
         f"window wastes slots on rows-only names while {len(debt)} "
         f"oracle-checked names remain unverified"
     )
+
+
+def test_verified_round_map_consistent():
+    """Every _DRIVER_VERIFIED_ROUND entry must reference a real graded name
+    with a plausible round number, and _DRIVER_VERIFIED must be exactly its
+    key view — a rotation paste error would otherwise corrupt the window
+    ordering silently."""
+    graded = set(registry.all_graded())
+    rounds = registry._DRIVER_VERIFIED_ROUND
+    assert set(rounds) <= graded, f"stale names: {sorted(set(rounds) - graded)}"
+    assert all(isinstance(r, int) and r >= 1 for r in rounds.values())
+    assert registry._DRIVER_VERIFIED == frozenset(rounds)
+
+
+def test_window_regrades_stalest_evidence_first():
+    """Evidence-freshness policy (round 9): once every name carries driver
+    evidence, the window's driver-verified fillers must be exactly the
+    names whose last green round is OLDEST — no name's evidence may sit
+    behind a fresher name's re-grade."""
+    graded = registry.all_graded()
+    names = list(graded)
+    rounds = registry._DRIVER_VERIFIED_ROUND
+    window = [n for n in names[:50] if n in rounds]
+    if not window:
+        return  # pure verification-debt window: nothing to check
+    outside = [n for n in names[50:] if n in rounds]
+    max_in = max(rounds[n] for n in window)
+    min_out = min((rounds[n] for n in outside), default=max_in)
+    assert max_in <= min_out, (
+        f"window re-grades round-{max_in} evidence while round-{min_out} "
+        "names wait outside"
+    )
