@@ -1,0 +1,538 @@
+"""Round-9 widening of thin SURVEY §2 rows (VERDICT r08 items #3/#4).
+
+Rows that carried a single graded query each get the variants a real user
+of the selector/stream surface would reach for next:
+
+* **E7 stream–stream join** — the reversed time bound (followups AFTER the
+  anchor) and the left-outer first-match form with its NULL surface
+  preserved, both expressed as the batch form of the watermarked
+  range-join (identical condition under ``readStream``).
+* **B14 fan-out** — N=5 subscriptions evaluated in ONE scan and unpivoted
+  to per-subscription rows, graded against the N-separate-sinks SQL
+  (single-pass ≡ N-pass equivalence, the whole point of fan-out).
+* **B15 params** — several ``${param}`` placeholders of mixed types bound
+  from one subscription-properties dict, including inside BETWEEN and IN.
+* **F3 pairwise cosine** — a similarity-graph degree profile (thresholded
+  pairs) and the label×label mean-similarity matrix, both pure Column
+  algebra (no UDF).
+* **F5 KNN vote** — the distance-WEIGHTED vote (sum of similarities per
+  label, not ballot counts).
+* **B13 RESCHEDULE** — the retry-topic loop graded END-TO-END: rescheduled
+  messages are re-enqueued with ``attempt+1`` and a ``not_before``
+  visibility timestamp, re-evaluated past it, and either accepted by a
+  later attempt, or exhausted to DLQ — per-message delivery counts graded
+  against the closed-form oracle.
+
+Scale notes are on each query; nothing here introduces a new shuffle
+shape — range joins are user-keyed equi-joins with range residuals,
+fan-out is one scan + booleans, the retry loop is ``max_attempts`` (a
+small constant) passes over a monotonically shrinking subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.filtering import RESCHEDULE, fan_out, with_verdict
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.registry import graded
+from pulsar_message_filter_spark.selector import Schema, Selector
+from pulsar_message_filter_spark.operators.similarity import _cosine_sql, cosine
+
+# ---------------------------------------------------------------------------
+# E7 — stream–stream join variants (batch form of the watermarked range join)
+# ---------------------------------------------------------------------------
+
+_FOLLOW_WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
+_OUTER_WINDOW_US = 15 * 60 * 1_000_000  # 15 minutes
+
+
+@graded(
+    "stream_stream_join_followup",
+    oracle=f"""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id AS purchase_id,
+               count(*) AS n_followup_clicks,
+               min(c.ts_us - p.ts_us) AS first_click_delay_us
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts_us >  p.ts_us
+         AND c.ts_us <= p.ts_us + {_FOLLOW_WINDOW_US}
+        GROUP BY 1
+    """,
+    section="E7",
+    description="time-bounded stream-stream join, REVERSED bound: clicks "
+    "within 10 min AFTER each purchase (inner join — only purchases with "
+    "followups).  Under readStream: same equi+range condition, watermark "
+    "on both sides, state bounded by the 10-min horizon",
+)
+def stream_stream_join_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r08-graded ``stream_stream_join`` looks BACKWARD from the
+    anchor; real attribution pipelines also need the forward direction
+    (conversion → engagement).  Scale shape is identical: the range
+    residual rides on the ``user_id`` equi-join, so the shuffle is keyed
+    and the per-key state a streaming execution holds is one window's
+    worth of clicks."""
+    events = load(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_us").alias("c_ts")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("p_ts"))
+            & (F.col("c_ts") <= F.col("p_ts") + _FOLLOW_WINDOW_US),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_followup_clicks"),
+            F.min(F.col("c_ts") - F.col("p_ts")).alias("first_click_delay_us"),
+        )
+    )
+
+
+@graded(
+    "stream_stream_join_outer_first",
+    oracle=f"""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id AS purchase_id,
+               count(v.ts_us) > 0 AS matched,
+               min(v.ts_us) - p.ts_us AS first_view_gap_us
+        FROM p LEFT JOIN v
+          ON p.user_id = v.user_id
+         AND v.ts_us >  p.ts_us
+         AND v.ts_us <= p.ts_us + {_OUTER_WINDOW_US}
+        GROUP BY p.event_id, p.ts_us
+    """,
+    section="E7",
+    description="left-outer time-bounded stream-stream join: EVERY purchase "
+    "row survives, with the gap to its first subsequent view within 15 min "
+    "or NULL — the outer-join null surface the inner variants never "
+    "exercise.  Under readStream: left-outer stream-stream join, unmatched "
+    "lefts emitted when the watermark passes the join horizon",
+)
+def stream_stream_join_outer_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts_us").alias("v_ts")
+    )
+    return (
+        purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") > F.col("p_ts"))
+            & (F.col("v_ts") <= F.col("p_ts") + _OUTER_WINDOW_US),
+            "left",
+        )
+        .groupBy("purchase_id", "p_ts")
+        .agg(
+            (F.count("v_ts") > 0).alias("matched"),
+            (F.min("v_ts") - F.col("p_ts")).alias("first_view_gap_us"),
+        )
+        .select("purchase_id", "matched", "first_view_gap_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 — N-way fan-out, single pass vs N sinks
+# ---------------------------------------------------------------------------
+
+_NWAY_SUBS = {
+    "purchases": Selector("event_type = 'purchase'"),
+    "big_values": Selector("value > 150"),
+    "key_band": Selector("props.k BETWEEN 40 AND 60"),
+    "weekend_errs": Selector("event_type = 'error' AND value < 50"),
+    "early_signups": Selector("event_type = 'signup' AND user_id < 75"),
+}
+
+
+@graded(
+    "selector_fanout_nway",
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{name}' AS subscription,
+               count(*) AS n_matched,
+               round(sum(value), 2) AS total_value
+        FROM events WHERE {sel.duckdb_sql()}"""
+        for name, sel in sorted(_NWAY_SUBS.items())
+    ),
+    section="B14",
+    description="N=5 subscriptions in ONE scan (fan_out booleans + stack "
+    "unpivot), graded against the N-separate-sinks SQL (5 independent "
+    "filtered aggregates UNION ALL) — single-pass/N-pass equivalence, the "
+    "fan-out contract itself",
+)
+def selector_fanout_nway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB this is the difference between one corpus scan and five:
+    ``fan_out`` adds one boolean per subscription in the same whole-stage
+    codegen pass, ``stack`` unpivots rows only for matching subscriptions
+    (≤5 small rows out per input row), and the aggregate is keyed on the
+    5-value subscription name — broadcast-scale."""
+    events = load(spark, "events", sf_dir)
+    tagged = fan_out(events, _NWAY_SUBS)
+    pairs = ", ".join(f"'{n}', sub_{n}" for n in sorted(_NWAY_SUBS))
+    stacked = tagged.selectExpr(
+        "value", f"stack({len(_NWAY_SUBS)}, {pairs}) AS (subscription, matched)"
+    )
+    return (
+        stacked.filter(F.col("matched"))
+        .groupBy("subscription")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 — multi-param subscription properties (mixed types, BETWEEN + IN)
+# ---------------------------------------------------------------------------
+
+_PARAMS_SEL = Selector(
+    "value BETWEEN ${lo} AND ${hi} AND event_type IN (${kind1}, ${kind2}) "
+    "AND user_id % ${mod} = 0",
+    params={"lo": 40, "hi": 180, "kind1": "view", "kind2": "error", "mod": 3},
+)
+
+
+@graded(
+    "selector_params_multi",
+    oracle=f"""
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events WHERE {_PARAMS_SEL.duckdb_sql()}
+        GROUP BY 1
+    """,
+    section="B15,B12",
+    description="five ${param} placeholders of mixed types from ONE "
+    "subscription-properties dict, bound inside BETWEEN, IN and modulo "
+    "arithmetic at compile time (numeric + string params)",
+)
+def selector_params_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, "events", sf_dir)
+    return (
+        events.filter(_PARAMS_SEL.column())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — pairwise-cosine widening: threshold graph + label similarity matrix
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f3_cosine_threshold_graph",
+    oracle=f"""
+        WITH sims AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 40 AND b.vec_id < 40
+        ), edges AS (
+            SELECT * FROM sims WHERE cos_sim >= 0.1
+        ), ends AS (
+            SELECT id_a AS vec_id, cos_sim FROM edges
+            UNION ALL
+            SELECT id_b AS vec_id, cos_sim FROM edges
+        )
+        SELECT vec_id, count(*) AS degree,
+               round(avg(cos_sim), 6) AS mean_sim
+        FROM ends GROUP BY 1
+    """,
+    section="F3",
+    description="similarity-graph degree profile: thresholded pairwise "
+    "cosine (>= 0.1) over a 40-vector window, per-node edge degree + mean "
+    "similarity — pure Column algebra, no UDF",
+)
+def f3_cosine_threshold_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F2 near-dup pair graph, embedding-flavored: the degree profile
+    is what an embedding-dedup or diversity pass inspects before choosing
+    a threshold.  The pair window is the demo bound; the 100 TB form is
+    LSH/IVF candidate generation (f4_topk_lsh/ivf) feeding the same
+    Column-algebra cosine."""
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 40)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    edges = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.1)
+    )
+    ends = edges.select(F.col("id_a").alias("vec_id"), "cos_sim").unionByName(
+        edges.select(F.col("id_b").alias("vec_id"), "cos_sim")
+    )
+    return ends.groupBy("vec_id").agg(
+        F.count("*").alias("degree"),
+        F.round(F.avg("cos_sim"), 6).alias("mean_sim"),
+    )
+
+
+@graded(
+    "f3_cosine_label_matrix",
+    oracle=f"""
+        WITH sims AS (
+            SELECT least(a.label, b.label) AS label_lo,
+                   greatest(a.label, b.label) AS label_hi,
+                   round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 60 AND b.vec_id < 60
+        )
+        SELECT label_lo, label_hi, count(*) AS n_pairs,
+               round(avg(cos_sim), 6) AS mean_sim,
+               round(max(cos_sim), 6) AS max_sim
+        FROM sims GROUP BY 1, 2
+    """,
+    section="F3,C11",
+    description="label x label mean-cosine matrix over a 60-vector window: "
+    "the intra- vs inter-class similarity profile an embedding-quality "
+    "audit starts from (unordered label pairs via least/greatest)",
+)
+def f3_cosine_label_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 60)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            F.least("la", "lb").cast("long").alias("label_lo"),
+            F.greatest("la", "lb").cast("long").alias("label_hi"),
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .groupBy("label_lo", "label_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("cos_sim"), 6).alias("mean_sim"),
+            F.round(F.max("cos_sim"), 6).alias("max_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — distance-weighted KNN vote
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f5_knn_weighted_vote",
+    oracle=f"""
+        WITH sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                   round({_cosine_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ), knn AS (
+            SELECT query_id, label, cos_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, neighbor_id) AS rn
+                FROM sims
+            ) WHERE rn <= 5
+        ), votes AS (
+            SELECT query_id, label,
+                   round(sum(cos_sim), 6) AS weight
+            FROM knn GROUP BY 1, 2
+        )
+        SELECT query_id, label AS predicted_label, weight FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY weight DESC, label) AS rv
+            FROM votes
+        ) WHERE rv = 1
+    """,
+    section="F5",
+    description="distance-WEIGHTED 5-NN vote: labels score by SUMMED cosine "
+    "similarity, not ballot count — near neighbors outvote far ones (rank "
+    "on the rounded weight so both engines agree at float midpoints)",
+)
+def f5_knn_weighted_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_message_filter_spark.operators.similarity import brute_topk
+
+    emb = load(spark, "embeddings", sf_dir)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    knn = brute_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).join(
+        labels, "neighbor_id"
+    )
+    votes = knn.groupBy("query_id", "label").agg(
+        F.round(F.sum("cos_sim"), 6).alias("weight")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("weight"), "label")
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B13/E10 — the RESCHEDULE retry-topic loop, graded end-to-end
+# ---------------------------------------------------------------------------
+
+_MAX_ATTEMPTS = 4
+_RETRY_DELAY_MS = 60_000
+
+_RETRY_SCHEMA = Schema(
+    columns={
+        "event_id": "long",
+        "ts": "timestamp",
+        "user_id": "long",
+        "event_type": "string",
+        "value": "double",
+        "attempt": "long",
+    },
+    props_col="props",
+)
+# ACCEPT: high-value messages immediately; view-events once backoff has
+# given downstream capacity time to free up (attempt >= 3).  RESCHEDULE:
+# the retriable classes.  Anything else: REJECT on first delivery.
+_RETRY_ACCEPT = Selector(
+    "value > 120 OR (attempt >= 3 AND event_type = 'view')", schema=_RETRY_SCHEMA
+)
+_RETRY_RESCHED = Selector(
+    "event_type IN ('view', 'click')", schema=_RETRY_SCHEMA
+)
+
+
+def retry_topic_loop(
+    df: DataFrame,
+    max_attempts: int = _MAX_ATTEMPTS,
+    delay_ms: int = _RETRY_DELAY_MS,
+) -> DataFrame:
+    """B13's third verdict executed end-to-end as a batch twin: the
+    retry-topic pattern (SURVEY §7.4.6 / streaming/pipeline.py's
+    redelivery counter, extended one hop to the re-enqueue).
+
+    Attempt 1 evaluates every message; RESCHEDULE rows are re-enqueued
+    with ``attempt + 1`` and ``visible_ms += delay_ms`` (the ``not_before``
+    visibility timestamp a retry topic stamps); each later pass models the
+    micro-batch that runs after the visibility horizon and re-evaluates
+    ONLY the re-enqueued subset.  A message still RESCHEDULE-classed on
+    its ``max_attempts``-th delivery is exhausted to ``DLQ``.
+
+    Returns one row per message: ``(event_id, event_type, final_verdict,
+    n_deliveries, final_visible_ms)``.
+
+    Scale shape: ``max_attempts`` is a small constant, each pass is a
+    narrow filter+project over a monotonically shrinking subset (no
+    shuffle until the caller aggregates), and the union is
+    ``max_attempts`` branches of one scan — at 100 TB the retry topic is
+    a separate (much smaller) table and each pass is one micro-batch.
+    """
+    pending = df.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).withColumns(
+        {
+            "attempt": F.lit(1).cast("long"),
+            "visible_ms": F.unix_millis("ts"),
+        }
+    )
+    finished: list[DataFrame] = []
+    for attempt in range(1, max_attempts + 1):
+        tagged = with_verdict(
+            pending, _RETRY_ACCEPT, _RETRY_RESCHED, schema=_RETRY_SCHEMA
+        )
+        is_last = attempt == max_attempts
+        done = tagged.filter(
+            F.lit(is_last) | (F.col("verdict") != RESCHEDULE)
+        ).select(
+            "event_id",
+            "event_type",
+            F.when(F.col("verdict") == RESCHEDULE, F.lit("DLQ"))
+            .otherwise(F.col("verdict"))
+            .alias("final_verdict"),
+            F.col("attempt").alias("n_deliveries"),
+            F.col("visible_ms").alias("final_visible_ms"),
+        )
+        finished.append(done)
+        if not is_last:
+            pending = (
+                tagged.filter(F.col("verdict") == RESCHEDULE)
+                .drop("verdict")
+                .withColumns(
+                    {
+                        "attempt": F.col("attempt") + 1,
+                        "visible_ms": F.col("visible_ms") + delay_ms,
+                    }
+                )
+            )
+    out = finished[0]
+    for part in finished[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+@graded(
+    "reschedule_retry_loop",
+    oracle=f"""
+        WITH final AS (
+            SELECT event_type,
+                   CASE WHEN value > 120 THEN 'ACCEPT'
+                        WHEN event_type = 'view' THEN 'ACCEPT'
+                        WHEN event_type = 'click' THEN 'DLQ'
+                        ELSE 'REJECT' END AS final_verdict,
+                   CASE WHEN value > 120 THEN 1
+                        WHEN event_type = 'view' THEN 3
+                        WHEN event_type = 'click' THEN {_MAX_ATTEMPTS}
+                        ELSE 1 END AS n_del,
+                   epoch_ms(ts) AS ts_ms
+            FROM events
+        )
+        SELECT event_type, final_verdict,
+               count(*) AS n_messages,
+               CAST(sum(n_del) AS BIGINT) AS n_deliveries,
+               max(ts_ms + (n_del - 1) * {_RETRY_DELAY_MS}) AS max_visible_ms
+        FROM final GROUP BY 1, 2
+    """,
+    section="B13,E10,B15",
+    description="RESCHEDULE retry-topic loop end-to-end: re-enqueue with "
+    "attempt+1 and not_before visibility, re-evaluate past the horizon, "
+    "accept-on-backoff (view events at attempt 3) or exhaust to DLQ "
+    "(click events at the attempt cap); per-class message/delivery counts "
+    "and the max visibility horizon, graded against the closed-form "
+    "oracle of the selector chain",
+)
+def reschedule_retry_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle is the CLOSED FORM of the loop (the verdict chain is
+    deterministic per message class), so the hash compare checks the
+    loop's actual re-enqueue bookkeeping: attempt counters, visibility
+    stamps, exhaustion-to-DLQ — exactly the accounting a retry topic must
+    get right."""
+    events = load(spark, "events", sf_dir)
+    per_message = retry_topic_loop(events)
+    return per_message.groupBy("event_type", "final_verdict").agg(
+        F.count("*").alias("n_messages"),
+        F.sum("n_deliveries").alias("n_deliveries"),
+        F.max("final_visible_ms").alias("max_visible_ms"),
+    )
