@@ -57,12 +57,17 @@ def get_spark(
     app_name: str = "pulsar-message-filter-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a session with the engine's defaults.
 
     Local-mode sizing: ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads) and
     shuffle partitions matched to cores — on a real cluster these come from
     the deployment, and AQE coalesces over-partitioned shuffles either way.
+
+    ``extra_confs`` are applied at BUILD time — for confs that are not
+    runtime-settable (e.g. ``spark.scheduler.mode``); they only take effect
+    if this call actually creates the session.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -81,6 +86,8 @@ def get_spark(
         )
     )
     for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,6 +27,217 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
+    """Soak phase B: the RESCHEDULE retry-topic loop LIVE (VERDICT r08 #4)
+    — the streaming twin of ``operators/widen.retry_topic_loop``.
+
+    An ingest stream writes rescheduled rows to a retry-topic dir with
+    ``attempt+1`` and a ``not_before`` visibility stamp; a file-source
+    stream consumes that dir, re-evaluates rows past their visibility,
+    re-enqueues survivors, and terminalizes accept/DLQ.
+    ``cleanSource=delete`` removes consumed files, so the retry dir holds
+    ONLY the pending population — its byte size is the state-growth
+    meter: bounded because every message exhausts in ≤ ``_MAX_ATTEMPTS``
+    deliveries regardless of input volume.
+
+    Reported "sustains rate": terminal throughput in the post-warm-up
+    window vs the expected resched inflow (every rescheduled message
+    terminalizes exactly once, so at steady state the two rates match).
+    """
+    import statistics as _st
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pulsar_message_filter_spark.filtering import RESCHEDULE, with_verdict
+    from pulsar_message_filter_spark.operators.widen import (
+        _MAX_ATTEMPTS,
+        _RETRY_ACCEPT,
+        _RETRY_RESCHED,
+        _RETRY_SCHEMA,
+    )
+    from pulsar_message_filter_spark.sources import rate_message_stream
+
+    root = tempfile.mkdtemp(prefix="pmf_soak_retry_")
+    retry_dir = f"{root}/retry_topic"
+    os.makedirs(retry_dir, exist_ok=True)
+    retry_delay_ms = 5_000
+    retry_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+            StructField("attempt", LongType()),
+            StructField("visible_ms", LongType()),
+        ]
+    )
+    retry_stats: list[dict] = []
+
+    def ingest_batch(df, epoch_id: int) -> None:
+        tagged = with_verdict(
+            df.withColumn("attempt", F.lit(1).cast("long")),
+            _RETRY_ACCEPT,
+            _RETRY_RESCHED,
+            schema=_RETRY_SCHEMA,
+        )
+        now_ms = int(time.time() * 1000)
+        resched = (
+            tagged.filter(F.col("verdict") == RESCHEDULE)
+            .drop("verdict")
+            .withColumns(
+                {
+                    "attempt": F.lit(2).cast("long"),
+                    "visible_ms": F.lit(now_ms + retry_delay_ms),
+                }
+            )
+        )
+        # one small file per micro-batch: the retry topic is low-volume by
+        # construction (the resched fraction of the inflow); a 32-way write
+        # would just mint file-listing work for the consumer
+        resched.coalesce(1).write.mode("append").parquet(retry_dir)
+
+    def retry_batch(df, epoch_id: int) -> None:
+        t_batch = time.time()
+        now_ms = int(time.time() * 1000)
+        tagged = with_verdict(
+            df, _RETRY_ACCEPT, _RETRY_RESCHED, schema=_RETRY_SCHEMA
+        ).withColumn(
+            "disposition",
+            F.when(F.col("visible_ms") > now_ms, F.lit("CARRY"))
+            .when(
+                (F.col("verdict") == RESCHEDULE)
+                & (F.col("attempt") < _MAX_ATTEMPTS),
+                F.lit("RE_ENQUEUE"),
+            )
+            .otherwise(F.lit("TERMINAL")),
+        )
+        tagged.persist()
+        try:
+            back = tagged.filter(F.col("disposition") != "TERMINAL").select(
+                "event_id",
+                "ts",
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+                F.when(F.col("disposition") == "RE_ENQUEUE", F.col("attempt") + 1)
+                .otherwise(F.col("attempt"))
+                .alias("attempt"),
+                F.when(
+                    F.col("disposition") == "RE_ENQUEUE",
+                    F.col("visible_ms") + retry_delay_ms,
+                )
+                .otherwise(F.col("visible_ms"))
+                .alias("visible_ms"),
+            )
+            back.coalesce(1).write.mode("append").parquet(retry_dir)
+            counts = {
+                r.disposition: r.n
+                for r in tagged.groupBy("disposition")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        finally:
+            tagged.unpersist()
+        retry_stats.append(
+            {
+                "epoch": epoch_id,
+                "n_reenqueued": counts.get("RE_ENQUEUE", 0),
+                "n_carried": counts.get("CARRY", 0),
+                "n_terminal": counts.get("TERMINAL", 0),
+                "batch_wall_s": round(time.time() - t_batch, 2),
+            }
+        )
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for f in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
+    qa = (
+        rate_message_stream(spark, rows_per_second=rate)
+        .writeStream.foreachBatch(ingest_batch)
+        .trigger(processingTime="5 seconds")
+        .option("checkpointLocation", f"{root}/cka")
+        .start()
+    )
+    qb = (
+        spark.readStream.schema(retry_schema)
+        .option("cleanSource", "delete")
+        .option("maxFilesPerTrigger", 256)
+        .parquet(retry_dir)
+        .writeStream.foreachBatch(retry_batch)
+        .trigger(processingTime="5 seconds")
+        .option("checkpointLocation", f"{root}/ckb")
+        .start()
+    )
+    pending_timeline: list[dict] = []
+    try:
+        t0 = time.time()
+        while time.time() - t0 < duration_s:
+            time.sleep(10)
+            pending_timeline.append(
+                {
+                    "elapsed_s": round(time.time() - t0),
+                    "pending_bytes": _dir_bytes(retry_dir),
+                }
+            )
+    finally:
+        qa.stop()
+        qb.stop()
+        shutil.rmtree(root, ignore_errors=True)
+
+    # warm-up = the first visibility delay + one cycle; steady-state window
+    # is the second half of the phase
+    tail = retry_stats[len(retry_stats) // 2 :]
+    terminal_tail = sum(s["n_terminal"] for s in tail)
+    tail_s = max(1.0, duration_s / 2)
+    # expected terminal rate at steady state == resched inflow: event_type
+    # in {view, click} (2/5 of rows) with value <= 120 (~60% of the rate
+    # source's 0.5..199.5 value ramp)
+    expected_terminal_per_s = rate * (2 / 5) * 0.6
+    pend = [p["pending_bytes"] for p in pending_timeline]
+    pend_bounded = True
+    if len(pend) >= 6:
+        third = len(pend) // 3
+        pend_bounded = max(pend[2 * third :]) <= max(
+            max(pend[third : 2 * third]) * 1.3, 4 << 20
+        )
+    return {
+        "batches": len(retry_stats),
+        "phase_duration_s": duration_s,
+        "n_terminal_total": sum(s["n_terminal"] for s in retry_stats),
+        "n_reenqueued_total": sum(s["n_reenqueued"] for s in retry_stats),
+        "terminal_rows_per_sec_tail": round(terminal_tail / tail_s, 1),
+        "expected_terminal_rows_per_sec": round(expected_terminal_per_s, 1),
+        "keeps_up": terminal_tail / tail_s >= 0.8 * expected_terminal_per_s,
+        "pending_bytes_timeline": pending_timeline,
+        "pending_bounded": pend_bounded,
+        "max_attempts": _MAX_ATTEMPTS,
+        "visibility_delay_ms": retry_delay_ms,
+        "batch_wall_s_median": _st.median(
+            [s["batch_wall_s"] for s in retry_stats]
+        )
+        if retry_stats
+        else None,
+    }
+
+
 def main() -> None:
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     duration_s = int(sys.argv[2]) if len(sys.argv) > 2 else 60
@@ -123,6 +334,7 @@ def main() -> None:
         .option("checkpointLocation", f"{root}/ck4")
         .start()
     )
+
 
     def state_profile(q) -> dict:
         """RocksDB state growth over the observed progress window: the
@@ -279,9 +491,25 @@ def main() -> None:
             "timeline": ck_timeline,
         }
 
+    # phase B: the retry-topic loop, run ALONE after the main legs stop.
+    # In one local JVM the loop's micro-batches starve behind four
+    # full-rate legs (a local-mode scheduling artifact — measured: ~20
+    # batches/110 s isolated vs 0-4 batches/150 s shared, FIFO or FAIR);
+    # on a real cluster the retry consumer is its own job with its own
+    # executors, which sequential phasing models honestly.
+    report["retry_topic"] = run_retry_phase(
+        spark, rate, max(120, duration_s // 3)
+    )
+
     total_batches = sum(
         report[n]["batches"]
-        for n in ("verdict_pipeline", "stateful_window", "sessionization", "throttle")
+        for n in (
+            "verdict_pipeline",
+            "stateful_window",
+            "sessionization",
+            "throttle",
+            "retry_topic",
+        )
     )
     report["total_batches"] = total_batches
     report["rocksdb"] = {"bounded_memory": True, "max_memory_usage_mb": 256}
