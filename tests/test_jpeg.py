@@ -209,3 +209,106 @@ def test_dispatch_and_media_stats_cover_jpeg():
     assert abs(float(ok["ch_means"].split(":")[0]) - 128.0) < 1.0
     bad = rows[rows["path"] == "bad.jpg"].iloc[0]  # poison: flagged, not fatal
     assert bad["media_kind"] == "jpeg" and not bool(bad["decodable"])
+
+
+def _synth_jpeg_noninterleaved(width, height, seed=3, subsampling=(2, 2)):
+    """Baseline SOF0 fixture with THREE single-component scans (T.81
+    allows 1-4 scans in baseline; each single-component scan is
+    NON-INTERLEAVED, walking the component's OWN ceil(size/8) block grid,
+    not the MCU grid — A.2.2).  Quantized blocks are byte-identical to
+    :func:`synth_jpeg`'s, only the scan layout differs, so the decoded
+    pixels must match the interleaved encoding exactly."""
+    import struct
+
+    from pulsar_message_filter_spark.operators.jpeg import (
+        _AC_BITS,
+        _AC_HUFFVAL,
+        _BitWriter,
+        _DC_BITS,
+        _DC_HUFFVAL,
+        _canonical_codes,
+        _category,
+        _container_prefix,
+        _encode_magnitude,
+        _prepare_encode,
+    )
+
+    comps, blocks, tables, hmax, vmax, _mx, _my = _prepare_encode(
+        width, height, seed, False, subsampling, None, None, None
+    )
+    dc_codes = _canonical_codes(_DC_BITS, _DC_HUFFVAL)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_HUFFVAL)
+
+    out = _container_prefix(tables, comps, width, height, sof_marker=0xC0)
+    for cls, bits, huffval in ((0, _DC_BITS, _DC_HUFFVAL), (1, _AC_BITS, _AC_HUFFVAL)):
+        payload = bytes([cls << 4]) + bytes(bits) + bytes(huffval)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    for ci, (cid, (h, v), _slot) in enumerate(comps):
+        blk, bw_, _h, _v = blocks[ci]
+        # the component's non-interleaved grid (unpadded-to-MCU)
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        sos = bytes([1, cid, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        w = _BitWriter()
+        pred = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = blk[by * bw_ + bx]  # blk rows use the PADDED stride
+                dc = int(zz[0])
+                diff, pred = dc - pred, dc
+                t = _category(diff)
+                code, ln = dc_codes[t]
+                w.write(code, ln)
+                if t:
+                    w.write(_encode_magnitude(diff, t), t)
+                nz = np.nonzero(zz[1:])[0]
+                last = (nz[-1] + 1) if len(nz) else 0
+                run = 0
+                for k in range(1, last + 1):
+                    val = int(zz[k])
+                    if val == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        w.write(code, ln)
+                        run -= 16
+                    t = _category(val)
+                    code, ln = ac_codes[(run << 4) | t]
+                    w.write(code, ln)
+                    w.write(_encode_magnitude(val, t), t)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_codes[0x00]
+                    w.write(code, ln)
+        w.flush()
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_noninterleaved_sequential_scans_decode_like_interleaved():
+    """ADVICE r08 regression: a conforming baseline stream with three
+    SINGLE-COMPONENT scans over a NON-MCU-ALIGNED 4:2:0 frame (24x24:
+    luma grid 3x3 blocks vs a 4x4 padded MCU walk) must decode exactly
+    like the interleaved encoding of the same quantized blocks.  Before
+    the fix the decoder walked such scans on the MCU grid and
+    misdecoded them."""
+    ni = decode_jpeg_pixels(_synth_jpeg_noninterleaved(24, 24, seed=3))
+    il = decode_jpeg_pixels(synth_jpeg(24, 24, seed=3, subsampling=(2, 2)))
+    assert ni.shape == il.shape == (24, 24, 3)
+    assert np.array_equal(ni, il)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """ADVICE r08 regression: 0xFF fill bytes are legal padding before any
+    marker (B.1.1.2).  Inject runs of fills before the second SOS and
+    before EOI of a multi-scan stream — the post-scan marker search must
+    skip them instead of treating a FF FF pair as a marker."""
+    b = _synth_jpeg_noninterleaved(24, 24, seed=5)
+    sos2 = b.index(b"\xff\xda", b.index(b"\xff\xda") + 2)
+    padded = b[:sos2] + b"\xff" * 5 + b[sos2:-2] + b"\xff" * 3 + b[-2:]
+    assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(b))
