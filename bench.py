@@ -71,6 +71,10 @@ HEADLINE = [
     "user_profile_batch_twin",  # MapState/ListState profile, batch form
     "window_sliding_reach",  # sliding 3h/1h distinct reach (Expand plan)
     "f78_token_budget_curve",  # token-budget curation curve (broadcast dim)
+    "reschedule_retry_loop",  # B13 retry-topic loop: bounded re-enqueue passes
+    "stream_stream_join_followup",  # E7 reversed-bound user-keyed range join
+    "selector_fanout_nway",  # 5 subscriptions, ONE scan + stack unpivot
+    "f5_knn_weighted_vote",  # similarity-weighted 5-NN over the corpus scan
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -131,6 +135,12 @@ BUDGET_SEC = {
     "user_profile_batch_twin": 2.0,
     "window_sliding_reach": 2.0,
     "f78_token_budget_curve": 2.0,
+    # round-9 additions: budgets set after min-of-3 measurement at sf0.1
+    # (2x-measured-or-2.0-floor policy)
+    "reschedule_retry_loop": 2.0,
+    "stream_stream_join_followup": 2.0,
+    "selector_fanout_nway": 2.0,
+    "f5_knn_weighted_vote": 2.0,
 }
 
 

@@ -165,6 +165,22 @@ QUERIES = [
     "distinct_event_days",
     "dlq_reject_reasons",
     "f78_token_budget_curve",
+    # round-13 additions (driver round 9): the retry-topic loop
+    # (max_attempts bounded passes over a shrinking subset — expected
+    # ~linear in the resched class), both new E7 range-join variants
+    # (user-keyed equi-join + range residual), the 5-way single-pass
+    # fan-out (one scan + stack + 5-key agg), the multi-param selector
+    # (pushed-filter scan), and the weighted KNN vote (fixed 10-query
+    # block × a GROWING corpus scan — the honest linear axis).
+    # f3_cosine_threshold_graph / f3_cosine_label_matrix are excluded
+    # like privacy_k_anonymity: their pair windows are vec_id-bounded
+    # constants, so replication gives no ladder signal by construction.
+    "reschedule_retry_loop",
+    "stream_stream_join_followup",
+    "stream_stream_join_outer_first",
+    "selector_fanout_nway",
+    "selector_params_multi",
+    "f5_knn_weighted_vote",
 ]
 
 KEY_SHIFT = 10_000_000  # beyond every fixture key range

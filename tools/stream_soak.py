@@ -83,6 +83,36 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
     )
     retry_stats: list[dict] = []
 
+    stage_root = f"{root}/stage"
+    os.makedirs(stage_root, exist_ok=True)
+
+    def publish(df) -> None:
+        """Write-then-atomic-rename into the retry topic.
+
+        Two jobs appending to ONE directory share the FileOutputCommitter's
+        ``_temporary/0`` staging dir — the ingest and the consumer raced
+        there and one deleted it mid-commit of the other (observed:
+        FileNotFoundException .../_temporary/0 at 20k rows/s).  The
+        file-queue answer is a private staging dir per publish + an atomic
+        rename of the finished part file into the topic — exactly how
+        file-based queues hand off complete files.  One small file per
+        publish: the retry topic is low-volume by construction (the
+        resched fraction of the inflow).
+        """
+        import uuid as _uuid
+
+        tag = _uuid.uuid4().hex
+        tmp = os.path.join(stage_root, tag)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for fname in os.listdir(tmp):
+            if fname.startswith("part-") and not fname.endswith(".crc"):
+                os.rename(
+                    os.path.join(tmp, fname),
+                    os.path.join(retry_dir, f"{tag}-{fname}"),
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
     def ingest_batch(df, epoch_id: int) -> None:
         tagged = with_verdict(
             df.withColumn("attempt", F.lit(1).cast("long")),
@@ -101,10 +131,7 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
                 }
             )
         )
-        # one small file per micro-batch: the retry topic is low-volume by
-        # construction (the resched fraction of the inflow); a 32-way write
-        # would just mint file-listing work for the consumer
-        resched.coalesce(1).write.mode("append").parquet(retry_dir)
+        publish(resched)
 
     def retry_batch(df, epoch_id: int) -> None:
         t_batch = time.time()
@@ -140,7 +167,7 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
                 .otherwise(F.col("visible_ms"))
                 .alias("visible_ms"),
             )
-            back.coalesce(1).write.mode("append").parquet(retry_dir)
+            publish(back)
             counts = {
                 r.disposition: r.n
                 for r in tagged.groupBy("disposition")
