@@ -135,12 +135,13 @@ BUDGET_SEC = {
     "user_profile_batch_twin": 2.0,
     "window_sliding_reach": 2.0,
     "f78_token_budget_curve": 2.0,
-    # round-9 additions: budgets set after min-of-3 measurement at sf0.1
-    # (2x-measured-or-2.0-floor policy)
-    "reschedule_retry_loop": 2.0,
+    # round-9 additions, min-of-3 at sf0.1: retry loop 1.10 s and weighted
+    # KNN 1.04 s get 2.5 s (>2x measured, >>30% headroom over the mean);
+    # the other two measured 0.42/0.75 s -> 2.0 floor
+    "reschedule_retry_loop": 2.5,
     "stream_stream_join_followup": 2.0,
     "selector_fanout_nway": 2.0,
-    "f5_knn_weighted_vote": 2.0,
+    "f5_knn_weighted_vote": 2.5,
 }
 
 
