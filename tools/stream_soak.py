@@ -86,7 +86,7 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
     stage_root = f"{root}/stage"
     os.makedirs(stage_root, exist_ok=True)
 
-    def publish(df) -> None:
+    def publish(df, tag: str) -> None:
         """Write-then-atomic-rename into the retry topic.
 
         Two jobs appending to ONE directory share the FileOutputCommitter's
@@ -98,18 +98,23 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
         file-based queues hand off complete files.  One small file per
         publish: the retry topic is low-volume by construction (the
         resched fraction of the inflow).
-        """
-        import uuid as _uuid
 
-        tag = _uuid.uuid4().hex
+        ``tag`` must be (stream, epoch_id)-derived, NOT random: a
+        checkpoint-recovered micro-batch REPLAYS with the same epoch_id,
+        and ``os.replace`` then overwrites the earlier publish instead of
+        duplicating messages — the idempotent-sink half of the
+        exactly-once contract (E10), same discipline as the engine's
+        epoch-keyed dynamic-overwrite parquet sinks.
+        """
         tmp = os.path.join(stage_root, tag)
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for fname in os.listdir(tmp):
+        for fname in sorted(os.listdir(tmp)):
             if fname.startswith("part-") and not fname.endswith(".crc"):
-                os.rename(
+                os.replace(
                     os.path.join(tmp, fname),
-                    os.path.join(retry_dir, f"{tag}-{fname}"),
+                    os.path.join(retry_dir, f"{tag}.parquet"),
                 )
+                break  # coalesce(1): exactly one data file
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -131,7 +136,7 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
                 }
             )
         )
-        publish(resched)
+        publish(resched, f"ingest-{epoch_id}")
 
     def retry_batch(df, epoch_id: int) -> None:
         t_batch = time.time()
@@ -167,7 +172,7 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
                 .otherwise(F.col("visible_ms"))
                 .alias("visible_ms"),
             )
-            publish(back)
+            publish(back, f"retry-{epoch_id}")
             counts = {
                 r.disposition: r.n
                 for r in tagged.groupBy("disposition")
