@@ -958,7 +958,21 @@ def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics.  ``sf_dir`` is unused: the corpus is synthesized (no
     media files ship in the testdata), which is exactly the fixture-byte
     strategy the pytest pins use."""
-    corpus = [
+    corpus = _media_corpus()
+    raw = spark.createDataFrame(corpus, "path string, content binary")
+    return (
+        raw.repartition(4)  # prove the stage is partition-parallel
+        .mapInPandas(media_stats, schema=MEDIA_STATS_SCHEMA)
+        .orderBy("path")
+    )
+
+
+def _media_corpus() -> list[tuple[str, bytes]]:
+    """The deterministic mixed media corpus shared by the f12 graded
+    queries (stats decode, header probe): BMPs, PNGs (incl. Adam7), GIF,
+    JPEGs (4:2:0, grayscale, progressive), PCM WAVs, poison files, and an
+    opaque blob."""
+    return [
         ("img_24bpp.bmp", synth_bmp(32, 16, bpp=24, seed=3)),
         ("img_8bpp.bmp", synth_bmp(17, 9, bpp=8, seed=5)),
         ("img_rgb.png", synth_png(21, 13, color_type=2, seed=7)),
@@ -979,12 +993,6 @@ def f12c_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("img_prog.jpg", _synth_jpeg_const(20, 12, 200, progressive=True)),
         ("poison.jpg", b"\xff\xd8" + b"\x00" * 16),
     ]
-    raw = spark.createDataFrame(corpus, "path string, content binary")
-    return (
-        raw.repartition(4)  # prove the stage is partition-parallel
-        .mapInPandas(media_stats, schema=MEDIA_STATS_SCHEMA)
-        .orderBy("path")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1415,4 +1423,137 @@ def f12b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("frame_idx").alias("first_frame_idx"),
         )
         .orderBy("first_frame_idx", "frame_sha1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12 — header-only media probe: metadata WITHOUT decode
+# ---------------------------------------------------------------------------
+
+PROBE_SCHEMA = (
+    "path string, media_kind string, probe_ok boolean, width int, "
+    "height int, sample_rate int, bits int, progressive boolean, "
+    "n_bytes long, probe_bytes long"
+)
+
+
+def _probe_one(b: bytes) -> dict:
+    """Parse ONLY the container header: kind, dimensions/rate, and how many
+    bytes the parse actually consumed.  Never touches entropy-coded or
+    sample data."""
+    import struct as _struct
+
+    out = {
+        "media_kind": "opaque", "probe_ok": False,
+        "width": None, "height": None, "sample_rate": None, "bits": None,
+        "progressive": None, "probe_bytes": 0,
+    }
+    if b[:2] == b"BM" and len(b) >= 30:
+        out["media_kind"] = "bmp"
+        w, h = _struct.unpack_from("<ii", b, 18)
+        (bpp,) = _struct.unpack_from("<H", b, 28)
+        out.update(width=w, height=abs(h), bits=bpp, probe_ok=True,
+                   probe_bytes=30)
+    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 26 and b[12:16] == b"IHDR":
+            w, h = _struct.unpack_from(">II", b, 16)
+            out.update(media_kind="png", width=w, height=h, bits=b[24],
+                       probe_ok=True, probe_bytes=26)
+        else:
+            out["media_kind"] = "png"
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w, h = _struct.unpack_from("<HH", b, 6)
+            out.update(media_kind="gif", width=w, height=h, probe_ok=True,
+                       probe_bytes=10)
+        else:
+            out["media_kind"] = "gif"
+    elif b[:2] == b"\xff\xd8":
+        out["media_kind"] = "jpeg"
+        pos = 2
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                break  # marker desync: header-level poison
+            marker = b[pos + 1]
+            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before any SOF
+                break
+            (seg_len,) = _struct.unpack_from(">H", b, pos + 2)
+            if marker in (0xC0, 0xC1, 0xC2) and pos + 2 + seg_len <= len(b):
+                bits = b[pos + 4]
+                h, w = _struct.unpack_from(">HH", b, pos + 5)
+                out.update(width=w, height=h, bits=bits,
+                           progressive=(marker == 0xC2), probe_ok=True,
+                           probe_bytes=pos + 2 + seg_len)
+                break
+            pos += 2 + seg_len
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out["media_kind"] = "wav"
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (clen,) = _struct.unpack_from("<I", b, pos + 4)
+            if cid == b"fmt " and pos + 8 + 16 <= len(b):
+                ch, rate = _struct.unpack_from("<HI", b, pos + 10)
+                (bits,) = _struct.unpack_from("<H", b, pos + 22)
+                out.update(sample_rate=rate, bits=bits, width=ch,
+                           probe_ok=True, probe_bytes=pos + 8 + clen)
+                break
+            pos += 8 + clen + (clen & 1)
+    return out
+
+
+def media_header_probe(batches: Iterator[pd.DataFrame]):
+    """mapInPandas stage: (path, content) → container metadata ONLY.
+
+    The 100 TB pattern this pins: a metadata pass that reads O(header)
+    bytes per object lets the pipeline ROUTE before it DECODES — partition
+    by kind, drop out-of-spec dimensions, budget decode work, quarantine
+    header-level poison — at a tiny fraction of full-decode cost.
+    ``probe_bytes`` records how much of each payload the parse actually
+    consumed (pytest pins it ≪ ``n_bytes`` for entropy-coded kinds); with
+    a binaryFile-style source the same bound becomes a ranged read.
+    Poison contract as everywhere in F12: a malformed payload yields a
+    ``probe_ok=false`` row, never a stage failure.
+    """
+    cols = [
+        "path", "media_kind", "probe_ok", "width", "height",
+        "sample_rate", "bits", "progressive", "n_bytes", "probe_bytes",
+    ]
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            b = bytes(content)
+            try:
+                r = _probe_one(b)
+            except Exception:  # header-level poison: quarantine, don't fail
+                r = {
+                    "media_kind": "opaque", "probe_ok": False, "width": None,
+                    "height": None, "sample_rate": None, "bits": None,
+                    "progressive": None, "probe_bytes": 0,
+                }
+            rows.append(
+                (
+                    path.rsplit("/", 1)[-1], r["media_kind"], r["probe_ok"],
+                    r["width"], r["height"], r["sample_rate"], r["bits"],
+                    r["progressive"], len(b), r["probe_bytes"],
+                )
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@graded(
+    "f12g_header_probe",
+    oracle=None,  # python-side binary parse: no DuckDB analog
+    section="F12,G5,A8",
+    description="header-only media probe: container metadata (kind, dims, "
+    "rate, bits, progressive flag) from O(header) bytes per object — the "
+    "route-before-decode metadata pass; probe_bytes recorded per row "
+    "(rows-only; pytest pins probe dims == full-decode dims)",
+)
+def f12g_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame(_media_corpus(), "path string, content binary")
+    return (
+        raw.repartition(4)
+        .mapInPandas(media_header_probe, schema=PROBE_SCHEMA)
+        .orderBy("path")
     )

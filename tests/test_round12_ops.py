@@ -159,3 +159,36 @@ def test_cosine_label_matrix_covers_all_label_pairs(spark):
     # singleton labels can't form an intra pair; everything else must appear
     assert got <= expected
     assert all(-1.0 <= r.mean_sim <= 1.0 and r.n_pairs >= 1 for r in out)
+
+
+def test_header_probe_matches_full_decode(spark):
+    """The header-only probe must agree with the full decoder on every
+    decodable file's kind and geometry while reading only O(header)
+    bytes, and must quarantine header-level poison as probe_ok=false."""
+    from pulsar_message_filter_spark.operators.multimodal import (
+        f12c_media_stats,
+        f12g_header_probe,
+    )
+
+    probe = {r.path: r for r in f12g_header_probe(spark, SF_SMOKE).collect()}
+    full = {r.path: r for r in f12c_media_stats(spark, SF_SMOKE).collect()}
+    assert set(probe) == set(full)
+
+    for path, fr in full.items():
+        pr = probe[path]
+        if fr.decodable and fr.media_kind in ("bmp", "png", "gif", "jpeg"):
+            assert pr.probe_ok, path
+            assert (pr.width, pr.height) == (fr.width, fr.height), path
+        if fr.decodable and fr.media_kind == "wav":
+            assert pr.probe_ok and pr.sample_rate == fr.sample_rate, path
+            assert pr.width == fr.n_channels, path  # ch count rides `width`
+    # entropy-coded kinds: the probe must NOT have read the payload body
+    for path in ("img_420.jpg", "img_gray.jpg", "img_prog.jpg"):
+        pr = probe[path]
+        assert 0 < pr.probe_bytes < pr.n_bytes / 2, (path, pr.probe_bytes)
+    assert probe["img_prog.jpg"].progressive is True
+    assert probe["img_420.jpg"].progressive is False
+    # header-level poison: detected kind, probe_ok=false, no dims
+    assert probe["poison.jpg"].media_kind == "jpeg"
+    assert probe["poison.jpg"].probe_ok is False
+    assert probe["opaque.bin"].media_kind == "opaque"
