@@ -27,6 +27,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _dir_bytes(path: str) -> int:
+    """Recursive on-disk size of a directory (checkpoint/backlog meter)."""
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for f in filenames:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
 def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
     """Soak phase B: the RESCHEDULE retry-topic loop LIVE (VERDICT r08 #4)
     — the streaming twin of ``operators/widen.retry_topic_loop``.
@@ -117,7 +129,6 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
                 break  # coalesce(1): exactly one data file
         shutil.rmtree(tmp, ignore_errors=True)
 
-
     def ingest_batch(df, epoch_id: int) -> None:
         tagged = with_verdict(
             df.withColumn("attempt", F.lit(1).cast("long")),
@@ -190,16 +201,6 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
                 "batch_wall_s": round(time.time() - t_batch, 2),
             }
         )
-
-    def _dir_bytes(path: str) -> int:
-        total = 0
-        for dirpath, _dirnames, filenames in os.walk(path):
-            for f in filenames:
-                try:
-                    total += os.path.getsize(os.path.join(dirpath, f))
-                except OSError:
-                    pass
-        return total
 
     qa = (
         rate_message_stream(spark, rows_per_second=rate)
@@ -401,16 +402,6 @@ def main() -> None:
             "bounded": bool(tail_rows)
             and series[-1]["rows"] <= plateau * 1.25 + 100,
         }
-
-    def _dir_bytes(path: str) -> int:
-        total = 0
-        for dirpath, _dirnames, filenames in os.walk(path):
-            for f in filenames:
-                try:
-                    total += os.path.getsize(os.path.join(dirpath, f))
-                except OSError:
-                    pass
-        return total
 
     def sample_state(q) -> dict | None:
         """One (elapsed, rows, bytes) point from the query's last progress —
