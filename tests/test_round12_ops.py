@@ -192,3 +192,31 @@ def test_header_probe_matches_full_decode(spark):
     assert probe["poison.jpg"].media_kind == "jpeg"
     assert probe["poison.jpg"].probe_ok is False
     assert probe["opaque.bin"].media_kind == "opaque"
+
+
+def test_publish_atomic_is_replay_idempotent(spark, tmp_path):
+    """E10 pin for the retry-topic soak's file-queue sink: publishing the
+    SAME (tag, content) twice — a checkpoint-recovered micro-batch replay
+    — leaves exactly one topic file with the batch's rows, never a
+    duplicate; a different tag adds a second file."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from stream_soak import publish_atomic
+
+    stage = str(tmp_path / "stage")
+    topic = str(tmp_path / "topic")
+    import os
+
+    os.makedirs(stage), os.makedirs(topic)
+
+    df = spark.range(100).selectExpr("id AS event_id", "id % 7 AS user_id")
+    publish_atomic(df, "ingest-42", stage, topic)
+    publish_atomic(df, "ingest-42", stage, topic)  # replayed micro-batch
+    files = sorted(os.listdir(topic))
+    assert files == ["ingest-42.parquet"]
+    assert spark.read.parquet(f"{topic}/ingest-42.parquet").count() == 100
+
+    publish_atomic(df.limit(5), "ingest-43", stage, topic)
+    assert len(os.listdir(topic)) == 2
+    assert os.listdir(stage) == []  # staging fully cleaned

@@ -39,6 +39,38 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def publish_atomic(df, tag: str, stage_root: str, topic_dir: str) -> None:
+    """Write-then-atomic-rename publish into a file-queue topic dir.
+
+    Two jobs appending to ONE directory share the FileOutputCommitter's
+    ``_temporary/0`` staging dir — the retry-topic ingest and consumer
+    raced there and one deleted it mid-commit of the other (observed:
+    FileNotFoundException .../_temporary/0 at 20k rows/s).  The file-queue
+    answer is a private staging dir per publish + an atomic rename of the
+    finished part file into the topic — exactly how file-based queues
+    hand off complete files.  One small file per publish: the retry topic
+    is low-volume by construction (the resched fraction of the inflow).
+
+    ``tag`` must be (stream, epoch_id)-derived, NOT random: a
+    checkpoint-recovered micro-batch REPLAYS with the same epoch_id, and
+    ``os.replace`` then overwrites the earlier publish instead of
+    duplicating messages — the idempotent-sink half of the exactly-once
+    contract (E10), same discipline as the engine's epoch-keyed
+    dynamic-overwrite parquet sinks (pinned in
+    tests/test_round12_ops.py::test_publish_atomic_is_replay_idempotent).
+    """
+    tmp = os.path.join(stage_root, tag)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for fname in sorted(os.listdir(tmp)):
+        if fname.startswith("part-") and not fname.endswith(".crc"):
+            os.replace(
+                os.path.join(tmp, fname),
+                os.path.join(topic_dir, f"{tag}.parquet"),
+            )
+            break  # coalesce(1): exactly one data file
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
     """Soak phase B: the RESCHEDULE retry-topic loop LIVE (VERDICT r08 #4)
     — the streaming twin of ``operators/widen.retry_topic_loop``.
@@ -99,35 +131,7 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
     os.makedirs(stage_root, exist_ok=True)
 
     def publish(df, tag: str) -> None:
-        """Write-then-atomic-rename into the retry topic.
-
-        Two jobs appending to ONE directory share the FileOutputCommitter's
-        ``_temporary/0`` staging dir — the ingest and the consumer raced
-        there and one deleted it mid-commit of the other (observed:
-        FileNotFoundException .../_temporary/0 at 20k rows/s).  The
-        file-queue answer is a private staging dir per publish + an atomic
-        rename of the finished part file into the topic — exactly how
-        file-based queues hand off complete files.  One small file per
-        publish: the retry topic is low-volume by construction (the
-        resched fraction of the inflow).
-
-        ``tag`` must be (stream, epoch_id)-derived, NOT random: a
-        checkpoint-recovered micro-batch REPLAYS with the same epoch_id,
-        and ``os.replace`` then overwrites the earlier publish instead of
-        duplicating messages — the idempotent-sink half of the
-        exactly-once contract (E10), same discipline as the engine's
-        epoch-keyed dynamic-overwrite parquet sinks.
-        """
-        tmp = os.path.join(stage_root, tag)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for fname in sorted(os.listdir(tmp)):
-            if fname.startswith("part-") and not fname.endswith(".crc"):
-                os.replace(
-                    os.path.join(tmp, fname),
-                    os.path.join(retry_dir, f"{tag}.parquet"),
-                )
-                break  # coalesce(1): exactly one data file
-        shutil.rmtree(tmp, ignore_errors=True)
+        publish_atomic(df, tag, stage_root, retry_dir)
 
     def ingest_batch(df, epoch_id: int) -> None:
         tagged = with_verdict(
