@@ -31,6 +31,8 @@ small constant) passes over a monotonically shrinking subset.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -535,4 +537,145 @@ def reschedule_retry_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_messages"),
         F.sum("n_deliveries").alias("n_deliveries"),
         F.max("final_visible_ms").alias("max_visible_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1/B2/B4/B6 on a second schema — selector-compiler generality composite
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = Schema(
+    columns={
+        "doc_id": "long",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "long",
+    },
+    props_col=None,
+)
+_DOCS_COMPOSITE = Selector(
+    "(n_chars BETWEEN 200 AND 2000) AND n_chars % 7 > 2 "
+    "AND NOT (lang = 'und') AND text LIKE '%the%'",
+    schema=_DOCS_SCHEMA,
+)
+
+
+@graded(
+    "selector_documents_composite",
+    oracle=f"""
+        SELECT lang, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE {_DOCS_COMPOSITE.duckdb_sql()}
+        GROUP BY 1
+    """,
+    section="B1,B2,B4,B6,B12",
+    description="composite selector over the DOCUMENTS schema (compiler "
+    "generality beyond events): comparison + modulo arithmetic + BETWEEN "
+    "+ NOT + LIKE in one predicate, per-lang aggregate",
+)
+def selector_documents_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.filter(_DOCS_COMPOSITE.column())
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3 — second pandas UDAF: exact weighted sum (grouped agg, long-exact)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "g3b_pandas_udaf_weighted",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * (user_id % 3 + 1)) AS BIGINT) AS weighted_cents,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    section="G3,G2",
+    description="second grouped-agg pandas UDAF: exact weighted cents sum "
+    "(weight = user_id%3+1) — int64 arithmetic stays order-independent, "
+    "so the Arrow-batched aggregate remains hash-gradable",
+)
+def g3b_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("long")
+    def weighted_cents(value: pd.Series, user_id: pd.Series) -> int:
+        cents_ = (value * 100).round().astype("int64")
+        w = (user_id % 3 + 1).astype("int64")
+        return int((cents_ * w).sum())
+
+    @F.pandas_udf("long")
+    def n_rows(value: pd.Series) -> int:
+        return len(value)
+
+    return (
+        load(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            weighted_cents("value", "user_id").alias("weighted_cents"),
+            n_rows("value").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6/C9 — stream-static enrichment against a broadcast RANGE dimension
+# ---------------------------------------------------------------------------
+
+_VALUE_BANDS = [
+    ("micro", 0.0, 25.0),
+    ("small", 25.0, 75.0),
+    ("medium", 75.0, 150.0),
+    ("large", 150.0, 300.0),
+    ("jumbo", 300.0, 1e9),
+]
+
+
+@graded(
+    "e6b_band_enrichment",
+    oracle=f"""
+        WITH bands(band, lo, hi) AS (VALUES
+            {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _VALUE_BANDS)}
+        )
+        SELECT b.band, count(*) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events e JOIN bands b
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY 1
+    """,
+    section="E6,C9,C8",
+    description="stream-static enrichment against a broadcast RANGE "
+    "dimension (theta join: value >= lo AND value < hi) — the static-dim "
+    "band lookup every metering/billing stream does; identical plan under "
+    "readStream with the dim re-broadcast per micro-batch",
+)
+def e6b_band_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the dim is 5 literal rows → BroadcastNestedLoopJoin is
+    the RIGHT plan (each event row probes 5 broadcast rows, no shuffle of
+    the fact side); at 100 TB the alternative — binning via a CASE
+    expression — is available, but the join form is what generalizes to
+    user-maintained band tables."""
+    bands = spark.createDataFrame(_VALUE_BANDS, "band string, lo double, hi double")
+    events = load(spark, "events", sf_dir)
+    from pulsar_message_filter_spark.operators.parity import cents
+
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("sum_cents"),
+        )
     )
