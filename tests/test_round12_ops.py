@@ -220,3 +220,55 @@ def test_publish_atomic_is_replay_idempotent(spark, tmp_path):
     publish_atomic(df.limit(5), "ingest-43", stage, topic)
     assert len(os.listdir(topic)) == 2
     assert os.listdir(stage) == []  # staging fully cleaned
+
+
+def test_retry_loop_invariants_property(spark):
+    """Hypothesis property: for ANY message set, the retry loop conserves
+    messages (each finishes exactly once), bounds deliveries by the
+    attempt cap, stamps final visibility at exactly
+    base + (n_deliveries - 1) * delay, and classes verdicts by the
+    closed form of the selector chain."""
+    from hypothesis import given, settings, strategies as st
+
+    from pulsar_message_filter_spark.operators.widen import (
+        _MAX_ATTEMPTS,
+        _RETRY_DELAY_MS,
+        retry_topic_loop,
+    )
+
+    types = st.sampled_from(["click", "view", "purchase", "signup", "error"])
+    msg = st.tuples(
+        st.integers(0, 10_000),            # second offset for ts
+        st.integers(0, 500),               # user_id
+        types,
+        st.floats(0.01, 400.0, allow_nan=False),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(msg, min_size=1, max_size=25))
+    def check(msgs):
+        rows = [
+            (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+             u, t, round(float(v), 2), "{}")
+            for i, (s, u, t, v) in enumerate(msgs)
+        ]
+        out = {r.event_id: r for r in retry_topic_loop(_msgs(spark, rows)).collect()}
+        assert len(out) == len(rows)  # conservation
+        for i, (_s, _u, t, v) in enumerate(msgs):
+            r = out[i]
+            v = round(float(v), 2)
+            base_ms = int(
+                rows[i][1].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+            )
+            assert 1 <= r.n_deliveries <= _MAX_ATTEMPTS
+            assert r.final_visible_ms == base_ms + (r.n_deliveries - 1) * _RETRY_DELAY_MS
+            if v > 120:
+                assert (r.final_verdict, r.n_deliveries) == ("ACCEPT", 1)
+            elif t == "view":
+                assert (r.final_verdict, r.n_deliveries) == ("ACCEPT", 3)
+            elif t == "click":
+                assert (r.final_verdict, r.n_deliveries) == ("DLQ", _MAX_ATTEMPTS)
+            else:
+                assert (r.final_verdict, r.n_deliveries) == ("REJECT", 1)
+
+    check()
