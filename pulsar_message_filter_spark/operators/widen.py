@@ -679,3 +679,166 @@ def e6b_band_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E2/C21 — sliding-window top revenue type (4-hop 2h/30min windows)
+# ---------------------------------------------------------------------------
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@graded(
+    "e2b_sliding_top_type",
+    oracle=f"""
+        WITH hopped AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - k.k * INTERVAL '30 minutes' AS w,
+                   event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents_
+            FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+        ), per AS (
+            SELECT w, event_type, CAST(sum(cents_) AS BIGINT) AS cents
+            FROM hopped GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY w
+                                         ORDER BY cents DESC, event_type) AS rk
+            FROM per
+        )
+        SELECT strftime(w, '{_TS_DUCK_FMT}') AS window_start,
+               event_type AS top_type, cents AS top_cents
+        FROM ranked WHERE rk = 1
+    """,
+    section="E2,C21",
+    description="sliding 2h/30min windows (each event in exactly 4 hops), "
+    "top revenue event type per window — the dashboard 'leader per "
+    "sliding window' shape; oracle enumerates the 4 hops explicitly",
+)
+def e2b_sliding_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_message_filter_spark.operators.parity import cents
+
+    per = (
+        load(spark, "events", sf_dir)
+        .groupBy(
+            F.window("ts", "2 hours", "30 minutes").start.alias("w"),
+            "event_type",
+        )
+        .agg(F.sum(cents("value")).alias("cents"))
+    )
+    wr = Window.partitionBy("w").orderBy(F.desc("cents"), "event_type")
+    return (
+        per.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.date_format("w", _TS_FMT).alias("window_start"),
+            F.col("event_type").alias("top_type"),
+            F.col("cents").alias("top_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9/F3 — TF-IDF document-to-document cosine (sparse dot over shared terms)
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f9b_tfidf_doc_cosine",
+    oracle="""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        weights AS (
+            SELECT t.doc_id, t.term,
+                   count(*) * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                       AS w
+            FROM terms t JOIN df USING (term) CROSS JOIN n
+            WHERE t.doc_id < 25
+            GROUP BY t.doc_id, t.term, df.df, n.n_docs
+        ), norms AS (
+            SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM weights GROUP BY 1
+        ), dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+            FROM weights a JOIN weights b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dots
+        JOIN norms na ON na.doc_id = id_a
+        JOIN norms nb ON nb.doc_id = id_b
+        ORDER BY cos_sim DESC, id_a, id_b LIMIT 15
+    """,
+    section="F9,F3,C22",
+    description="TF-IDF document-to-document cosine: sparse dot product "
+    "over SHARED terms only (term-keyed self-join — never a dense pair "
+    "explosion), idf from the full corpus, top-15 most similar pairs in "
+    "a 25-doc window",
+)
+def f9b_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical twin of embedding similarity (F3/F4): at 100 TB the
+    term-keyed join IS the scalable form — each term's posting list joins
+    only with itself (vocabulary-partitioned), so the cost is Σ df(term)²
+    over shared terms, not |docs|² — the same inverted-index shape as
+    f43/f44."""
+    from pulsar_message_filter_spark.operators.text import tokens
+
+    docs = load(spark, "documents", sf_dir)
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    weights = (
+        terms.filter(F.col("doc_id") < 25)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    # weights feeds THREE consumers (norms + both self-join sides), so
+    # Catalyst re-plans the explode+df-join chain per branch.  Both forms
+    # were measured at gate scale (cold solo session): pipelined ~7.1 s,
+    # persist() ~7.3 s — indistinguishable, because the subtree is small
+    # and the dominant cost is session/footer warm-up; the pipelined form
+    # ships for the simpler plan.  At 100 TB recompute means three full
+    # corpus passes, and the right fix is materializing weights to
+    # storage (the inverted-index table f44 builds), not an executor
+    # cache.
+    norms = weights.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") ** 2)).alias("nrm"))
+    a = weights.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(15)
+    )
