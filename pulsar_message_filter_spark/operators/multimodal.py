@@ -1360,10 +1360,10 @@ def resize_stub(
     which is identical under a real image library.
 
     ``real_decode=True`` performs a REAL nearest-neighbor resize for
-    uncompressed BMPs and non-interlaced 8-bit PNGs (decode via
-    ``decode_pixels``, integer index sampling, RGB bytes out) — no image
-    library needed; undecodable content falls back to the deterministic
-    stub payload so a mixed corpus never kills the stage.  The ``decoded``
+    every format ``decode_pixels`` handles — BMP, PNG (incl. Adam7), GIF,
+    and JPEG in both modes (integer index sampling, RGB bytes out) — no
+    image library needed; undecodable content falls back to the
+    deterministic stub payload so a mixed corpus never kills the stage.  The ``decoded``
     flag tells consumers which of the two payload conventions a row
     carries (RGB triplets vs raw bytes).
     """

@@ -23,6 +23,13 @@ of the selector/stream surface would reach for next:
   later attempt, or exhausted to DLQ — per-message delivery counts graded
   against the closed-form oracle.
 
+Late-round widening in the same spirit: a composite selector over the
+DOCUMENTS schema (B1/B2/B4/B6 compiler generality), a second grouped-agg
+pandas UDAF (G3, exact int64 weighted cents), a broadcast RANGE-dimension
+enrichment (E6/C9 value-band theta join), the sliding-window revenue
+leader (E2/C21, 4-hop oracle), and TF-IDF document-to-document cosine
+(F9/F3, term-keyed sparse dot product).
+
 Scale notes are on each query; nothing here introduces a new shuffle
 shape — range joins are user-keyed equi-joins with range residuals,
 fan-out is one scan + booleans, the retry loop is ``max_attempts`` (a
