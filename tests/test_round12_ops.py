@@ -272,3 +272,44 @@ def test_retry_loop_invariants_property(spark):
                 assert (r.final_verdict, r.n_deliveries) == ("REJECT", 1)
 
     check()
+
+
+def test_real_resize_covers_gif_and_both_jpeg_modes():
+    """The resize_stub docstring claims the real path covers every format
+    decode_pixels handles — pin GIF and both JPEG modes: the resized
+    payload must equal nearest-neighbor sampling of the full decode."""
+    import numpy as np
+    import pandas as pd
+
+    from pulsar_message_filter_spark.operators.jpeg import decode_jpeg_pixels
+    from pulsar_message_filter_spark.operators.multimodal import (
+        _synth_jpeg_const,
+        decode_pixels,
+        resize_stub,
+        synth_gif,
+    )
+
+    cases = [
+        ("a.gif", synth_gif(19, 11, seed=6)),
+        ("seq.jpg", _synth_jpeg_const(20, 12, 200)),
+        ("prog.jpg", _synth_jpeg_const(20, 12, 200, progressive=True)),
+    ]
+    for name, src in cases:
+        [out] = list(
+            resize_stub(
+                iter([pd.DataFrame({"path": [name], "content": [src]})]),
+                width=5, height=4, real_decode=True,
+            )
+        )
+        img = decode_pixels(src)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        ys = (np.arange(4) * img.shape[0]) // 4
+        xs = (np.arange(5) * img.shape[1]) // 5
+        assert bytes(out["pixels"][0]) == img[ys][:, xs].tobytes(), name
+        assert bool(out["decoded"][0]) is True, name
+    # sanity: the two JPEG modes resize to the SAME payload (bit-identical
+    # coefficient pipeline)
+    _, seq = cases[1]
+    _, prog = cases[2]
+    assert np.array_equal(decode_jpeg_pixels(seq), decode_jpeg_pixels(prog))
