@@ -38,6 +38,7 @@ small constant) passes over a monotonically shrinking subset.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -175,12 +176,16 @@ _NWAY_SUBS = {
 
 @graded(
     "selector_fanout_nway",
+    # GROUP BY + HAVING so a zero-match subscription emits NO row, matching
+    # the Spark side's filter(matched) — an ungrouped aggregate would emit
+    # (0, NULL) for an empty branch and break the compare (ADVICE r09).
     oracle="\n        UNION ALL\n".join(
         f"""
         SELECT '{name}' AS subscription,
                count(*) AS n_matched,
                round(sum(value), 2) AS total_value
-        FROM events WHERE {sel.duckdb_sql()}"""
+        FROM events WHERE {sel.duckdb_sql()}
+        GROUP BY 1 HAVING count(*) > 0"""
         for name, sel in sorted(_NWAY_SUBS.items())
     ),
     section="B14",
@@ -615,7 +620,13 @@ def selector_documents_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g3b_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def weighted_cents(value: pd.Series, user_id: pd.Series) -> int:
-        cents_ = (value * 100).round().astype("int64")
+        # Half-AWAY-from-zero cents, matching DuckDB/Spark round();
+        # pandas .round() is banker's half-to-even and diverges on exact
+        # .5-cent ties (ADVICE r09 — same rule as pipeline._cents_half_up).
+        scaled = value * 100
+        cents_ = (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)).astype(
+            "int64"
+        )
         w = (user_id % 3 + 1).astype("int64")
         return int((cents_ * w).sum())
 

@@ -92,25 +92,25 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "abtest_two_proportion": 3,
     "abtest_welch_t": 3,
     "activity_heatmap": 7,
-    "agg_approx_count_distinct": 2,
+    "agg_approx_count_distinct": 9,
     "agg_approx_percentile": 2,
     "agg_argminmax": 3,
     "agg_bitwise": 5,
     "agg_collect_sorted": 2,
     "agg_corr_exact": 4,
-    "agg_count_distinct": 2,
+    "agg_count_distinct": 9,
     "agg_cube": 2,
-    "agg_distinct": 2,
+    "agg_distinct": 9,
     "agg_gini_exact": 4,
     "agg_heavy_hitters": 3,
     "agg_kth_smallest": 4,
     "agg_mode_exact": 4,
-    "agg_moments_exact": 2,
-    "agg_percentiles": 2,
+    "agg_moments_exact": 9,
+    "agg_percentiles": 9,
     "agg_pivot": 2,
     "agg_predicate_family": 4,
     "agg_rollup": 2,
-    "agg_stats": 2,
+    "agg_stats": 9,
     "agg_trimmed_mean": 3,
     "agg_unpivot": 2,
     "agg_weighted_median": 3,
@@ -145,6 +145,8 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "drift_ks_two_sample": 3,
     "drift_psi_value": 3,
     "drift_wasserstein": 4,
+    "e2b_sliding_top_type": 9,
+    "e6b_band_enrichment": 9,
     "epoch_shuffle_order": 7,
     "eval_auc_rank": 8,
     "f10_corpus_profile": 6,
@@ -156,6 +158,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f12d_audio_frames": 8,
     "f12e_audio_spectral": 8,
     "f12f_mel_filterbank": 8,
+    "f12g_header_probe": 9,
     "f13_label_centroids": 6,
     "f13_normalize": 6,
     "f15_curation_pipeline": 6,
@@ -189,7 +192,9 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f37_containment_pairs": 6,
     "f38_unigram_surprisal": 6,
     "f39_prefix_filter_jaccard": 6,
+    "f3_cosine_label_matrix": 9,
     "f3_cosine_pairs": 6,
+    "f3_cosine_threshold_graph": 9,
     "f40_matryoshka_recall": 6,
     "f41_rrf_fusion": 6,
     "f42_doc_chunking": 6,
@@ -216,6 +221,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f58_hard_negatives": 4,
     "f59_retrieval_metrics": 4,
     "f5_knn_vote": 6,
+    "f5_knn_weighted_vote": 9,
     "f60_knn_eval": 4,
     "f61_common_substring_spans": 4,
     "f62_compression_ratio": 8,
@@ -240,6 +246,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f81_source_dup_profile": 8,
     "f8_top_bigrams": 6,
     "f9_tfidf": 6,
+    "f9b_tfidf_doc_cosine": 9,
     "feature_quantile_bins": 6,
     "feature_target_encode_loo": 6,
     "feature_winsorize": 6,
@@ -268,7 +275,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "func_string2": 5,
     "func_string3": 5,
     "func_variant_json": 8,
-    "funnel_conversion": 2,
+    "funnel_conversion": 9,
     "funnel_conversion_lag": 7,
     "funnel_session_strict": 7,
     "fuzzy_jaro_winkler": 3,
@@ -276,6 +283,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "fuzzy_vocab_pairs": 3,
     "g1_scalar_udf": 6,
     "g3_pandas_udaf": 6,
+    "g3b_pandas_udaf_weighted": 9,
     "g4_grouped_map": 6,
     "g5_map_in_pandas": 6,
     "g5b_map_in_arrow": 6,
@@ -297,17 +305,17 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "interval_campaign_overlap": 4,
     "interval_max_concurrency": 7,
     "ivm_agg_maintenance": 7,
-    "join_anti": 2,
-    "join_asof": 2,
+    "join_anti": 9,
+    "join_asof": 9,
     "join_asof_nearest": 4,
     "join_asof_tolerance": 4,
-    "join_broadcast_dims": 2,
-    "join_cross": 2,
-    "join_full_outer": 2,
-    "join_left_outer": 2,
+    "join_broadcast_dims": 9,
+    "join_cross": 9,
+    "join_full_outer": 9,
+    "join_left_outer": 9,
     "join_null_safe": 5,
-    "join_range_theta": 2,
-    "join_semi": 2,
+    "join_range_theta": 9,
+    "join_semi": 9,
     "kmeans_lite_clusters": 8,
     "kmv_distinct_jaccard": 5,
     "kmv_set_difference": 6,
@@ -319,35 +327,36 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "pagerank_neardup_hubs": 4,
     "pareto_frontier_2d": 4,
     "path_transitions": 7,
-    "pipeline_composite": 2,
+    "pipeline_composite": 9,
     "pivot_two_measures": 8,
     "privacy_k_anonymity": 7,
     "privacy_suppression": 7,
-    "q10_returned_items": 2,
+    "q10_returned_items": 9,
     "q11_important_parts": 5,
     "q12_shipping_buckets": 5,
-    "q13_order_count_distribution": 2,
-    "q14_promo_revenue_share": 2,
+    "q13_order_count_distribution": 9,
+    "q14_promo_revenue_share": 9,
     "q15_top_supplier": 5,
     "q16_part_supplier_variety": 5,
     "q17_small_qty_revenue": 5,
-    "q18_large_orders": 2,
+    "q18_large_orders": 9,
     "q19_disjunctive_revenue": 5,
-    "q1_pricing_summary": 2,
+    "q1_pricing_summary": 9,
     "q20_dominant_suppliers": 5,
     "q21_waiting_suppliers": 5,
     "q22_idle_customers": 5,
     "q2_min_cost_supplier": 5,
-    "q3_top_revenue": 2,
+    "q3_top_revenue": 9,
     "q4_order_priority": 5,
-    "q5_local_supplier_revenue": 2,
-    "q6_forecast_revenue": 2,
-    "q7_volume_shipping": 2,
+    "q5_local_supplier_revenue": 9,
+    "q6_forecast_revenue": 9,
+    "q7_volume_shipping": 9,
     "q8_market_share": 5,
     "q9_product_profit": 5,
     "quantile_histogram_estimate": 3,
     "redelivery_counter_batch_twin": 8,
     "regression_residual_profile": 3,
+    "reschedule_retry_loop": 9,
     "rfm_segmentation": 7,
     "robust_theil_sen": 4,
     "rolling_active_users": 7,
@@ -365,17 +374,20 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "selector_3vl_null": 8,
     "selector_between": 8,
     "selector_comparison_arith": 8,
-    "selector_documents": 2,
-    "selector_fanout": 2,
-    "selector_flagship_window": 2,
-    "selector_header_time": 2,
-    "selector_in": 2,
-    "selector_like": 2,
-    "selector_like_escape": 2,
-    "selector_params": 2,
-    "selector_props_coercion": 2,
-    "selector_regex": 2,
-    "selector_verdict_routing": 2,
+    "selector_documents": 9,
+    "selector_documents_composite": 9,
+    "selector_fanout": 9,
+    "selector_fanout_nway": 9,
+    "selector_flagship_window": 9,
+    "selector_header_time": 9,
+    "selector_in": 9,
+    "selector_like": 9,
+    "selector_like_escape": 9,
+    "selector_params": 9,
+    "selector_params_multi": 9,
+    "selector_props_coercion": 9,
+    "selector_regex": 9,
+    "selector_verdict_routing": 9,
     "session_top_paths": 7,
     "session_ttl_batch_twin": 8,
     "setop_all_variants": 4,
@@ -403,6 +415,8 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "stream_mg_rollup_readpath": 7,
     "stream_static_join": 6,
     "stream_stream_join": 6,
+    "stream_stream_join_followup": 9,
+    "stream_stream_join_outer_first": 9,
     "survival_kaplan_meier": 4,
     "throttle_per_user_hour": 3,
     "timeseries_autocorr": 7,

@@ -39,10 +39,15 @@ import tempfile
 _RUN_ROOT = os.path.join(
     tempfile.gettempdir(), f"pmf_run_{os.getpid()}_{secrets.token_hex(4)}"
 )
+# A fork()ed child inherits both _RUN_ROOT and the atexit handler; without
+# a pid check an exiting child would rmtree the PARENT's still-live root —
+# the exact mid-run wipe this module exists to prevent (ADVICE r09).
+_OWNER_PID = os.getpid()
 
 
 def _cleanup() -> None:  # pragma: no cover - exit hook
-    shutil.rmtree(_RUN_ROOT, ignore_errors=True)
+    if os.getpid() == _OWNER_PID:
+        shutil.rmtree(_RUN_ROOT, ignore_errors=True)
 
 
 atexit.register(_cleanup)

@@ -47,8 +47,13 @@ def main() -> int:
             data = json.load(f)
         for name, row in data.items():
             ok_hash = row.get("hash_match") is True
+            # Rows-only rows earn an entry only when the driver actually
+            # RECORDED a positive row count — `.get(..., 0) >= 0` was
+            # vacuously true for rows with the key missing (ADVICE r09).
             ok_rows_only = (
-                row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0
+                row.get("err") == "no_oracle"
+                and isinstance(row.get("spark_rows"), int)
+                and row["spark_rows"] > 0
             )
             if ok_hash or ok_rows_only:
                 if name not in rounds:
