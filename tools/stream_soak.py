@@ -248,6 +248,19 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
     # in {view, click} (2/5 of rows) with value <= 120 (~60% of the rate
     # source's 0.5..199.5 value ramp)
     expected_terminal_per_s = rate * (2 / 5) * 0.6
+    # Adjudication of the r09 2.5% shortfall (4,680 vs 4,800 expected):
+    # batches fire once per visibility cycle (~5 s apart — 39 batches in
+    # 200 s), so the tail window truncates at a CYCLE boundary.  Inflow
+    # that arrives inside the tail but terminalizes after the phase stops
+    # is never counted — up to one full cycle's worth of rows, i.e. a
+    # (delay + median batch wall) / tail_s fraction of the window (~5.6%
+    # at r09 settings).  The measured 2.5% gap sits inside that bound, so
+    # keeps_up is now judged against an EXPLICIT budget — quantization
+    # plus a 5% local-mode scheduling margin — instead of the old bare
+    # 0.8 factor (VERDICT r09 item #5).
+    median_wall = _st.median([s["batch_wall_s"] for s in retry_stats]) if retry_stats else 0.0
+    quantization_budget = (retry_delay_ms / 1000.0 + median_wall) / tail_s
+    tail_ratio = (terminal_tail / tail_s) / expected_terminal_per_s
     pend = [p["pending_bytes"] for p in pending_timeline]
     pend_bounded = True
     if len(pend) >= 6:
@@ -262,7 +275,9 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
         "n_reenqueued_total": sum(s["n_reenqueued"] for s in retry_stats),
         "terminal_rows_per_sec_tail": round(terminal_tail / tail_s, 1),
         "expected_terminal_rows_per_sec": round(expected_terminal_per_s, 1),
-        "keeps_up": terminal_tail / tail_s >= 0.8 * expected_terminal_per_s,
+        "tail_rate_ratio": round(tail_ratio, 4),
+        "quantization_error_budget": round(quantization_budget, 4),
+        "keeps_up": tail_ratio >= 1.0 - quantization_budget - 0.05,
         "pending_bytes_timeline": pending_timeline,
         "pending_bounded": pend_bounded,
         "max_attempts": _MAX_ATTEMPTS,
