@@ -75,6 +75,8 @@ HEADLINE = [
     "stream_stream_join_followup",  # E7 reversed-bound user-keyed range join
     "selector_fanout_nway",  # 5 subscriptions, ONE scan + stack unpivot
     "f5_knn_weighted_vote",  # similarity-weighted 5-NN over the corpus scan
+    "b7_null_3vl_composite",  # NULL/3VL composite over one events scan
+    "g4b_grouped_map_gap_rank",  # applyInPandas per-label rank+gap transform
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -142,6 +144,9 @@ BUDGET_SEC = {
     "stream_stream_join_followup": 2.0,
     "selector_fanout_nway": 2.0,
     "f5_knn_weighted_vote": 2.5,
+    # round-14 additions, min-of-3 at sf0.1: 0.62/0.41 s -> 2.0 floors
+    "b7_null_3vl_composite": 2.0,
+    "g4b_grouped_map_gap_rank": 2.0,
 }
 
 

@@ -11,6 +11,10 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
 
 def test_run_root_survives_forked_child_exit():
     """A fork()ed child inherits _RUN_ROOT and the atexit hook; its exit
@@ -47,3 +51,79 @@ def test_fanout_oracle_emits_no_row_for_empty_subscription():
     # Empty table: every subscription matches nothing → zero rows total.
     out = con.execute(oracle).fetchall()
     assert out == []
+
+
+def test_g6b_chunker_covers_every_token_exactly_once(spark):
+    """Chunk rows reassemble to the original text: concat of chunk_text in
+    chunk_idx order == text, n_tokens sums to the token count, and the
+    last chunk is the only one allowed to be short."""
+    from pulsar_message_filter_spark.operators.widen2 import (
+        _CHUNK,
+        g6b_udtf_chunker,
+    )
+
+    out = g6b_udtf_chunker(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    }
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert " ".join(r.chunk_text for r in rows) == docs[doc_id]
+        toks = docs[doc_id].split(" ")
+        assert sum(r.n_tokens for r in rows) == len(toks)
+        for r in rows[:-1]:
+            assert r.n_tokens == _CHUNK  # only the tail may be short
+
+
+def test_g4b_gap_rank_matches_window_form(spark):
+    """The grouped-map output must equal the pure window-function plan —
+    the mechanism check the oracle does, pinned locally too."""
+    from pyspark.sql import Window
+
+    from pulsar_message_filter_spark.operators.widen2 import (
+        g4b_grouped_map_gap_rank,
+    )
+
+    got = sorted(
+        (tuple(r) for r in g4b_grouped_map_gap_rank(spark, SF_SMOKE).collect())
+    )
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    want = sorted(
+        tuple(r)
+        for r in emb.select(
+            "label",
+            "vec_id",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            (
+                F.col("vec_id")
+                - F.coalesce(F.lag("vec_id").over(w), F.col("vec_id"))
+            ).cast("long").alias("gap"),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_b7_composite_buckets_are_exhaustive_and_disjoint(spark):
+    """n_rows over the three buckets partitions the table; the NULL
+    bucket skips every value (n_nonnull=0, sum coalesced to 0)."""
+    from pulsar_message_filter_spark.operators.widen2 import (
+        b7_null_3vl_composite,
+    )
+
+    rows = {r.bucket: r for r in b7_null_3vl_composite(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert sum(r.n_rows for r in rows.values()) == ev.count()
+    assert rows["NULL"].n_nonnull == 0
+    assert rows["NULL"].sum_cents == 0
+    assert rows["NULL"].n_rows == ev.filter(F.col("event_type") == "error").count()
+    for b in ("MID", "EDGE"):
+        assert rows[b].n_nonnull == rows[b].n_rows

@@ -233,7 +233,23 @@ def zorder_prune_fractions(spark, sf_dir: str, factor: int) -> dict:
     return result
 
 
-def replicate(spark, factor: int, out_dir: str) -> None:
+#: density-preserving mode (SCALE_SMOKE_DENSITY=1): plain replication
+#: keeps every copy's user_ids AND timestamps, so any per-user
+#: time-window operator sees its window density MULTIPLY with the factor
+#: — pair counts densify super-linearly by construction, not by plan
+#: (the x256 E7 0.43/0.44 artifact, VERDICT r09 item #4).  Real corpora
+#: grow by adding USERS and TIME, not by cloning the same user's second;
+#: this mode models that: each events copy gets a disjoint user
+#: population (user_id + i*USER_SHIFT) plus a small deterministic
+#: timestamp jitter (i*1337 ms) to break exact-tie artifacts, keeping
+#: per-user per-window density CONSTANT up the ladder.
+USER_SHIFT = 1_000_000
+_JITTER_MS = 1337
+
+
+def replicate(
+    spark, factor: int, out_dir: str, density_preserving: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     from pulsar_message_filter_spark.io import load
@@ -245,15 +261,34 @@ def replicate(spark, factor: int, out_dir: str) -> None:
         # raw read (no ts normalization) so the written parquet keeps the
         # exact source schema the loader expects — incl. events' nanos ts
         df = spark.read.parquet(f"{BASE_SF_DIR}/{t}.parquet")
-        copies = [
-            df.select(
-                *[
-                    (F.col(c) + (i * KEY_SHIFT)).alias(c) if c in keys else F.col(c)
-                    for c in df.columns
-                ]
-            )
-            for i in range(factor)
-        ]
+        ts_is_long = dict(df.dtypes).get("ts") in ("bigint", "long")
+
+        def copy_cols(i: int):
+            cols = []
+            for c in df.columns:
+                if c in keys:
+                    cols.append((F.col(c) + (i * KEY_SHIFT)).alias(c))
+                elif density_preserving and t == "events" and c == "user_id":
+                    cols.append((F.col(c) + (i * USER_SHIFT)).alias(c))
+                elif density_preserving and t == "events" and c == "ts":
+                    if ts_is_long:  # nanosAsLong sessions read ns as int64
+                        cols.append(
+                            (F.col(c) + (i * _JITTER_MS * 1_000_000)).alias(c)
+                        )
+                    else:
+                        cols.append(
+                            (
+                                F.col(c)
+                                + F.expr(
+                                    f"INTERVAL {i * _JITTER_MS} MILLISECONDS"
+                                )
+                            ).alias(c)
+                        )
+                else:
+                    cols.append(F.col(c))
+            return df.select(*cols)
+
+        copies = [copy_cols(i) for i in range(factor)]
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
@@ -273,6 +308,7 @@ def main() -> None:
     from pulsar_message_filter_spark import registry
     from pulsar_message_filter_spark.session import get_spark
 
+    density = bool(os.environ.get("SCALE_SMOKE_DENSITY"))
     spark = get_spark("pmf-scale-smoke")
     graded = registry.all_graded()
     root = tempfile.mkdtemp(prefix="pmf_scale_")
@@ -281,7 +317,7 @@ def main() -> None:
     try:
         for n in factors:
             d = os.path.join(root, f"x{n}")
-            replicate(spark, n, d)
+            replicate(spark, n, d, density_preserving=density)
             per: dict[str, float] = {}
             for q in QUERIES:
                 fn = graded[q].fn
@@ -321,6 +357,7 @@ def main() -> None:
             {
                 "base_dir": BASE_SF_DIR,
                 "factors": factors,
+                "density_preserving": density,
                 "rows": rows,
                 "zorder_ladder": {f"x{n}": layouts[n] for n in factors if n in layouts},
             }
