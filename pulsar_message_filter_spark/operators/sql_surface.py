@@ -135,6 +135,41 @@ SHARED_SQL: dict[str, str] = {
         SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_hops
         FROM reach GROUP BY src, dst
     """,
+    # FILTER clause on aggregates (ANSI 2003) — incl. inside HAVING;
+    # the conditional-aggregate idiom without CASE wrappers
+    "sql_shared_filter_clause": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS even_cents
+        FROM events
+        GROUP BY event_type
+        HAVING count(*) FILTER (WHERE value > 100) > 10
+    """,
+    # inline VALUES relation as a join dimension — the portable way to
+    # ship a tiny band/config table inside the query text itself
+    "sql_shared_values_dim": """
+        SELECT b.band, CAST(count(*) AS BIGINT) AS n
+        FROM events e
+        JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+                     ('high', 150.0, 1e9))
+             AS b(band, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+    """,
+    # value-based RANGE frame (not ROWS) over an integer ORDER BY —
+    # the sliding numeric-band aggregate in portable form
+    "sql_shared_range_frame": """
+        SELECT user_id,
+               CAST(sum(CAST(count(*) AS BIGINT)) OVER (
+                   ORDER BY user_id
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS n_in_band
+        FROM events
+        WHERE user_id < 200
+        GROUP BY user_id
+    """,
 }
 
 
@@ -206,4 +241,25 @@ _make(
     "shared-dialect SQL: WITH RECURSIVE bounded transitive closure over a "
     "derived transition graph (Spark-4 recursive CTE) — identical text on "
     "both engines",
+)
+_make(
+    "sql_shared_filter_clause",
+    SHARED_SQL["sql_shared_filter_clause"],
+    "B12,C11,D4",
+    "shared-dialect SQL: ANSI FILTER clause on aggregates, incl. inside "
+    "HAVING — identical text on both engines",
+)
+_make(
+    "sql_shared_values_dim",
+    SHARED_SQL["sql_shared_values_dim"],
+    "B12,C9,C7",
+    "shared-dialect SQL: inline VALUES relation joined as a band "
+    "dimension (value-range theta join) — identical text on both engines",
+)
+_make(
+    "sql_shared_range_frame",
+    SHARED_SQL["sql_shared_range_frame"],
+    "B12,C20",
+    "shared-dialect SQL: value-based RANGE frame over integer ORDER BY — "
+    "identical text on both engines",
 )
