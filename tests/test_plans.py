@@ -74,6 +74,8 @@ def test_all_non_udf_queries_stay_jvm_side(spark):
         # G-series exist to exercise the Python surfaces
         "g1_scalar_udf", "g3_pandas_udaf", "g4_grouped_map",
         "g5_map_in_pandas", "g6_udtf_shingles",
+        "g6b_udtf_chunker",  # second UDTF (round-14 G6 widening)
+        "g4b_grouped_map_gap_rank",  # second grouped map (round-14 G4)
         # deliberate vectorized-UDF operators
         "f2_simhash", "f12_multimodal_features", "f4_topk_lsh", "f4_topk_ivf",
         "f4_topk_ivf_auto",  # auto-probed variant of f4_topk_ivf
