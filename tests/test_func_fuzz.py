@@ -232,6 +232,44 @@ def _dbl_pool(rng: random.Random, col: str):
     return rng.choice(picks)
 
 
+def _json_pool(rng: random.Random, col: str):
+    """JSON property extraction (D7) over the events props column —
+    get_json_object ↔ json_extract_string, incl. the missing-key NULL
+    path and numeric coercion of the extracted string."""
+    k = rng.choice([3, 7, 50])
+    picks = [
+        (
+            F.get_json_object(col, "$.k"),
+            f"json_extract_string({col}, '$.k')",
+        ),
+        (
+            F.get_json_object(col, "$.k").cast("long"),
+            f"CAST(json_extract_string({col}, '$.k') AS BIGINT)",
+        ),
+        (
+            F.coalesce(F.get_json_object(col, "$.absent"), F.lit("none")),
+            f"coalesce(json_extract_string({col}, '$.absent'), 'none')",
+        ),
+        (
+            (F.get_json_object(col, "$.k").cast("long") % k).cast("long"),
+            f"CAST(CAST(json_extract_string({col}, '$.k') AS BIGINT) % {k} "
+            "AS BIGINT)",
+        ),
+        (
+            (F.get_json_object(col, "$.k").cast("long") > k)
+            .cast("int")
+            .cast("long"),
+            f"CAST(CAST(json_extract_string({col}, '$.k') AS BIGINT) > {k} "
+            "AS BIGINT)",
+        ),
+        (
+            F.get_json_object(col, "$.absent").isNull().cast("int").cast("long"),
+            f"CAST(json_extract_string({col}, '$.absent') IS NULL AS BIGINT)",
+        ),
+    ]
+    return rng.choice(picks)
+
+
 def _cond_pool(rng: random.Random, str_col: str, int_col: str):
     """Conditional/null family (D4): CASE chains, nullif+coalesce."""
     v1, v2 = rng.sample(["click", "view", "purchase", "error", "signup"], 2)
@@ -270,6 +308,7 @@ _TABLES = {
         "str": ["o_orderstatus", "o_orderpriority"],
         "int": ["o_orderkey", "o_custkey"],
         "dbl": ["o_totalprice"],
+        "json": [],
     },
     "events": {
         "key": "event_id",
@@ -279,6 +318,7 @@ _TABLES = {
         "str": ["event_type"],
         "int": ["event_id", "user_id"],
         "dbl": ["value"],
+        "json": ["props"],
     },
 }
 
@@ -298,6 +338,8 @@ def _build_spec(rng: random.Random, table: str):
         pools.append(lambda r, c=col: _int_pool(r, c))
     for col in t["dbl"]:
         pools.append(lambda r, c=col: _dbl_pool(r, c))
+    for col in t["json"]:
+        pools.append(lambda r, c=col: _json_pool(r, c))
     pools.append(lambda r: _cond_pool(r, t["str"][0], t["int"][0]))
 
     spark_cols, sql_cols = [F.col(t["key"]).cast("long").alias("k")], [
