@@ -127,3 +127,56 @@ def test_b7_composite_buckets_are_exhaustive_and_disjoint(spark):
     assert rows["NULL"].n_rows == ev.filter(F.col("event_type") == "error").count()
     for b in ("MID", "EDGE"):
         assert rows[b].n_nonnull == rows[b].n_rows
+
+
+def test_density_preserving_replicate_semantics(spark, tmp_path):
+    """The SCALING round-14 claims rest on this fixture contract:
+    each events copy gets a DISJOINT user population, every user keeps
+    exactly their original event count (per-user density constant), and
+    copy i's timestamps shift by the documented jitter."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_smoke
+
+    old = scale_smoke.BASE_SF_DIR
+    scale_smoke.BASE_SF_DIR = SF_SMOKE
+    try:
+        out = str(tmp_path / "x2")
+        scale_smoke.replicate(spark, 2, out, density_preserving=True)
+        base = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        rep = spark.read.parquet(f"{out}/events.parquet")
+
+        assert rep.count() == 2 * base.count()
+        # disjoint user populations: copy 1's users sit exactly one
+        # USER_SHIFT above copy 0's
+        base_users = {r.user_id for r in base.select("user_id").distinct().collect()}
+        rep_users = {r.user_id for r in rep.select("user_id").distinct().collect()}
+        assert rep_users == base_users | {
+            u + scale_smoke.USER_SHIFT for u in base_users
+        }
+        # per-user density constant: every user (old and shifted) keeps
+        # exactly their original event count
+        base_counts = {
+            r.user_id: r.n
+            for r in base.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        rep_counts = {
+            r.user_id: r.n
+            for r in rep.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        for u, n in base_counts.items():
+            assert rep_counts[u] == n
+            assert rep_counts[u + scale_smoke.USER_SHIFT] == n
+        # copy 1's timestamps shift by the documented jitter (ts may read
+        # as ns-int64 under nanosAsLong or as timestamp)
+        t0 = base.selectExpr("min(ts) AS m").collect()[0].m
+        t1 = rep.filter(F.col("user_id") >= scale_smoke.USER_SHIFT).selectExpr(
+            "min(ts) AS m"
+        ).collect()[0].m
+        if isinstance(t0, int):
+            assert t1 - t0 == scale_smoke._JITTER_MS * 1_000_000
+        else:
+            assert (t1 - t0).total_seconds() == scale_smoke._JITTER_MS / 1000.0
+    finally:
+        scale_smoke.BASE_SF_DIR = old
