@@ -270,9 +270,14 @@ def _json_pool(rng: random.Random, col: str):
     return rng.choice(picks)
 
 
-def _cond_pool(rng: random.Random, str_col: str, int_col: str):
-    """Conditional/null family (D4): CASE chains, nullif+coalesce."""
-    v1, v2 = rng.sample(["click", "view", "purchase", "error", "signup"], 2)
+def _cond_pool(rng: random.Random, str_col: str, int_col: str, str_vals):
+    """Conditional/null family (D4): CASE chains, nullif+coalesce.
+
+    Literals are drawn from the TABLE'S OWN value domain — drawing event
+    types while fuzzing orders would make every comparison false and
+    degenerate the pool to constants (code-review finding, round 14).
+    """
+    v1, v2 = rng.sample(str_vals, 2)
     k = rng.randint(2, 9)
     picks = [
         (
@@ -306,6 +311,7 @@ _TABLES = {
         "date": ["o_orderdate"],
         "ts": [],
         "str": ["o_orderstatus", "o_orderpriority"],
+        "str_vals": ["O", "F", "P"],
         "int": ["o_orderkey", "o_custkey"],
         "dbl": ["o_totalprice"],
         "json": [],
@@ -316,6 +322,7 @@ _TABLES = {
         "date": [],
         "ts": ["ts"],
         "str": ["event_type"],
+        "str_vals": ["click", "view", "purchase", "error", "signup"],
         "int": ["event_id", "user_id"],
         "dbl": ["value"],
         "json": ["props"],
@@ -340,7 +347,9 @@ def _build_spec(rng: random.Random, table: str):
         pools.append(lambda r, c=col: _dbl_pool(r, c))
     for col in t["json"]:
         pools.append(lambda r, c=col: _json_pool(r, c))
-    pools.append(lambda r: _cond_pool(r, t["str"][0], t["int"][0]))
+    pools.append(
+        lambda r: _cond_pool(r, t["str"][0], t["int"][0], t["str_vals"])
+    )
 
     spark_cols, sql_cols = [F.col(t["key"]).cast("long").alias("k")], [
         f"CAST({t['key']} AS BIGINT) AS k"

@@ -136,7 +136,7 @@ def test_density_preserving_replicate_semantics(spark, tmp_path):
     copy i's timestamps shift by the documented jitter."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import scale_smoke
 
     old = scale_smoke.BASE_SF_DIR

@@ -308,7 +308,9 @@ def main() -> None:
     from pulsar_message_filter_spark import registry
     from pulsar_message_filter_spark.session import get_spark
 
-    density = bool(os.environ.get("SCALE_SMOKE_DENSITY"))
+    # explicit truthy values only — bool("0") is True, so a user writing
+    # SCALE_SMOKE_DENSITY=0 to disable must actually disable
+    density = os.environ.get("SCALE_SMOKE_DENSITY", "") in ("1", "true")
     spark = get_spark("pmf-scale-smoke")
     graded = registry.all_graded()
     root = tempfile.mkdtemp(prefix="pmf_scale_")

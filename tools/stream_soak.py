@@ -258,8 +258,16 @@ def run_retry_phase(spark, rate: int, duration_s: int) -> dict:
     # keeps_up is now judged against an EXPLICIT budget — quantization
     # plus a 5% local-mode scheduling margin — instead of the old bare
     # 0.8 factor (VERDICT r09 item #5).
-    median_wall = _st.median([s["batch_wall_s"] for s in retry_stats]) if retry_stats else 0.0
-    quantization_budget = (retry_delay_ms / 1000.0 + median_wall) / tail_s
+    # median over TAIL batches only (warm-up walls are the longest and
+    # would inflate the budget used to judge the tail-only rate), and the
+    # budget is clamped so a degenerate short run can't make the check
+    # vacuous (budget >= 1 would pass at zero throughput).
+    median_wall = (
+        _st.median([s["batch_wall_s"] for s in tail]) if tail else 0.0
+    )
+    quantization_budget = min(
+        0.5, (retry_delay_ms / 1000.0 + median_wall) / tail_s
+    )
     tail_ratio = (terminal_tail / tail_s) / expected_terminal_per_s
     pend = [p["pending_bytes"] for p in pending_timeline]
     pend_bounded = True
