@@ -77,6 +77,8 @@ HEADLINE = [
     "f5_knn_weighted_vote",  # similarity-weighted 5-NN over the corpus scan
     "b7_null_3vl_composite",  # NULL/3VL composite over one events scan
     "g4b_grouped_map_gap_rank",  # applyInPandas per-label rank+gap transform
+    "f82_cross_split_contamination",  # val-vs-train shingle decontamination
+    "rollup_share_of_parent",  # hierarchical rollup + share-of-parent window
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -147,6 +149,9 @@ BUDGET_SEC = {
     # round-14 additions, min-of-3 at sf0.1: 0.62/0.41 s -> 2.0 floors
     "b7_null_3vl_composite": 2.0,
     "g4b_grouped_map_gap_rank": 2.0,
+    # round-15 additions, min-of-3 at sf0.1: 1.55/1.40 s -> 2x measured
+    "f82_cross_split_contamination": 3.2,
+    "rollup_share_of_parent": 3.0,
 }
 
 

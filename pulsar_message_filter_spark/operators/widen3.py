@@ -1,0 +1,499 @@
+"""Round-15 widening queries — new oracle-checked entries for the
+still-thin §2 rows (F7 stopwords, E2 sliding, C3 distinct, C16 rollup,
+B9/B11 props coercion) plus two new training-data-pipeline primitives
+that had no graded twin yet: cross-split decontamination (val-vs-train
+shingle overlap, the complement of f22's external-benchmark check) and
+int8 embedding-quantization error profiling (the ANN compression
+pre-flight).
+
+Same design rules as widen.py / widen2.py: idiomatic Column algebra,
+hand-paired DuckDB oracle per query, identical output aliases on both
+sides, exact integers or strings only in hashed output, and a 100 TB
+scale note in each docstring.
+
+Reference caveat (SURVEY.md §0): /root/reference ships no source; the
+binding spec is the JMS/SQL92 selector surface plus the driver's
+DuckDB-oracle contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.parity import cents, cents_sql
+from pulsar_message_filter_spark.registry import graded
+from pulsar_message_filter_spark.selector import Selector
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F6 — cross-split decontamination: val docs sharing any 8-token
+# shingle with the train split.  f22_contamination checks documents against
+# an EXTERNAL benchmark gram list (broadcast); this is the other real-world
+# decontamination: between two splits of the SAME corpus, where both sides
+# are big and the candidate generation must be an equi-join on the gram key.
+# ---------------------------------------------------------------------------
+
+_SHINGLE = 8
+
+
+@graded(
+    "f82_cross_split_contamination",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, lang, split,
+                   array_to_string(toks[i:(i + {_SHINGLE} - 1)], ' ') AS gram
+            FROM tagged,
+                 LATERAL unnest(generate_series(1, len(toks) - {_SHINGLE} + 1))
+                     AS t(i)
+        ), train_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE split = 'train'
+        ), val_docs AS (
+            SELECT doc_id, lang FROM tagged WHERE split = 'val'
+        ), contaminated AS (
+            SELECT DISTINCT g.doc_id
+            FROM grams g JOIN train_grams t USING (gram)
+            WHERE g.split = 'val'
+        )
+        SELECT v.lang,
+               count(*) AS n_val_docs,
+               count(c.doc_id) AS n_contaminated,
+               CAST(floor(1000.0 * count(c.doc_id) / count(*) + 0.5) AS BIGINT)
+                   AS contaminated_permille
+        FROM val_docs v LEFT JOIN contaminated c USING (doc_id)
+        GROUP BY v.lang
+    """,
+    section="F1,F2,F6,C6,D8",
+    description=f"cross-split decontamination: {_SHINGLE}-token shingle "
+    "overlap between the md5-split val docs and the train split, per-lang "
+    "contamination rate — the train/eval leakage audit run before every "
+    "training data release",
+)
+def f82_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Val-vs-train shingle-overlap decontamination.
+
+    100 TB scale shape: candidate generation is a gram-keyed equi-join
+    (semi-join of val grams against distinct train grams), never a doc×doc
+    comparison — cost is bounded by Σ df(gram) on the val side after the
+    distinct-gram reduction, and both inputs are map-side-combinable
+    distinct aggregates.  The gram key is a stable string; a hot gram (a
+    boilerplate sentence) fattens one reducer, which AQE skew-split
+    handles, or pre-hash the gram to 64 bits (xxhash64) to cut shuffle
+    width — semantics unchanged.  The final per-lang rollup is a 20-group
+    agg.  No driver-side state.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tagged = docs.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("toks"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6",
+            F.lit("train"),
+        )
+        .otherwise("val")
+        .alias("split"),
+    )
+    grams = (
+        tagged.where(F.size("toks") >= _SHINGLE)
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - _SHINGLE),
+                    lambda i: F.array_join(F.slice("toks", i + 1, _SHINGLE), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    train_grams = grams.where(F.col("split") == "train").select("gram").distinct()
+    val_grams = grams.where(F.col("split") == "val")
+    contaminated = (
+        val_grams.join(train_grams, "gram", "leftsemi").select("doc_id").distinct()
+    )
+    val_docs = tagged.where(F.col("split") == "val").select("doc_id", "lang")
+    flagged = contaminated.withColumn("hit", F.lit(1))
+    return (
+        val_docs.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_val_docs"),
+            F.count("hit").alias("n_contaminated"),
+            F.floor(
+                1000.0 * F.count("hit") / F.count("*") + F.lit(0.5)
+            ).cast("long").alias("contaminated_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7/F9/F10 — corpus-derived stopword detection: document-frequency ratio.
+# The static-list stopword filter (f7) assumes a curated list exists; real
+# pipelines DERIVE the list from df ratios before filtering.
+# ---------------------------------------------------------------------------
+
+_DF_PERMILLE_MIN = 500  # token must appear in >= 50% of docs
+
+
+@graded(
+    "f83_stopword_autodetect",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT token, count(*) AS df,
+               CAST(floor(1000.0 * count(*) / max(n.n_docs) + 0.5) AS BIGINT)
+                   AS df_permille
+        FROM tok, n
+        GROUP BY token
+        HAVING CAST(floor(1000.0 * count(*) / max(n.n_docs) + 0.5) AS BIGINT)
+               >= {_DF_PERMILLE_MIN}
+    """,
+    section="F7,F9,F10",
+    description="corpus-derived stopword detection: tokens whose document-"
+    f"frequency ratio is >= {_DF_PERMILLE_MIN}/1000 — the step that BUILDS "
+    "the list the static stopword filter consumes",
+)
+def f83_stopword_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency stopword candidates.
+
+    100 TB scale shape: (doc_id, token) distinct is a map-side-combinable
+    dedup keyed by token after the per-doc explode; df counting is a
+    vocab-keyed agg (vocab ≪ corpus).  The corpus size joins in as a
+    broadcast single-row aggregate — no second scan of the token table,
+    no collect.  Output is a few hundred rows at any corpus size (it is a
+    df-RATIO threshold), so the HAVING prunes before any sort.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.floor(1000.0 * F.col("df") / F.col("n_docs") + F.lit(0.5))
+            .cast("long")
+            .alias("df_permille"),
+        )
+        .where(F.col("df_permille") >= _DF_PERMILLE_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — sliding 6h/2h windows with revenue + distinct users (each event in
+# exactly 3 windows).  Widens E2 beyond count-only slides: money (exact
+# cents) and a distinct-agg inside the slide.
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 2 * 3600 * 1_000_000  # 2h hop in microseconds
+
+
+@graded(
+    "e2c_sliding_revenue",
+    oracle=f"""
+        WITH hits AS (
+            SELECT (epoch_us(ts) // {_SLIDE_US} - k) * {_SLIDE_US} AS ws_us,
+                   user_id, {cents_sql('value')} AS v_cents
+            FROM events, LATERAL unnest([0, 1, 2]) AS t(k)
+        )
+        SELECT ws_us, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(v_cents) AS BIGINT) AS revenue_cents
+        FROM hits GROUP BY ws_us
+    """,
+    section="E2,C12",
+    description="sliding 6h-window/2h-hop aggregate: per-window event count, "
+    "distinct users, and exact integer-cents revenue — each event lands in "
+    "exactly three windows",
+)
+def e2c_sliding_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window revenue with a distinct-agg inside the slide.
+
+    100 TB scale shape: `F.window` expands each row to its 3 member
+    windows BEFORE the shuffle (an Expand node, no join), then one
+    hash-agg keyed on (window, user) feeds the distinct; the same plan
+    Structured Streaming uses for this window spec, so the batch twin and
+    the stream share state math.  Window starts ship as epoch integers —
+    no timestamp-rendering drift.
+    """
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(cents("value")).alias("revenue_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            "n_events",
+            "n_users",
+            "revenue_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — multi-column DISTINCT as a first-class reduction (the daily
+# active-pair profile), widening C3 past single-purpose distincts.
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "c3b_distinct_pairs_daily",
+    oracle=f"""
+        SELECT strftime(d, '{_DUCK_FMT}') AS day,
+               count(*) AS n_user_type_pairs,
+               count(DISTINCT event_type) AS n_types
+        FROM (
+            SELECT DISTINCT date_trunc('day', ts) AS d, user_id, event_type
+            FROM events
+        )
+        GROUP BY d
+    """,
+    section="C3,D2",
+    description="multi-column DISTINCT reduction: distinct (day, user, type) "
+    "triples collapsed then profiled per day — dedup-then-aggregate in one "
+    "plan",
+)
+def c3b_distinct_pairs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (day, user, type) triples, then a per-day profile.
+
+    100 TB scale shape: the DISTINCT is a hash-agg keyed by the triple
+    (map-side partial dedup first), and the per-day rollup reuses the
+    shuffle's day prefix — Catalyst plans both in one exchange because
+    the second agg's keys are a prefix of the first's.  No window, no
+    sort.
+    """
+    ev = load(spark, "events", sf_dir)
+    triples = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id", "event_type"
+    ).distinct()
+    return triples.groupBy("d").agg(
+        F.count("*").alias("n_user_type_pairs"),
+        F.countDistinct("event_type").alias("n_types"),
+    ).select(
+        F.date_format("d", _FMT).alias("day"), "n_user_type_pairs", "n_types"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9/B11/B4/B5 — props coercion composite: BETWEEN and IN over the
+# JSON-extracted numeric property, rendered to BOTH engines from one AST.
+# ---------------------------------------------------------------------------
+
+_PROPS_SEL = Selector(
+    "props.k BETWEEN 20 AND 60 AND event_type IN ('click', 'view', 'purchase') "
+    "AND NOT (value < 50)"
+)
+
+
+@graded(
+    "selector_props_range_in",
+    oracle="SELECT event_id, user_id, event_type, value FROM events WHERE "
+    + _PROPS_SEL.duckdb_sql(),
+    section="B9,B11,B4,B5,B3",
+    description="props-coercion composite: JSON property BETWEEN range + "
+    "header IN list + NOT — one AST rendered to Catalyst and to the DuckDB "
+    "oracle (parity by construction)",
+)
+def selector_props_range_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-property range selector.
+
+    100 TB scale shape: compiles to ordinary Catalyst expressions over a
+    `get_json_object` extraction, so column pruning still reaches the
+    scan (only props/event_type/value/user_id/event_id are read) and the
+    whole predicate runs inside the scan stage's WholeStageCodegen span —
+    zero shuffle.
+    """
+    return (
+        load(spark, "events", sf_dir)
+        .filter(_PROPS_SEL.column())
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C16 — hierarchical share-of-parent over ROLLUP(region, nation): each
+# nation row carries its share of the region, each region row its share of
+# the grand total.  Widens C16 past plain rollup output.
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "rollup_share_of_parent",
+    oracle=f"""
+        WITH r AS (
+            SELECT coalesce(r.r_name, '(all)') AS region_name,
+                   CASE WHEN GROUPING(n.n_name) = 1 THEN '(all)'
+                        ELSE n.n_name END AS nation_name,
+                   GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS lvl,
+                   CAST(sum({cents_sql('l.l_extendedprice * (1 - l.l_discount)')})
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
+        )
+        SELECT region_name, nation_name, revenue_cents,
+               CAST(floor(1000.0 * revenue_cents /
+                    sum(revenue_cents) OVER (PARTITION BY lvl, CASE WHEN
+                        lvl = 0 THEN region_name ELSE '' END) + 0.5) AS BIGINT)
+                   AS share_of_parent_permille
+        FROM r
+    """,
+    section="C16,C11,C20",
+    description="ROLLUP(region, nation) revenue with share-of-parent per "
+    "level: nation rows vs their region subtotal, region rows vs the grand "
+    "total — hierarchical contribution in one pass",
+)
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent over a two-level rollup.
+
+    100 TB scale shape: one join tree (supplier/nation/region all
+    broadcast — they are dimension-sized at every SF), one rollup agg
+    (Expand + hash-agg, partial map-side), then a window whose partition
+    is (level, region) — at most |regions|+2 partitions of at most
+    |nations| rows each, so the window stage is trivially bounded no
+    matter the fact-table size.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    su = load(spark, "supplier", sf_dir)
+    na = load(spark, "nation", sf_dir)
+    re = load(spark, "region", sf_dir)
+    joined = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    # grouping()/grouping_id() must appear in the agg list in Spark, so
+    # compute lvl there and derive the display names afterwards.
+    rolled = (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("long")
+            .alias("lvl"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.when(F.col("lvl") % 2 == 1, F.lit("(all)"))
+            .otherwise(F.col("n_name"))
+            .alias("nation_name"),
+            "lvl",
+            "revenue_cents",
+        )
+    )
+    parent = Window.partitionBy(
+        "lvl", F.when(F.col("lvl") == 0, F.col("region_name")).otherwise(F.lit(""))
+    )
+    return rolled.select(
+        "region_name",
+        "nation_name",
+        "revenue_cents",
+        F.floor(
+            1000.0 * F.col("revenue_cents") / F.sum("revenue_cents").over(parent)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("share_of_parent_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F13/D5 — int8 symmetric-quantization error profile: the pre-flight run
+# before shipping embeddings to an int8 ANN index (pairs with f21_topk_int8,
+# which is rows-only; this one is exact and oracle-graded).
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "f85_int8_quant_error",
+    oracle="""
+        WITH v AS (
+            SELECT label,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+            FROM embeddings
+        ), err AS (
+            SELECT label,
+                   CAST(floor(list_max(list_transform(xs,
+                       x -> abs(x - floor(x / scale + 0.5) * scale)))
+                       * 1e9 + 0.5) AS BIGINT) AS err_1e9
+            FROM v WHERE scale > 0
+        )
+        SELECT label, count(*) AS n_vecs,
+               CAST(floor(sum(err_1e9) / count(*) / 1000.0 + 0.5) AS BIGINT)
+                   AS avg_max_err_1e6
+        FROM err GROUP BY label
+    """,
+    section="F13,D5",
+    description="int8 symmetric quantization error: per-vector max "
+    "reconstruction error under scale=maxabs/127, averaged per label — the "
+    "accuracy pre-flight before an int8 ANN index build",
+)
+def f85_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-error profile in pure Column lambda algebra.
+
+    100 TB scale shape: entirely per-row array lambdas (transform /
+    array_max) followed by one label-keyed hash agg — no UDF, no shuffle
+    except the ~|labels|-group agg.  The per-row error is floored to an
+    int64 at 1e-9 resolution BEFORE aggregation so the cross-engine sum
+    is order-independent integer math (the parity.py discipline applied
+    to doubles that aren't cents).
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select(
+        "label",
+        xs.alias("xs"),
+        (F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127.0
+         ).alias("scale"),
+    ).where(F.col("scale") > 0)
+    err = v.select(
+        "label",
+        F.floor(
+            F.array_max(
+                F.transform(
+                    "xs",
+                    lambda x: F.abs(
+                        x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")
+                    ),
+                )
+            )
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("err_1e9"),
+    )
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.floor(F.sum("err_1e9") / F.count("*") / 1000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("avg_max_err_1e6"),
+    )
