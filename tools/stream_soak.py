@@ -395,6 +395,28 @@ def main() -> None:
         .start()
     )
 
+    # leg 5: SLIDING window aggregate (the e2c_sliding_revenue shape at
+    # stream cadence: 15 s window / 5 s hop → every row lands in exactly 3
+    # windows via the Expand node).  Bounded state = (live windows within
+    # the watermark horizon) × |event_type|, so the plateau claim is
+    # "rows stay at a few dozen", independent of input volume — the E2
+    # batch twin's 100 TB story exercised LIVE.
+    slide = (
+        rate_message_stream(spark, rows_per_second=rate)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "15 seconds", "5 seconds"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("revenue_cents"),
+        )
+    )
+    q5 = (
+        slide.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ck5")
+        .start()
+    )
+
 
     def state_profile(q) -> dict:
         """RocksDB state growth over the observed progress window: the
@@ -454,7 +476,8 @@ def main() -> None:
         t0 = time.time()
         sample_every = max(10, min(60, duration_s // 20 or 10))
         timeline: dict[str, list] = {
-            "stateful_window": [], "sessionization": [], "throttle": []
+            "stateful_window": [], "sessionization": [], "throttle": [],
+            "sliding_window": [],
         }
         ck_timeline: list = []
         while time.time() - t0 < duration_s:
@@ -463,6 +486,7 @@ def main() -> None:
                 ("stateful_window", q2),
                 ("sessionization", q3),
                 ("throttle", q4),
+                ("sliding_window", q5),
             ):
                 s = sample_state(q)
                 if s is not None:
@@ -484,6 +508,7 @@ def main() -> None:
             ("stateful_window", q2),
             ("sessionization", q3),
             ("throttle", q4),
+            ("sliding_window", q5),
         ):
             prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
             # drop the warm-up half: first batches pay JIT + state-store init
@@ -498,7 +523,10 @@ def main() -> None:
         report["stateful_window"]["state"] = state_profile(q2)
         report["sessionization"]["state"] = state_profile(q3)
         report["throttle"]["state"] = state_profile(q4)
-        for name in ("stateful_window", "sessionization", "throttle"):
+        report["sliding_window"]["state"] = state_profile(q5)
+        for name in (
+            "stateful_window", "sessionization", "throttle", "sliding_window"
+        ):
             tl = timeline[name]
             report[name]["state_timeline"] = tl
             if len(tl) >= 4:
@@ -520,6 +548,7 @@ def main() -> None:
         q2.stop()
         q3.stop()
         q4.stop()
+        q5.stop()
         shutil.rmtree(root, ignore_errors=True)
 
     # checkpoint growth: version cleanup runs on the maintenance interval,
@@ -558,6 +587,7 @@ def main() -> None:
             "stateful_window",
             "sessionization",
             "throttle",
+            "sliding_window",
             "retry_topic",
         )
     )
