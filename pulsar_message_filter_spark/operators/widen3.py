@@ -497,3 +497,87 @@ def f85_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_max_err_1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F2/D8 — EXACT SimHash twin: the rows-only f2_simhash uses a Python-side
+# hash family (engine-specific by design); this one derives the 16 bit
+# planes from md5(token), which both engines compute identically, so the
+# full fingerprint is oracle-checked end to end (the g3b move applied to
+# F2: every approximate surface gets an exact graded twin where one
+# exists).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+@graded(
+    "f2b_simhash_exact",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id < 200
+        ), hv AS (
+            SELECT doc_id,
+                   (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1) AS v
+            FROM tok
+        ), votes AS (
+            SELECT doc_id, j,
+                   sum(CASE WHEN (v // (1 << j)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hv, LATERAL unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS t(j)
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT)
+                   AS simhash{_SIMHASH_BITS}
+        FROM votes GROUP BY doc_id
+    """,
+    section="F2,D8",
+    description=f"exact {_SIMHASH_BITS}-bit SimHash from md5(token) bit "
+    "planes — same fingerprint on both engines, making the SimHash "
+    "construction itself oracle-checked (ties break to 1 at vote sum 0)",
+)
+def f2b_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash fingerprints.
+
+    100 TB scale shape: explode to distinct (doc, token), md5 each token
+    once, then an Expand-style bit-plane explode (x16, a literal array —
+    no join) into a (doc, bit)-keyed vote agg and a doc-keyed reassembly
+    agg.  All map-side-combinable hash aggs; per-doc state is 16 ints.
+    The md5 runs on the TOKEN (vocab-sized distinct set after dedup), so
+    a hot token's hash is computed per occurrence but reduced map-side
+    before the shuffle.
+    """
+    docs = load(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    hv = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long").alias("v"),
+    )
+    votes = (
+        hv.select(
+            "doc_id",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v").bitwiseAND(F.expr("shiftleft(1L, j)")) != 0, 1
+                ).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, j)")).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"simhash{_SIMHASH_BITS}")
+    )

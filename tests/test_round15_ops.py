@@ -237,3 +237,29 @@ def test_f85_numpy_witness(spark):
         assert out[label].n_vecs == len(errs)
         expect = math.floor(sum(errs) / len(errs) / 1000.0 + 0.5)
         assert out[label].avg_max_err_1e6 == expect
+
+
+def test_f2b_simhash_python_witness(spark):
+    """Recompute the md5 bit-plane SimHash in pure Python for every doc
+    and compare fingerprints exactly (ties at vote sum 0 break to 1)."""
+    import hashlib
+
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen3 import f2b_simhash_exact
+
+    out = {r.doc_id: r.simhash16 for r in f2b_simhash_exact(spark, SF_SMOKE).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, "documents", SF_SMOKE)
+        .where(F.col("doc_id") < 200)
+        .collect()
+    }
+    assert set(out) == set(docs)
+    for d, text in docs.items():
+        votes = [0] * 16
+        for token in set(text.split(" ")):
+            v = int(hashlib.md5(token.encode()).hexdigest()[:4], 16)
+            for j in range(16):
+                votes[j] += 1 if (v >> j) & 1 else -1
+        expect = sum((1 << j) for j in range(16) if votes[j] >= 0)
+        assert out[d] == expect, f"doc {d}: {out[d]} != {expect}"
