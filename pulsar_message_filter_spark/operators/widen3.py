@@ -581,3 +581,126 @@ def f2b_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias(f"simhash{_SIMHASH_BITS}")
     )
+
+
+# ---------------------------------------------------------------------------
+# F2/D8 — EXACT MinHash twin: like f2b for SimHash, the signature
+# construction itself graded cross-engine.  The production path
+# (f2_minhash_lsh) uses the xxhash64 family — engine-specific by design;
+# here each of the 4 permutations is min over tokens of the 32-bit integer
+# from md5(token || '#' || seed), which both engines compute identically.
+# ---------------------------------------------------------------------------
+
+_MH_SEEDS = (0, 1, 2, 3)
+
+
+def _duck_hex32(expr: str) -> str:
+    """DuckDB SQL for the first-8-hex-chars-of-md5 → BIGINT (no conv())."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+_MH_SIG_SQL = ", ".join(
+    "CAST(min({h}) AS BIGINT) AS sig{s}".format(
+        h=_duck_hex32("token || '#{s}'".format(s=s)), s=s
+    )
+    for s in _MH_SEEDS
+)
+
+
+@graded(
+    "f2c_minhash_exact",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id, {_MH_SIG_SQL}
+        FROM tok GROUP BY doc_id
+    """,
+    section="F2,D8",
+    description="exact 4-permutation MinHash signatures from md5(token#seed)"
+    " — the signature construction (min over the token set per permutation)"
+    " oracle-checked cross-engine; the production LSH path swaps in the "
+    "faster xxhash64 family with identical algebra",
+)
+def f2c_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MinHash signatures.
+
+    100 TB scale shape: one explode to distinct (doc, token), then a
+    single doc-keyed hash agg computing all 4 permutation minima at once
+    (map-side combinable — min is associative), no join and no second
+    scan.  Signature width is a constant-per-doc output; banding for the
+    LSH candidate join consumes these columns downstream.
+    """
+    docs = load(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sigs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat("token", F.lit(f"#{s}"))), 1, 8), 16, 10
+            ).cast("long")
+        ).alias(f"sig{s}")
+        for s in _MH_SEEDS
+    ]
+    return tok.groupBy("doc_id").agg(*sigs)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/D7 — JSON-lines write→read round trip.  The CSV twin
+# (a_csv_roundtrip_read) pins delimiter quoting; this pins JSON STRING
+# ESCAPING: the props column is itself a JSON document, so the sink must
+# escape it as a quoted string ("{\"k\": 87}") and the schema-first read
+# must restore it byte-exactly — the oracle recomputes from the source
+# table, so any escaping bug breaks the props-length hash.
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "a_jsonl_roundtrip_read",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum({cents_sql('value')}) AS BIGINT) AS value_cents,
+               CAST(sum(length(props)) AS BIGINT) AS sum_props_chars
+        FROM events WHERE event_id < 3000
+        GROUP BY 1
+    """,
+    section="A1,A2,D7",
+    description="JSON-lines write->read round trip: the props column (a "
+    "JSON document in a string) survives the JSONL sink's string escaping "
+    "and a schema-first read byte-exactly; oracle recomputes from source",
+)
+def a_jsonl_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: JSONL is the other perimeter interchange format
+    (event collectors, vendor drops).  Correctness is string escaping;
+    schema-first read keeps the scan single-pass (no sampling pass), which
+    is what matters at volume.  Deterministic per-process fixture dir,
+    overwritten in place (same hygiene as the other store-building
+    queries)."""
+    import os as _os
+
+    from pulsar_message_filter_spark.tmpdirs import run_scoped_dir
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "event_type", "value", "props")
+    )
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    root = run_scoped_dir(f"pmf_jsonl_rt_{tag}")
+    ev.write.mode("overwrite").json(root)
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, props string"
+    ).json(root)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents("value")).alias("value_cents"),
+        F.sum(F.length("props")).cast("long").alias("sum_props_chars"),
+    )

@@ -263,3 +263,49 @@ def test_f2b_simhash_python_witness(spark):
                 votes[j] += 1 if (v >> j) & 1 else -1
         expect = sum((1 << j) for j in range(16) if votes[j] >= 0)
         assert out[d] == expect, f"doc {d}: {out[d]} != {expect}"
+
+
+def test_f2c_minhash_python_witness(spark):
+    """Recompute all four md5-permutation MinHash signatures in pure
+    Python and compare exactly."""
+    import hashlib
+
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen3 import f2c_minhash_exact
+
+    out = {r.doc_id: r for r in f2c_minhash_exact(spark, SF_SMOKE).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, "documents", SF_SMOKE)
+        .where(F.col("doc_id") < 200)
+        .collect()
+    }
+    assert set(out) == set(docs)
+    for d, text in docs.items():
+        for s in range(4):
+            expect = min(
+                int(hashlib.md5(f"{t}#{s}".encode()).hexdigest()[:8], 16)
+                for t in set(text.split(" "))
+            )
+            assert out[d][f"sig{s}"] == expect, (d, s)
+
+
+def test_f2c_minhash_clone_docs_share_signature(spark):
+    """Two docs with identical token SETS must have identical signatures
+    (the property LSH banding relies on)."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen3 import f2c_minhash_exact
+
+    docs = {
+        r.doc_id: frozenset(r.text.split(" "))
+        for r in load(spark, "documents", SF_SMOKE)
+        .where(F.col("doc_id") < 200)
+        .collect()
+    }
+    out = {r.doc_id: (r.sig0, r.sig1, r.sig2, r.sig3)
+           for r in f2c_minhash_exact(spark, SF_SMOKE).collect()}
+    by_tokset: dict[frozenset, set] = {}
+    for d, ts in docs.items():
+        by_tokset.setdefault(ts, set()).add(out[d])
+    for ts, sigs in by_tokset.items():
+        assert len(sigs) == 1
