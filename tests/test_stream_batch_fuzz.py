@@ -130,3 +130,59 @@ def test_stream_window_agg_matches_batch(spark, tmp_path, seed):
         f"seed {seed} ({kind}, extra={extra}, chunks={n_chunks}): "
         f"stream {len(got)} rows != batch {len(expected)} rows"
     )
+
+
+def test_sliding_window_resume_from_checkpoint_matches_batch(spark, tmp_path):
+    """Kill + resume for the E2 sliding shape: a 15-min/5-min sliding agg
+    processed across TWO availableNow runs (crash between) from one
+    checkpoint must converge to the same complete result as one batch
+    pass over all the data — window state (3 open windows per event's
+    slide position) survives the restart."""
+    input_dir = str(tmp_path / "in")
+    chk = str(tmp_path / "ck")
+
+    base = load(spark, "events", SF_SMOKE).select(
+        "ts", "event_id", "event_type", "value"
+    )
+    first_half = base.where(F.col("event_id") % 2 == 0)
+    second_half = base.where(F.col("event_id") % 2 == 1)
+    first_half.write.parquet(input_dir)
+
+    def start():
+        src = spark.readStream.schema(base.schema).parquet(input_dir)
+        agg = _project(
+            src.groupBy(F.window("ts", "15 minutes", "5 minutes"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+        )
+        return (
+            agg.writeStream.format("memory")
+            .outputMode("complete")
+            .queryName("sbf_resume")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    q.stop()  # the "crash"
+
+    second_half.write.mode("append").parquet(input_dir)
+    q = start()
+    q.awaitTermination(120)
+    q.stop()
+
+    batch = _project(
+        spark.read.parquet(input_dir)
+        .groupBy(F.window("ts", "15 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    got = _rows(spark.table("sbf_resume"))
+    expected = _rows(batch)
+    assert expected and got == expected
