@@ -186,3 +186,91 @@ def test_sliding_window_resume_from_checkpoint_matches_batch(spark, tmp_path):
     got = _rows(spark.table("sbf_resume"))
     expected = _rows(batch)
     assert expected and got == expected
+
+
+# ---------------------------------------------------------------------------
+# Append-mode half: watermark finalization across restarts.  Complete mode
+# above pins the aggregation algebra; these seeds pin the EMISSION policy —
+# in append mode a window row is emitted exactly once, only after the
+# watermark passes its end, and restarts must neither lose nor re-emit.
+# Mechanics: run 1 processes the real data (nothing final yet), run 2 adds a
+# far-future sentinel that drags the watermark past every real window, run 3
+# adds a second sentinel so run 2's windows (still open at its batch start —
+# the watermark used by a batch is the one established BEFORE it) finalize.
+# ---------------------------------------------------------------------------
+
+_APPEND_SEEDS = list(range(6))
+
+
+@pytest.mark.parametrize("seed", _APPEND_SEEDS)
+def test_append_mode_emits_each_window_exactly_once(spark, tmp_path, seed):
+    rng = random.Random(1000 + seed)
+    kind, win, extra, aggs, n_chunks = _spec(rng)
+
+    base = load(spark, "events", SF_SMOKE).select(
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("user_id") % 10).alias("user_bucket"),
+    )
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    chk = str(tmp_path / "ck")
+    base.repartition(n_chunks).write.parquet(input_dir)
+
+    keys = [win] + ([extra] if extra else [])
+
+    def run():
+        # parquet sink, not memory: the memory sink is not fault-tolerant,
+        # so append mode refuses to recover from a checkpoint ("This query
+        # does not support recovering from checkpoint location") — found
+        # by this test's first run; the file sink is the recoverable one.
+        src = (
+            spark.readStream.schema(base.schema)
+            .parquet(input_dir)
+            .withWatermark("ts", "1 minute")
+        )
+        q = (
+            _project(src.groupBy(*keys).agg(*aggs))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def add_sentinel(year: int):
+        spark.createDataFrame(
+            [(10**9 + year, f"{year}-01-01 00:00:00", "sentinel", 0.0, 0)],
+            "event_id bigint, ts_s string, event_type string, value double, user_bucket bigint",
+        ).select(
+            F.to_timestamp("ts_s").alias("ts"),
+            "event_id",
+            "event_type",
+            "value",
+            "user_bucket",
+        ).write.mode("append").parquet(input_dir)
+
+    run()
+    add_sentinel(2099)
+    run()
+    add_sentinel(2100)
+    run()
+
+    emitted = [tuple(r) for r in spark.read.parquet(out_dir).collect()]
+    # exactly-once across the three runs: no window row appears twice
+    assert len(emitted) == len(set(emitted)), f"seed {seed}: duplicate emission"
+
+    cutoff_us = 4_000_000_000 * 1_000_000  # ~2096: excludes sentinel windows
+    real_emitted = {t for t in emitted if t[0] < cutoff_us}
+    expected = _rows(
+        _project(base.groupBy(*keys).agg(*aggs))
+    )
+    assert expected and real_emitted == expected, (
+        f"seed {seed} ({kind}, extra={extra}): append-mode emission set "
+        f"{len(real_emitted)} != batch {len(expected)}"
+    )
