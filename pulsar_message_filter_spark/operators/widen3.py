@@ -8,8 +8,11 @@ pre-flight).
 
 Same design rules as widen.py / widen2.py: idiomatic Column algebra,
 hand-paired DuckDB oracle per query, identical output aliases on both
-sides, exact integers or strings only in hashed output, and a 100 TB
-scale note in each docstring.
+sides, and a 100 TB scale note in each docstring.  Hashed outputs are
+exact integers or strings for every COMPUTED column; the one raw
+double that ships (selector_props_range_in's `value`) is a pass-through
+of the parquet column, bit-identical on both engines because neither
+recomputes it — the same precedent as the B-series selector queries.
 
 Reference caveat (SURVEY.md §0): /root/reference ships no source; the
 binding spec is the JMS/SQL92 selector surface plus the driver's

@@ -10,8 +10,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
-import pytest
 
 from pyspark.sql import functions as F
 
@@ -58,11 +56,12 @@ def test_f82_counts_and_permille_consistent(spark):
         assert r.contaminated_permille == expect
 
 
-def test_f82_synthetic_clone_is_contaminated(spark):
-    """A val doc whose text is a verbatim clone of a train doc MUST be
-    flagged: its every 8-shingle exists in the train gram set.  Verified
-    by recomputing one val doc's shingles in Python and checking at
-    least one against a train doc scan."""
+def test_f82_python_brute_force_witness(spark):
+    """Brute-force recount of the contaminated-doc set in pure Python
+    (every val doc's 8-shingles vs the full train gram set) must match
+    f82's total exactly.  The positive-path guard below keeps this from
+    degrading to a vacuous 0==0 if a future fixture generation loses its
+    cross-split overlap."""
     from pulsar_message_filter_spark.io import load
 
     split = {r.doc_id: r.split for r in _docs_split(spark).collect()}
@@ -94,6 +93,10 @@ def test_f82_synthetic_clone_is_contaminated(spark):
         f82_cross_split_contamination,
     )
 
+    assert contaminated_py, (
+        "fixture lost its cross-split 8-gram overlap — the witness would "
+        "be vacuous; regenerate testdata or shrink the shingle size"
+    )
     out = f82_cross_split_contamination(spark, SF_SMOKE).collect()
     total_contaminated = sum(r.n_contaminated for r in out)
     assert total_contaminated == len(contaminated_py)

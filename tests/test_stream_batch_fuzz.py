@@ -31,6 +31,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.parity import cents
 from tests.conftest import SF_SMOKE
 
 _SEEDS = list(range(14))
@@ -62,9 +63,7 @@ def _spec(rng: random.Random):
 
     aggs = [F.count("*").alias("n")]
     if rng.random() < 0.7:
-        aggs.append(
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
-        )
+        aggs.append(F.sum(cents("value")).alias("cents"))
     if rng.random() < 0.5:
         aggs.append(F.min("event_id").alias("min_id"))
     if rng.random() < 0.5:
@@ -154,7 +153,7 @@ def test_sliding_window_resume_from_checkpoint_matches_batch(spark, tmp_path):
             src.groupBy(F.window("ts", "15 minutes", "5 minutes"), "event_type")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+                F.sum(cents("value")).alias("cents"),
             )
         )
         return (
@@ -180,7 +179,7 @@ def test_sliding_window_resume_from_checkpoint_matches_batch(spark, tmp_path):
         .groupBy(F.window("ts", "15 minutes", "5 minutes"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.sum(cents("value")).alias("cents"),
         )
     )
     got = _rows(spark.table("sbf_resume"))

@@ -304,6 +304,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from pulsar_message_filter_spark.operators.parity import cents as _cents
     from pulsar_message_filter_spark.session import get_spark
     from pulsar_message_filter_spark.sources import rate_message_stream
     from pulsar_message_filter_spark.streaming import filtered_sink_pipeline
@@ -407,7 +408,7 @@ def main() -> None:
         .groupBy(F.window("ts", "15 seconds", "5 seconds"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("revenue_cents"),
+            F.sum(_cents("value")).alias("revenue_cents"),
         )
     )
     q5 = (
