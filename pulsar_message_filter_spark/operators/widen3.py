@@ -238,6 +238,15 @@ def e2c_sliding_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming uses for this window spec, so the batch twin and
     the stream share state math.  Window starts ship as epoch integers —
     no timestamp-rendering drift.
+
+    Measured limit of the EXACT distinct (SCALING.md round-15 x256): the
+    (window, user) key space is slide_factor x |users touched|, and once
+    it outgrows the map-side partial-agg tables the shuffle carries
+    nearly raw rows — x64→x256 segment exponent 1.23, and more shuffle
+    partitions do NOT help (measured 256 vs 32: slightly worse).  At
+    100 TB the graded scale path for sliding distinct reach is the
+    sketch: `hll_windowed_merge` / `window_sliding_reach`
+    (approx_count_distinct measured 4.8x cheaper at x256, linear class).
     """
     ev = load(spark, "events", sf_dir)
     return (
