@@ -245,8 +245,10 @@ def e2c_sliding_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearly raw rows — x64→x256 segment exponent 1.23, and more shuffle
     partitions do NOT help (measured 256 vs 32: slightly worse).  At
     100 TB the graded scale path for sliding distinct reach is the
-    sketch: `hll_windowed_merge` / `window_sliding_reach`
-    (approx_count_distinct measured 4.8x cheaper at x256, linear class).
+    sketch: `hll_windowed_merge` (register-bounded, x64→x256 density
+    segment 0.29) or `approx_count_distinct` (measured 4.8x cheaper at
+    x256).  `window_sliding_reach` shares THIS query's exact-distinct
+    class (segment 1.19) — same limit, same guard.
     """
     ev = load(spark, "events", sf_dir)
     return (
