@@ -83,6 +83,7 @@ def graded(
 _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "a_csv_roundtrip_read": 8,
     "a_ingest_corrupt_routing": 8,
+    "a_jsonl_roundtrip_read": 10,
     "a_partition_pruned_read": 8,
     "a_schema_evolution_read": 7,
     "abtest_cuped": 3,
@@ -93,13 +94,13 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "abtest_welch_t": 3,
     "activity_heatmap": 7,
     "agg_approx_count_distinct": 9,
-    "agg_approx_percentile": 2,
+    "agg_approx_percentile": 10,
     "agg_argminmax": 3,
     "agg_bitwise": 5,
-    "agg_collect_sorted": 2,
+    "agg_collect_sorted": 10,
     "agg_corr_exact": 4,
     "agg_count_distinct": 9,
-    "agg_cube": 2,
+    "agg_cube": 10,
     "agg_distinct": 9,
     "agg_gini_exact": 4,
     "agg_heavy_hitters": 3,
@@ -107,19 +108,20 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "agg_mode_exact": 4,
     "agg_moments_exact": 9,
     "agg_percentiles": 9,
-    "agg_pivot": 2,
+    "agg_pivot": 10,
     "agg_predicate_family": 4,
-    "agg_rollup": 2,
+    "agg_rollup": 10,
     "agg_stats": 9,
     "agg_trimmed_mean": 3,
-    "agg_unpivot": 2,
-    "agg_weighted_median": 3,
+    "agg_unpivot": 10,
+    "agg_weighted_median": 10,
     "agg_weighted_quantiles": 3,
     "alloc_largest_remainder": 7,
     "anomaly_mad_outliers": 3,
     "anomaly_rolling_zscore": 7,
     "attribution_first_touch": 7,
     "attribution_linear": 7,
+    "b7_null_3vl_composite": 10,
     "basket_lift_pairs": 3,
     "basket_lift_weekly": 3,
     "basket_rules": 4,
@@ -127,11 +129,13 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "behavior_markov_entropy": 5,
     "behavior_markov_stationary": 4,
     "behavior_session_pmi": 5,
+    "c15b_collect_entries_map": 10,
+    "c3b_distinct_pairs_daily": 10,
     "calib_isotonic_binned": 5,
     "cdc_snapshot_diff": 7,
     "cdc_table_checksum": 7,
     "changepoint_cusum": 3,
-    "cms_user_event_counts": 3,
+    "cms_user_event_counts": 10,
     "cohort_retention": 7,
     "cohort_retention_monthly": 7,
     "corpus_zipf_slope": 4,
@@ -146,13 +150,14 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "drift_psi_value": 3,
     "drift_wasserstein": 4,
     "e2b_sliding_top_type": 9,
+    "e2c_sliding_revenue": 10,
     "e6b_band_enrichment": 9,
     "epoch_shuffle_order": 7,
     "eval_auc_rank": 8,
     "f10_corpus_profile": 6,
     "f11_quality_filter": 6,
     "f11b_gopher_ratios": 6,
-    "f12_multimodal_features": 3,
+    "f12_multimodal_features": 10,
     "f12b_frame_sample": 8,
     "f12c_media_stats": 8,
     "f12d_audio_frames": 8,
@@ -168,7 +173,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f19_curation_to_packing": 7,
     "f1_exact_dedup": 6,
     "f20_dedup_clusters": 6,
-    "f21_topk_int8": 3,
+    "f21_topk_int8": 10,
     "f22_contamination": 7,
     "f22b_contamination_approx": 8,
     "f23_repetition_profile": 7,
@@ -180,9 +185,11 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f29_train_val_test_split": 5,
     "f2_embedding_neardup": 6,
     "f2_jaccard_pairs": 6,
-    "f2_minhash_lsh": 3,
-    "f2_minhash_lsh_tuned": 3,
-    "f2_simhash": 3,
+    "f2_minhash_lsh": 10,
+    "f2_minhash_lsh_tuned": 10,
+    "f2_simhash": 10,
+    "f2b_simhash_exact": 10,
+    "f2c_minhash_exact": 10,
     "f30_label_balanced_sample": 5,
     "f31_neardup_degree_profile": 7,
     "f32_quality_weighted_keep": 7,
@@ -204,11 +211,11 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f46_pmi_token_pairs": 8,
     "f47_js_divergence_sources": 8,
     "f48_quantile_normalize": 7,
-    "f49_mmr_rerank": 3,
+    "f49_mmr_rerank": 10,
     "f4_topk_cosine": 6,
-    "f4_topk_ivf": 3,
-    "f4_topk_ivf_auto": 3,
-    "f4_topk_lsh": 3,
+    "f4_topk_ivf": 10,
+    "f4_topk_ivf_auto": 10,
+    "f4_topk_lsh": 10,
     "f4_topk_numpy": 6,
     "f50_sorted_neighborhood": 8,
     "f51_semantic_dedup": 8,
@@ -244,6 +251,9 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f7b_stopword_share": 8,
     "f80_epoch_vocab_novelty": 8,
     "f81_source_dup_profile": 8,
+    "f82_cross_split_contamination": 10,
+    "f83_stopword_autodetect": 10,
+    "f85_int8_quant_error": 10,
     "f8_top_bigrams": 6,
     "f9_tfidf": 6,
     "f9b_tfidf_doc_cosine": 9,
@@ -262,7 +272,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "func_datetime2": 5,
     "func_datetime3": 5,
     "func_hash": 5,
-    "func_hash_spark_native": 3,
+    "func_hash_spark_native": 10,
     "func_json_array_stats": 8,
     "func_json_roundtrip": 8,
     "func_map2": 5,
@@ -280,14 +290,16 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "funnel_session_strict": 7,
     "fuzzy_jaro_winkler": 3,
     "fuzzy_mutual_best": 4,
-    "fuzzy_vocab_pairs": 3,
+    "fuzzy_vocab_pairs": 10,
     "g1_scalar_udf": 6,
     "g3_pandas_udaf": 6,
     "g3b_pandas_udaf_weighted": 9,
     "g4_grouped_map": 6,
+    "g4b_grouped_map_gap_rank": 10,
     "g5_map_in_pandas": 6,
     "g5b_map_in_arrow": 6,
     "g6_udtf_shingles": 6,
+    "g6b_udtf_chunker": 10,
     "g7_sql_scalar_udf": 8,
     "global_dense_ids": 4,
     "global_topk": 4,
@@ -297,8 +309,8 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "graph_triangle_count": 3,
     "grouping_id_measures": 8,
     "hll_audience_overlap": 3,
-    "hll_distinct_users": 3,
-    "hll_windowed_merge": 3,
+    "hll_distinct_users": 10,
+    "hll_windowed_merge": 10,
     "impute_group_median": 3,
     "incremental_partial_merge": 7,
     "interevent_gap_profile": 7,
@@ -353,24 +365,25 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q7_volume_shipping": 9,
     "q8_market_share": 5,
     "q9_product_profit": 5,
-    "quantile_histogram_estimate": 3,
+    "quantile_histogram_estimate": 10,
     "redelivery_counter_batch_twin": 8,
     "regression_residual_profile": 3,
     "reschedule_retry_loop": 9,
     "rfm_segmentation": 7,
     "robust_theil_sen": 4,
     "rolling_active_users": 7,
+    "rollup_share_of_parent": 10,
     "rollup_two_level": 5,
-    "salted_hot_key_agg": 3,
+    "salted_hot_key_agg": 10,
     "sample_hash_deterministic": 5,
     "sample_neyman_allocation": 4,
     "sample_reservoir_merge": 5,
-    "sample_seeded": 3,
+    "sample_seeded": 10,
     "sample_stratified": 5,
     "sample_weighted_deterministic": 5,
     "scalar_subquery": 4,
-    "scd2_asof_revenue": 3,
-    "scd2_multi_epoch": 3,
+    "scd2_asof_revenue": 10,
+    "scd2_multi_epoch": 10,
     "selector_3vl_null": 8,
     "selector_between": 8,
     "selector_comparison_arith": 8,
@@ -379,6 +392,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "selector_fanout": 9,
     "selector_fanout_nway": 9,
     "selector_flagship_window": 9,
+    "selector_header_composite": 10,
     "selector_header_time": 9,
     "selector_in": 9,
     "selector_like": 9,
@@ -386,6 +400,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "selector_params": 9,
     "selector_params_multi": 9,
     "selector_props_coercion": 9,
+    "selector_props_range_in": 10,
     "selector_regex": 9,
     "selector_verdict_routing": 9,
     "session_top_paths": 7,
@@ -401,11 +416,14 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "sql_shared_case_join": 5,
     "sql_shared_cte_setops": 4,
     "sql_shared_exists": 5,
+    "sql_shared_filter_clause": 10,
     "sql_shared_grouping_sets": 5,
     "sql_shared_in_subquery": 5,
     "sql_shared_lateral_top1": 8,
     "sql_shared_pricing": 5,
+    "sql_shared_range_frame": 10,
     "sql_shared_recursive_reach": 8,
+    "sql_shared_values_dim": 10,
     "sql_shared_window": 4,
     "stream_cms_rollup_readpath": 7,
     "stream_dedup_daily_first": 8,
@@ -418,7 +436,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "stream_stream_join_followup": 9,
     "stream_stream_join_outer_first": 9,
     "survival_kaplan_meier": 4,
-    "throttle_per_user_hour": 3,
+    "throttle_per_user_hour": 10,
     "timeseries_autocorr": 7,
     "timeseries_ewma": 7,
     "timeseries_gapfill": 7,
@@ -427,12 +445,12 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "topk_per_group": 4,
     "topk_with_ties": 3,
     "user_profile_batch_twin": 8,
-    "window_distribution": 2,
-    "window_lag_lead": 2,
-    "window_range_frame": 2,
-    "window_rank": 2,
+    "window_distribution": 10,
+    "window_lag_lead": 10,
+    "window_range_frame": 10,
+    "window_rank": 10,
     "window_rolling_corr": 3,
-    "window_running_sum": 2,
+    "window_running_sum": 10,
     "window_session": 6,
     "window_sliding": 6,
     "window_sliding_reach": 8,
