@@ -79,6 +79,9 @@ HEADLINE = [
     "g4b_grouped_map_gap_rank",  # applyInPandas per-label rank+gap transform
     "f82_cross_split_contamination",  # val-vs-train shingle decontamination
     "rollup_share_of_parent",  # hierarchical rollup + share-of-parent window
+    "e2c_sliding_revenue",  # exact sliding distinct (the measured-limit form)
+    "e2e_sliding_reach_hll",  # its 100 TB replacement: per-window HLL, same spec
+    "e2d_sliding_reach_auto",  # sliding_distinct(method='auto') incl. pre-flight
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -152,6 +155,14 @@ BUDGET_SEC = {
     # round-15 additions, min-of-3 at sf0.1: 1.55/1.40 s -> 2x measured
     "f82_cross_split_contamination": 3.2,
     "rollup_share_of_parent": 3.0,
+    # round-16 additions, min-of-3 at sf0.1: exact sliding distinct 0.80 s,
+    # HLL replacement 0.53 s (cheaper already at sf0.1 — the documented
+    # at-scale guard now has a tracked number NEXT TO the form it
+    # replaces), auto-switch incl. its O(1)-state pre-flight 0.77 s ->
+    # 2.0 floors
+    "e2c_sliding_revenue": 2.0,
+    "e2e_sliding_reach_hll": 2.0,
+    "e2d_sliding_reach_auto": 2.0,
 }
 
 

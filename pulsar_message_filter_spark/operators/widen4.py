@@ -1,0 +1,301 @@
+"""Round-11 widening queries — codifying the round-15 exact-distinct
+scale diagnosis as graded surfaces, plus an exact assignment-step twin
+for the (previously rows-only) Lloyd clustering family.
+
+Three queries:
+
+* ``e2d_sliding_reach_auto`` — the new :func:`windows.sliding_distinct`
+  helper with ``method='auto'``: the pre-flight key-space estimate picks
+  the exact path at test scale, and the result is hash-checked against
+  the DuckDB oracle — proving the auto plumbing end-to-end.
+* ``e2e_sliding_reach_hll`` — the documented 100 TB alternative at the
+  SAME 6h/2h window spec as ``e2c_sliding_revenue``: per-window
+  register-table HLL (deterministic family, so the per-window estimates
+  themselves are oracle-checked), with the per-window sketch size in the
+  result as the state-bound witness.
+* ``kmeans_assign_exact`` — the f2b/f2c move applied to clustering: on
+  integer-quantized embeddings the Lloyd assignment step is exact int64
+  arithmetic, so one full assignment pass (argmin over k centroids with
+  a deterministic tie-break) is hash-identical cross-engine.
+
+Same design rules as widen.py/widen2.py/widen3.py: idiomatic Column
+algebra, hand-paired DuckDB oracle, identical aliases both sides, and a
+100 TB scale note per docstring.
+
+Reference caveat (SURVEY.md §0): /root/reference ships no source; the
+binding spec is the JMS/SQL92 selector surface plus the driver's
+DuckDB-oracle contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_message_filter_spark.io import load
+from pulsar_message_filter_spark.operators.sketch import (
+    _HLL_A,
+    _HLL_ALPHA,
+    _HLL_B,
+    _HLL_M,
+    _HLL_MULT,
+    _P,
+    hll_registers_by,
+)
+from pulsar_message_filter_spark.operators.windows import sliding_distinct
+from pulsar_message_filter_spark.registry import graded
+
+# ---------------------------------------------------------------------------
+# E2/C12 — sliding distinct reach through the auto exact/approx switch.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+
+@graded(
+    "e2d_sliding_reach_auto",
+    oracle=f"""
+        WITH hits AS (
+            SELECT (epoch_us(ts) // {_HOUR_US} - k) * {_HOUR_US} AS ws_us,
+                   user_id
+            FROM events, LATERAL unnest([0, 1, 2, 3]) AS t(k)
+        )
+        SELECT ws_us,
+               count(DISTINCT user_id) AS n_distinct,
+               count(*) AS n_events
+        FROM hits GROUP BY ws_us
+    """,
+    section="E2,C12,F14",
+    description="sliding 4h-window/1h-hop distinct-user reach through "
+    "sliding_distinct(method='auto'): the O(1)-state key-space pre-flight "
+    "picks the exact path below the pair budget (as here) and the sketch "
+    "above it — the round-15 exact-distinct scale diagnosis as code",
+)
+def e2d_sliding_reach_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct reach with the scale guard engaged.
+
+    100 TB scale shape: ``method='auto'`` first runs one column-pruned
+    scan whose aggregation state is a single HLL++ sketch over the
+    expanded (window, key) struct — cost O(scan), state O(1) — and only
+    commits to exact ``countDistinct`` when the estimated pair space fits
+    the configured budget (default 50M pairs).  Above the budget the same
+    call returns the ``approx_count_distinct`` plan, the measured 4.8×
+    cheaper x256 path (SCALING.md round-15).  At sf0.01–0.1 the estimate
+    is far below budget, so the graded result is the exact form and
+    hash-matches the oracle.
+    """
+    ev = load(spark, "events", sf_dir)
+    return sliding_distinct(
+        ev,
+        "ts",
+        "user_id",
+        "4 hours",
+        "1 hour",
+        extra_aggs=[F.count("*").alias("n_events")],
+        method="auto",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2/C12/F14 — the at-scale sibling: per-sliding-window deterministic HLL.
+# Same 6h/2h spec as e2c_sliding_revenue, so the two graded queries are the
+# exact form and its documented 100 TB replacement side by side.
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 2 * 3600 * 1_000_000  # 2h hop, matching e2c_sliding_revenue
+
+
+@graded(
+    "e2e_sliding_reach_hll",
+    oracle=f"""
+        WITH h0 AS (
+            SELECT (epoch_us(ts) // {_SLIDE_US} - k) * {_SLIDE_US} AS ws_us,
+                   (user_id * {_HLL_A} + {_HLL_B}) % {_P} AS hv
+            FROM events, LATERAL unnest([0, 1, 2]) AS t(k)
+        ),
+        h1 AS (SELECT ws_us, (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM h0),
+        h2 AS (SELECT ws_us, (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT ws_us, xor(hv, hv >> 16) AS hv FROM h2),
+        regs AS (
+            SELECT ws_us, hv % {_HLL_M} AS register,
+                   max(CASE WHEN hv // {_HLL_M} > 0
+                            THEN 25 - floor(log2(hv // {_HLL_M}))
+                            ELSE 26 END) AS max_rho
+            FROM h GROUP BY 1, 2
+        )
+        SELECT ws_us,
+               CAST(count(*) AS BIGINT) AS n_registers,
+               CASE WHEN ({_HLL_M} - count(*)) > 0
+                         AND {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                             / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*)))
+                             <= 2.5 * {_HLL_M}
+                    THEN round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                             / ({_HLL_M} - count(*))), 4)
+                    ELSE round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                               / (sum(power(2.0, -max_rho))
+                                  + ({_HLL_M} - count(*))), 4)
+               END AS reach_estimate
+        FROM regs GROUP BY ws_us
+    """,
+    section="E2,C12,F14",
+    description="per-sliding-window HLL distinct reach at e2c's exact 6h/2h "
+    "spec — the measured 100 TB replacement for exact sliding distinct: "
+    "deterministic register family with the Flajolet small-range "
+    "linear-counting correction, so each window's estimate is itself "
+    "oracle-checked, and the per-window register count (<= 64) ships in "
+    "the result as the state-bound witness",
+)
+def e2e_sliding_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct reach via per-window register tables.
+
+    100 TB scale shape: the row expansion is arithmetic (each event emits
+    its 3 member window starts — exact long math, no join, no timestamp
+    rendering), and the only shuffle is keyed on (window, register) whose
+    value space is bounded by 3 × slides × 64 ROWS TOTAL regardless of
+    input size — the x256-measured density segment for this family is
+    0.29 vs 1.23 for the exact form it replaces (SCALING.md round-15).
+    Window partials also MERGE (per-register max), so rollups to wider
+    spans never touch raw keys — the hll_windowed_merge read path.
+    """
+    ev = load(spark, "events", sf_dir)
+    us = F.unix_micros("ts")
+    base = (us - us % F.lit(_SLIDE_US)).alias("base")
+    expanded = (
+        ev.select(base, "user_id")
+        .select(
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+            "base",
+            "user_id",
+        )
+        .select(
+            (F.col("base") - F.col("k") * F.lit(_SLIDE_US)).alias("ws_us"),
+            "user_id",
+        )
+    )
+    regs = hll_registers_by(expanded, "user_id", [F.col("ws_us")])
+    hit = F.col("n_registers")
+    v_empty = F.lit(_HLL_M) - hit
+    # unrounded raw estimate — the branch condition must be taken on the
+    # SAME IEEE value both engines compute (hsum is an exact dyadic sum,
+    # so the quotient is bit-identical cross-engine)
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (F.col("__hsum") + v_empty)
+    # Flajolet et al. 2007 small-range correction: linear counting over
+    # the empty-register count V when the raw estimate is <= 2.5m (the
+    # regime where the harmonic-mean estimator saturates near alpha*m).
+    # The corrected values form a fixed 63-entry table (V in 1..63),
+    # probed equal across both engines at 4dp.
+    corrected = F.when(
+        (v_empty > 0) & (raw <= 2.5 * _HLL_M),
+        F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty), 4),
+    ).otherwise(F.round(raw, 4))
+    return (
+        regs.groupBy("ws_us")
+        .agg(
+            F.count("*").alias("n_registers"),
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__hsum"),
+        )
+        .select("ws_us", "n_registers", corrected.alias("reach_estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F13/F14 — exact Lloyd assignment step on integer-quantized embeddings.
+# kmeans_lite_clusters stays rows-only (iterative, float centroids); this
+# twin freezes ONE deterministic assignment pass in exact int64 arithmetic
+# so the clustering math itself earns a hash-exact grade (the f2b/f2c move).
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_SCALE = 1000
+
+
+@graded(
+    "kmeans_assign_exact",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
+                   ) AS qv
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+            FROM (SELECT * FROM q ORDER BY vec_id LIMIT {_KM_K})
+        ),
+        scored AS (
+            SELECT q.vec_id, c.cluster,
+                   list_sum(list_transform(range(1, len(q.qv) + 1),
+                       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d2
+            FROM q CROSS JOIN cents c
+        ),
+        best AS (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM scored
+        )
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               count(*) AS n_members,
+               CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+               CAST(sum(d2) AS BIGINT) AS sum_d2
+        FROM best WHERE rn = 1 GROUP BY cluster
+    """,
+    section="F13,F14",
+    description="exact Lloyd assignment step: embeddings quantized to int "
+    "(floor(v*1000)), centroids = the 8 lowest vec_ids, every point "
+    "assigned to its nearest centroid by exact int64 squared distance "
+    "(ties to the lowest cluster id) — the clustering assignment math "
+    "itself hash-checked cross-engine; kmeans_lite_clusters remains the "
+    "iterative float form",
+)
+def kmeans_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd assignment pass, exact end to end.
+
+    100 TB scale shape: identical to the production assign step — the
+    k×dim centroid matrix is the ONLY collect (bounded, 8×64 longs here),
+    shipped back as literals so assignment is a map-only pass over the
+    corpus scan (k fused distance expressions per row, no join, no
+    shuffle until the k-row final agg).  Integer quantization is what
+    makes the grade exact: float32→double is lossless, double*1000 and
+    floor are bit-identical IEEE ops on both engines, and every distance
+    is int64 (max |q|≈2e3, so d² ≤ 64·(4e3)² ≪ 2⁶³) — no summation-order
+    drift possible.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    cent_rows = q.orderBy("vec_id").limit(_KM_K).collect()  # O(k·dim) only
+    best_cluster, best_d2 = None, None
+    for idx, row in enumerate(cent_rows):
+        carr = F.array(*[F.lit(int(c)) for c in row.qv])
+        d2 = F.aggregate(
+            F.zip_with("qv", carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        if best_d2 is None:
+            best_cluster, best_d2 = F.lit(idx), d2
+        else:
+            # strict <, ascending idx → ties keep the LOWEST cluster id,
+            # matching the oracle's ORDER BY d2, cluster
+            best_cluster = F.when(d2 < best_d2, idx).otherwise(best_cluster)
+            best_d2 = F.least(d2, best_d2)
+    return (
+        q.select(
+            "vec_id",
+            best_cluster.cast("long").alias("cluster"),
+            best_d2.alias("d2"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.sum("d2").alias("sum_d2"),
+        )
+    )

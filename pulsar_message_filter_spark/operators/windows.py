@@ -245,3 +245,101 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E2/C12 — sliding-window distinct with an auto exact→approx switch.
+#
+# The round-15 x256 ladder (SCALING.md) proved exact per-window distinct has
+# an inherent scale limit: the (window, key) pair space is
+# slide_factor × |keys touched|, and once it outgrows the map-side
+# partial-agg hash tables the shuffle carries nearly raw rows (measured
+# segment exponent 1.23; more shuffle partitions measured WORSE).  The
+# measured at-scale fix is the sketch path (approx_count_distinct 4.8×
+# cheaper at x256; the register-table HLL family's density segment 0.29).
+# ``sliding_distinct`` codifies that diagnosis as code: callers get the
+# exact semantics while the key space fits, and the sketch automatically
+# above it — mirroring ``similarity.ivf_auto_probe``'s measure-then-pick
+# contract.
+# ---------------------------------------------------------------------------
+
+#: Default exact-path budget: max estimated distinct (window, key) pairs
+#: before ``method='auto'`` flips to the sketch.  50M pairs ≈ a few GiB of
+#: agg-hash state across a 32-partition shuffle — inside executor memory at
+#: the tested scales; at 1000 executors the same per-partition math holds
+#: because the budget bounds TOTAL pairs while state shards by key.
+SLIDING_DISTINCT_KEY_BUDGET = 50_000_000
+
+
+def sliding_key_space(
+    df: DataFrame, ts_col: str, key_col: str, window: str, slide: str
+) -> int:
+    """Estimate the distinct (window, key) pair count for a sliding spec.
+
+    One column-pruned pre-flight scan with CONSTANT aggregation state: the
+    window membership is expanded row-side (Expand node — no join, the
+    same shape the real aggregate uses) and fed to one
+    ``approx_count_distinct`` over the (window_start, key) struct, whose
+    HLL++ state is O(1) regardless of input size.  Cost at 100 TB: one
+    scan of two columns, no shuffle of data rows (partial sketches merge).
+    """
+    est = (
+        df.select(F.window(ts_col, window, slide).alias("__w"), key_col)
+        .agg(
+            F.approx_count_distinct(
+                F.struct(F.col("__w.start"), F.col(key_col)), 0.05
+            ).alias("n")
+        )
+        .collect()[0]["n"]  # O(1) — one long, the documented pre-flight cost
+    )
+    return int(est)
+
+
+def choose_distinct_method(estimated_pairs: int, budget: int) -> str:
+    """Pure switch rule: exact while the pair space fits, sketch above."""
+    return "exact" if estimated_pairs <= budget else "approx"
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str,
+    slide: str,
+    extra_aggs: list | None = None,
+    method: str = "auto",
+    key_budget: int = SLIDING_DISTINCT_KEY_BUDGET,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-sliding-window distinct count of ``key_col`` with a scale guard.
+
+    ``method``:
+
+    * ``'exact'`` — ``countDistinct`` keyed on (window, key); correct at
+      any size but super-linear once the pair space outgrows map-side
+      partial aggregation (measured: segment exponent 1.23 at x256).
+    * ``'approx'`` — ``approx_count_distinct(key, rsd)``: constant state
+      per window, partial-mergeable, the measured 100 TB path (4.8×
+      cheaper at x256 density).
+    * ``'auto'`` — run the O(1)-state :func:`sliding_key_space` pre-flight
+      and pick per :func:`choose_distinct_method`.
+
+    Output columns: ``ws_us`` (window start, epoch µs), ``n_distinct``,
+    plus any ``extra_aggs`` (already-aliased Columns).
+    """
+    if method == "auto":
+        method = choose_distinct_method(
+            sliding_key_space(df, ts_col, key_col, window, slide), key_budget
+        )
+    if method == "exact":
+        distinct_agg = F.countDistinct(key_col).alias("n_distinct")
+    elif method == "approx":
+        distinct_agg = F.approx_count_distinct(key_col, rsd).alias("n_distinct")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("__w"))
+        .agg(distinct_agg, *(extra_aggs or []))
+        .withColumn("ws_us", F.unix_micros(F.col("__w.start")))
+        .drop("__w")
+    )

@@ -1,0 +1,203 @@
+"""Round-16 ops: the sliding_distinct auto-switch and the widen4 pins.
+
+Each pin is an INDEPENDENT witness — recomputed invariants, a pure-Python
+re-derivation, or a plan assertion — not a rerun of the DuckDB oracle
+(check_parity already does that).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def _analyzed_plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct: the switch rule and both regimes
+# ---------------------------------------------------------------------------
+
+
+def test_choose_distinct_method_rule():
+    from pulsar_message_filter_spark.operators.windows import (
+        choose_distinct_method,
+    )
+
+    assert choose_distinct_method(0, 100) == "exact"
+    assert choose_distinct_method(100, 100) == "exact"  # budget inclusive
+    assert choose_distinct_method(101, 100) == "approx"
+
+
+def test_auto_picks_exact_below_budget(spark):
+    """At smoke scale the pair space is tiny → auto must yield the exact
+    countDistinct plan (no approx node)."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    ev = load(spark, "events", SF_SMOKE)
+    out = sliding_distinct(ev, "ts", "user_id", "4 hours", "1 hour", method="auto")
+    plan = _analyzed_plan(out).lower()
+    assert "approx_count_distinct" not in plan
+    assert "distinct" in plan
+
+
+def test_auto_switches_to_approx_above_budget(spark):
+    """A key_budget of 1 forces the sketch path — the switch demonstrably
+    fires on the SAME input and spec."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    ev = load(spark, "events", SF_SMOKE)
+    out = sliding_distinct(
+        ev, "ts", "user_id", "4 hours", "1 hour", method="auto", key_budget=1
+    )
+    assert "approx_count_distinct" in _analyzed_plan(out).lower()
+
+
+def test_sliding_key_space_estimate_close(spark):
+    """The O(1)-state pre-flight estimate tracks the true (window, key)
+    pair count within HLL++ tolerance."""
+    from pyspark.sql import functions as F
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_key_space
+
+    ev = load(spark, "events", SF_SMOKE)
+    est = sliding_key_space(ev, "ts", "user_id", "4 hours", "1 hour")
+    true = (
+        ev.select(F.window("ts", "4 hours", "1 hour").alias("w"), "user_id")
+        .select(F.col("w.start").alias("ws"), "user_id")
+        .distinct()
+        .count()
+    )
+    assert true > 0
+    assert abs(est - true) / true < 0.15  # rsd 0.05 → generous 3σ bound
+
+
+def test_approx_mode_tracks_exact(spark):
+    """Per-window approx counts stay within sketch tolerance of exact —
+    the semantic contract a user relies on when the switch fires."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    ev = load(spark, "events", SF_SMOKE)
+    kw = dict(ts_col="ts", key_col="user_id", window="4 hours", slide="1 hour")
+    exact = {
+        r.ws_us: r.n_distinct
+        for r in sliding_distinct(ev, method="exact", **kw).collect()
+    }
+    approx = {
+        r.ws_us: r.n_distinct
+        for r in sliding_distinct(ev, method="approx", rsd=0.02, **kw).collect()
+    }
+    assert set(exact) == set(approx)
+    for ws, n in exact.items():
+        assert abs(approx[ws] - n) <= max(3, 0.1 * n), (ws, n, approx[ws])
+
+
+def test_sliding_distinct_rejects_unknown_method(spark):
+    import pytest
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    ev = load(spark, "events", SF_SMOKE)
+    with pytest.raises(ValueError):
+        sliding_distinct(ev, "ts", "user_id", "4 hours", "1 hour", method="hll")
+
+
+# ---------------------------------------------------------------------------
+# e2e_sliding_reach_hll: sketch-size bound + estimate quality vs exact
+# ---------------------------------------------------------------------------
+
+
+def test_e2e_hll_register_bound_and_accuracy(spark):
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen4 import (
+        e2e_sliding_reach_hll,
+    )
+
+    rows = e2e_sliding_reach_hll(spark, SF_SMOKE).collect()
+    assert rows
+    # state-bound witness: a window's sketch never exceeds m rows
+    assert all(1 <= r.n_registers <= 64 for r in rows)
+
+    ev = load(spark, "events", SF_SMOKE)
+    exact = {
+        r.ws_us: r.n
+        for r in ev.groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("w")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.unix_micros("w.start").alias("ws_us"), "n")
+        .collect()
+    }
+    assert set(exact) == {r.ws_us for r in rows}
+    # m=64 → rse ~1.04/8 = 13%; allow 3x on per-window smalls
+    rel_errs = [abs(r.reach_estimate - exact[r.ws_us]) / exact[r.ws_us] for r in rows]
+    assert np.mean(rel_errs) < 0.2, np.mean(rel_errs)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_assign_exact: pure-numpy witness of the whole assignment pass
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_assign_exact_numpy_witness(spark):
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen4 import kmeans_assign_exact
+
+    emb = (
+        load(spark, "embeddings", SF_SMOKE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb])
+    q = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1000
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    cents = q[order[:8]]
+    # exact int64 squared distances; argmin ties → lowest cluster id
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # np.argmin takes the first (lowest) index
+    expected = {}
+    for c in range(8):
+        mask = assign == c
+        if mask.any():
+            expected[c] = (
+                int(mask.sum()),
+                int(ids[mask].sum()),
+                int(d2[mask, c].sum()),
+            )
+
+    got = {
+        r.cluster: (r.n_members, r.sum_vec_id, r.sum_d2)
+        for r in kmeans_assign_exact(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# e2d through the graded surface: window math sanity
+# ---------------------------------------------------------------------------
+
+
+def test_e2d_windows_partition_events(spark):
+    """Each event lands in exactly 4 windows → Σ n_events = 4·|events|,
+    and every window's distinct ≤ its event count."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen4 import (
+        e2d_sliding_reach_auto,
+    )
+
+    rows = e2d_sliding_reach_auto(spark, SF_SMOKE).collect()
+    n_events_total = load(spark, "events", SF_SMOKE).count()
+    assert sum(r.n_events for r in rows) == 4 * n_events_total
+    assert all(0 < r.n_distinct <= r.n_events for r in rows)
+    assert all(r.ws_us % (3600 * 1_000_000) == 0 for r in rows)
