@@ -414,6 +414,9 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            # lvl (grouping bits), not NULL-ness, marks subtotal rows; the
+            # '(all)' label would still conflate with a genuinely-NULL
+            # n_name, which TPC-H guarantees non-null (ADVICE r10)
             F.when(F.col("lvl") % 2 == 1, F.lit("(all)"))
             .otherwise(F.col("n_name"))
             .alias("nation_name"),
@@ -552,7 +555,8 @@ _SIMHASH_BITS = 16
     section="F2,D8",
     description=f"exact {_SIMHASH_BITS}-bit SimHash from md5(token) bit "
     "planes — same fingerprint on both engines, making the SimHash "
-    "construction itself oracle-checked (ties break to 1 at vote sum 0)",
+    "construction itself oracle-checked (ties break to 1 at vote sum 0); "
+    "graded on the fixed doc_id<200 prefix at every scale factor",
 )
 def f2b_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked SimHash fingerprints.
@@ -639,8 +643,9 @@ _MH_SIG_SQL = ", ".join(
     section="F2,D8",
     description="exact 4-permutation MinHash signatures from md5(token#seed)"
     " — the signature construction (min over the token set per permutation)"
-    " oracle-checked cross-engine; the production LSH path swaps in the "
-    "faster xxhash64 family with identical algebra",
+    " oracle-checked cross-engine on the fixed doc_id<200 prefix at every "
+    "scale factor; the production LSH path swaps in the faster xxhash64 "
+    "family with identical algebra",
 )
 def f2c_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked MinHash signatures.

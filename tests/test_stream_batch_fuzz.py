@@ -41,6 +41,22 @@ _SLIDE_PAIRS = [("6 hours", "2 hours"), ("2 hours", "1 hour"), ("1 day", "6 hour
 _SESSION_GAPS = ["30 minutes", "2 hours"]
 
 
+def _max_pool_dur_us() -> int:
+    """Longest window duration across ALL spec pools, in microseconds —
+    recomputed from the pools so adding a longer duration automatically
+    widens the sentinel cutoff below (ADVICE r10)."""
+
+    def one(s: str) -> int:
+        n, unit = s.split()
+        per = {"minute": 60, "hour": 3600, "day": 86400}[unit.rstrip("s")]
+        return int(n) * per * 1_000_000
+
+    return max(
+        one(d)
+        for d in _TUMBLE_DURS + [p[0] for p in _SLIDE_PAIRS] + _SESSION_GAPS
+    )
+
+
 def _spec(rng: random.Random):
     kind = rng.choice(["tumbling", "sliding", "session"])
     if kind == "tumbling":
@@ -264,7 +280,17 @@ def test_append_mode_emits_each_window_exactly_once(spark, tmp_path, seed):
     # exactly-once across the three runs: no window row appears twice
     assert len(emitted) == len(set(emitted)), f"seed {seed}: duplicate emission"
 
-    cutoff_us = 4_000_000_000 * 1_000_000  # ~2096: excludes sentinel windows
+    # Derive the real/sentinel split from the constants themselves so they
+    # can't drift apart (ADVICE r10): a window containing the earliest
+    # sentinel starts no earlier than sentinel_ts - max pool duration, and
+    # the sentinel epoch comes from the SAME to_timestamp parse path the
+    # fixture writer used.
+    sentinel_us = spark.sql(
+        "select unix_micros(to_timestamp('2099-01-01 00:00:00')) v"
+    ).collect()[0].v
+    cutoff_us = sentinel_us - _max_pool_dur_us()
+    max_real_us = base.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    assert max_real_us < cutoff_us, "real data reaches the sentinel cutoff"
     real_emitted = {t for t in emitted if t[0] < cutoff_us}
     expected = _rows(
         _project(base.groupBy(*keys).agg(*aggs))
