@@ -299,3 +299,104 @@ def kmeans_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d2").alias("sum_d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F4/F13 — exact int8-lattice top-k: the f21 quantize-and-scan path with the
+# engine-boundary-sensitive rounding replaced by floor, so the whole
+# quantize → pairwise-dot → per-query-rank chain is hash-exact.
+# ---------------------------------------------------------------------------
+
+_I8_NQ = 30  # query prefix, matching f21_topk_int8
+_I8_K = 3
+
+
+@graded(
+    "f21b_topk_int8_exact",
+    oracle=f"""
+        WITH am AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding,
+                       v -> abs(CAST(v AS DOUBLE)))) AS amax,
+                   embedding
+            FROM embeddings
+        ),
+        q8 AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE) / amax * 127) AS BIGINT)
+                   ) AS qv
+            FROM am
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, len(q.qv) + 1),
+                       i -> q.qv[i] * c.qv[i])) AS dot8
+            FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_I8_NQ}
+        )
+        SELECT query_id, neighbor_id, CAST(dot8 AS BIGINT) AS dot8,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id, dot8,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot8 DESC, neighbor_id) AS rank
+            FROM pairs
+        ) WHERE rank <= {_I8_K}
+    """,
+    section="F4,F13,D5,F14",
+    description="exact int8-lattice top-k: floor(v/amax*127) quantization "
+    "(deterministic IEEE ops — no round-half boundary), pairwise integer "
+    "dot products, per-query rank with neighbor-id tie-break — the "
+    "quantize→scan→rank ANN chain itself hash-checked; f21_topk_int8 "
+    "remains the production round+rerank form",
+)
+def f21b_topk_int8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact int8 candidate scan.
+
+    100 TB scale shape: identical to ``int8_topk``'s candidate stage —
+    quantize once on the corpus scan (pure Column algebra inside
+    codegen), broadcast the bounded query block, score with an integer
+    fold (the 4–8× scan-bandwidth win), rank per query.  Floor on the
+    shared double quotient v/amax·127 is what makes it exact: division
+    and multiplication are correctly-rounded IEEE ops, so both engines
+    floor the SAME double; every downstream value is int64 (|q|≤127,
+    dot ≤ 64·127² ≪ 2⁶³).
+    """
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, "embeddings", sf_dir)
+    amax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    q8 = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / amax * 127),
+        ).alias("qv"),
+    )
+    queries = q8.where(F.col("vec_id") < _I8_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(
+            q8.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cq")),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qq", "cq", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot8"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot8"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _I8_K)
+    )

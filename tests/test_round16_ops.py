@@ -201,3 +201,45 @@ def test_e2d_windows_partition_events(spark):
     assert sum(r.n_events for r in rows) == 4 * n_events_total
     assert all(0 < r.n_distinct <= r.n_events for r in rows)
     assert all(r.ws_us % (3600 * 1_000_000) == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# f21b_topk_int8_exact: pure-numpy witness of quantize -> dot -> rank
+# ---------------------------------------------------------------------------
+
+
+def test_f21b_int8_exact_numpy_witness(spark):
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen4 import (
+        f21b_topk_int8_exact,
+    )
+
+    emb = (
+        load(spark, "embeddings", SF_SMOKE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb])
+    v = np.array([r.embedding for r in emb], dtype=np.float64)
+    amax = np.abs(v).max(axis=1, keepdims=True)
+    q = np.floor(v / amax * 127).astype(np.int64)
+
+    expected = set()
+    by_id = {int(i): q[j] for j, i in enumerate(ids)}
+    for qid in [int(i) for i in ids if i < 30]:
+        dots = sorted(
+            ((int(by_id[qid] @ by_id[nid]), -nid), nid)
+            for nid in by_id
+            if nid != qid
+        )
+        # sort ascending by (dot, -nid) then take from the END = dot desc,
+        # nid asc on ties
+        top = [n for _, n in dots[::-1][:3]]
+        for rank, nid in enumerate(top, 1):
+            expected.add((qid, nid, int(by_id[qid] @ by_id[nid]), rank))
+
+    got = {
+        (r.query_id, r.neighbor_id, r.dot8, r.rank)
+        for r in f21b_topk_int8_exact(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
