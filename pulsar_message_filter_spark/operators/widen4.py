@@ -400,3 +400,129 @@ def f21b_topk_int8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _I8_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# F4 — exact MMR selection: the greedy maximal-marginal-relevance loop on
+# an integer-quantized score lattice, so the inherently-sequential pick
+# order itself is oracle-checked (f49_mmr_rerank stays the float form).
+# The oracle unrolls the k greedy steps as chained CTEs — deterministic
+# argmax per step with the same integer scores and id tie-break.
+# ---------------------------------------------------------------------------
+
+_MMR_K = 10
+_MMR_POOL = 50  # candidate ids 1.._MMR_POOL; vec_id 0 is the query
+
+
+def _mmr_exact_oracle() -> str:
+    """Build the unrolled greedy oracle: sel1..sel10 each pick the integer
+    argmax of 7*rel - 3*max_sim_to_selected (score x10 keeps lambda=0.7
+    exact in int64), ties to the smaller id."""
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+        sel{k} AS MATERIALIZED (
+            SELECT c.id, c.rel8, 7 * c.rel8 - 3 * max(ps.s) AS score10,
+                   {k} AS rank
+            FROM rel c JOIN psim ps ON ps.ia = c.id
+            WHERE ps.ib IN (SELECT id FROM acc{k - 1})
+              AND c.id NOT IN (SELECT id FROM acc{k - 1})
+            GROUP BY c.id, c.rel8
+            ORDER BY score10 DESC, c.id LIMIT 1
+        ),
+        acc{k} AS MATERIALIZED (SELECT * FROM acc{k - 1} UNION ALL SELECT * FROM sel{k})""")
+    return f"""
+        WITH q8 AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE)
+                                 / list_max(list_transform(embedding,
+                                       u -> abs(CAST(u AS DOUBLE)))) * 127)
+                            AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id <= {_MMR_POOL}
+        ),
+        qv0 AS (SELECT qv FROM q8 WHERE vec_id = 0),
+        rel AS MATERIALIZED (
+            SELECT p.vec_id AS id,
+                   list_sum(list_transform(range(1, len(p.qv) + 1),
+                       i -> p.qv[i] * q.qv[i])) AS rel8,
+                   p.qv AS qv
+            FROM q8 p, qv0 q WHERE p.vec_id >= 1
+        ),
+        psim AS MATERIALIZED (
+            SELECT a.id AS ia, b.id AS ib,
+                   list_sum(list_transform(range(1, len(a.qv) + 1),
+                       i -> a.qv[i] * b.qv[i])) AS s
+            FROM rel a JOIN rel b ON a.id <> b.id
+        ),
+        sel1 AS MATERIALIZED (
+            SELECT id, rel8, 7 * rel8 AS score10, 1 AS rank
+            FROM rel ORDER BY score10 DESC, id LIMIT 1
+        ),
+        acc1 AS MATERIALIZED (SELECT * FROM sel1),{",".join(steps)}
+        SELECT CAST(rank AS BIGINT) AS rank,
+               CAST(id AS BIGINT) AS neighbor_id,
+               CAST(rel8 AS BIGINT) AS rel8,
+               CAST(score10 AS BIGINT) AS score10
+        FROM acc{_MMR_K}
+    """
+
+
+@graded(
+    "f49b_mmr_exact",
+    oracle=_mmr_exact_oracle(),
+    section="F4,F14",
+    description=f"exact MMR diversified selection (lambda=0.7 as integer "
+    f"7/3 weights, k={_MMR_K}) over the fixed candidate pool vec_id "
+    f"1..{_MMR_POOL} scored against query 0 on the floor-int8 lattice — "
+    "the greedy pick sequence itself is hash-checked against a "
+    "10-step-unrolled SQL argmax chain; f49_mmr_rerank stays the "
+    "production float form",
+)
+def f49b_mmr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MMR: integer scores make the greedy loop exact.
+
+    100 TB scale shape: identical to ``mmr_rerank``'s documented contract
+    — the sequential loop runs driver-side on a BOUNDED candidate block
+    (first-stage retrieval output; 51 quantized vectors ≈ a few KB
+    here), which is the only collect.  At scale the pool arrives from the
+    distributed ANN stage; MMR cost is O(k·pool) regardless of corpus
+    size.  Integer quantization (floor of the shared IEEE quotient, as
+    f21b) plus 7/3 integer weights remove every float comparison from
+    the argmax, so the pick order is engine-independent.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    amax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    q8 = emb.where(F.col("vec_id") <= _MMR_POOL).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") / amax * 127)
+        ).alias("qv"),
+    )
+    block = {int(r.vec_id): list(r.qv) for r in q8.collect()}  # bounded pool
+    q0 = block.pop(0)
+
+    def dot(a: list, b: list) -> int:
+        return sum(x * y for x, y in zip(a, b))
+
+    rel = {i: dot(q0, v) for i, v in block.items()}
+    ids = sorted(block)
+    psim = {
+        (a, b): dot(block[a], block[b]) for a in ids for b in ids if a != b
+    }
+    selected: list[int] = []
+    out = []
+    for rank in range(1, _MMR_K + 1):
+        cands = [i for i in ids if i not in selected]
+        scored = []
+        for i in cands:
+            pen = max(psim[(i, s)] for s in selected) if selected else 0
+            scored.append((7 * rel[i] - (3 * pen if selected else 0), -i, i))
+        score10, _, pick = max(scored)
+        selected.append(pick)
+        out.append((rank, pick, rel[pick], score10))
+    return spark.createDataFrame(
+        out, "rank bigint, neighbor_id bigint, rel8 bigint, score10 bigint"
+    )

@@ -243,3 +243,55 @@ def test_f21b_int8_exact_numpy_witness(spark):
         for r in f21b_topk_int8_exact(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# f49b_mmr_exact: numpy-matrix witness of the greedy invariant
+# ---------------------------------------------------------------------------
+
+
+def test_f49b_mmr_exact_numpy_witness(spark):
+    """Re-derive the greedy selection with numpy matrix ops (a different
+    code path from the operator's dict loops) and check the pick
+    sequence AND the per-step argmax invariant."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen4 import f49b_mmr_exact
+
+    emb = (
+        load(spark, "embeddings", SF_SMOKE)
+        .where(F.col("vec_id") <= 50)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb])
+    v = np.array([r.embedding for r in emb], dtype=np.float64)
+    q = np.floor(v / np.abs(v).max(axis=1, keepdims=True) * 127).astype(np.int64)
+    qmap = {int(i): q[j] for j, i in enumerate(ids)}
+    q0 = qmap.pop(0)
+    pool = sorted(qmap)
+    rel = {i: int(q0 @ qmap[i]) for i in pool}
+    sim = {(a, b): int(qmap[a] @ qmap[b]) for a in pool for b in pool if a != b}
+
+    sel: list[int] = []
+    expected = []
+    for rank in range(1, 11):
+        best = None
+        for i in pool:
+            if i in sel:
+                continue
+            pen = max(sim[(i, s)] for s in sel) if sel else 0
+            sc = 7 * rel[i] - (3 * pen if sel else 0)
+            if best is None or (sc, -i) > best[:2]:
+                best = (sc, -i, i)
+        sel.append(best[2])
+        expected.append((rank, best[2], rel[best[2]], best[0]))
+
+    got = [
+        (r.rank, r.neighbor_id, r.rel8, r.score10)
+        for r in f49b_mmr_exact(spark, SF_SMOKE).orderBy("rank").collect()
+    ]
+    assert got == expected
+    # diversity actually engaged: the pick order must differ from pure
+    # relevance order once the penalty term is active
+    by_rel = [i for i, _ in sorted(rel.items(), key=lambda t: (-t[1], t[0]))][:10]
+    assert [p for _, p, _, _ in expected] != by_rel

@@ -418,6 +418,29 @@ def main() -> None:
         .start()
     )
 
+    # leg 6: sliding window DISTINCT via the sketch path — the
+    # sliding_distinct(method='auto') at-volume guard exercised LIVE:
+    # approx_count_distinct keeps ONE constant-size HLL buffer per open
+    # (window, type) group, so state stays bounded by live-window count
+    # no matter how many distinct users stream through (the exact form's
+    # state would be (window x user) rows — the measured 1.23-exponent
+    # class this guard replaces at scale).
+    slide_sketch = (
+        rate_message_stream(spark, rows_per_second=rate)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "15 seconds", "5 seconds"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("n_users_est"),
+            F.count("*").alias("n"),
+        )
+    )
+    q6 = (
+        slide_sketch.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ck6")
+        .start()
+    )
+
 
     def state_profile(q) -> dict:
         """RocksDB state growth over the observed progress window: the
@@ -478,7 +501,7 @@ def main() -> None:
         sample_every = max(10, min(60, duration_s // 20 or 10))
         timeline: dict[str, list] = {
             "stateful_window": [], "sessionization": [], "throttle": [],
-            "sliding_window": [],
+            "sliding_window": [], "sliding_distinct_sketch": [],
         }
         ck_timeline: list = []
         while time.time() - t0 < duration_s:
@@ -488,6 +511,7 @@ def main() -> None:
                 ("sessionization", q3),
                 ("throttle", q4),
                 ("sliding_window", q5),
+                ("sliding_distinct_sketch", q6),
             ):
                 s = sample_state(q)
                 if s is not None:
@@ -510,6 +534,7 @@ def main() -> None:
             ("sessionization", q3),
             ("throttle", q4),
             ("sliding_window", q5),
+            ("sliding_distinct_sketch", q6),
         ):
             prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
             # drop the warm-up half: first batches pay JIT + state-store init
@@ -525,8 +550,10 @@ def main() -> None:
         report["sessionization"]["state"] = state_profile(q3)
         report["throttle"]["state"] = state_profile(q4)
         report["sliding_window"]["state"] = state_profile(q5)
+        report["sliding_distinct_sketch"]["state"] = state_profile(q6)
         for name in (
-            "stateful_window", "sessionization", "throttle", "sliding_window"
+            "stateful_window", "sessionization", "throttle",
+            "sliding_window", "sliding_distinct_sketch",
         ):
             tl = timeline[name]
             report[name]["state_timeline"] = tl
@@ -550,6 +577,7 @@ def main() -> None:
         q3.stop()
         q4.stop()
         q5.stop()
+        q6.stop()
         shutil.rmtree(root, ignore_errors=True)
 
     # checkpoint growth: version cleanup runs on the maintenance interval,
