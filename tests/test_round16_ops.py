@@ -295,3 +295,42 @@ def test_f49b_mmr_exact_numpy_witness(spark):
     # relevance order once the penalty term is active
     by_rel = [i for i, _ in sorted(rel.items(), key=lambda t: (-t[1], t[0]))][:10]
     assert [p for _, p, _, _ in expected] != by_rel
+
+
+# ---------------------------------------------------------------------------
+# auto-switch property fuzz: for random specs and budgets, the method the
+# plan actually took must equal the pure rule applied to the pre-flight
+# estimate — no spec/budget combination may silently disagree.
+# ---------------------------------------------------------------------------
+
+
+def test_auto_switch_agrees_with_rule_across_specs(spark):
+    import random
+
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import (
+        choose_distinct_method,
+        sliding_distinct,
+        sliding_key_space,
+    )
+
+    ev = load(spark, "events", SF_SMOKE)
+    rng = random.Random(16)
+    specs = [("2 hours", "1 hour"), ("6 hours", "2 hours"), ("1 day", "6 hours")]
+    for _ in range(6):
+        window, slide = rng.choice(specs)
+        key = rng.choice(["user_id", "event_type"])
+        est = sliding_key_space(ev, "ts", key, window, slide)
+        # budgets straddling the estimate so BOTH branches occur across
+        # the seeds (estimate > 0 always on this fixture)
+        budget = rng.choice([max(1, est // 2), est * 2 + 10])
+        expected = choose_distinct_method(est, budget)
+        df = sliding_distinct(
+            ev, "ts", key, window, slide, method="auto", key_budget=budget
+        )
+        plan = df._jdf.queryExecution().analyzed().toString().lower()
+        took = "approx" if "approx_count_distinct" in plan else "exact"
+        # the pre-flight re-estimates per call; HLL++ is deterministic for
+        # a fixed input/rsd, so the re-estimate equals `est` and the plan
+        # must match the rule exactly
+        assert took == expected, (window, slide, key, est, budget, took)
