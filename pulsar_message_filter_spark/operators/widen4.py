@@ -1,8 +1,9 @@
 """Round-11 widening queries — codifying the round-15 exact-distinct
-scale diagnosis as graded surfaces, plus an exact assignment-step twin
-for the (previously rows-only) Lloyd clustering family.
+scale diagnosis as graded surfaces, plus exact twins for three
+previously rows-only-by-design approximate families (clustering
+assignment, int8 ANN, MMR re-ranking).
 
-Three queries:
+Five queries:
 
 * ``e2d_sliding_reach_auto`` — the new :func:`windows.sliding_distinct`
   helper with ``method='auto'``: the pre-flight key-space estimate picks
@@ -17,6 +18,10 @@ Three queries:
   integer-quantized embeddings the Lloyd assignment step is exact int64
   arithmetic, so one full assignment pass (argmin over k centroids with
   a deterministic tie-break) is hash-identical cross-engine.
+* ``f21b_topk_int8_exact`` — the int8 quantize→dot→rank ANN chain with
+  floor instead of round-half, hash-exact end to end.
+* ``f49b_mmr_exact`` — the greedy MMR pick order on an integer score
+  lattice, oracle-checked via a step-unrolled SQL argmax chain.
 
 Same design rules as widen.py/widen2.py/widen3.py: idiomatic Column
 algebra, hand-paired DuckDB oracle, identical aliases both sides, and a
@@ -68,8 +73,10 @@ _HOUR_US = 3600 * 1_000_000
     section="E2,C12,F14",
     description="sliding 4h-window/1h-hop distinct-user reach through "
     "sliding_distinct(method='auto'): the O(1)-state key-space pre-flight "
-    "picks the exact path below the pair budget (as here) and the sketch "
-    "above it — the round-15 exact-distinct scale diagnosis as code",
+    "picks the exact path below the pair budget (as at every graded SF, "
+    "where the oracle's exact DISTINCT matches) and the sketch above it "
+    "— above the 50M-pair budget n_distinct becomes the sketch estimate "
+    "BY DESIGN (measured firing at x256 in SCALING.md round-16)",
 )
 def e2d_sliding_reach_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding distinct reach with the scale guard engaged.
@@ -519,7 +526,7 @@ def f49b_mmr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = []
         for i in cands:
             pen = max(psim[(i, s)] for s in selected) if selected else 0
-            scored.append((7 * rel[i] - (3 * pen if selected else 0), -i, i))
+            scored.append((7 * rel[i] - 3 * pen, -i, i))
         score10, _, pick = max(scored)
         selected.append(pick)
         out.append((rank, pick, rel[pick], score10))

@@ -7,8 +7,6 @@ re-derivation, or a plan assertion — not a rerun of the DuckDB oracle
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 from pyspark.sql import functions as F
@@ -280,7 +278,7 @@ def test_f49b_mmr_exact_numpy_witness(spark):
             if i in sel:
                 continue
             pen = max(sim[(i, s)] for s in sel) if sel else 0
-            sc = 7 * rel[i] - (3 * pen if sel else 0)
+            sc = 7 * rel[i] - 3 * pen
             if best is None or (sc, -i) > best[:2]:
                 best = (sc, -i, i)
         sel.append(best[2])
