@@ -40,3 +40,16 @@ def test_quickstart_curation(spark):
     packs = pack_sequences(mixed, budget=1024)
     assert packs.filter(F.col("pack_id") < 0).count() == 0
     assert packs.count() == mixed.count()
+
+
+def test_quickstart_sliding_distinct(spark):
+    from pulsar_message_filter_spark import load
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    events = load(spark, "events", SF_ORACLE)
+    reach = sliding_distinct(
+        events, "ts", "user_id", "6 hours", "2 hours", method="auto"
+    )
+    rows = reach.collect()
+    assert rows and {"ws_us", "n_distinct"} <= set(reach.columns)
+    assert all(r.n_distinct > 0 for r in rows)
