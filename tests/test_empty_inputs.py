@@ -213,3 +213,21 @@ def test_jpeg_single_pixel_roundtrip():
     out = decode_jpeg_pixels(synth_jpeg(1, 1, pixels=px))
     assert out.shape == (1, 1, 3)
     assert int(np.abs(out.astype(int) - 160).max()) == 0
+
+
+def test_sliding_distinct_on_empty_input(spark):
+    """Empty input: the auto pre-flight must estimate 0 (→ exact), and
+    every method must return an empty frame with the right schema."""
+    from pulsar_message_filter_spark.operators.windows import (
+        sliding_distinct,
+        sliding_key_space,
+    )
+
+    empty = load(spark, "events", SF_SMOKE).filter(F.col("event_id") < 0)
+    assert sliding_key_space(empty, "ts", "user_id", "4 hours", "1 hour") == 0
+    for method in ("auto", "exact", "approx"):
+        out = sliding_distinct(
+            empty, "ts", "user_id", "4 hours", "1 hour", method=method
+        )
+        assert out.count() == 0
+        assert {"ws_us", "n_distinct"} <= set(out.columns)

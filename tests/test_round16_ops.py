@@ -332,3 +332,31 @@ def test_auto_switch_agrees_with_rule_across_specs(spark):
         # a fixed input/rsd, so the re-estimate equals `est` and the plan
         # must match the rule exactly
         assert took == expected, (window, slide, key, est, budget, took)
+
+
+def test_sliding_distinct_exact_matches_python_recompute(spark):
+    """Independent witness for the exact mode: a pure-Python dict
+    recompute of per-window distinct sets over the raw (ts, user) rows —
+    no Spark windowing, no DuckDB."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    ev = load(spark, "events", SF_SMOKE)
+    raw = ev.select(F.unix_micros("ts").alias("us"), "user_id").collect()
+    slide, dur = 3600 * 1_000_000, 4  # 1h hop, 4 windows per event
+    expected: dict[int, set] = {}
+    counts: dict[int, int] = {}
+    for r in raw:
+        base = r.us - r.us % slide
+        for k in range(dur):
+            ws = base - k * slide
+            expected.setdefault(ws, set()).add(r.user_id)
+            counts[ws] = counts.get(ws, 0) + 1
+    got = {
+        r.ws_us: (r.n_distinct, r.n_events)
+        for r in sliding_distinct(
+            ev, "ts", "user_id", "4 hours", "1 hour",
+            extra_aggs=[F.count("*").alias("n_events")], method="exact",
+        ).collect()
+    }
+    assert got == {ws: (len(s), counts[ws]) for ws, s in expected.items()}
