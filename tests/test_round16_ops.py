@@ -419,3 +419,50 @@ def test_wav_decoder_reads_stdlib_wave_output():
     assert rate == 16000
     assert samples.shape == (300, 2)
     assert np.array_equal(samples.reshape(-1), pcm.astype(np.int64))
+
+
+def test_audio_spectral_against_naive_dft():
+    """Algorithm-independent witness for the spectral stage: recompute
+    the magnitudes with an explicit O(n^2) DFT matrix (complex
+    exponential sum — not numpy's FFT code path) and compare the
+    descriptors to the operator's rfft-based output."""
+    import pandas as pd
+
+    from pulsar_message_filter_spark.operators.multimodal import (
+        audio_spectral_features,
+        decode_wav_samples,
+        synth_wav,
+    )
+
+    frame, hop, rate = 64, 32, 8000
+    blob = synth_wav(400, n_channels=1, rate=rate, bits=16, seed=3)
+    out = pd.concat(
+        audio_spectral_features(
+            iter([pd.DataFrame({"path": ["a.wav"], "content": [blob]})]),
+            frame=frame,
+            hop=hop,
+        )
+    ).sort_values("frame_idx")
+
+    samples, _ = decode_wav_samples(blob)
+    mono = samples.astype(np.float64).mean(axis=1)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+    n = np.arange(frame)
+    k = np.arange(frame // 2 + 1)
+    dft = np.exp(-2j * np.pi * k[:, None] * n[None, :] / frame)  # naive matrix
+    freqs = k * rate / frame
+    rows = []
+    for idx in range(0, len(mono) - frame + 1, hop):
+        w = mono[idx : idx + frame] * hann
+        mag = np.abs(dft @ w)
+        power = mag.sum()
+        centroid = (mag * freqs).sum() / power
+        spread = np.sqrt((mag * (freqs - centroid) ** 2).sum() / power)
+        gmean = np.exp(np.log(mag + 1e-12).mean())
+        rows.append((centroid, spread, gmean / (mag.mean() + 1e-12)))
+
+    assert len(rows) == len(out)
+    for (c, s, f), r in zip(rows, out.itertuples()):
+        assert abs(r.centroid_hz - round(float(c), 4)) < 1e-3
+        assert abs(r.bandwidth_hz - round(float(s), 4)) < 1e-3
+        assert abs(r.flatness - round(float(f), 6)) < 1e-5
