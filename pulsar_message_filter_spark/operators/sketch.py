@@ -1559,3 +1559,23 @@ def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def hll_corrected_estimate(registers_hit, rho_harmonic_sum, m: int = _HLL_M):
+    """Register-table estimate WITH the Flajolet et al. 2007 small-range
+    correction: linear counting ``m·ln(m/V)`` over the empty-register
+    count V when the raw harmonic-mean estimate is ≤ 2.5m (where it
+    saturates near α·m), the raw estimate otherwise.  Both branches are
+    deterministic cross-engine: the harmonic sum is an exact dyadic sum,
+    the quotient one IEEE division, and the 63 possible correction
+    values (V ∈ 1..m−1) are probed equal at 4dp in the round-16 oracle
+    work.  Rounded to 4dp like :func:`_hll_estimate_cols`.
+    """
+    from pyspark.sql import functions as F
+
+    v_empty = F.lit(m) - registers_hit
+    raw = F.lit(_HLL_ALPHA * m * m) / (rho_harmonic_sum + v_empty)
+    return F.when(
+        (v_empty > 0) & (raw <= 2.5 * m),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty), 4),
+    ).otherwise(F.round(raw, 4))

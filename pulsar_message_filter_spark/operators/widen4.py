@@ -45,6 +45,7 @@ from pulsar_message_filter_spark.operators.sketch import (
     _HLL_M,
     _HLL_MULT,
     _P,
+    hll_corrected_estimate,
     hll_registers_by,
 )
 from pulsar_message_filter_spark.operators.windows import sliding_distinct
@@ -180,21 +181,9 @@ def e2e_sliding_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     regs = hll_registers_by(expanded, "user_id", [F.col("ws_us")])
-    hit = F.col("n_registers")
-    v_empty = F.lit(_HLL_M) - hit
-    # unrounded raw estimate — the branch condition must be taken on the
-    # SAME IEEE value both engines compute (hsum is an exact dyadic sum,
-    # so the quotient is bit-identical cross-engine)
-    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (F.col("__hsum") + v_empty)
-    # Flajolet et al. 2007 small-range correction: linear counting over
-    # the empty-register count V when the raw estimate is <= 2.5m (the
-    # regime where the harmonic-mean estimator saturates near alpha*m).
-    # The corrected values form a fixed 63-entry table (V in 1..63),
-    # probed equal across both engines at 4dp.
-    corrected = F.when(
-        (v_empty > 0) & (raw <= 2.5 * _HLL_M),
-        F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty), 4),
-    ).otherwise(F.round(raw, 4))
+    # corrected estimate (Flajolet small-range linear counting) — shared
+    # with sliding_distinct(method='hll'); see sketch.hll_corrected_estimate
+    corrected = hll_corrected_estimate(F.col("n_registers"), F.col("__hsum"))
     return (
         regs.groupBy("ws_us")
         .agg(

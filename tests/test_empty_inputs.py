@@ -225,7 +225,7 @@ def test_sliding_distinct_on_empty_input(spark):
 
     empty = load(spark, "events", SF_SMOKE).filter(F.col("event_id") < 0)
     assert sliding_key_space(empty, "ts", "user_id", "4 hours", "1 hour") == 0
-    for method in ("auto", "exact", "approx"):
+    for method in ("auto", "exact", "approx", "hll"):
         out = sliding_distinct(
             empty, "ts", "user_id", "4 hours", "1 hour", method=method
         )

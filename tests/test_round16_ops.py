@@ -99,14 +99,47 @@ def test_approx_mode_tracks_exact(spark):
         assert abs(approx[ws] - n) <= max(3, 0.1 * n), (ws, n, approx[ws])
 
 
-def test_sliding_distinct_rejects_unknown_method(spark):
+def test_sliding_distinct_rejects_bad_args(spark):
     import pytest
     from pulsar_message_filter_spark.io import load
     from pulsar_message_filter_spark.operators.windows import sliding_distinct
 
     ev = load(spark, "events", SF_SMOKE)
     with pytest.raises(ValueError):
-        sliding_distinct(ev, "ts", "user_id", "4 hours", "1 hour", method="hll")
+        sliding_distinct(ev, "ts", "user_id", "4 hours", "1 hour", method="bogus")
+    with pytest.raises(ValueError):  # hll needs an aligned spec
+        sliding_distinct(ev, "ts", "user_id", "3 hours", "2 hours", method="hll")
+    with pytest.raises(ValueError):  # hll is two-stage: no extra_aggs
+        sliding_distinct(
+            ev, "ts", "user_id", "4 hours", "1 hour", method="hll",
+            extra_aggs=[F.count("*").alias("n")],
+        )
+
+
+def test_sliding_distinct_hll_matches_register_query(spark):
+    """method='hll' must produce exactly the rounded per-window estimates
+    of the graded register-table query at the same 6h/2h spec — one code
+    path, one answer."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.widen4 import (
+        e2e_sliding_reach_hll,
+    )
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    ev = load(spark, "events", SF_SMOKE)
+    got = {
+        r.ws_us: r.n_distinct
+        for r in sliding_distinct(
+            ev, "ts", "user_id", "6 hours", "2 hours", method="hll"
+        ).collect()
+    }
+    import math
+
+    expected = {  # floor(x+0.5): Spark F.round is HALF_UP, not banker's
+        r.ws_us: math.floor(r.reach_estimate + 0.5)
+        for r in e2e_sliding_reach_hll(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
 
 
 # ---------------------------------------------------------------------------
