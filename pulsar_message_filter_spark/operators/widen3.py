@@ -215,7 +215,12 @@ _SLIDE_US = 2 * 3600 * 1_000_000  # 2h hop in microseconds
     "e2c_sliding_revenue",
     oracle=f"""
         WITH hits AS (
-            SELECT (epoch_us(ts) // {_SLIDE_US} - k) * {_SLIDE_US} AS ws_us,
+            -- floor-aligned window base (integer positive-mod, not //:
+            -- DuckDB // truncates toward zero, diverging from F.window's
+            -- floor semantics for pre-1970 negative-epoch timestamps)
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {_SLIDE_US}) + {_SLIDE_US}) % {_SLIDE_US})
+                   - k * {_SLIDE_US} AS ws_us,
                    user_id, {cents_sql('value')} AS v_cents
             FROM events, LATERAL unnest([0, 1, 2]) AS t(k)
         )

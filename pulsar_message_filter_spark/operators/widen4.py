@@ -62,7 +62,12 @@ _HOUR_US = 3600 * 1_000_000
     "e2d_sliding_reach_auto",
     oracle=f"""
         WITH hits AS (
-            SELECT (epoch_us(ts) // {_HOUR_US} - k) * {_HOUR_US} AS ws_us,
+            -- floor-aligned window base (integer positive-mod, not //:
+            -- DuckDB // truncates toward zero, diverging from F.window's
+            -- floor semantics for pre-1970 negative-epoch timestamps)
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {_HOUR_US}) + {_HOUR_US}) % {_HOUR_US})
+                   - k * {_HOUR_US} AS ws_us,
                    user_id
             FROM events, LATERAL unnest([0, 1, 2, 3]) AS t(k)
         )
@@ -117,7 +122,10 @@ _SLIDE_US = 2 * 3600 * 1_000_000  # 2h hop, matching e2c_sliding_revenue
     "e2e_sliding_reach_hll",
     oracle=f"""
         WITH h0 AS (
-            SELECT (epoch_us(ts) // {_SLIDE_US} - k) * {_SLIDE_US} AS ws_us,
+            -- floor-aligned base via integer positive-mod (see e2d note)
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {_SLIDE_US}) + {_SLIDE_US}) % {_SLIDE_US})
+                   - k * {_SLIDE_US} AS ws_us,
                    (user_id * {_HLL_A} + {_HLL_B}) % {_P} AS hv
             FROM events, LATERAL unnest([0, 1, 2]) AS t(k)
         ),
@@ -167,7 +175,9 @@ def e2e_sliding_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, "events", sf_dir)
     us = F.unix_micros("ts")
-    base = (us - us % F.lit(_SLIDE_US)).alias("base")
+    # pmod, not %: floor alignment (matches F.window) even for pre-1970
+    # negative-epoch timestamps, where Spark's % truncates toward zero
+    base = (us - F.pmod(us, F.lit(_SLIDE_US))).alias("base")
     expanded = (
         ev.select(base, "user_id")
         .select(
@@ -267,6 +277,10 @@ def kmeans_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     cent_rows = q.orderBy("vec_id").limit(_KM_K).collect()  # O(k·dim) only
+    if not cent_rows:  # empty corpus → no centroids, graceful empty result
+        return spark.createDataFrame(
+            [], "cluster bigint, n_members bigint, sum_vec_id bigint, sum_d2 bigint"
+        )
     best_cluster, best_d2 = None, None
     for idx, row in enumerate(cent_rows):
         carr = F.array(*[F.lit(int(c)) for c in row.qv])
@@ -318,9 +332,14 @@ _I8_K = 3
             FROM embeddings
         ),
         q8 AS (
+            -- amax = 0 (all-zero vector) would give 0/0 = NaN; both
+            -- engines map it to the zero vector instead
             SELECT vec_id,
                    list_transform(embedding,
-                       v -> CAST(floor(CAST(v AS DOUBLE) / amax * 127) AS BIGINT)
+                       v -> CASE WHEN amax > 0
+                                 THEN CAST(floor(CAST(v AS DOUBLE) / amax * 127)
+                                      AS BIGINT)
+                                 ELSE 0 END
                    ) AS qv
             FROM am
         ),
@@ -369,7 +388,11 @@ def f21b_topk_int8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(
             "embedding",
-            lambda x: F.floor(x.cast("double") / amax * 127),
+            # amax = 0 (all-zero vector) → 0/0 = NaN; map to the zero
+            # vector instead (matching the oracle's CASE)
+            lambda x: F.when(
+                amax > 0, F.floor(x.cast("double") / amax * 127)
+            ).otherwise(F.lit(0).cast("long")),
         ).alias("qv"),
     )
     queries = q8.where(F.col("vec_id") < _I8_NQ).select(
@@ -428,14 +451,22 @@ def _mmr_exact_oracle() -> str:
         ),
         acc{k} AS MATERIALIZED (SELECT * FROM acc{k - 1} UNION ALL SELECT * FROM sel{k})""")
     return f"""
-        WITH q8 AS MATERIALIZED (
+        WITH am AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       u -> abs(CAST(u AS DOUBLE)))) AS amax
+            FROM embeddings WHERE vec_id <= {_MMR_POOL}
+        ),
+        q8 AS MATERIALIZED (
+            -- amax = 0 (all-zero vector) would give 0/0 = NaN; both
+            -- engines map it to the zero vector instead
             SELECT vec_id,
                    list_transform(embedding,
-                       v -> CAST(floor(CAST(v AS DOUBLE)
-                                 / list_max(list_transform(embedding,
-                                       u -> abs(CAST(u AS DOUBLE)))) * 127)
-                            AS BIGINT)) AS qv
-            FROM embeddings WHERE vec_id <= {_MMR_POOL}
+                       v -> CASE WHEN amax > 0
+                                 THEN CAST(floor(CAST(v AS DOUBLE) / amax * 127)
+                                      AS BIGINT)
+                                 ELSE 0 END) AS qv
+            FROM am
         ),
         qv0 AS (SELECT qv FROM q8 WHERE vec_id = 0),
         rel AS MATERIALIZED (
@@ -494,10 +525,18 @@ def f49b_mmr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q8 = emb.where(F.col("vec_id") <= _MMR_POOL).select(
         "vec_id",
         F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") / amax * 127)
+            "embedding",
+            # amax = 0 → zero vector, matching the oracle's CASE (f21b note)
+            lambda x: F.when(
+                amax > 0, F.floor(x.cast("double") / amax * 127)
+            ).otherwise(F.lit(0).cast("long")),
         ).alias("qv"),
     )
     block = {int(r.vec_id): list(r.qv) for r in q8.collect()}  # bounded pool
+    if 0 not in block:  # empty/queryless corpus → graceful empty result
+        return spark.createDataFrame(
+            [], "rank bigint, neighbor_id bigint, rel8 bigint, score10 bigint"
+        )
     q0 = block.pop(0)
 
     def dot(a: list, b: list) -> int:
@@ -512,6 +551,8 @@ def f49b_mmr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for rank in range(1, _MMR_K + 1):
         cands = [i for i in ids if i not in selected]
+        if not cands:  # pool smaller than k: emit what exists
+            break
         scored = []
         for i in cands:
             pen = max(psim[(i, s)] for s in selected) if selected else 0

@@ -370,9 +370,12 @@ def sliding_distinct(
         if win_us % slide_us:
             raise ValueError("method='hll' requires window % slide == 0")
         # arithmetic window expansion (exact long math — the same member
-        # set F.window produces for an aligned spec, no Expand-in-agg)
+        # set F.window produces for an aligned spec, no Expand-in-agg).
+        # pmod, not %: Spark % truncates toward zero, so pre-1970
+        # (negative-epoch) events would misalign vs F.window's floor
+        # semantics; pmod's non-negative remainder IS floor alignment.
         us = F.unix_micros(ts_col)
-        base = (us - us % F.lit(slide_us)).alias("__base")
+        base = (us - F.pmod(us, F.lit(slide_us))).alias("__base")
         expanded = (
             df.select(base, key_col)
             .select(
