@@ -86,44 +86,44 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "a_jsonl_roundtrip_read": 10,
     "a_partition_pruned_read": 8,
     "a_schema_evolution_read": 7,
-    "abtest_cuped": 3,
+    "abtest_cuped": 11,
     "abtest_mann_whitney": 4,
     "abtest_poisson_bootstrap": 4,
     "abtest_ratio_bootstrap": 4,
-    "abtest_two_proportion": 3,
-    "abtest_welch_t": 3,
+    "abtest_two_proportion": 11,
+    "abtest_welch_t": 11,
     "activity_heatmap": 7,
     "agg_approx_count_distinct": 9,
     "agg_approx_percentile": 10,
-    "agg_argminmax": 3,
+    "agg_argminmax": 11,
     "agg_bitwise": 5,
     "agg_collect_sorted": 10,
-    "agg_corr_exact": 4,
+    "agg_corr_exact": 11,
     "agg_count_distinct": 9,
     "agg_cube": 10,
     "agg_distinct": 9,
-    "agg_gini_exact": 4,
-    "agg_heavy_hitters": 3,
+    "agg_gini_exact": 11,
+    "agg_heavy_hitters": 11,
     "agg_kth_smallest": 4,
-    "agg_mode_exact": 4,
+    "agg_mode_exact": 11,
     "agg_moments_exact": 9,
     "agg_percentiles": 9,
     "agg_pivot": 10,
-    "agg_predicate_family": 4,
+    "agg_predicate_family": 11,
     "agg_rollup": 10,
     "agg_stats": 9,
-    "agg_trimmed_mean": 3,
+    "agg_trimmed_mean": 11,
     "agg_unpivot": 10,
     "agg_weighted_median": 10,
-    "agg_weighted_quantiles": 3,
+    "agg_weighted_quantiles": 11,
     "alloc_largest_remainder": 7,
-    "anomaly_mad_outliers": 3,
+    "anomaly_mad_outliers": 11,
     "anomaly_rolling_zscore": 7,
     "attribution_first_touch": 7,
     "attribution_linear": 7,
     "b7_null_3vl_composite": 10,
-    "basket_lift_pairs": 3,
-    "basket_lift_weekly": 3,
+    "basket_lift_pairs": 11,
+    "basket_lift_weekly": 11,
     "basket_rules": 4,
     "behavior_activity_streaks": 4,
     "behavior_markov_entropy": 5,
@@ -134,23 +134,25 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "calib_isotonic_binned": 5,
     "cdc_snapshot_diff": 7,
     "cdc_table_checksum": 7,
-    "changepoint_cusum": 3,
+    "changepoint_cusum": 11,
     "cms_user_event_counts": 10,
     "cohort_retention": 7,
     "cohort_retention_monthly": 7,
     "corpus_zipf_slope": 4,
     "cross_lang_source_grid": 8,
-    "crosstab_cramers_v": 3,
+    "crosstab_cramers_v": 11,
     "decay_score_asof": 7,
     "distinct_event_days": 8,
     "dlq_reject_reasons": 8,
     "dq_violation_report": 7,
-    "drift_benford_profile": 3,
-    "drift_ks_two_sample": 3,
-    "drift_psi_value": 3,
+    "drift_benford_profile": 11,
+    "drift_ks_two_sample": 11,
+    "drift_psi_value": 11,
     "drift_wasserstein": 4,
     "e2b_sliding_top_type": 9,
     "e2c_sliding_revenue": 10,
+    "e2d_sliding_reach_auto": 11,
+    "e2e_sliding_reach_hll": 11,
     "e6b_band_enrichment": 9,
     "epoch_shuffle_order": 7,
     "eval_auc_rank": 8,
@@ -174,6 +176,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f1_exact_dedup": 6,
     "f20_dedup_clusters": 6,
     "f21_topk_int8": 10,
+    "f21b_topk_int8_exact": 11,
     "f22_contamination": 7,
     "f22b_contamination_approx": 8,
     "f23_repetition_profile": 7,
@@ -212,6 +215,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f47_js_divergence_sources": 8,
     "f48_quantile_normalize": 7,
     "f49_mmr_rerank": 10,
+    "f49b_mmr_exact": 11,
     "f4_topk_cosine": 6,
     "f4_topk_ivf": 10,
     "f4_topk_ivf_auto": 10,
@@ -221,9 +225,9 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f51_semantic_dedup": 8,
     "f52_dsir_weights": 8,
     "f53_bpe_pair_merges": 7,
-    "f54_bigram_perplexity": 3,
-    "f55_vocab_coverage": 3,
-    "f56_ngram_novelty": 3,
+    "f54_bigram_perplexity": 11,
+    "f55_vocab_coverage": 11,
+    "f56_ngram_novelty": 11,
     "f57_winnowing_candidates": 4,
     "f58_hard_negatives": 4,
     "f59_retrieval_metrics": 4,
@@ -288,7 +292,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "funnel_conversion": 9,
     "funnel_conversion_lag": 7,
     "funnel_session_strict": 7,
-    "fuzzy_jaro_winkler": 3,
+    "fuzzy_jaro_winkler": 11,
     "fuzzy_mutual_best": 4,
     "fuzzy_vocab_pairs": 10,
     "g1_scalar_udf": 6,
@@ -301,17 +305,17 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "g6_udtf_shingles": 6,
     "g6b_udtf_chunker": 10,
     "g7_sql_scalar_udf": 8,
-    "global_dense_ids": 4,
-    "global_topk": 4,
-    "graph_khop_reachability": 3,
+    "global_dense_ids": 11,
+    "global_topk": 11,
+    "graph_khop_reachability": 11,
     "graph_label_propagation": 4,
     "graph_local_clustering": 4,
-    "graph_triangle_count": 3,
+    "graph_triangle_count": 11,
     "grouping_id_measures": 8,
-    "hll_audience_overlap": 3,
+    "hll_audience_overlap": 11,
     "hll_distinct_users": 10,
     "hll_windowed_merge": 10,
-    "impute_group_median": 3,
+    "impute_group_median": 11,
     "incremental_partial_merge": 7,
     "interevent_gap_profile": 7,
     "interval_campaign_overlap": 4,
@@ -319,8 +323,8 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ivm_agg_maintenance": 7,
     "join_anti": 9,
     "join_asof": 9,
-    "join_asof_nearest": 4,
-    "join_asof_tolerance": 4,
+    "join_asof_nearest": 11,
+    "join_asof_tolerance": 11,
     "join_broadcast_dims": 9,
     "join_cross": 9,
     "join_full_outer": 9,
@@ -328,16 +332,17 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "join_null_safe": 5,
     "join_range_theta": 9,
     "join_semi": 9,
+    "kmeans_assign_exact": 11,
     "kmeans_lite_clusters": 8,
     "kmv_distinct_jaccard": 5,
     "kmv_set_difference": 6,
     "linkage_entity_clusters": 4,
-    "mi_type_hour_profile": 3,
+    "mi_type_hour_profile": 11,
     "mixture_nucleus_topp": 4,
     "mixture_temperature_weights": 4,
     "order_nulls_last": 5,
     "pagerank_neardup_hubs": 4,
-    "pareto_frontier_2d": 4,
+    "pareto_frontier_2d": 11,
     "path_transitions": 7,
     "pipeline_composite": 9,
     "pivot_two_measures": 8,
@@ -367,7 +372,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q9_product_profit": 5,
     "quantile_histogram_estimate": 10,
     "redelivery_counter_batch_twin": 8,
-    "regression_residual_profile": 3,
+    "regression_residual_profile": 11,
     "reschedule_retry_loop": 9,
     "rfm_segmentation": 7,
     "robust_theil_sen": 4,
@@ -381,7 +386,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "sample_seeded": 10,
     "sample_stratified": 5,
     "sample_weighted_deterministic": 5,
-    "scalar_subquery": 4,
+    "scalar_subquery": 11,
     "scd2_asof_revenue": 10,
     "scd2_multi_epoch": 10,
     "selector_3vl_null": 8,
@@ -405,16 +410,16 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "selector_verdict_routing": 9,
     "session_top_paths": 7,
     "session_ttl_batch_twin": 8,
-    "setop_all_variants": 4,
-    "setop_intersect_except": 4,
-    "setop_union_all": 4,
-    "setop_union_missing_cols": 4,
+    "setop_all_variants": 11,
+    "setop_intersect_except": 11,
+    "setop_union_all": 11,
+    "setop_union_missing_cols": 11,
     "share_of_total": 7,
     "sketch_kll_quantiles": 8,
     "sketch_misra_gries": 6,
     "sketch_sample_quantiles": 7,
     "sql_shared_case_join": 5,
-    "sql_shared_cte_setops": 4,
+    "sql_shared_cte_setops": 11,
     "sql_shared_exists": 5,
     "sql_shared_filter_clause": 10,
     "sql_shared_grouping_sets": 5,
@@ -424,7 +429,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "sql_shared_range_frame": 10,
     "sql_shared_recursive_reach": 8,
     "sql_shared_values_dim": 10,
-    "sql_shared_window": 4,
+    "sql_shared_window": 11,
     "stream_cms_rollup_readpath": 7,
     "stream_dedup_daily_first": 8,
     "stream_dedup_first": 6,
@@ -442,21 +447,21 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "timeseries_gapfill": 7,
     "timeseries_seasonal_decompose": 4,
     "timeseries_trend_slope": 7,
-    "topk_per_group": 4,
-    "topk_with_ties": 3,
+    "topk_per_group": 11,
+    "topk_with_ties": 11,
     "user_profile_batch_twin": 8,
     "window_distribution": 10,
     "window_lag_lead": 10,
     "window_range_frame": 10,
     "window_rank": 10,
-    "window_rolling_corr": 3,
+    "window_rolling_corr": 11,
     "window_running_sum": 10,
     "window_session": 6,
     "window_sliding": 6,
     "window_sliding_reach": 8,
     "window_trailing_hour": 8,
     "window_tumbling": 6,
-    "window_value_functions": 4,
+    "window_value_functions": 11,
 }
 
 #: Names with a green driver row in ANY round (window-eligibility view).
