@@ -150,6 +150,31 @@ _HLL_A, _HLL_B = 999_983, 524_287
 _HLL_MULT = 73_244_475
 
 
+#: modulus of the string→long fold (same constant as text.py's
+#: f6d_rolling_fingerprint — the repo's one polynomial-hash modulus)
+_STR_FOLD_MOD = 1_000_000_007
+
+
+def hll_key_expr(df: DataFrame, key_col: str):
+    """The key column as a long for the register hash family.
+
+    Numeric keys pass through untouched (every existing graded HLL query
+    keeps its exact plan).  STRING keys fold to a long via the repo's
+    char-level polynomial rolling hash ``(acc·31 + code) % 1e9+7`` — pure
+    Column algebra, so string-keyed sketches (event types, session ids)
+    stay engine-expressible and deterministic.  ``split(s, '')`` on the
+    empty string yields ``['']`` whose ``ascii`` is 0, so '' folds to 0.
+    """
+    if dict(df.dtypes).get(key_col) != "string":
+        return F.col(key_col)
+    codes = F.transform(
+        F.split(F.col(key_col), ""), lambda c: F.ascii(c).cast("long")
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _STR_FOLD_MOD
+    )
+
+
 def hll_registers(df: DataFrame, key_col: str, m: int = _HLL_M) -> DataFrame:
     """Register table ``(register, max_rho)`` of an HLL sketch over a key.
 
@@ -157,9 +182,10 @@ def hll_registers(df: DataFrame, key_col: str, m: int = _HLL_M) -> DataFrame:
     leading-zero rank of the remaining 25 bits (1-based).  ``max`` per
     register is the whole sketch state — mergeable by ``max`` exactly as
     the CMS merges by sum.  floor(log2(w)) on ints ≤ 2^25 is exact in
-    double, so every register value is engine-identical.
+    double, so every register value is engine-identical.  String keys
+    fold to longs first (:func:`hll_key_expr`).
     """
-    h = (F.col(key_col) * _HLL_A + _HLL_B) % _P
+    h = (hll_key_expr(df, key_col) * _HLL_A + _HLL_B) % _P
     h = h.bitwiseXOR(F.shiftright(h, 16))
     h = (h * _HLL_MULT) % _P
     h = h.bitwiseXOR(F.shiftright(h, 13))
@@ -336,8 +362,9 @@ def quantile_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_registers_by(df: DataFrame, key_col: str, group_cols: list, m: int = _HLL_M) -> DataFrame:
     """Per-group HLL register tables — one tiny (≤ m rows) sketch per
     group, built in a single grouped pass.  Same hash family as
-    :func:`hll_registers`."""
-    h = (F.col(key_col) * _HLL_A + _HLL_B) % _P
+    :func:`hll_registers`; string keys fold to longs first
+    (:func:`hll_key_expr`)."""
+    h = (hll_key_expr(df, key_col) * _HLL_A + _HLL_B) % _P
     h = h.bitwiseXOR(F.shiftright(h, 16))
     h = (h * _HLL_MULT) % _P
     h = h.bitwiseXOR(F.shiftright(h, 13))

@@ -81,8 +81,10 @@ _HOUR_US = 3600 * 1_000_000
     "sliding_distinct(method='auto'): the O(1)-state key-space pre-flight "
     "picks the exact path below the pair budget (as at every graded SF, "
     "where the oracle's exact DISTINCT matches) and the sketch above it "
-    "— above the 50M-pair budget n_distinct becomes the sketch estimate "
-    "BY DESIGN (measured firing at x256 in SCALING.md round-16)",
+    "— above the session-derived budget (shuffle partitions x 1.56M "
+    "pairs/partition; 50M at the measured 32-partition reference) "
+    "n_distinct becomes the sketch estimate BY DESIGN (guard measured "
+    "firing at x256 in SCALING.md round-16)",
 )
 def e2d_sliding_reach_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding distinct reach with the scale guard engaged.
@@ -91,7 +93,9 @@ def e2d_sliding_reach_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan whose aggregation state is a single HLL++ sketch over the
     expanded (window, key) struct — cost O(scan), state O(1) — and only
     commits to exact ``countDistinct`` when the estimated pair space fits
-    the configured budget (default 50M pairs).  Above the budget the same
+    the session-derived budget (shuffle partitions × the measured
+    per-partition wall; 50M on the 32-partition reference session).
+    Above the budget the same
     call returns the ``approx_count_distinct`` plan, the measured 4.8×
     cheaper x256 path (SCALING.md round-15).  At sf0.01–0.1 the estimate
     is far below budget, so the graded result is the exact form and

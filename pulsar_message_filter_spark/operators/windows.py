@@ -263,12 +263,36 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract.
 # ---------------------------------------------------------------------------
 
-#: Default exact-path budget: max estimated distinct (window, key) pairs
-#: before ``method='auto'`` flips to the sketch.  50M pairs ≈ a few GiB of
-#: agg-hash state across a 32-partition shuffle — inside executor memory at
-#: the tested scales; at 1000 executors the same per-partition math holds
-#: because the budget bounds TOTAL pairs while state shards by key.
+#: Per-shuffle-partition distinct-pair allowance for the exact path.  The
+#: x256 ladder (SCALING.md round-15/16) located the exact-distinct wall at
+#: ~50M total pairs on THIS box's 32-partition shuffle, i.e. ~1.56M pairs
+#: of agg-hash state per reduce task (tens of MB) — the point where
+#: map-side partial aggregation stops absorbing the key space.  State
+#: shards by (window, key) hash, so the budget scales with the number of
+#: reduce partitions, not with executor count per se.
+SLIDING_DISTINCT_PAIRS_PER_PARTITION = 1_562_500
+
+#: Documented fallback budget (the measured 32-partition wall) used when
+#: no session is available to derive partitions from.
 SLIDING_DISTINCT_KEY_BUDGET = 50_000_000
+
+
+def sliding_distinct_budget(spark) -> int:
+    """Session-derived exact-path pair budget:
+    ``spark.sql.shuffle.partitions × SLIDING_DISTINCT_PAIRS_PER_PARTITION``.
+
+    A 2000-partition cluster gets a ~3.1B-pair budget (each reduce task
+    still holds the same ~1.56M-pair state the wall was measured at);
+    a small local session gets proportionally less.  Falls back to the
+    measured 50M constant if the conf is unreadable.
+    """
+    try:
+        return (
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+            * SLIDING_DISTINCT_PAIRS_PER_PARTITION
+        )
+    except Exception:
+        return SLIDING_DISTINCT_KEY_BUDGET
 
 
 def sliding_key_space(
@@ -315,6 +339,40 @@ def _duration_us(spec: str) -> int:
     return int(n) * _DUR_UNIT_US[unit.rstrip("s")]
 
 
+def sliding_expand(
+    df: DataFrame, ts_col: str, key_col: str, window: str, slide: str
+) -> DataFrame:
+    """(``ws_us``, key) membership expansion for an ALIGNED sliding spec
+    (window % slide == 0) — exact long arithmetic, floor-aligned via
+    ``pmod`` so pre-1970 timestamps bucket identically to ``F.window``.
+    Each row emits its window/slide member window starts; no join, no
+    timestamp rendering.  The hll branch of :func:`sliding_distinct`
+    builds its register tables on this frame.
+    """
+    win_us, slide_us = _duration_us(window), _duration_us(slide)
+    if win_us % slide_us:
+        raise ValueError("sliding_expand requires window % slide == 0")
+    # pmod, not %: Spark % truncates toward zero, so pre-1970
+    # (negative-epoch) events would misalign vs F.window's floor
+    # semantics; pmod's non-negative remainder IS floor alignment.
+    us = F.unix_micros(ts_col)
+    base = (us - F.pmod(us, F.lit(slide_us))).alias("__base")
+    return (
+        df.select(base, key_col)
+        .select(
+            F.explode(
+                F.array(*[F.lit(k) for k in range(win_us // slide_us)])
+            ).alias("__k"),
+            "__base",
+            key_col,
+        )
+        .select(
+            (F.col("__base") - F.col("__k") * F.lit(slide_us)).alias("ws_us"),
+            key_col,
+        )
+    )
+
+
 def sliding_distinct(
     df: DataFrame,
     ts_col: str,
@@ -323,7 +381,7 @@ def sliding_distinct(
     slide: str,
     extra_aggs: list | None = None,
     method: str = "auto",
-    key_budget: int = SLIDING_DISTINCT_KEY_BUDGET,
+    key_budget: int | None = None,
     rsd: float = 0.02,
 ) -> DataFrame:
     """Per-sliding-window distinct count of ``key_col`` with a scale guard.
@@ -350,8 +408,16 @@ def sliding_distinct(
 
     Output columns: ``ws_us`` (window start, epoch µs), ``n_distinct``,
     plus any ``extra_aggs`` (already-aliased Columns).
+
+    ``key_budget=None`` (default) derives the exact-path budget from the
+    SESSION — :func:`sliding_distinct_budget` scales the measured
+    per-partition wall by ``spark.sql.shuffle.partitions`` — so a bigger
+    cluster keeps the exact path proportionally longer; pass an int to
+    pin it.
     """
     if method == "auto":
+        if key_budget is None:
+            key_budget = sliding_distinct_budget(df.sparkSession)
         method = choose_distinct_method(
             sliding_key_space(df, ts_col, key_col, window, slide), key_budget
         )
@@ -366,30 +432,9 @@ def sliding_distinct(
                 "method='hll' is a two-stage register aggregation; compute "
                 "extra_aggs in a separate pass and join on ws_us"
             )
-        win_us, slide_us = _duration_us(window), _duration_us(slide)
-        if win_us % slide_us:
+        if _duration_us(window) % _duration_us(slide):
             raise ValueError("method='hll' requires window % slide == 0")
-        # arithmetic window expansion (exact long math — the same member
-        # set F.window produces for an aligned spec, no Expand-in-agg).
-        # pmod, not %: Spark % truncates toward zero, so pre-1970
-        # (negative-epoch) events would misalign vs F.window's floor
-        # semantics; pmod's non-negative remainder IS floor alignment.
-        us = F.unix_micros(ts_col)
-        base = (us - F.pmod(us, F.lit(slide_us))).alias("__base")
-        expanded = (
-            df.select(base, key_col)
-            .select(
-                F.explode(
-                    F.array(*[F.lit(k) for k in range(win_us // slide_us)])
-                ).alias("__k"),
-                "__base",
-                key_col,
-            )
-            .select(
-                (F.col("__base") - F.col("__k") * F.lit(slide_us)).alias("ws_us"),
-                key_col,
-            )
-        )
+        expanded = sliding_expand(df, ts_col, key_col, window, slide)
         regs = hll_registers_by(expanded, key_col, [F.col("ws_us")])
         est = hll_corrected_estimate(F.count("*"), F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))))
         return regs.groupBy("ws_us").agg(

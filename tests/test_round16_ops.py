@@ -499,3 +499,30 @@ def test_audio_spectral_against_naive_dft():
         assert abs(r.centroid_hz - round(float(c), 4)) < 1e-3
         assert abs(r.bandwidth_hz - round(float(s), 4)) < 1e-3
         assert abs(r.flatness - round(float(f), 6)) < 1e-5
+
+
+def test_key_budget_derived_from_session(spark):
+    """VERDICT r11 #5: the exact-path pair budget scales with the session's
+    shuffle-partition count (per-partition state allowance × partitions);
+    the 50M constant is exactly the measured 32-partition reference wall
+    and the no-session fallback."""
+    from pulsar_message_filter_spark.operators.windows import (
+        SLIDING_DISTINCT_KEY_BUDGET,
+        SLIDING_DISTINCT_PAIRS_PER_PARTITION,
+        sliding_distinct_budget,
+    )
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert (
+        sliding_distinct_budget(spark)
+        == parts * SLIDING_DISTINCT_PAIRS_PER_PARTITION
+    )
+    assert 32 * SLIDING_DISTINCT_PAIRS_PER_PARTITION == SLIDING_DISTINCT_KEY_BUDGET
+
+    class _NoConf:
+        class conf:  # conf.get raises → fallback
+            @staticmethod
+            def get(key):
+                raise RuntimeError("no conf")
+
+    assert sliding_distinct_budget(_NoConf()) == SLIDING_DISTINCT_KEY_BUDGET

@@ -95,3 +95,38 @@ def test_hll_window_merge_equals_whole_range_sketch(spark):
         .collect()
     }
     assert merged == whole and len(whole) > 0
+
+
+def test_linear_counting_correction_cross_engine_all_63_values(spark):
+    """Standing pin of the claim in ``hll_corrected_estimate``'s docstring
+    (VERDICT r11): the 63 possible small-range linear-counting correction
+    values ``round(m·ln(m/V), 4)`` for V ∈ 1..63 must be IDENTICAL between
+    Spark (``F.log``, the expression the graded e2e query evaluates) and
+    DuckDB (``ln``, the oracle side) — so a JVM or DuckDB math-library
+    upgrade cannot silently break the e2e oracle on register counts the
+    fixtures don't currently hit."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.operators.sketch import _HLL_M
+
+    m = _HLL_M
+    duck = dict(
+        duckdb.sql(
+            f"SELECT v, round({m} * ln(CAST({m} AS DOUBLE) / v), 4) "
+            f"FROM range(1, {m}) t(v)"
+        ).fetchall()
+    )
+    spark_vals = {
+        r.v: r.est
+        for r in spark.range(1, m)
+        .select(
+            F.col("id").alias("v"),
+            F.round(
+                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("id")), 4
+            ).alias("est"),
+        )
+        .collect()
+    }
+    assert len(duck) == m - 1 == len(spark_vals)
+    assert duck == spark_vals

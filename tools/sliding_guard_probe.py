@@ -34,8 +34,8 @@ def main() -> int:
     from pulsar_message_filter_spark import registry
     from pulsar_message_filter_spark.io import load
     from pulsar_message_filter_spark.operators.windows import (
-        SLIDING_DISTINCT_KEY_BUDGET,
         sliding_distinct,
+        sliding_distinct_budget,
         sliding_key_space,
     )
     from pulsar_message_filter_spark.session import get_spark
@@ -44,7 +44,9 @@ def main() -> int:
     spark = get_spark("pmf-sliding-guard")
     graded = registry.all_graded()
     root = tempfile.mkdtemp(prefix="pmf_guard_")
-    out = {"budget": SLIDING_DISTINCT_KEY_BUDGET, "factors": {}}
+    # session-derived (partitions × per-partition allowance); 50M on the
+    # reference 32-partition session
+    out = {"budget": sliding_distinct_budget(spark), "factors": {}}
     try:
         for n in factors:
             d = os.path.join(root, f"x{n}")
