@@ -82,6 +82,7 @@ HEADLINE = [
     "e2c_sliding_revenue",  # exact sliding distinct (the measured-limit form)
     "e2e_sliding_reach_hll",  # its 100 TB replacement: per-window HLL, same spec
     "e2d_sliding_reach_auto",  # sliding_distinct(method='auto') incl. pre-flight
+    "e2f_sliding_type_reach_hll",  # string-key HLL through the public helper
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -163,6 +164,7 @@ BUDGET_SEC = {
     "e2c_sliding_revenue": 2.0,
     "e2e_sliding_reach_hll": 2.0,
     "e2d_sliding_reach_auto": 2.0,
+    "e2f_sliding_type_reach_hll": 2.0,
 }
 
 

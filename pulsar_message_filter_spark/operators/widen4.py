@@ -209,6 +209,87 @@ def e2e_sliding_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E2/C12/D1 — the round-12 string-key HLL path graded end-to-end: the
+# PUBLIC sliding_distinct(method='hll') helper on a STRING key column
+# (event_type folds to a long via sketch.hll_key_expr's polynomial hash,
+# itself SQL-expressible).  Grades, in one query: the helper's hll branch,
+# the floor-aligned pmod expansion, the string fold, the register family,
+# the small-range correction, and the final HALF_UP integer round (the
+# reachable estimate set was probed .5-free cross-engine; all event-type
+# cardinalities land in the linear-counting branch).
+# ---------------------------------------------------------------------------
+
+_STR_MOD = 1_000_000_007  # sketch._STR_FOLD_MOD (text.py's one poly modulus)
+
+
+@graded(
+    "e2f_sliding_type_reach_hll",
+    oracle=f"""
+        WITH f AS (
+            -- floor-aligned base (integer positive-mod, see e2d note) +
+            -- the char-level polynomial string fold (sketch.hll_key_expr)
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {_SLIDE_US}) + {_SLIDE_US}) % {_SLIDE_US})
+                   AS base,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(event_type, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % {_STR_MOD}) AS kv
+            FROM events
+        ),
+        h0 AS (
+            SELECT base - k * {_SLIDE_US} AS ws_us,
+                   (kv * {_HLL_A} + {_HLL_B}) % {_P} AS hv
+            FROM f, LATERAL unnest([0, 1, 2]) AS t(k)
+        ),
+        h1 AS (SELECT ws_us, (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM h0),
+        h2 AS (SELECT ws_us, (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT ws_us, xor(hv, hv >> 16) AS hv FROM h2),
+        regs AS (
+            SELECT ws_us, hv % {_HLL_M} AS register,
+                   max(CASE WHEN hv // {_HLL_M} > 0
+                            THEN 25 - floor(log2(hv // {_HLL_M}))
+                            ELSE 26 END) AS max_rho
+            FROM h GROUP BY 1, 2
+        )
+        SELECT ws_us,
+               CAST(round(
+                   CASE WHEN ({_HLL_M} - count(*)) > 0
+                             AND {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                 / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*)))
+                                 <= 2.5 * {_HLL_M}
+                        THEN round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                                 / ({_HLL_M} - count(*))), 4)
+                        ELSE round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                   / (sum(power(2.0, -max_rho))
+                                      + ({_HLL_M} - count(*))), 4)
+                   END, 0) AS BIGINT) AS n_distinct
+        FROM regs GROUP BY ws_us
+    """,
+    section="E2,C12,D1,F14",
+    description="sliding 6h/2h distinct event-TYPE reach through the public "
+    "sliding_distinct(method='hll') helper on a STRING key: the char-level "
+    "polynomial fold (hll_key_expr), pmod floor alignment, register family, "
+    "small-range correction, and the final integer round are all inside the "
+    "hash grade — string-keyed sketches (types, session ids) stay "
+    "oracle-checkable",
+)
+def e2f_sliding_type_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-keyed sliding HLL reach via the public helper.
+
+    100 TB scale shape: identical to e2e's — arithmetic expansion (3
+    member windows per event, exact long math), one shuffle keyed on
+    (window, register) whose value space is ≤ 64 rows per window
+    regardless of input, partials mergeable by per-register max.  The
+    string fold runs scan-side inside codegen (transform + aggregate over
+    the char array — no UDF), so string keys cost one extra projection,
+    not a Python boundary.
+    """
+    ev = load(spark, "events", sf_dir)
+    return sliding_distinct(ev, "ts", "event_type", "6 hours", "2 hours", method="hll")
+
+
+# ---------------------------------------------------------------------------
 # F13/F14 — exact Lloyd assignment step on integer-quantized embeddings.
 # kmeans_lite_clusters stays rows-only (iterative, float centroids); this
 # twin freezes ONE deterministic assignment pass in exact int64 arithmetic

@@ -227,3 +227,77 @@ def test_f49b_pool_smaller_than_k(spark, tmp_path):
 
     got = f49b_mmr_exact(spark, sf_dir).collect()
     assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3, 4]
+
+
+def test_e2f_string_hll_python_witness(spark):
+    """End-to-end pure-Python recompute of e2f_sliding_type_reach_hll on
+    sf0.001: string fold → avalanche hash → per-(window, register) max rho
+    → small-range-corrected estimate → HALF_UP integer round.  Uses
+    bit_length for rho and Decimal HALF_UP for the rounds — different
+    exactness paths from both engines."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.sketch import (
+        _HLL_A,
+        _HLL_ALPHA,
+        _HLL_B,
+        _HLL_M,
+        _HLL_MULT,
+        _P,
+        _STR_FOLD_MOD,
+    )
+    from pulsar_message_filter_spark.operators.widen4 import (
+        e2f_sliding_type_reach_hll,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.ws_us: r.n_distinct for r in e2f_sliding_type_reach_hll(spark, sf).collect()}
+
+    slide_us, members = 2 * 3600 * 1_000_000, 3
+    rows = (
+        load(spark, "events", sf)
+        .select(F.unix_micros("ts").alias("us"), "event_type")
+        .collect()
+    )
+    regs: dict[tuple[int, int], int] = {}
+    for r in rows:
+        kv = 0
+        for ch in r.event_type:
+            kv = (kv * 31 + ord(ch)) % _STR_FOLD_MOD
+        h = (kv * _HLL_A + _HLL_B) % _P
+        h ^= h >> 16
+        h = (h * _HLL_MULT) % _P
+        h ^= h >> 13
+        h = (h * _HLL_MULT) % _P
+        h ^= h >> 16
+        reg, w = h % _HLL_M, h // _HLL_M
+        rho = (25 - (w.bit_length() - 1)) if w > 0 else 26
+        base = r.us - r.us % slide_us
+        for k in range(members):
+            key = (base - k * slide_us, reg)
+            if regs.get(key, -1) < rho:
+                regs[key] = rho
+
+    def half_up(x: float, places: str) -> Decimal:
+        return Decimal(x).quantize(Decimal(places), ROUND_HALF_UP)
+
+    expected: dict[int, int] = {}
+    by_ws: dict[int, dict[int, int]] = {}
+    for (ws, reg), rho in regs.items():
+        by_ws.setdefault(ws, {})[reg] = rho
+    for ws, table in by_ws.items():
+        hit = len(table)
+        hsum = sum(2.0**-rho for rho in table.values())  # exact dyadic sum
+        v_empty = _HLL_M - hit
+        raw = (_HLL_ALPHA * _HLL_M * _HLL_M) / (hsum + v_empty)
+        if v_empty > 0 and raw <= 2.5 * _HLL_M:
+            import math
+
+            est4 = half_up(_HLL_M * math.log(_HLL_M / v_empty), "0.0001")
+        else:
+            est4 = half_up(raw, "0.0001")
+        expected[ws] = int(est4.quantize(Decimal("1"), ROUND_HALF_UP))
+    assert got == expected
