@@ -53,3 +53,11 @@ def test_quickstart_sliding_distinct(spark):
     rows = reach.collect()
     assert rows and {"ws_us", "n_distinct"} <= set(reach.columns)
     assert all(r.n_distinct > 0 for r in rows)
+
+    # README's string-key example: event_type folds to a long scan-side
+    types = sliding_distinct(
+        events, "ts", "event_type", "6 hours", "2 hours", method="hll"
+    )
+    trows = types.collect()
+    assert trows and {"ws_us", "n_distinct"} <= set(types.columns)
+    assert all(r.n_distinct > 0 for r in trows)
