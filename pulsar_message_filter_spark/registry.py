@@ -87,9 +87,9 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "a_partition_pruned_read": 8,
     "a_schema_evolution_read": 7,
     "abtest_cuped": 11,
-    "abtest_mann_whitney": 4,
-    "abtest_poisson_bootstrap": 4,
-    "abtest_ratio_bootstrap": 4,
+    "abtest_mann_whitney": 12,
+    "abtest_poisson_bootstrap": 12,
+    "abtest_ratio_bootstrap": 12,
     "abtest_two_proportion": 11,
     "abtest_welch_t": 11,
     "activity_heatmap": 7,
@@ -104,7 +104,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "agg_distinct": 9,
     "agg_gini_exact": 11,
     "agg_heavy_hitters": 11,
-    "agg_kth_smallest": 4,
+    "agg_kth_smallest": 12,
     "agg_mode_exact": 11,
     "agg_moments_exact": 9,
     "agg_percentiles": 9,
@@ -124,10 +124,10 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "b7_null_3vl_composite": 10,
     "basket_lift_pairs": 11,
     "basket_lift_weekly": 11,
-    "basket_rules": 4,
-    "behavior_activity_streaks": 4,
+    "basket_rules": 12,
+    "behavior_activity_streaks": 12,
     "behavior_markov_entropy": 5,
-    "behavior_markov_stationary": 4,
+    "behavior_markov_stationary": 12,
     "behavior_session_pmi": 5,
     "c15b_collect_entries_map": 10,
     "c3b_distinct_pairs_daily": 10,
@@ -138,7 +138,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "cms_user_event_counts": 10,
     "cohort_retention": 7,
     "cohort_retention_monthly": 7,
-    "corpus_zipf_slope": 4,
+    "corpus_zipf_slope": 12,
     "cross_lang_source_grid": 8,
     "crosstab_cramers_v": 11,
     "decay_score_asof": 7,
@@ -148,11 +148,12 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "drift_benford_profile": 11,
     "drift_ks_two_sample": 11,
     "drift_psi_value": 11,
-    "drift_wasserstein": 4,
+    "drift_wasserstein": 12,
     "e2b_sliding_top_type": 9,
     "e2c_sliding_revenue": 10,
     "e2d_sliding_reach_auto": 11,
     "e2e_sliding_reach_hll": 11,
+    "e2f_sliding_type_reach_hll": 12,
     "e6b_band_enrichment": 9,
     "epoch_shuffle_order": 7,
     "eval_auc_rank": 8,
@@ -171,7 +172,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f15_curation_pipeline": 6,
     "f16_training_mixture": 7,
     "f17_sequence_packing": 7,
-    "f18_incremental_dedup": 4,
+    "f18_incremental_dedup": 12,
     "f19_curation_to_packing": 7,
     "f1_exact_dedup": 6,
     "f20_dedup_clusters": 6,
@@ -228,18 +229,18 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f54_bigram_perplexity": 11,
     "f55_vocab_coverage": 11,
     "f56_ngram_novelty": 11,
-    "f57_winnowing_candidates": 4,
-    "f58_hard_negatives": 4,
-    "f59_retrieval_metrics": 4,
+    "f57_winnowing_candidates": 12,
+    "f58_hard_negatives": 12,
+    "f59_retrieval_metrics": 12,
     "f5_knn_vote": 6,
     "f5_knn_weighted_vote": 9,
-    "f60_knn_eval": 4,
-    "f61_common_substring_spans": 4,
+    "f60_knn_eval": 12,
+    "f61_common_substring_spans": 12,
     "f62_compression_ratio": 8,
     "f63_lsh_dedup_eval": 8,
-    "f64_power_iteration_pca": 4,
-    "f65_dataset_card": 4,
-    "f66_threshold_sweep": 4,
+    "f64_power_iteration_pca": 12,
+    "f65_dataset_card": 12,
+    "f66_threshold_sweep": 12,
     "f67_consistent_sharding": 5,
     "f6_token_stats": 6,
     "f6b_char_profile": 6,
@@ -284,7 +285,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "func_map_entries_agg": 8,
     "func_map_json": 5,
     "func_math": 5,
-    "func_regex": 4,
+    "func_regex": 12,
     "func_string": 5,
     "func_string2": 5,
     "func_string3": 5,
@@ -293,7 +294,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "funnel_conversion_lag": 7,
     "funnel_session_strict": 7,
     "fuzzy_jaro_winkler": 11,
-    "fuzzy_mutual_best": 4,
+    "fuzzy_mutual_best": 12,
     "fuzzy_vocab_pairs": 10,
     "g1_scalar_udf": 6,
     "g3_pandas_udaf": 6,
@@ -308,8 +309,8 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "global_dense_ids": 11,
     "global_topk": 11,
     "graph_khop_reachability": 11,
-    "graph_label_propagation": 4,
-    "graph_local_clustering": 4,
+    "graph_label_propagation": 12,
+    "graph_local_clustering": 12,
     "graph_triangle_count": 11,
     "grouping_id_measures": 8,
     "hll_audience_overlap": 11,
@@ -318,7 +319,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "impute_group_median": 11,
     "incremental_partial_merge": 7,
     "interevent_gap_profile": 7,
-    "interval_campaign_overlap": 4,
+    "interval_campaign_overlap": 12,
     "interval_max_concurrency": 7,
     "ivm_agg_maintenance": 7,
     "join_anti": 9,
@@ -329,19 +330,19 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "join_cross": 9,
     "join_full_outer": 9,
     "join_left_outer": 9,
-    "join_null_safe": 5,
+    "join_null_safe": 12,
     "join_range_theta": 9,
     "join_semi": 9,
     "kmeans_assign_exact": 11,
     "kmeans_lite_clusters": 8,
     "kmv_distinct_jaccard": 5,
     "kmv_set_difference": 6,
-    "linkage_entity_clusters": 4,
+    "linkage_entity_clusters": 12,
     "mi_type_hour_profile": 11,
-    "mixture_nucleus_topp": 4,
-    "mixture_temperature_weights": 4,
-    "order_nulls_last": 5,
-    "pagerank_neardup_hubs": 4,
+    "mixture_nucleus_topp": 12,
+    "mixture_temperature_weights": 12,
+    "order_nulls_last": 12,
+    "pagerank_neardup_hubs": 12,
     "pareto_frontier_2d": 11,
     "path_transitions": 7,
     "pipeline_composite": 9,
@@ -349,39 +350,39 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "privacy_k_anonymity": 7,
     "privacy_suppression": 7,
     "q10_returned_items": 9,
-    "q11_important_parts": 5,
-    "q12_shipping_buckets": 5,
+    "q11_important_parts": 12,
+    "q12_shipping_buckets": 12,
     "q13_order_count_distribution": 9,
     "q14_promo_revenue_share": 9,
-    "q15_top_supplier": 5,
-    "q16_part_supplier_variety": 5,
-    "q17_small_qty_revenue": 5,
+    "q15_top_supplier": 12,
+    "q16_part_supplier_variety": 12,
+    "q17_small_qty_revenue": 12,
     "q18_large_orders": 9,
-    "q19_disjunctive_revenue": 5,
+    "q19_disjunctive_revenue": 12,
     "q1_pricing_summary": 9,
-    "q20_dominant_suppliers": 5,
-    "q21_waiting_suppliers": 5,
-    "q22_idle_customers": 5,
-    "q2_min_cost_supplier": 5,
+    "q20_dominant_suppliers": 12,
+    "q21_waiting_suppliers": 12,
+    "q22_idle_customers": 12,
+    "q2_min_cost_supplier": 12,
     "q3_top_revenue": 9,
-    "q4_order_priority": 5,
+    "q4_order_priority": 12,
     "q5_local_supplier_revenue": 9,
     "q6_forecast_revenue": 9,
     "q7_volume_shipping": 9,
-    "q8_market_share": 5,
-    "q9_product_profit": 5,
+    "q8_market_share": 12,
+    "q9_product_profit": 12,
     "quantile_histogram_estimate": 10,
     "redelivery_counter_batch_twin": 8,
     "regression_residual_profile": 11,
     "reschedule_retry_loop": 9,
     "rfm_segmentation": 7,
-    "robust_theil_sen": 4,
+    "robust_theil_sen": 12,
     "rolling_active_users": 7,
     "rollup_share_of_parent": 10,
-    "rollup_two_level": 5,
+    "rollup_two_level": 12,
     "salted_hot_key_agg": 10,
     "sample_hash_deterministic": 5,
-    "sample_neyman_allocation": 4,
+    "sample_neyman_allocation": 12,
     "sample_reservoir_merge": 5,
     "sample_seeded": 10,
     "sample_stratified": 5,
@@ -420,12 +421,12 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "sketch_sample_quantiles": 7,
     "sql_shared_case_join": 5,
     "sql_shared_cte_setops": 11,
-    "sql_shared_exists": 5,
+    "sql_shared_exists": 12,
     "sql_shared_filter_clause": 10,
     "sql_shared_grouping_sets": 5,
     "sql_shared_in_subquery": 5,
     "sql_shared_lateral_top1": 8,
-    "sql_shared_pricing": 5,
+    "sql_shared_pricing": 12,
     "sql_shared_range_frame": 10,
     "sql_shared_recursive_reach": 8,
     "sql_shared_values_dim": 10,
@@ -440,12 +441,12 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "stream_stream_join": 6,
     "stream_stream_join_followup": 9,
     "stream_stream_join_outer_first": 9,
-    "survival_kaplan_meier": 4,
+    "survival_kaplan_meier": 12,
     "throttle_per_user_hour": 10,
     "timeseries_autocorr": 7,
     "timeseries_ewma": 7,
     "timeseries_gapfill": 7,
-    "timeseries_seasonal_decompose": 4,
+    "timeseries_seasonal_decompose": 12,
     "timeseries_trend_slope": 7,
     "topk_per_group": 11,
     "topk_with_ties": 11,
