@@ -161,9 +161,31 @@ def hll_key_expr(df: DataFrame, key_col: str):
     Numeric keys pass through untouched (every existing graded HLL query
     keeps its exact plan).  STRING keys fold to a long via the repo's
     char-level polynomial rolling hash ``(acc·31 + code) % 1e9+7`` — pure
-    Column algebra, so string-keyed sketches (event types, session ids)
-    stay engine-expressible and deterministic.  ``split(s, '')`` on the
-    empty string yields ``['']`` whose ``ascii`` is 0, so '' folds to 0.
+    Column algebra, so string-keyed sketches (event types, enum-ish
+    dimension values) stay engine-expressible and deterministic.
+    ``split(s, '')`` on the empty string yields ``['']`` whose ``ascii``
+    is 0, so '' folds to 0.
+
+    **Cardinality ceiling (ADVICE r12).**  The fold maps strings into
+    ``[0, 1e9+7)``; birthday collisions make the downstream estimate
+    systematically UNDERcount once distinct-string cardinality ``n``
+    approaches the modulus — expected surviving distincts are
+    ``m·(1−exp(−n/m))``, i.e. ≈2% low at n=4e7, ≈12% low at n=2.6e8,
+    saturating near 1e9 — an error floor OUTSIDE the sketch's nominal
+    ±1.04/√m band that no register count fixes.  Widening the fold alone
+    cannot lift this: the very next step is ``(kv·999983 + b) % (2^31−1)``,
+    so a fold modulus beyond ~9.2e12 overflows int64 in the multiply, and
+    reducing ``kv`` mod ``p=2^31−1`` first (or splitting the multiply —
+    with Mersenne p, ``2^31 ≡ 1 (mod p)``, so the split IS the reduction)
+    lands in the same 2^31-point space, which is its own ≈2e9 ceiling for
+    the whole deterministic register family, string or numeric keys alike.
+    A genuinely wider pipeline needs 128-bit mulmod, which neither engine
+    exposes in plain int64 SQL — and engine-expressibility is this
+    family's entire reason to exist.  Contract: the deterministic family
+    is for ORACLE-CHECKABLE estimates up to ~1e7–1e8 distinct keys
+    (≤0.5–5% fold undercount, inside the ±13% band at m=64); beyond that,
+    use ``sliding_distinct(method='approx')`` / ``approx_count_distinct``
+    — Spark's HLL++ hashes with 64-bit xxhash and has no such ceiling.
     """
     if dict(df.dtypes).get(key_col) != "string":
         return F.col(key_col)

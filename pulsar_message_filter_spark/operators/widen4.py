@@ -45,6 +45,7 @@ from pulsar_message_filter_spark.operators.sketch import (
     _HLL_M,
     _HLL_MULT,
     _P,
+    _STR_FOLD_MOD,
     hll_corrected_estimate,
     hll_registers_by,
 )
@@ -219,7 +220,9 @@ def e2e_sliding_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cardinalities land in the linear-counting branch).
 # ---------------------------------------------------------------------------
 
-_STR_MOD = 1_000_000_007  # sketch._STR_FOLD_MOD (text.py's one poly modulus)
+# Single-sourced from sketch so the oracle can never drift from the fold
+# it grades (ADVICE r12): if the sketch modulus moves, this moves with it.
+_STR_MOD = _STR_FOLD_MOD
 
 
 @graded(

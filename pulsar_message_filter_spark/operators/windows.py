@@ -276,20 +276,40 @@ SLIDING_DISTINCT_PAIRS_PER_PARTITION = 1_562_500
 #: no session is available to derive partitions from.
 SLIDING_DISTINCT_KEY_BUDGET = 50_000_000
 
+#: Clamp on the derived budget, as a multiple of the measured 50M
+#: reference (ADVICE r12): the per-partition extrapolation assumes even
+#: (window, key) sharding and a reduce-task count that actually equals
+#: ``spark.sql.shuffle.partitions`` — AQE coalescing can merge reduce
+#: tasks (fewer, bigger state shards) and skewed keys concentrate state,
+#: so a 2000-partition conf does NOT guarantee 2000-way state sharding.
+#: Until a wall is measured on a genuinely higher-partition session, the
+#: derived budget tops out at 16× the reference (800M pairs); callers on
+#: measured big iron can pass ``key_budget=`` explicitly.
+SLIDING_DISTINCT_BUDGET_CLAMP_X = 16
+
 
 def sliding_distinct_budget(spark) -> int:
     """Session-derived exact-path pair budget:
-    ``spark.sql.shuffle.partitions × SLIDING_DISTINCT_PAIRS_PER_PARTITION``.
+    ``spark.sql.shuffle.partitions × SLIDING_DISTINCT_PAIRS_PER_PARTITION``,
+    clamped to ``SLIDING_DISTINCT_BUDGET_CLAMP_X × 50M``.
 
-    A 2000-partition cluster gets a ~3.1B-pair budget (each reduce task
-    still holds the same ~1.56M-pair state the wall was measured at);
-    a small local session gets proportionally less.  Falls back to the
-    measured 50M constant if the conf is unreadable.
+    A 512-partition cluster gets the full proportional ~800M-pair budget
+    (each reduce task holding the same ~1.56M-pair state the wall was
+    measured at); beyond 512 partitions the clamp holds the budget flat —
+    the even-sharding assumption behind the extrapolation weakens under
+    AQE partition coalescing and (window, key) skew, and no wall has been
+    measured above the 32-partition reference.  A small local session
+    gets proportionally less; an unreadable conf falls back to the
+    measured 50M constant.  Pass ``key_budget=`` to ``sliding_distinct``
+    to override either direction.
     """
     try:
-        return (
+        derived = (
             int(spark.conf.get("spark.sql.shuffle.partitions"))
             * SLIDING_DISTINCT_PAIRS_PER_PARTITION
+        )
+        return min(
+            derived, SLIDING_DISTINCT_BUDGET_CLAMP_X * SLIDING_DISTINCT_KEY_BUDGET
         )
     except Exception:
         return SLIDING_DISTINCT_KEY_BUDGET
@@ -411,7 +431,9 @@ def sliding_distinct(
 
     ``key_budget=None`` (default) derives the exact-path budget from the
     SESSION — :func:`sliding_distinct_budget` scales the measured
-    per-partition wall by ``spark.sql.shuffle.partitions`` — so a bigger
+    per-partition wall by ``spark.sql.shuffle.partitions``, clamped at
+    16× the measured reference (AQE coalescing and key skew weaken the
+    even-sharding extrapolation; see the clamp note there) — so a bigger
     cluster keeps the exact path proportionally longer; pass an int to
     pin it.
     """

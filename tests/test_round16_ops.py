@@ -507,17 +507,47 @@ def test_key_budget_derived_from_session(spark):
     the 50M constant is exactly the measured 32-partition reference wall
     and the no-session fallback."""
     from pulsar_message_filter_spark.operators.windows import (
+        SLIDING_DISTINCT_BUDGET_CLAMP_X,
         SLIDING_DISTINCT_KEY_BUDGET,
         SLIDING_DISTINCT_PAIRS_PER_PARTITION,
         sliding_distinct_budget,
     )
 
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    assert (
-        sliding_distinct_budget(spark)
-        == parts * SLIDING_DISTINCT_PAIRS_PER_PARTITION
+    assert sliding_distinct_budget(spark) == min(
+        parts * SLIDING_DISTINCT_PAIRS_PER_PARTITION,
+        SLIDING_DISTINCT_BUDGET_CLAMP_X * SLIDING_DISTINCT_KEY_BUDGET,
     )
     assert 32 * SLIDING_DISTINCT_PAIRS_PER_PARTITION == SLIDING_DISTINCT_KEY_BUDGET
+
+    class _Conf:
+        def __init__(self, parts):
+            self._p = parts
+
+        @property
+        def conf(self):
+            outer = self
+
+            class _C:
+                @staticmethod
+                def get(key):
+                    return str(outer._p)
+
+            return _C()
+
+    # ADVICE r12 clamp: a default-200-partition session extrapolates 6.25×
+    # past the measured wall (uncapped 312.5M) — still granted, because the
+    # clamp binds at 16×; a 2000-partition conf does NOT get 3.1B pairs
+    # (AQE coalescing / key skew break the even-sharding extrapolation)
+    # but exactly the 800M ceiling.
+    assert (
+        sliding_distinct_budget(_Conf(200))
+        == 200 * SLIDING_DISTINCT_PAIRS_PER_PARTITION
+    )
+    assert (
+        sliding_distinct_budget(_Conf(2000))
+        == SLIDING_DISTINCT_BUDGET_CLAMP_X * SLIDING_DISTINCT_KEY_BUDGET
+    )
 
     class _NoConf:
         class conf:  # conf.get raises → fallback

@@ -50,7 +50,13 @@ def _oracle_sql(win_us: int, slide_us: int, key: str) -> str:
     kmax = math.ceil(win_us / slide_us)  # superset; WHERE prunes non-members
     return f"""
         WITH hits AS (
-            SELECT (epoch_us(ts) // {slide_us} - k) * {slide_us} AS ws_us,
+            -- positive-mod floor alignment, same form as the graded e2c/e2d/
+            -- e2e oracles (ADVICE r12): truncating `epoch_us // slide` would
+            -- misalign pre-1970 negative-epoch fixtures, so the fuzz oracle
+            -- must not quietly depend on the fixtures being post-1970.
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {slide_us}) + {slide_us}) % {slide_us})
+                   - k * {slide_us} AS ws_us,
                    {key} AS k_val, epoch_us(ts) AS t_us
             FROM events, LATERAL unnest(generate_series(0, {kmax - 1})) AS t(k)
         )
