@@ -293,6 +293,95 @@ def e2f_sliding_type_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E2/C12/D1 — the NON-ASCII twin of e2f (VERDICT r12 #3): the same public
+# sliding_distinct(method='hll') path, but the key is event_type pushed
+# through a codepoint bijection covering every UTF-8 width — 2-byte
+# (Greek/Cyrillic/ü), 3-byte (CJK/kana), and 4-byte astral (😀, the UTF-16
+# surrogate-pair case).  The fold's ascii()/split('') codepoint semantics
+# are now INSIDE a driver hash grade on multi-byte data, not just a pytest
+# pin — if either engine ever regressed to code-unit iteration (Spark
+# returning the high surrogate, say), this query goes red.  translate()
+# parity on the exact mapping was probed cross-engine first (all five
+# event types byte-identical, 'view' → 'вあ中😀').  Estimates stay in the
+# linear-counting branch (≤5 distinct keys per window), whose 63-value
+# table is .5-free cross-engine (standing test, test_sketch.py).
+# ---------------------------------------------------------------------------
+
+#: codepoint bijection: ASCII → 2-byte × 7, 3-byte × 2, 4-byte astral × 1
+_E2G_FROM = "aceiklprsuvw"
+_E2G_TO = "αб中あкλπρσüв😀"
+
+
+@graded(
+    "e2g_sliding_unicode_reach_hll",
+    oracle=f"""
+        WITH f AS (
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {_SLIDE_US}) + {_SLIDE_US}) % {_SLIDE_US})
+                   AS base,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(
+                           translate(event_type, '{_E2G_FROM}', '{_E2G_TO}'),
+                           ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % {_STR_MOD}) AS kv
+            FROM events
+        ),
+        h0 AS (
+            SELECT base - k * {_SLIDE_US} AS ws_us,
+                   (kv * {_HLL_A} + {_HLL_B}) % {_P} AS hv
+            FROM f, LATERAL unnest([0, 1, 2]) AS t(k)
+        ),
+        h1 AS (SELECT ws_us, (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM h0),
+        h2 AS (SELECT ws_us, (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT ws_us, xor(hv, hv >> 16) AS hv FROM h2),
+        regs AS (
+            SELECT ws_us, hv % {_HLL_M} AS register,
+                   max(CASE WHEN hv // {_HLL_M} > 0
+                            THEN 25 - floor(log2(hv // {_HLL_M}))
+                            ELSE 26 END) AS max_rho
+            FROM h GROUP BY 1, 2
+        )
+        SELECT ws_us,
+               CAST(round(
+                   CASE WHEN ({_HLL_M} - count(*)) > 0
+                             AND {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                 / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*)))
+                                 <= 2.5 * {_HLL_M}
+                        THEN round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                                 / ({_HLL_M} - count(*))), 4)
+                        ELSE round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                   / (sum(power(2.0, -max_rho))
+                                      + ({_HLL_M} - count(*))), 4)
+                   END, 0) AS BIGINT) AS n_distinct
+        FROM regs GROUP BY ws_us
+    """,
+    section="E2,C12,D1,F14",
+    description="e2f's NON-ASCII twin: sliding 6h/2h HLL reach where the "
+    "string key runs through a codepoint bijection spanning 2-, 3-, and "
+    "4-byte UTF-8 (incl. a surrogate-pair emoji) before the polynomial "
+    "fold — pins hll_key_expr's codepoint semantics cross-engine inside "
+    "the driver hash grade, so string-keyed sketches on real-world "
+    "unicode data can't silently diverge from their oracles",
+)
+def e2g_sliding_unicode_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-keyed sliding HLL reach via the public helper.
+
+    Same 100 TB shape as e2f (arithmetic window expansion, one shuffle
+    bounded at ≤64 register rows per window, mergeable partials); the
+    only addition is one scan-side ``translate`` projection before the
+    fold — still zero Python, still whole-stage codegen.  The point is
+    the key DOMAIN: multi-byte UTF-8 through ``split('')``/``ascii``,
+    graded hash-exact against DuckDB's ``string_split``/``ascii``.
+    """
+    ev = load(spark, "events", sf_dir)
+    keyed = ev.select(
+        "ts", F.translate("event_type", _E2G_FROM, _E2G_TO).alias("etype_u")
+    )
+    return sliding_distinct(keyed, "ts", "etype_u", "6 hours", "2 hours", method="hll")
+
+
+# ---------------------------------------------------------------------------
 # F13/F14 — exact Lloyd assignment step on integer-quantized embeddings.
 # kmeans_lite_clusters stays rows-only (iterative, float centroids); this
 # twin freezes ONE deterministic assignment pass in exact int64 arithmetic
