@@ -41,19 +41,23 @@ _FAMILY = ((131_071, 524_287), (262_139, 8_191), (524_287, 131_101), (999_983, 2
 def cms_build(
     df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
 ) -> DataFrame:
-    """Counter cells ``(row, cell, cnt)`` of the CMS over an int key column.
+    """Counter cells ``(row, cell, cnt)`` of the CMS over a key column.
 
     One generator projection (depth cells per input row via a literal
     array + explode) and one ``groupBy(row, cell)`` count — map-side
     combinable, at most ``depth × width`` output rows however large the
     input.  Build partials per partition/day/batch and merge by summing
     ``cnt`` over the same grouping: addition is the sketch's merge.
+    STRING keys fold to longs first via :func:`hll_key_expr` (the shared
+    polynomial char fold — same ~1e8-distinct ceiling documented there;
+    CMS heavy-hitter workloads are far below it by construction).
     """
+    kv = hll_key_expr(df, key_col)
     cells = F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                ((F.col(key_col) * _FAMILY[i][0] + _FAMILY[i][1]) % _P % width).alias(
+                ((kv * _FAMILY[i][0] + _FAMILY[i][1]) % _P % width).alias(
                     "cell"
                 ),
             )
@@ -74,12 +78,14 @@ def cms_estimate(
 
     ``keys`` is a (small) frame of distinct keys; each key expands to its
     ``depth`` cells, equi-joins the sketch, and takes the min — estimates
-    can only over-count, never under."""
+    can only over-count, never under.  String keys fold exactly as in
+    :func:`cms_build`, so probes address the same cells."""
+    kv = hll_key_expr(keys, key_col)
     cells = F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                ((F.col(key_col) * _FAMILY[i][0] + _FAMILY[i][1]) % _P % width).alias(
+                ((kv * _FAMILY[i][0] + _FAMILY[i][1]) % _P % width).alias(
                     "cell"
                 ),
             )
@@ -195,6 +201,82 @@ def hll_key_expr(df: DataFrame, key_col: str):
     return F.aggregate(
         codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _STR_FOLD_MOD
     )
+
+
+def fold_sql(col: str) -> str:
+    """DuckDB fragment of :func:`hll_key_expr`'s string fold over ``col``
+    (which may be any string-typed SQL expression).  Single-sourced here
+    so every oracle that grades the fold (e2f, e2g, the string-keyed CMS)
+    stays locked to the same modulus and shape."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({col}, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {_STR_FOLD_MOD})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C11/D1 — the CMS family on STRING keys, symmetric with what hll_key_expr
+# did for the register family: the same scan-side polynomial fold feeds the
+# multiply-shift cell family, so string-keyed frequency sketches (event
+# types, error codes, enum dimensions) stay engine-expressible and the
+# whole build+probe earns a hash grade.
+# ---------------------------------------------------------------------------
+
+
+def _cms_string_sql(label_col: str, table: str, width: int, depth: int) -> str:
+    """DuckDB twin of the string-keyed build+probe, carrying the original
+    string label through to the output (the fold is cell-addressing only)."""
+    cell = (
+        lambda i: f"(kv * {_FAMILY[i][0]} + {_FAMILY[i][1]}) % {_P} % {width}"
+    )
+    builds = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cell(i)} AS cell FROM f" for i in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT {label_col}, {i} AS row, {cell(i)} AS cell FROM f"
+        for i in range(depth)
+    )
+    return f"""
+        WITH f AS (
+            SELECT {label_col}, {fold_sql(label_col)} AS kv FROM {table}
+        ),
+        sketch AS (
+            SELECT row, cell, count(*) AS cnt FROM ({builds}) GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT {label_col}, row, cell FROM ({probes}))
+        SELECT p.{label_col}, CAST(min(s.cnt) AS BIGINT) AS est
+        FROM probes p JOIN sketch s USING (row, cell)
+        GROUP BY 1
+    """
+
+
+@graded(
+    "cms_string_key_counts",
+    oracle=_cms_string_sql("event_type", "events", 1024, 4),
+    section="C11,D1,D8,F14",
+    description="count-min sketch on a STRING key: event_type folds to a "
+    "long scan-side (the shared polynomial char fold, hll_key_expr) before "
+    "the literal multiply-shift cell family — build, fold, probe, and "
+    "min-over-rows all inside the hash grade, so string-keyed frequency "
+    "sketches (types, error codes) stay oracle-checkable exactly like the "
+    "int-keyed form",
+)
+def cms_string_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-keyed CMS point estimates for every distinct event type.
+
+    100 TB scale shape: identical to the int-keyed CMS — the fold is one
+    scan-side projection inside codegen (no UDF), the build is one
+    map-side-combinable ``groupBy(row, cell)`` count bounded at
+    ``depth × width`` rows regardless of input, and partials merge by
+    summing cells.  The probe side is a broadcast-sized distinct-key
+    frame joined on (row, cell).
+    """
+    events = load(spark, "events", sf_dir)
+    sketch = cms_build(events, "event_type")
+    keys = events.select("event_type").distinct()
+    return cms_estimate(sketch, keys, "event_type")
 
 
 def hll_registers(df: DataFrame, key_col: str, m: int = _HLL_M) -> DataFrame:

@@ -45,7 +45,7 @@ from pulsar_message_filter_spark.operators.sketch import (
     _HLL_M,
     _HLL_MULT,
     _P,
-    _STR_FOLD_MOD,
+    fold_sql,
     hll_corrected_estimate,
     hll_registers_by,
 )
@@ -220,9 +220,8 @@ def e2e_sliding_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cardinalities land in the linear-counting branch).
 # ---------------------------------------------------------------------------
 
-# Single-sourced from sketch so the oracle can never drift from the fold
-# it grades (ADVICE r12): if the sketch modulus moves, this moves with it.
-_STR_MOD = _STR_FOLD_MOD
+# The fold SQL is single-sourced from sketch.fold_sql (ADVICE r12): the
+# oracle can never drift from the fold it grades.
 
 
 @graded(
@@ -234,10 +233,7 @@ _STR_MOD = _STR_FOLD_MOD
             SELECT (epoch_us(ts)
                     - ((epoch_us(ts) % {_SLIDE_US}) + {_SLIDE_US}) % {_SLIDE_US})
                    AS base,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(event_type, ''),
-                                      c -> CAST(ascii(c) AS BIGINT))),
-                       (acc, x) -> (acc * 31 + x) % {_STR_MOD}) AS kv
+                   {fold_sql('event_type')} AS kv
             FROM events
         ),
         h0 AS (
@@ -319,12 +315,9 @@ _E2G_TO = "αб中あкλπρσüв😀"
             SELECT (epoch_us(ts)
                     - ((epoch_us(ts) % {_SLIDE_US}) + {_SLIDE_US}) % {_SLIDE_US})
                    AS base,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(
-                           translate(event_type, '{_E2G_FROM}', '{_E2G_TO}'),
-                           ''),
-                                      c -> CAST(ascii(c) AS BIGINT))),
-                       (acc, x) -> (acc * 31 + x) % {_STR_MOD}) AS kv
+                   {fold_sql(
+                       f"translate(event_type, '{_E2G_FROM}', '{_E2G_TO}')"
+                   )} AS kv
             FROM events
         ),
         h0 AS (

@@ -212,3 +212,28 @@ def test_hll_key_expr_string_fold_cross_engine_unicode(spark):
         )
     # and the fold is collision-free across the pool itself
     assert len(set(spark_fold.values())) == len(_UNICODE_KEY_POOL)
+
+
+def test_cms_string_key_never_undercounts_and_fold_commutes(spark):
+    """String-keyed CMS (round-13): the one-sided-error contract holds on
+    a string key exactly as on ints, and building over the string column
+    is cell-identical to building over the PRE-folded long column — i.e.
+    the fold commutes with the sketch, which is what makes the DuckDB
+    oracle's fold-then-hash form the same computation."""
+    from pulsar_message_filter_spark.operators.sketch import hll_key_expr
+
+    events = load(spark, "events", SF_SMOKE)
+    sketch = cms_build(events, "event_type")
+    true = events.groupBy("event_type").agg(F.count("*").alias("true_cnt"))
+    est = cms_estimate(sketch, true.select("event_type"), "event_type")
+    joined = est.join(true, "event_type").collect()
+    assert joined
+    n_total = events.count()
+    for r in joined:
+        assert r.est >= r.true_cnt
+        assert r.est - r.true_cnt <= 2 * n_total / 1024 + 1
+
+    prefolded = events.select(hll_key_expr(events, "event_type").alias("k"))
+    a = sorted(tuple(r) for r in cms_build(prefolded, "k").collect())
+    b = sorted(tuple(r) for r in sketch.collect())
+    assert a == b
