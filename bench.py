@@ -84,6 +84,7 @@ HEADLINE = [
     "e2d_sliding_reach_auto",  # sliding_distinct(method='auto') incl. pre-flight
     "e2f_sliding_type_reach_hll",  # string-key HLL through the public helper
     "e2g_sliding_unicode_reach_hll",  # its non-ASCII twin (multi-byte fold)
+    "e2h_sliding_unaligned_reach_hll",  # non-aligned spec + raw-alpha branch
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -171,6 +172,7 @@ BUDGET_SEC = {
     # read e2f at 0.894 in-bench); 2.5 also gives the headroom e2f's 2.0
     # lacked in the load-corrupted r12 driver session
     "e2g_sliding_unicode_reach_hll": 2.5,
+    "e2h_sliding_unaligned_reach_hll": 2.5,
 }
 
 

@@ -375,6 +375,82 @@ def e2g_sliding_unicode_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# E2/C12/F14 — NON-ALIGNED sliding HLL (round-13): sliding_distinct's hll
+# branch previously required window % slide == 0; sliding_expand now
+# carries the general membership rule (ws > t − window over a
+# ceil(window/slide) candidate expansion — one scan-side filter, no join),
+# and this query grades the new branch end-to-end at a 5h/2h spec where
+# events sit in 2 OR 3 windows depending on phase.  Two firsts in the
+# grade: the data-dependent membership filter, and — at sf0.1, where
+# per-window reach exceeds the 2.5·m linear-counting threshold — the RAW
+# alpha estimator branch of the correction (e2e/e2f/e2g only ever graded
+# the linear branch).  The reachable estimate set was probed .5-free
+# cross-engine at all three SFs before committing to the integer round.
+# ---------------------------------------------------------------------------
+
+_E2H_WIN_US = 5 * 3600 * 1_000_000
+_E2H_SLIDE_US = 2 * 3600 * 1_000_000
+
+
+@graded(
+    "e2h_sliding_unaligned_reach_hll",
+    oracle=f"""
+        WITH h0 AS (
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {_E2H_SLIDE_US}) + {_E2H_SLIDE_US})
+                      % {_E2H_SLIDE_US})
+                   - k * {_E2H_SLIDE_US} AS ws_us,
+                   epoch_us(ts) AS t_us,
+                   (user_id * {_HLL_A} + {_HLL_B}) % {_P} AS hv
+            FROM events, LATERAL unnest([0, 1, 2]) AS t(k)
+        ),
+        hf AS (SELECT ws_us, hv FROM h0 WHERE ws_us > t_us - {_E2H_WIN_US}),
+        h1 AS (SELECT ws_us, (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM hf),
+        h2 AS (SELECT ws_us, (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT ws_us, xor(hv, hv >> 16) AS hv FROM h2),
+        regs AS (
+            SELECT ws_us, hv % {_HLL_M} AS register,
+                   max(CASE WHEN hv // {_HLL_M} > 0
+                            THEN 25 - floor(log2(hv // {_HLL_M}))
+                            ELSE 26 END) AS max_rho
+            FROM h GROUP BY 1, 2
+        )
+        SELECT ws_us,
+               CAST(round(
+                   CASE WHEN ({_HLL_M} - count(*)) > 0
+                             AND {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                 / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*)))
+                                 <= 2.5 * {_HLL_M}
+                        THEN round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                                 / ({_HLL_M} - count(*))), 4)
+                        ELSE round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                   / (sum(power(2.0, -max_rho))
+                                      + ({_HLL_M} - count(*))), 4)
+                   END, 0) AS BIGINT) AS n_distinct
+        FROM regs GROUP BY ws_us
+    """,
+    section="E2,C12,F14",
+    description="NON-aligned sliding HLL reach (5h window / 2h hop, where "
+    "window % slide != 0) through the public sliding_distinct(method='hll') "
+    "— grades the general ws > t - window membership filter AND, at sf0.1, "
+    "the raw-alpha estimator branch of the Flajolet correction (reach "
+    "exceeds the 2.5m linear-counting threshold there), neither of which "
+    "any aligned sketch query could reach",
+)
+def e2h_sliding_unaligned_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-aligned sliding HLL reach via the public helper.
+
+    100 TB scale shape: unchanged from e2e/e2f — arithmetic candidate
+    expansion (ceil(5/2)=3 per event), one scan-side membership filter
+    (pruned before the shuffle, so the boundary candidates never move),
+    one shuffle keyed on (window, register) bounded at ≤64 rows per
+    window, partials mergeable by per-register max.
+    """
+    ev = load(spark, "events", sf_dir)
+    return sliding_distinct(ev, "ts", "user_id", "5 hours", "2 hours", method="hll")
+
+
+# ---------------------------------------------------------------------------
 # F13/F14 — exact Lloyd assignment step on integer-quantized embeddings.
 # kmeans_lite_clusters stays rows-only (iterative, float centroids); this
 # twin freezes ONE deterministic assignment pass in exact int64 arithmetic

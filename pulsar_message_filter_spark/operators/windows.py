@@ -362,35 +362,47 @@ def _duration_us(spec: str) -> int:
 def sliding_expand(
     df: DataFrame, ts_col: str, key_col: str, window: str, slide: str
 ) -> DataFrame:
-    """(``ws_us``, key) membership expansion for an ALIGNED sliding spec
-    (window % slide == 0) — exact long arithmetic, floor-aligned via
-    ``pmod`` so pre-1970 timestamps bucket identically to ``F.window``.
-    Each row emits its window/slide member window starts; no join, no
-    timestamp rendering.  The hll branch of :func:`sliding_distinct`
-    builds its register tables on this frame.
+    """(``ws_us``, key) membership expansion for ANY sliding spec — exact
+    long arithmetic, floor-aligned via ``pmod`` so pre-1970 timestamps
+    bucket identically to ``F.window``.  Each row emits its
+    ``ceil(window/slide)`` candidate window starts; for ALIGNED specs
+    (window % slide == 0) every candidate is a member and the plan is
+    pure Project→Generate, while NON-aligned specs add one scan-side
+    membership filter (``ws_us > t − window``, the same general rule
+    ``F.window`` applies) that prunes the boundary candidate — still no
+    join, no timestamp rendering.  The hll branch of
+    :func:`sliding_distinct` builds its register tables on this frame.
     """
     win_us, slide_us = _duration_us(window), _duration_us(slide)
-    if win_us % slide_us:
-        raise ValueError("sliding_expand requires window % slide == 0")
+    n_candidates = -(-win_us // slide_us)  # ceil(window/slide)
     # pmod, not %: Spark % truncates toward zero, so pre-1970
     # (negative-epoch) events would misalign vs F.window's floor
     # semantics; pmod's non-negative remainder IS floor alignment.
     us = F.unix_micros(ts_col)
     base = (us - F.pmod(us, F.lit(slide_us))).alias("__base")
-    return (
-        df.select(base, key_col)
+    expanded = (
+        df.select(base, us.alias("__t"), key_col)
         .select(
             F.explode(
-                F.array(*[F.lit(k) for k in range(win_us // slide_us)])
+                F.array(*[F.lit(k) for k in range(n_candidates)])
             ).alias("__k"),
             "__base",
+            "__t",
             key_col,
         )
         .select(
             (F.col("__base") - F.col("__k") * F.lit(slide_us)).alias("ws_us"),
+            "__t",
             key_col,
         )
     )
+    if win_us % slide_us:
+        # general membership: a window starting at ws covers t iff
+        # ws <= t < ws + window; the explode already guarantees the left
+        # half, the filter enforces the right (only the last candidate
+        # of each row can fail it, and only for non-divisible specs).
+        expanded = expanded.filter(F.col("ws_us") > F.col("__t") - F.lit(win_us))
+    return expanded.select("ws_us", key_col)
 
 
 def sliding_distinct(
@@ -419,8 +431,9 @@ def sliding_distinct(
       same constant-per-window state as ``'approx'`` but the per-window
       partials are PLAIN ROWS you can persist and merge by per-register
       max (the ``hll_windowed_merge`` rollup read path), and the
-      estimates are engine-independent (oracle-checkable).  Requires
-      window % slide == 0 and no ``extra_aggs``.
+      estimates are engine-independent (oracle-checkable).  Any
+      window/slide spec (non-aligned specs add one scan-side membership
+      filter in the expansion); no ``extra_aggs``.
     * ``'auto'`` — run the O(1)-state :func:`sliding_key_space` pre-flight
       and pick exact/approx per :func:`choose_distinct_method` (native
       approx is the cheaper sketch; pass ``'hll'`` explicitly when you
@@ -454,8 +467,6 @@ def sliding_distinct(
                 "method='hll' is a two-stage register aggregation; compute "
                 "extra_aggs in a separate pass and join on ws_us"
             )
-        if _duration_us(window) % _duration_us(slide):
-            raise ValueError("method='hll' requires window % slide == 0")
         expanded = sliding_expand(df, ts_col, key_col, window, slide)
         regs = hll_registers_by(expanded, key_col, [F.col("ws_us")])
         est = hll_corrected_estimate(F.count("*"), F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))))

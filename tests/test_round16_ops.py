@@ -107,8 +107,6 @@ def test_sliding_distinct_rejects_bad_args(spark):
     ev = load(spark, "events", SF_SMOKE)
     with pytest.raises(ValueError):
         sliding_distinct(ev, "ts", "user_id", "4 hours", "1 hour", method="bogus")
-    with pytest.raises(ValueError):  # hll needs an aligned spec
-        sliding_distinct(ev, "ts", "user_id", "3 hours", "2 hours", method="hll")
     with pytest.raises(ValueError):  # hll is two-stage: no extra_aggs
         sliding_distinct(
             ev, "ts", "user_id", "4 hours", "1 hour", method="hll",

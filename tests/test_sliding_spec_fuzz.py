@@ -99,14 +99,12 @@ def test_sliding_distinct_matches_duckdb_across_specs(spark, window, slide, key)
 
 
 # ---------------------------------------------------------------------------
-# method='hll' leg (VERDICT r11 #4): aligned specs × both key columns,
+# method='hll' leg (VERDICT r11 #4, widened round-13 to ALL specs incl.
+# non-divisible — sliding_expand's general membership filter): × both keys,
 # per-window REGISTER TABLES checked against a pure-Python recompute of the
 # whole chain — floor-aligned expansion, string fold, avalanche hash,
 # register/rho split, per-register max.  Integer-exact, no float tolerance.
 # ---------------------------------------------------------------------------
-
-_ALIGNED = [s for s in _SPECS if _us(s[0]) % _us(s[1]) == 0]
-
 
 def _py_fold(s: str) -> int:
     """Mirror of sketch.hll_key_expr's string fold (split('', s) on the
@@ -121,7 +119,10 @@ def _py_fold(s: str) -> int:
 def _py_registers(rows, win_us: int, slide_us: int, key_is_str: bool):
     """(ws_us, register) → max_rho over the expanded membership, in pure
     Python (bit_length for rho — a different exactness path than the
-    engines' floor(log2))."""
+    engines' floor(log2)).  General membership rule (``ws > t − window``
+    over a ceil(window/slide) candidate expansion), so the recompute
+    covers aligned AND non-divisible specs — the same rule the exact-path
+    oracle above uses."""
     from pulsar_message_filter_spark.operators.sketch import (
         _HLL_A,
         _HLL_B,
@@ -142,15 +143,18 @@ def _py_registers(rows, win_us: int, slide_us: int, key_is_str: bool):
         reg, w = h % _HLL_M, h // _HLL_M
         rho = (25 - (w.bit_length() - 1)) if w > 0 else 26
         base = us - us % slide_us  # Python % IS floor-mod (pmod semantics)
-        for j in range(win_us // slide_us):
-            key2 = (base - j * slide_us, reg)
+        for j in range(-(-win_us // slide_us)):  # ceil(window/slide)
+            ws = base - j * slide_us
+            if ws <= us - win_us:  # non-member boundary candidate
+                continue
+            key2 = (ws, reg)
             if regs.get(key2, -1) < rho:
                 regs[key2] = rho
     return regs
 
 
 @pytest.mark.parametrize("key", _KEYS)
-@pytest.mark.parametrize("window,slide", _ALIGNED)
+@pytest.mark.parametrize("window,slide", _SPECS)
 def test_sliding_hll_registers_match_python_recompute(spark, window, slide, key):
     from pyspark.sql import functions as F
 
