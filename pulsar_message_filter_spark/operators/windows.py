@@ -285,6 +285,15 @@ SLIDING_DISTINCT_KEY_BUDGET = 50_000_000
 #: Until a wall is measured on a genuinely higher-partition session, the
 #: derived budget tops out at 16× the reference (800M pairs); callers on
 #: measured big iron can pass ``key_budget=`` explicitly.
+#:
+#: MEASURED (round-18, tools/partition_wall_probe.py): on this box at
+#: x256 density, raising the conf 32→128 with AQE coalescing ON (the
+#: engine default) changed exact-path runtime not at all — AQE
+#: re-coalesces the reduce side, so the conf never became real sharding
+#: — and with coalescing OFF, real 4× finer sharding bought only ~8%
+#: (single machine: tasks share one memory subsystem).  The per-task
+#: extrapolation is honest only when partitions come with machines;
+#: the clamp is evidence-backed, not caution-backed (SCALING.md).
 SLIDING_DISTINCT_BUDGET_CLAMP_X = 16
 
 
