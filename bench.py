@@ -85,6 +85,7 @@ HEADLINE = [
     "e2f_sliding_type_reach_hll",  # string-key HLL through the public helper
     "e2g_sliding_unicode_reach_hll",  # its non-ASCII twin (multi-byte fold)
     "e2h_sliding_unaligned_reach_hll",  # non-aligned spec + raw-alpha branch
+    "e2i_sliding_hll_with_aggs",  # sketch + rider aggs: two passes, one join
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -173,6 +174,8 @@ BUDGET_SEC = {
     # lacked in the load-corrupted r12 driver session
     "e2g_sliding_unicode_reach_hll": 2.5,
     "e2h_sliding_unaligned_reach_hll": 2.5,
+    # two scans + per-window join; 0.936 min-of-3 fresh-session at sf0.1
+    "e2i_sliding_hll_with_aggs": 2.5,
 }
 
 

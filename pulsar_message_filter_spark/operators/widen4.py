@@ -451,6 +451,99 @@ def e2h_sliding_unaligned_reach_hll(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# E2/C12/F14 — hll + extra_aggs (round-18): the helper previously REFUSED
+# extra_aggs under method='hll' with a "do it yourself in two passes"
+# error; it now runs that second windowed pass itself and joins per
+# window.  This query grades the composed output — sketch n_distinct AND
+# exact rider aggregates (count + long-sum) in one frame — so the join
+# keying, window-set equality between the two passes, and both value
+# paths sit inside one hash grade.  .5-free probe re-run for this spec's
+# rounded estimates at all three SFs (raw-alpha branch reached at sf0.1).
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "e2i_sliding_hll_with_aggs",
+    oracle=f"""
+        WITH h0 AS (
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {_SLIDE_US}) + {_SLIDE_US}) % {_SLIDE_US})
+                   - k * {_SLIDE_US} AS ws_us,
+                   (user_id * {_HLL_A} + {_HLL_B}) % {_P} AS hv,
+                   -- floor, not CAST: DuckDB's double→int cast ROUNDS while
+                   -- Spark's truncates; value is non-negative (fixture
+                   -- min 0.01), so floor IS Spark's truncation
+                   CAST(floor(value) AS BIGINT) AS value_l
+            FROM events, LATERAL unnest([0, 1, 2]) AS t(k)
+        ),
+        counts AS (
+            SELECT ws_us, count(*) AS n_events,
+                   CAST(sum(value_l) AS BIGINT) AS sum_value
+            FROM h0 GROUP BY ws_us
+        ),
+        h1 AS (SELECT ws_us, (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM h0),
+        h2 AS (SELECT ws_us, (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT ws_us, xor(hv, hv >> 16) AS hv FROM h2),
+        regs AS (
+            SELECT ws_us, hv % {_HLL_M} AS register,
+                   max(CASE WHEN hv // {_HLL_M} > 0
+                            THEN 25 - floor(log2(hv // {_HLL_M}))
+                            ELSE 26 END) AS max_rho
+            FROM h GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT ws_us,
+                   CAST(round(
+                       CASE WHEN ({_HLL_M} - count(*)) > 0
+                                 AND {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                     / (sum(power(2.0, -max_rho))
+                                        + ({_HLL_M} - count(*)))
+                                     <= 2.5 * {_HLL_M}
+                            THEN round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                                     / ({_HLL_M} - count(*))), 4)
+                            ELSE round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                       / (sum(power(2.0, -max_rho))
+                                          + ({_HLL_M} - count(*))), 4)
+                       END, 0) AS BIGINT) AS n_distinct
+            FROM regs GROUP BY ws_us
+        )
+        SELECT ws_us, n_distinct, n_events, sum_value
+        FROM est JOIN counts USING (ws_us)
+    """,
+    section="E2,C12,F14",
+    description="sliding 6h/2h HLL reach WITH rider aggregates: "
+    "method='hll' now runs extra_aggs as a second windowed pass joined "
+    "per window (previously a refuse-and-explain error) — the sketch "
+    "estimate, exact event count, and exact long-sum land in one frame "
+    "and the whole composition (two passes + per-window join) is inside "
+    "the hash grade",
+)
+def e2i_sliding_hll_with_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch distinct + exact rider aggregates, one output frame.
+
+    100 TB scale shape: the sketch pass is e2e's (bounded ≤64 register
+    rows per window); the rider pass is one ordinary windowed
+    aggregation (map-side combinable); the join keys two per-window
+    frames whose row count is the window count — broadcastable at any
+    data size.  Two scans total, the documented cost of mixing a
+    two-stage sketch with one-stage aggregates.
+    """
+    ev = load(spark, "events", sf_dir)
+    return sliding_distinct(
+        ev,
+        "ts",
+        "user_id",
+        "6 hours",
+        "2 hours",
+        extra_aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("long")).alias("sum_value"),
+        ],
+        method="hll",
+    )
+
+
+# ---------------------------------------------------------------------------
 # F13/F14 — exact Lloyd assignment step on integer-quantized embeddings.
 # kmeans_lite_clusters stays rows-only (iterative, float centroids); this
 # twin freezes ONE deterministic assignment pass in exact int64 arithmetic

@@ -442,7 +442,9 @@ def sliding_distinct(
       max (the ``hll_windowed_merge`` rollup read path), and the
       estimates are engine-independent (oracle-checkable).  Any
       window/slide spec (non-aligned specs add one scan-side membership
-      filter in the expansion); no ``extra_aggs``.
+      filter in the expansion).  ``extra_aggs`` run as a second windowed
+      pass joined per window (the sketch pass consumes only (window,
+      key)) — two scans, one bounded per-window join.
     * ``'auto'`` — run the O(1)-state :func:`sliding_key_space` pre-flight
       and pick exact/approx per :func:`choose_distinct_method` (native
       approx is the cheaper sketch; pass ``'hll'`` explicitly when you
@@ -471,17 +473,28 @@ def sliding_distinct(
             hll_registers_by,
         )
 
-        if extra_aggs:
-            raise ValueError(
-                "method='hll' is a two-stage register aggregation; compute "
-                "extra_aggs in a separate pass and join on ws_us"
-            )
         expanded = sliding_expand(df, ts_col, key_col, window, slide)
         regs = hll_registers_by(expanded, key_col, [F.col("ws_us")])
         est = hll_corrected_estimate(F.count("*"), F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))))
-        return regs.groupBy("ws_us").agg(
+        est_df = regs.groupBy("ws_us").agg(
             F.round(est, 0).cast("long").alias("n_distinct")
         )
+        if not extra_aggs:
+            return est_df
+        # The register aggregation consumes only (ws_us, key), so other
+        # columns the extra_aggs reference are gone by design; run them as
+        # the exact path's windowed pass and join per window.  Both sides
+        # are per-window frames (rows = #windows, bounded), so the join is
+        # trivially broadcastable — the raw data is still scanned twice,
+        # which is the honest cost of mixing a two-stage sketch with
+        # one-stage aggregates.
+        aggs_df = (
+            df.groupBy(F.window(ts_col, window, slide).alias("__w"))
+            .agg(*extra_aggs)
+            .withColumn("ws_us", F.unix_micros(F.col("__w.start")))
+            .drop("__w")
+        )
+        return est_df.join(aggs_df, "ws_us")
     if method == "exact":
         distinct_agg = F.countDistinct(key_col).alias("n_distinct")
     elif method == "approx":

@@ -107,11 +107,38 @@ def test_sliding_distinct_rejects_bad_args(spark):
     ev = load(spark, "events", SF_SMOKE)
     with pytest.raises(ValueError):
         sliding_distinct(ev, "ts", "user_id", "4 hours", "1 hour", method="bogus")
-    with pytest.raises(ValueError):  # hll is two-stage: no extra_aggs
-        sliding_distinct(
-            ev, "ts", "user_id", "4 hours", "1 hour", method="hll",
-            extra_aggs=[F.count("*").alias("n")],
-        )
+
+
+def test_sliding_hll_extra_aggs_two_pass_matches_exact_path(spark):
+    """Round-18: method='hll' no longer rejects extra_aggs — they run as a
+    second windowed pass joined per window.  The agg columns must equal
+    the exact path's byte-for-byte (same F.window pass), the window set
+    must be identical, and n_distinct must equal the plain hll call's."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    ev = load(spark, "events", SF_SMOKE)
+    kw = dict(ts_col="ts", key_col="user_id", window="3 hours", slide="2 hours")
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("long")).alias("sum_value"),
+    ]
+    got = {
+        r.ws_us: (r.n_distinct, r.n_events, r.sum_value)
+        for r in sliding_distinct(ev, extra_aggs=aggs, method="hll", **kw).collect()
+    }
+    exact = {
+        r.ws_us: (r.n_events, r.sum_value)
+        for r in sliding_distinct(ev, extra_aggs=aggs, method="exact", **kw).collect()
+    }
+    plain_hll = {
+        r.ws_us: r.n_distinct
+        for r in sliding_distinct(ev, method="hll", **kw).collect()
+    }
+    assert set(got) == set(exact) == set(plain_hll) and got
+    for ws, (nd, ne, sv) in got.items():
+        assert (ne, sv) == exact[ws], ws
+        assert nd == plain_hll[ws], ws
 
 
 def test_sliding_distinct_hll_matches_register_query(spark):
