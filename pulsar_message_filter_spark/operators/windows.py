@@ -400,7 +400,17 @@ def sliding_expand(
             key_col,
         )
         .select(
-            (F.col("__base") - F.col("__k") * F.lit(slide_us)).alias("ws_us"),
+            # cast BEFORE multiplying: F.lit(slide_us) is an int32 literal
+            # whenever slide <= ~35 minutes (slide_us < 2^31), so the k ×
+            # slide product would multiply in 32-bit and overflow under
+            # ANSI mode once k·slide_us >= 2^31 (e.g. an 8h window over a
+            # 10-minute slide).  Found by the random-spec third witness —
+            # every fixture spec happened to use a >=1h slide (int64
+            # literal) or a tiny k range.
+            (
+                F.col("__base")
+                - F.col("__k").cast("long") * F.lit(slide_us).cast("long")
+            ).alias("ws_us"),
             "__t",
             key_col,
         )

@@ -197,3 +197,53 @@ def test_sliding_hll_registers_match_python_recompute(spark, window, slide, key)
         ).collect()
     }
     assert hll_ws == exact_ws, (window, slide, key)
+
+
+# ---------------------------------------------------------------------------
+# Round-18 third witness: sliding_expand vs Spark's OWN F.window membership
+# on seeded RANDOM specs.  The exact leg above checks F.window against a
+# DuckDB oracle and the hll leg checks sliding_expand against pure Python —
+# this closes the triangle engine-internally (expansion ≡ F.window for
+# arbitrary window/slide pairs, aligned or not), over specs the fixed pools
+# never tried.  crc32-seeded so every run draws the same specs.
+# ---------------------------------------------------------------------------
+
+
+def _random_specs(seed: int, n: int = 8) -> list[tuple[str, str]]:
+    import random
+    import zlib
+
+    rng = random.Random(zlib.crc32(b"sliding-spec") ^ seed)
+    specs = []
+    while len(specs) < n:
+        slide = rng.randint(7, 180)
+        window = slide + rng.randint(1, 360)
+        specs.append((f"{window} minutes", f"{slide} minutes"))
+    return specs
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_sliding_expand_matches_fwindow_membership_random_specs(spark, seed):
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_expand
+
+    ev = load(spark, "events", SF_SMOKE)
+    for window, slide in _random_specs(seed):
+        got = {
+            (r.ws_us, r.k): r.n
+            for r in sliding_expand(ev, "ts", "user_id", window, slide)
+            .groupBy("ws_us", F.col("user_id").alias("k"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        expected = {
+            (r.ws_us, r.k): r.n
+            for r in ev.groupBy(
+                F.window("ts", window, slide).alias("__w"),
+                F.col("user_id").alias("k"),
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_micros("__w.start").alias("ws_us"), "k", "n")
+            .collect()
+        }
+        assert got == expected, (seed, window, slide)
