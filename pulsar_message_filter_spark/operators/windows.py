@@ -277,11 +277,15 @@ SLIDING_DISTINCT_PAIRS_PER_PARTITION = 1_562_500
 SLIDING_DISTINCT_KEY_BUDGET = 50_000_000
 
 #: Clamp on the derived budget, as a multiple of the measured 50M
-#: reference (ADVICE r12): the per-partition extrapolation assumes even
-#: (window, key) sharding and a reduce-task count that actually equals
+#: reference (ADVICE r12): the per-partition extrapolation assumes a
+#: reduce-task count that actually equals
 #: ``spark.sql.shuffle.partitions`` — AQE coalescing can merge reduce
-#: tasks (fewer, bigger state shards) and skewed keys concentrate state,
-#: so a 2000-partition conf does NOT guarantee 2000-way state sharding.
+#: tasks (fewer, bigger state shards), so a 2000-partition conf does
+#: NOT guarantee 2000-way state sharding.  (Key FREQUENCY skew, by
+#: contrast, was measured harmless-to-helpful — tools/skew_wall_probe:
+#: at an identical 61.8M pair space and row count, a key owning 50% of
+#: rows ran 27% FASTER; the state is the distinct pair space,
+#: hash-sharded regardless of row multiplicities.)
 #: Until a wall is measured on a genuinely higher-partition session, the
 #: derived budget tops out at 16× the reference (800M pairs); callers on
 #: measured big iron can pass ``key_budget=`` explicitly.
