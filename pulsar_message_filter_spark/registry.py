@@ -96,7 +96,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "agg_approx_count_distinct": 9,
     "agg_approx_percentile": 10,
     "agg_argminmax": 11,
-    "agg_bitwise": 5,
+    "agg_bitwise": 13,
     "agg_collect_sorted": 10,
     "agg_corr_exact": 11,
     "agg_count_distinct": 9,
@@ -126,15 +126,16 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "basket_lift_weekly": 11,
     "basket_rules": 12,
     "behavior_activity_streaks": 12,
-    "behavior_markov_entropy": 5,
+    "behavior_markov_entropy": 13,
     "behavior_markov_stationary": 12,
-    "behavior_session_pmi": 5,
+    "behavior_session_pmi": 13,
     "c15b_collect_entries_map": 10,
     "c3b_distinct_pairs_daily": 10,
-    "calib_isotonic_binned": 5,
+    "calib_isotonic_binned": 13,
     "cdc_snapshot_diff": 7,
     "cdc_table_checksum": 7,
     "changepoint_cusum": 11,
+    "cms_string_key_counts": 13,
     "cms_user_event_counts": 10,
     "cohort_retention": 7,
     "cohort_retention_monthly": 7,
@@ -154,6 +155,9 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "e2d_sliding_reach_auto": 11,
     "e2e_sliding_reach_hll": 11,
     "e2f_sliding_type_reach_hll": 12,
+    "e2g_sliding_unicode_reach_hll": 13,
+    "e2h_sliding_unaligned_reach_hll": 13,
+    "e2i_sliding_hll_with_aggs": 13,
     "e6b_band_enrichment": 9,
     "epoch_shuffle_order": 7,
     "eval_auc_rank": 8,
@@ -174,8 +178,8 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f17_sequence_packing": 7,
     "f18_incremental_dedup": 12,
     "f19_curation_to_packing": 7,
-    "f1_exact_dedup": 6,
-    "f20_dedup_clusters": 6,
+    "f1_exact_dedup": 13,
+    "f20_dedup_clusters": 13,
     "f21_topk_int8": 10,
     "f21b_topk_int8_exact": 11,
     "f22_contamination": 7,
@@ -186,25 +190,25 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f26_domain_profile": 7,
     "f27_shard_balance": 7,
     "f28_price_histogram": 7,
-    "f29_train_val_test_split": 5,
+    "f29_train_val_test_split": 13,
     "f2_embedding_neardup": 6,
-    "f2_jaccard_pairs": 6,
+    "f2_jaccard_pairs": 13,
     "f2_minhash_lsh": 10,
     "f2_minhash_lsh_tuned": 10,
     "f2_simhash": 10,
     "f2b_simhash_exact": 10,
     "f2c_minhash_exact": 10,
-    "f30_label_balanced_sample": 5,
+    "f30_label_balanced_sample": 13,
     "f31_neardup_degree_profile": 7,
     "f32_quality_weighted_keep": 7,
     "f33_dedup_survivor_pick": 7,
-    "f34_bloom_prefilter_dedup": 6,
+    "f34_bloom_prefilter_dedup": 13,
     "f36_token_entropy": 6,
-    "f37_containment_pairs": 6,
+    "f37_containment_pairs": 13,
     "f38_unigram_surprisal": 6,
-    "f39_prefix_filter_jaccard": 6,
+    "f39_prefix_filter_jaccard": 13,
     "f3_cosine_label_matrix": 9,
-    "f3_cosine_pairs": 6,
+    "f3_cosine_pairs": 13,
     "f3_cosine_threshold_graph": 9,
     "f40_matryoshka_recall": 6,
     "f41_rrf_fusion": 6,
@@ -221,7 +225,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f4_topk_ivf": 10,
     "f4_topk_ivf_auto": 10,
     "f4_topk_lsh": 10,
-    "f4_topk_numpy": 6,
+    "f4_topk_numpy": 13,
     "f50_sorted_neighborhood": 8,
     "f51_semantic_dedup": 8,
     "f52_dsir_weights": 8,
@@ -241,7 +245,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f64_power_iteration_pca": 12,
     "f65_dataset_card": 12,
     "f66_threshold_sweep": 12,
-    "f67_consistent_sharding": 5,
+    "f67_consistent_sharding": 13,
     "f6_token_stats": 6,
     "f6b_char_profile": 6,
     "f6c_subword_counts": 6,
@@ -267,28 +271,28 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "feature_winsorize": 6,
     "feature_zscore": 6,
     "forecast_seasonal_backtest": 7,
-    "func_array": 5,
-    "func_array2": 5,
-    "func_array3": 5,
-    "func_array4": 5,
-    "func_bitwise": 5,
-    "func_conditional": 5,
-    "func_datetime": 5,
-    "func_datetime2": 5,
-    "func_datetime3": 5,
-    "func_hash": 5,
+    "func_array": 13,
+    "func_array2": 13,
+    "func_array3": 13,
+    "func_array4": 13,
+    "func_bitwise": 13,
+    "func_conditional": 13,
+    "func_datetime": 13,
+    "func_datetime2": 13,
+    "func_datetime3": 13,
+    "func_hash": 13,
     "func_hash_spark_native": 10,
     "func_json_array_stats": 8,
     "func_json_roundtrip": 8,
-    "func_map2": 5,
-    "func_map3": 5,
+    "func_map2": 13,
+    "func_map3": 13,
     "func_map_entries_agg": 8,
-    "func_map_json": 5,
-    "func_math": 5,
+    "func_map_json": 13,
+    "func_math": 13,
     "func_regex": 12,
-    "func_string": 5,
-    "func_string2": 5,
-    "func_string3": 5,
+    "func_string": 13,
+    "func_string2": 13,
+    "func_string3": 13,
     "func_variant_json": 8,
     "funnel_conversion": 9,
     "funnel_conversion_lag": 7,
@@ -335,7 +339,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "join_semi": 9,
     "kmeans_assign_exact": 11,
     "kmeans_lite_clusters": 8,
-    "kmv_distinct_jaccard": 5,
+    "kmv_distinct_jaccard": 13,
     "kmv_set_difference": 6,
     "linkage_entity_clusters": 12,
     "mi_type_hour_profile": 11,
@@ -381,12 +385,12 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "rollup_share_of_parent": 10,
     "rollup_two_level": 12,
     "salted_hot_key_agg": 10,
-    "sample_hash_deterministic": 5,
+    "sample_hash_deterministic": 13,
     "sample_neyman_allocation": 12,
-    "sample_reservoir_merge": 5,
+    "sample_reservoir_merge": 13,
     "sample_seeded": 10,
-    "sample_stratified": 5,
-    "sample_weighted_deterministic": 5,
+    "sample_stratified": 13,
+    "sample_weighted_deterministic": 13,
     "scalar_subquery": 11,
     "scd2_asof_revenue": 10,
     "scd2_multi_epoch": 10,
@@ -419,12 +423,12 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "sketch_kll_quantiles": 8,
     "sketch_misra_gries": 6,
     "sketch_sample_quantiles": 7,
-    "sql_shared_case_join": 5,
+    "sql_shared_case_join": 13,
     "sql_shared_cte_setops": 11,
     "sql_shared_exists": 12,
     "sql_shared_filter_clause": 10,
-    "sql_shared_grouping_sets": 5,
-    "sql_shared_in_subquery": 5,
+    "sql_shared_grouping_sets": 13,
+    "sql_shared_in_subquery": 13,
     "sql_shared_lateral_top1": 8,
     "sql_shared_pricing": 12,
     "sql_shared_range_frame": 10,
@@ -433,12 +437,12 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "sql_shared_window": 11,
     "stream_cms_rollup_readpath": 7,
     "stream_dedup_daily_first": 8,
-    "stream_dedup_first": 6,
+    "stream_dedup_first": 13,
     "stream_dedup_keep_last": 8,
     "stream_kll_rollup_readpath": 8,
     "stream_mg_rollup_readpath": 7,
-    "stream_static_join": 6,
-    "stream_stream_join": 6,
+    "stream_static_join": 13,
+    "stream_stream_join": 13,
     "stream_stream_join_followup": 9,
     "stream_stream_join_outer_first": 9,
     "survival_kaplan_meier": 12,
@@ -457,11 +461,11 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "window_rank": 10,
     "window_rolling_corr": 11,
     "window_running_sum": 10,
-    "window_session": 6,
-    "window_sliding": 6,
+    "window_session": 13,
+    "window_sliding": 13,
     "window_sliding_reach": 8,
     "window_trailing_hour": 8,
-    "window_tumbling": 6,
+    "window_tumbling": 13,
     "window_value_functions": 11,
 }
 
