@@ -372,6 +372,12 @@ def _duration_us(spec: str) -> int:
     return int(n) * _DUR_UNIT_US[unit.rstrip("s")]
 
 
+# Internal column names sliding_expand introduces mid-plan; a key column
+# with one of these names would silently alias into the expansion
+# arithmetic (ADVICE r13), so the entry point rejects them outright.
+_EXPAND_RESERVED = frozenset({"__base", "__t", "__k", "ws_us"})
+
+
 def sliding_expand(
     df: DataFrame, ts_col: str, key_col: str, window: str, slide: str
 ) -> DataFrame:
@@ -385,7 +391,21 @@ def sliding_expand(
     ``F.window`` applies) that prunes the boundary candidate — still no
     join, no timestamp rendering.  The hll branch of
     :func:`sliding_distinct` builds its register tables on this frame.
+
+    Null semantics (ADVICE r13): rows with a NULL timestamp belong to no
+    window, and a NULL key carries no countable identity — both are
+    filtered scan-side here, mirroring ``countDistinct``'s treatment, so
+    every consumer of the expansion shares one rule.  ``key_col`` must
+    not collide with the expansion's internal names (``__base``/``__t``/
+    ``__k``/``ws_us``) — rejected with ``ValueError`` rather than
+    silently mis-expanding.
     """
+    if key_col in _EXPAND_RESERVED:
+        raise ValueError(
+            f"key_col {key_col!r} collides with sliding_expand's internal "
+            f"column names {sorted(_EXPAND_RESERVED)}; alias it first"
+        )
+    df = df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
     win_us, slide_us = _duration_us(window), _duration_us(slide)
     n_candidates = -(-win_us // slide_us)  # ceil(window/slide)
     # pmod, not %: Spark % truncates toward zero, so pre-1970
@@ -467,6 +487,16 @@ def sliding_distinct(
     Output columns: ``ws_us`` (window start, epoch µs), ``n_distinct``,
     plus any ``extra_aggs`` (already-aliased Columns).
 
+    Null semantics (ADVICE r13): rows with a NULL timestamp or a NULL key
+    are excluded up front, for EVERY method — a row without a timestamp
+    belongs to no window, and ``countDistinct``/``approx_count_distinct``
+    would ignore a NULL key anyway, so filtering both scan-side makes the
+    three methods (and the hll branch's two passes, whose per-window join
+    would otherwise silently drop a NULL-window group) agree by
+    construction.  Consequence worth knowing: ``extra_aggs`` also see
+    only the filtered rows, and a window whose rows ALL have NULL keys is
+    absent from the output (rather than present with ``n_distinct = 0``).
+
     ``key_budget=None`` (default) derives the exact-path budget from the
     SESSION — :func:`sliding_distinct_budget` scales the measured
     per-partition wall by ``spark.sql.shuffle.partitions``, clamped at
@@ -475,6 +505,7 @@ def sliding_distinct(
     cluster keeps the exact path proportionally longer; pass an int to
     pin it.
     """
+    df = df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
     if method == "auto":
         if key_budget is None:
             key_budget = sliding_distinct_budget(df.sparkSession)
@@ -501,7 +532,11 @@ def sliding_distinct(
         # are per-window frames (rows = #windows, bounded), so the join is
         # trivially broadcastable — the raw data is still scanned twice,
         # which is the honest cost of mixing a two-stage sketch with
-        # one-stage aggregates.
+        # one-stage aggregates.  The inner join is lossless: both passes
+        # read the SAME null-filtered frame and the expansion's window
+        # membership ≡ F.window's (random-spec witness), so the two
+        # window sets are equal by construction (ADVICE r13 — null-ts
+        # rows previously vanished through this join without a signal).
         aggs_df = (
             df.groupBy(F.window(ts_col, window, slide).alias("__w"))
             .agg(*extra_aggs)

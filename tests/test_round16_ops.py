@@ -581,3 +581,93 @@ def test_key_budget_derived_from_session(spark):
                 raise RuntimeError("no conf")
 
     assert sliding_distinct_budget(_NoConf()) == SLIDING_DISTINCT_KEY_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13: null semantics and the reserved-name guard.  Rows with a NULL
+# timestamp or a NULL key are excluded up front for EVERY method — so the
+# hll branch's register build, its extra_aggs join, and the exact/approx
+# F.window paths all agree by construction.  These pins union synthetic
+# null rows into the fixture (the parquet itself has none) and assert the
+# output is byte-identical to the clean input's, per method and per pass.
+# ---------------------------------------------------------------------------
+
+
+def _union_null_rows(ev):
+    """events + three poisoned rows: null ts, null key, null both."""
+    ts_t = dict(ev.dtypes)["ts"]
+    null_ts = ev.limit(1).withColumn("ts", F.lit(None).cast(ts_t))
+    null_key = ev.limit(1).withColumn("user_id", F.lit(None).cast("long"))
+    null_both = null_ts.withColumn("user_id", F.lit(None).cast("long"))
+    return ev.unionByName(null_ts).unionByName(null_key).unionByName(null_both)
+
+
+def test_sliding_distinct_null_rows_invisible_to_every_method(spark):
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    ev = load(spark, "events", SF_SMOKE)
+    poisoned = _union_null_rows(ev)
+    # aligned AND non-aligned spec: the non-aligned membership filter and
+    # the extra_aggs join are the two places a null row could previously
+    # diverge (silent drop vs register-row inflation).
+    for window, slide in (("4 hours", "1 hour"), ("5 hours", "2 hours")):
+        kw = dict(ts_col="ts", key_col="user_id", window=window, slide=slide)
+        aggs = [F.count("*").alias("n_events")]
+        for method in ("exact", "approx", "hll"):
+            clean = sorted(
+                map(tuple, sliding_distinct(ev, method=method, **kw).collect())
+            )
+            dirty = sorted(
+                map(tuple, sliding_distinct(poisoned, method=method, **kw).collect())
+            )
+            assert clean == dirty and clean, (method, window, slide)
+        for method in ("exact", "hll"):  # the two extra_aggs-capable paths
+            clean = sorted(map(tuple, sliding_distinct(
+                ev, extra_aggs=aggs, method=method, **kw).collect()))
+            dirty = sorted(map(tuple, sliding_distinct(
+                poisoned, extra_aggs=aggs, method=method, **kw).collect()))
+            assert clean == dirty and clean, (method, window, slide, "extra_aggs")
+
+
+def test_sliding_expand_filters_null_rows_and_matches_fwindow(spark):
+    """sliding_expand's documented rule (null ts → no window, null key →
+    no identity) must equal F.window membership over the SAME filter —
+    the engine-internal witness extended to poisoned input."""
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_expand
+
+    ev = _union_null_rows(load(spark, "events", SF_SMOKE))
+    window, slide = "5 hours", "2 hours"
+    got = {
+        (r.ws_us, r.k): r.n
+        for r in sliding_expand(ev, "ts", "user_id", window, slide)
+        .groupBy("ws_us", F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expected = {
+        (r.ws_us, r.k): r.n
+        for r in ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(
+            F.window("ts", window, slide).alias("__w"),
+            F.col("user_id").alias("k"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("__w.start").alias("ws_us"), "k", "n")
+        .collect()
+    }
+    assert got == expected and got
+    assert all(ws is not None and k is not None for ws, k in got)
+
+
+def test_sliding_expand_rejects_reserved_key_names(spark):
+    import pytest
+    from pulsar_message_filter_spark.io import load
+    from pulsar_message_filter_spark.operators.windows import sliding_expand
+
+    ev = load(spark, "events", SF_SMOKE)
+    for bad in ("ws_us", "__base", "__t", "__k"):
+        poisoned = ev.withColumn(bad, F.col("user_id"))
+        with pytest.raises(ValueError, match="internal"):
+            sliding_expand(poisoned, "ts", bad, "2 hours", "1 hour")
