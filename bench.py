@@ -50,6 +50,7 @@ HEADLINE = [
     "f34_bloom_prefilter_dedup",  # bloom build + membership + confirm join
     "cdc_table_checksum",  # anti-entropy md5 fingerprint scan
     "cms_user_event_counts",  # relational count-min sketch build + probe
+    "cms_string_key_counts",  # its string-key twin (shared fold scan-side)
     "hll_distinct_users",  # relational HLL distinct estimate
     "agg_gini_exact",  # rank-weighted concentration (window + agg)
     "drift_ks_two_sample",  # two-sample KS via multi-column prefix scan
@@ -121,6 +122,8 @@ BUDGET_SEC = {
     "f34_bloom_prefilter_dedup": 2.0,
     "cdc_table_checksum": 2.0,
     "cms_user_event_counts": 2.0,
+    # warm min-of-2 fresh-session 1.07 s (r14 measurement); 2x policy
+    "cms_string_key_counts": 2.2,
     "hll_distinct_users": 2.0,
     "agg_gini_exact": 2.0,
     "drift_ks_two_sample": 2.5,
