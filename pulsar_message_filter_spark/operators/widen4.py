@@ -544,6 +544,100 @@ def e2i_sliding_hll_with_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E2/C12/B7 — NULL-key semantics inside the hash grade (round-19, the
+# ADVICE-r13 fix made graded behavior): sliding_distinct now filters
+# null-ts/null-key rows up front for EVERY method, so a NULL key neither
+# mints a rho-26 register row (which inflated the hll estimate) nor counts
+# toward extra_aggs.  This query manufactures a deterministic NULL slice
+# (user_id % 10 == 0 → NULL) on the sketch key and grades the composed
+# output — hll n_distinct over the surviving keys PLUS a rider count that
+# must also exclude the nulled rows — against an oracle whose only
+# null-handling is one WHERE clause.  If the up-front filter ever regressed
+# (either pass seeing the nulls again), both columns go red.  The .5-free
+# probe was re-run for this key domain at all three SFs (raw-alpha branch
+# reached at sf0.1, same as e2h/e2i).
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "e2j_sliding_hll_null_keys",
+    oracle=f"""
+        WITH h0 AS (
+            SELECT (epoch_us(ts)
+                    - ((epoch_us(ts) % {_SLIDE_US}) + {_SLIDE_US}) % {_SLIDE_US})
+                   - k * {_SLIDE_US} AS ws_us,
+                   (user_id * {_HLL_A} + {_HLL_B}) % {_P} AS hv
+            FROM events, LATERAL unnest([0, 1, 2]) AS t(k)
+            -- the documented null rule, in oracle form: a NULL key is
+            -- excluded from BOTH passes (no register row, no rider count)
+            WHERE user_id % 10 <> 0
+        ),
+        counts AS (
+            SELECT ws_us, count(*) AS n_events FROM h0 GROUP BY ws_us
+        ),
+        h1 AS (SELECT ws_us, (xor(hv, hv >> 16) * {_HLL_MULT}) % {_P} AS hv FROM h0),
+        h2 AS (SELECT ws_us, (xor(hv, hv >> 13) * {_HLL_MULT}) % {_P} AS hv FROM h1),
+        h AS (SELECT ws_us, xor(hv, hv >> 16) AS hv FROM h2),
+        regs AS (
+            SELECT ws_us, hv % {_HLL_M} AS register,
+                   max(CASE WHEN hv // {_HLL_M} > 0
+                            THEN 25 - floor(log2(hv // {_HLL_M}))
+                            ELSE 26 END) AS max_rho
+            FROM h GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT ws_us,
+                   CAST(round(
+                       CASE WHEN ({_HLL_M} - count(*)) > 0
+                                 AND {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                     / (sum(power(2.0, -max_rho))
+                                        + ({_HLL_M} - count(*)))
+                                     <= 2.5 * {_HLL_M}
+                            THEN round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                                     / ({_HLL_M} - count(*))), 4)
+                            ELSE round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                                       / (sum(power(2.0, -max_rho))
+                                          + ({_HLL_M} - count(*))), 4)
+                       END, 0) AS BIGINT) AS n_distinct
+            FROM regs GROUP BY ws_us
+        )
+        SELECT ws_us, n_distinct, n_events
+        FROM est JOIN counts USING (ws_us)
+    """,
+    section="E2,C12,B7,F14",
+    description="sliding 6h/2h HLL reach where a deterministic tenth of the "
+    "keys is NULLed scan-side: grades sliding_distinct's up-front null "
+    "filter — NULL keys mint no register row AND are excluded from the "
+    "rider count, matching countDistinct semantics — so the null rule all "
+    "three methods now share sits inside a driver hash grade",
+)
+def e2j_sliding_hll_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-keyed sliding HLL reach via the public helper.
+
+    100 TB scale shape: identical to e2i's (bounded register shuffle +
+    one windowed rider pass + per-window broadcastable join); the null
+    filter is one scan-side predicate fused into both passes' scans, so
+    the null rule costs nothing at any scale.
+    """
+    ev = load(spark, "events", sf_dir)
+    keyed = ev.select(
+        "ts",
+        F.when(F.col("user_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid_n"),
+    )
+    return sliding_distinct(
+        keyed,
+        "ts",
+        "uid_n",
+        "6 hours",
+        "2 hours",
+        extra_aggs=[F.count("*").alias("n_events")],
+        method="hll",
+    )
+
+
+# ---------------------------------------------------------------------------
 # F13/F14 — exact Lloyd assignment step on integer-quantized embeddings.
 # kmeans_lite_clusters stays rows-only (iterative, float centroids); this
 # twin freezes ONE deterministic assignment pass in exact int64 arithmetic

@@ -441,6 +441,37 @@ def main() -> None:
         .start()
     )
 
+    # leg 7 (VERDICT r13 #5): the e2i COMPOSITION live — sliding_distinct(
+    # method='hll', extra_aggs=[...]) is the round-18 two-pass shape (register
+    # sketch pass + exact rider-agg pass joined per window).  It is batch code
+    # by construction (two scans of one frame + one bounded join), so the
+    # streaming read path exercises it the way a production job would:
+    # foreachBatch runs the composition over every micro-batch and
+    # materializes the joined frame.  No cross-batch state — this leg grades
+    # sustained THROUGHPUT of the new join path at the rate target, not state
+    # boundedness (the sketch pass's boundedness is leg 6's claim).
+    from pulsar_message_filter_spark.operators.windows import sliding_distinct
+
+    def _e2i_micro_batch(bdf, _epoch):
+        sliding_distinct(
+            bdf,
+            "ts",
+            "user_id",
+            "15 seconds",
+            "5 seconds",
+            extra_aggs=[
+                F.count("*").alias("n_events"),
+                F.sum(_cents("value")).alias("revenue_cents"),
+            ],
+            method="hll",
+        ).write.format("noop").mode("overwrite").save()
+
+    q7 = (
+        rate_message_stream(spark, rows_per_second=rate)
+        .writeStream.foreachBatch(_e2i_micro_batch)
+        .option("checkpointLocation", f"{root}/ck7")
+        .start()
+    )
 
     def state_profile(q) -> dict:
         """RocksDB state growth over the observed progress window: the
@@ -535,6 +566,7 @@ def main() -> None:
             ("throttle", q4),
             ("sliding_window", q5),
             ("sliding_distinct_sketch", q6),
+            ("sliding_hll_extra_aggs", q7),
         ):
             prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
             # drop the warm-up half: first batches pay JIT + state-store init
@@ -578,6 +610,7 @@ def main() -> None:
         q4.stop()
         q5.stop()
         q6.stop()
+        q7.stop()
         shutil.rmtree(root, ignore_errors=True)
 
     # checkpoint growth: version cleanup runs on the maintenance interval,
