@@ -39,15 +39,22 @@ _FAMILY = ((131_071, 524_287), (262_139, 8_191), (524_287, 131_101), (999_983, 2
 
 
 def cms_build(
-    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    group_cols: list | None = None,
 ) -> DataFrame:
-    """Counter cells ``(row, cell, cnt)`` of the CMS over a key column.
+    """Counter cells ``(*group_cols, row, cell, cnt)`` of the CMS over a
+    key column.
 
     One generator projection (depth cells per input row via a literal
     array + explode) and one ``groupBy(row, cell)`` count — map-side
     combinable, at most ``depth × width`` output rows however large the
-    input.  Build partials per partition/day/batch and merge by summing
-    ``cnt`` over the same grouping: addition is the sketch's merge.
+    input.  ``group_cols`` (e.g. a day/window column, mirroring
+    :func:`hll_registers_by`) builds one PARTIAL sketch per group; merge
+    partials by summing ``cnt`` over ``(row, cell)`` — see
+    :func:`cms_merge` — because addition is the sketch's merge.
     STRING keys fold to longs first via :func:`hll_key_expr` (the shared
     polynomial char fold — same ~1e8-distinct ceiling documented there;
     CMS heavy-hitter workloads are far below it by construction).
@@ -64,11 +71,26 @@ def cms_build(
             for i in range(depth)
         ]
     )
+    projected = df.select(*(group_cols or []), F.explode(cells).alias("rc"))
+    group_names = [c for c in projected.columns if c != "rc"]
     return (
-        df.select(F.explode(cells).alias("rc"))
-        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        projected.select(
+            *group_names,
+            F.col("rc.row").alias("row"),
+            F.col("rc.cell").alias("cell"),
+        )
+        .groupBy(*group_names, "row", "cell")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Merge per-group CMS partials into one sketch: sum ``cnt`` over
+    ``(row, cell)``.  Exact — a merged sketch is cell-for-cell identical
+    to one built over the concatenated input, which is what makes
+    per-day/per-batch CMS partials the frequency symmetric of the HLL
+    register rollup (:func:`hll_windowed_merge`)."""
+    return partials.groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_estimate(
@@ -277,6 +299,89 @@ def cms_string_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(events, "event_type")
     keys = events.select("event_type").distinct()
     return cms_estimate(sketch, keys, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# C11/E1/F14 — CMS mergeability across time windows, as a graded invariant:
+# the frequency symmetric of hll_windowed_merge.  Per-day partial sketches
+# (≤ depth×width counter rows per window, however large the day) merge by
+# summing cells — EXACTLY, because CMS merge is addition — and point
+# estimates off the merged sketch are inside one hash grade together with
+# the partial-structure counts, so the rollup read path a 100 TB frequency
+# dashboard would use (keep 4×1024 cells per day, sum on read) is itself
+# oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def _cms_windowed_sql(width: int, depth: int) -> str:
+    cell = (
+        lambda i: f"(user_id * {_FAMILY[i][0]} + {_FAMILY[i][1]}) % {_P} % {width}"
+    )
+    builds = " UNION ALL ".join(
+        f"SELECT CAST(ts AS DATE) AS day, {i} AS row, {cell(i)} AS cell "
+        "FROM events"
+        for i in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row, {cell(i)} AS cell FROM events "
+        "WHERE user_id < 20"
+        for i in range(depth)
+    )
+    return f"""
+        WITH partials AS (
+            SELECT day, row, cell, count(*) AS cnt
+            FROM ({builds}) GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT row, cell, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM partials GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT user_id AS k, row, cell FROM ({probes})),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_partial_rows,
+                   CAST(count(DISTINCT day) AS BIGINT) AS n_windows
+            FROM partials
+        )
+        SELECT p.k AS user_id, CAST(min(m.cnt) AS BIGINT) AS est,
+               s.n_partial_rows, s.n_windows
+        FROM probes p JOIN merged m USING (row, cell) CROSS JOIN stats s
+        GROUP BY 1, 3, 4
+    """
+
+
+@graded(
+    "cms_windowed_merge",
+    oracle=_cms_windowed_sql(1024, 4),
+    section="C11,E1,D8,F14",
+    description="CMS mergeability across time windows: per-day partial "
+    "sketches (bounded at depth x width counter rows per window) merged by "
+    "summing cells, then per-user point estimates off the MERGED sketch — "
+    "the frequency symmetric of hll_windowed_merge, graded hash-exact with "
+    "the partial-structure counts so the 100 TB rollup read path (persist "
+    "small per-window partials, sum on read) is itself oracle-checked",
+)
+def cms_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day CMS partials → exact merge-by-sum → point estimates.
+
+    100 TB scale shape: the build is one map-side-combinable
+    ``groupBy(day, row, cell)`` count whose output is ≤ depth×width rows
+    PER DAY regardless of input volume (the persistable partial); the
+    merge is one ``groupBy(row, cell)`` sum over those bounded partials
+    (rows = days × 4096, never data-sized); the probe side is a
+    broadcast-sized distinct-key frame.  No stage touches raw rows twice.
+    """
+    events = load(spark, "events", sf_dir)
+    partials = cms_build(
+        events, "user_id", group_cols=[F.col("ts").cast("date").alias("day")]
+    )
+    merged = cms_merge(partials)
+    keys = events.filter(F.col("user_id") < 20).select("user_id").distinct()
+    ests = cms_estimate(merged, keys, "user_id")
+    stats = partials.agg(
+        F.count("*").alias("n_partial_rows"),
+        F.countDistinct("day").alias("n_windows"),
+    )
+    return ests.crossJoin(stats)
 
 
 def hll_registers(df: DataFrame, key_col: str, m: int = _HLL_M) -> DataFrame:
