@@ -1056,6 +1056,118 @@ def kmv_distinct_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C12/E1/F14 — KMV mergeability across time windows: the third leg of the
+# windowed-merge trilogy (HLL merges by per-register MAX, CMS by cell SUM,
+# KMV by union-then-re-take-bottom-k — min-set algebra: every hash in the
+# whole-range bottom-k is in its own day's bottom-k, so merging the ≤ k-row
+# per-day partials loses nothing).  Per-day partials are the persistable
+# rollup state (≤ k rows per window however large the day); the merged
+# estimate plus the partial-structure counts sit inside one hash grade,
+# md5-exact across engines like kmv_distinct_jaccard.
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "kmv_windowed_merge",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day,
+                   CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                        * (16 ** (8 - i)))) AS BIGINT) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT day, h,
+                   row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+            FROM hashed
+        ),
+        partials AS (SELECT day, h FROM ranked WHERE rk <= {_KMV_K}),
+        merged AS (
+            SELECT h FROM (SELECT DISTINCT h FROM partials)
+            ORDER BY h LIMIT {_KMV_K}
+        ),
+        est AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_used,
+                   round(CAST(count(*) - 1 AS DOUBLE) * 4294967296.0 / max(h), 2)
+                       AS est_distinct
+            FROM merged
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_partial_rows,
+                   CAST(count(DISTINCT day) AS BIGINT) AS n_windows
+            FROM partials
+        ),
+        td AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+            FROM events
+        )
+        SELECT s.n_partial_rows, s.n_windows, e.k_used, e.est_distinct,
+               t.true_distinct
+        FROM stats s CROSS JOIN est e CROSS JOIN td t
+    """,
+    section="C12,E1,D8,F14",
+    description="KMV mergeability across time windows: per-day bottom-k "
+    "hash partials (≤ k rows per window) merged by union-then-re-rank give "
+    "the whole-range distinct estimate — the rank-merge leg of the "
+    "windowed-merge trilogy (HLL max, CMS sum, KMV rank), md5-exact across "
+    "engines with the partial-structure counts inside the hash grade",
+)
+def kmv_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KMV partials → union + re-take bottom-k → estimate.
+
+    100 TB scale shape: the corpus-side work is one distinct (day, hash)
+    aggregation; the per-day bottom-k uses the same two-level salt window
+    as ``kmv_distinct_jaccard`` (no per-day serial sort of the full hash
+    set), and every stage after the partials runs on ≤ k rows per day —
+    the merge's TakeOrderedAndProject sees days × k rows, never data.
+    """
+    ev = load(spark, "events", sf_dir)
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = ev.select(
+        F.col("ts").cast("date").alias("day"), h32.alias("h")
+    ).distinct()
+    w_local = Window.partitionBy(
+        "day", (F.col("h") % 32).alias("salt")
+    ).orderBy("h")
+    survivors = (
+        hashed.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= _KMV_K)
+        .drop("lrk")
+    )
+    w_day = Window.partitionBy("day").orderBy("h")
+    partials = (
+        survivors.withColumn("rk", F.row_number().over(w_day))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("day", "h")
+    )
+    merged = partials.select("h").distinct().orderBy("h").limit(_KMV_K)
+    est = merged.agg(
+        F.count("*").alias("k_used"),
+        F.round(
+            (F.count("*") - 1).cast("double") * F.lit(4294967296.0) / F.max("h"),
+            2,
+        ).alias("est_distinct"),
+    )
+    stats = partials.agg(
+        F.count("*").alias("n_partial_rows"),
+        F.countDistinct("day").alias("n_windows"),
+    )
+    true_d = ev.select("user_id").distinct().count()
+    return (
+        stats.crossJoin(est)
+        .withColumn("true_distinct", F.lit(true_d).cast("long"))
+        .select(
+            "n_partial_rows", "n_windows", "k_used", "est_distinct",
+            "true_distinct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sample-quantile sketch — bottom-k reservoir quantiles with error vs truth
 # ---------------------------------------------------------------------------
 

