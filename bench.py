@@ -87,6 +87,9 @@ HEADLINE = [
     "e2g_sliding_unicode_reach_hll",  # its non-ASCII twin (multi-byte fold)
     "e2h_sliding_unaligned_reach_hll",  # non-aligned spec + raw-alpha branch
     "e2i_sliding_hll_with_aggs",  # sketch + rider aggs: two passes, one join
+    "e2j_sliding_hll_null_keys",  # null-key parity across all three methods
+    "cms_windowed_merge",  # per-day CMS partials merged by cell-sum
+    "kmv_windowed_merge",  # per-day bottom-k partials merged by re-rank
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -179,6 +182,9 @@ BUDGET_SEC = {
     "e2h_sliding_unaligned_reach_hll": 2.5,
     # two scans + per-window join; 0.936 min-of-3 fresh-session at sf0.1
     "e2i_sliding_hll_with_aggs": 2.5,
+    "e2j_sliding_hll_null_keys": 2.5,
+    "cms_windowed_merge": 2.2,
+    "kmv_windowed_merge": 2.2,
 }
 
 
