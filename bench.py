@@ -90,6 +90,9 @@ HEADLINE = [
     "e2j_sliding_hll_null_keys",  # null-key parity across all three methods
     "cms_windowed_merge",  # per-day CMS partials merged by cell-sum
     "kmv_windowed_merge",  # per-day bottom-k partials merged by re-rank
+    "bpe_pair_counts",  # tokenizer-training pair stats (corpus->vocab collapse)
+    "bpe_merge_rounds",  # greedy BPE merge schedule (R bounded collects)
+    "bpe_encode_corpus",  # train+encode: token totals with learned merges
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -185,6 +188,9 @@ BUDGET_SEC = {
     "e2j_sliding_hll_null_keys": 2.5,
     "cms_windowed_merge": 2.2,
     "kmv_windowed_merge": 2.2,
+    "bpe_pair_counts": 2.0,
+    "bpe_merge_rounds": 3.0,
+    "bpe_encode_corpus": 2.0,
 }
 
 

@@ -559,5 +559,6 @@ def _load_modules() -> None:
     import pulsar_message_filter_spark.operators.widen2  # noqa: F401
     import pulsar_message_filter_spark.operators.widen3  # noqa: F401
     import pulsar_message_filter_spark.operators.widen4  # noqa: F401
+    import pulsar_message_filter_spark.operators.bpe  # noqa: F401
 
     _LOADED = True
