@@ -93,6 +93,7 @@ HEADLINE = [
     "bpe_pair_counts",  # tokenizer-training pair stats (corpus->vocab collapse)
     "bpe_merge_rounds",  # greedy BPE merge schedule (R bounded collects)
     "bpe_encode_corpus",  # train+encode: token totals with learned merges
+    "hist_windowed_merge",  # per-day bin partials merged by sum (exact algebra)
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -191,6 +192,7 @@ BUDGET_SEC = {
     "bpe_pair_counts": 2.0,
     "bpe_merge_rounds": 3.0,
     "bpe_encode_corpus": 2.0,
+    "hist_windowed_merge": 3.0,
 }
 
 

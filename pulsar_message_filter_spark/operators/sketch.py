@@ -568,6 +568,83 @@ def quantile_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(histogram_bins(li, "l_extendedprice"), [0.5, 0.9, 0.99])
 
 
+# ---------------------------------------------------------------------------
+# C14/E1/F14 — histogram mergeability across time windows: the quantile leg
+# completing the windowed-rollup quartet (HLL merges by per-register MAX,
+# CMS by cell SUM, KMV by union-then-re-rank, fixed-bin histograms by plain
+# bin SUM — the simplest merge algebra of the four).  Per-day partials are
+# the persistable rollup state (≤ range/width bins per window); quantile
+# estimates off the merged histogram are bit-identical to a direct
+# whole-range build because bin counts merge EXACTLY.
+# ---------------------------------------------------------------------------
+
+
+@graded(
+    "hist_windowed_merge",
+    oracle=f"""
+        WITH partials AS (
+            SELECT l_shipdate AS day,
+                   CAST(floor(l_extendedprice / {_QH_WIDTH}) AS BIGINT) AS bin,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM partials GROUP BY 1
+        ),
+        c AS (
+            SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin) AS cum,
+                   sum(cnt) OVER () AS n
+            FROM merged
+        ),
+        q AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_partial_rows,
+                   CAST(count(DISTINCT day) AS BIGINT) AS n_windows
+            FROM partials
+        )
+        SELECT p,
+               bin * {_QH_WIDTH}
+                 + {_QH_WIDTH} * (p * n - (cum - cnt)) / cnt AS est,
+               s.n_partial_rows, s.n_windows
+        FROM q JOIN c ON cum >= p * n AND (cum - cnt) < p * n
+        CROSS JOIN stats s
+    """,
+    section="C14,E1,C11,F14",
+    description="histogram mergeability across time windows: per-shipdate "
+    "fixed-bin partials merged by bin SUM give whole-range p50/p90/p99 "
+    "bit-identical to a direct build (exact merge algebra, power-of-two "
+    "width keeps the float path exact — NO rounding) — the quantile leg "
+    "of the windowed-merge quartet, partial-structure counts inside the "
+    "hash grade",
+)
+def hist_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day histogram partials → merge-by-sum → quantile estimates.
+
+    100 TB scale shape: the build is one map-side-combinable
+    ``groupBy(day, bin)`` count bounded at range/width rows PER DAY (the
+    persistable partial); the merge is a ``groupBy(bin)`` sum over those
+    bounded partials (days × bins rows, never data-sized); the quantile
+    read runs the two-phase distributed prefix scan over ≤ range/width
+    merged bins.  Unlike the HLL/CMS/KMV legs the merge here is EXACT —
+    the graded estimates equal ``quantile_histogram_estimate``'s direct
+    build to the bit.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    partials = li.groupBy(
+        F.col("l_shipdate").alias("day"),
+        F.floor(F.col("l_extendedprice") / _QH_WIDTH).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    merged = partials.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    ests = histogram_quantiles(merged, [0.5, 0.9, 0.99])
+    stats = partials.agg(
+        F.count("*").alias("n_partial_rows"),
+        F.countDistinct("day").alias("n_windows"),
+    )
+    return ests.crossJoin(stats)
+
+
 def hll_registers_by(df: DataFrame, key_col: str, group_cols: list, m: int = _HLL_M) -> DataFrame:
     """Per-group HLL register tables — one tiny (≤ m rows) sketch per
     group, built in a single grouped pass.  Same hash family as

@@ -282,3 +282,32 @@ def test_kmv_windowed_partials_merge_to_whole_range_bottomk(spark):
     assert partial_union[:_KMV_K] == whole_range_bottomk
     # and the partials really are bounded per window
     assert all(len(set(hs)) >= min(len(set(hs)), _KMV_K) for hs in per_day.values())
+
+
+def test_hist_windowed_partials_merge_exactly(spark):
+    """Round-19: the histogram merge algebra is EXACT — per-day partials
+    summed bin-wise equal a direct whole-range build, so the quantile
+    estimates off the merged sketch are bit-identical (not just close)
+    to quantile_histogram_estimate's."""
+    from pulsar_message_filter_spark.operators.sketch import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+
+    li = load(spark, "lineitem", SF_SMOKE)
+    direct = {
+        r.p: r.est
+        for r in histogram_quantiles(
+            histogram_bins(li, "l_extendedprice"), [0.5, 0.9, 0.99]
+        ).collect()
+    }
+    partials = li.groupBy(
+        F.col("l_shipdate").alias("day"),
+        F.floor(F.col("l_extendedprice") / 4096).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    merged = partials.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    via_merge = {
+        r.p: r.est
+        for r in histogram_quantiles(merged, [0.5, 0.9, 0.99]).collect()
+    }
+    assert via_merge == direct  # bit-identical, no tolerance
