@@ -184,7 +184,15 @@ def _rounds_sql() -> str:
             FROM c{r} GROUP BY 1 ORDER BY c DESC, pair LIMIT 1
         ),
         v{r} AS (
-            SELECT replace(w, (SELECT pair FROM b{r}),
+            -- coalesce: if merges exhaust before round {r} (degenerate
+            -- corpus, no adjacent pairs left), b{r} is empty and the
+            -- scalar subquery is NULL; replace(w, NULL, ..) would NULL
+            -- the whole vocab.  The fallback is a control-char pair that
+            -- can never occur in an [a-z]+placeholder alphabet, so the
+            -- rewrite is a no-op and later rounds/stats flow unchanged —
+            -- matching the Spark loop's early break exactly.
+            SELECT replace(w, coalesce((SELECT pair FROM b{r}),
+                                       chr(1) || chr(2)),
                            '{_PLACEHOLDERS[r - 1]}') AS w, freq
             FROM {prev}
         )"""
