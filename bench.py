@@ -94,6 +94,8 @@ HEADLINE = [
     "bpe_merge_rounds",  # greedy BPE merge schedule (R bounded collects)
     "bpe_encode_corpus",  # train+encode: token totals with learned merges
     "hist_windowed_merge",  # per-day bin partials merged by sum (exact algebra)
+    "bpe_tokens_by_source",  # per-source token accounting with learned merges
+    "vocab_oov_rate",  # tokenizer-coverage eval (broadcast membership join)
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -193,6 +195,8 @@ BUDGET_SEC = {
     "bpe_merge_rounds": 3.0,
     "bpe_encode_corpus": 2.0,
     "hist_windowed_merge": 3.0,
+    "bpe_tokens_by_source": 3.0,
+    "vocab_oov_rate": 2.0,
 }
 
 

@@ -200,6 +200,19 @@ def _rounds_sql() -> str:
     return ",".join(parts)
 
 
+def _encode_sql(col: str) -> str:
+    """Oracle encode chain: apply the learned merges IN ORDER (round 1
+    first — later merges may reference earlier placeholders) with the
+    same exhaustion hardening as the ``v{r}`` chain."""
+    expr = col
+    for r in range(1, BPE_ROUNDS + 1):
+        expr = (
+            f"replace({expr}, coalesce((SELECT pair FROM b{r}), "
+            f"chr(1) || chr(2)), '{_PLACEHOLDERS[r - 1]}')"
+        )
+    return expr
+
+
 @graded(
     "bpe_pair_counts",
     oracle=f"""
@@ -347,4 +360,149 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("total_chars * 1000000 div total_tokens").alias(
             "chars_per_token_ppm"
         ),
+    )
+
+
+@graded(
+    "bpe_tokens_by_source",
+    oracle=f"""
+        WITH {_VOCAB_SQL},
+        {_rounds_sql()},
+        src_words AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        ),
+        src_vocab AS (
+            SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+            FROM src_words WHERE w <> '' GROUP BY 1, 2
+        ),
+        enc AS (
+            SELECT source, freq, length(w) AS chars,
+                   length({_encode_sql("w")}) AS toks
+            FROM src_vocab
+        )
+        SELECT source,
+               CAST(sum(freq) AS BIGINT) AS total_words,
+               CAST(sum(freq * chars) AS BIGINT) AS total_chars,
+               CAST(sum(freq * toks) AS BIGINT) AS total_tokens,
+               CAST(sum(freq * chars) * 1000000 // sum(freq * toks)
+                    AS BIGINT) AS chars_per_token_ppm
+        FROM enc GROUP BY 1
+    """,
+    section="F6,F11,C11,F14",
+    description="per-source token accounting with the learned BPE "
+    "merges — the number a mixture/token-budget pass consumes (ties "
+    "tokenizer training to curation): global merges applied to the "
+    "per-source vocabulary, totals and compression per source in exact "
+    "integer math",
+)
+def bpe_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token totals per data source under the globally-trained merges.
+
+    Scale shape: merges train once on the GLOBAL vocab (bounded
+    collects); the per-source pass is one corpus-collapsing
+    ``groupBy(source, w)`` count followed by scan-side replaces and a
+    k-row final aggregate — sources × vocab rows, never data-sized,
+    after the one corpus scan."""
+    docs = load(spark, "documents", sf_dir)
+    merges, _ = bpe_train(word_freqs(docs))
+    src_vocab = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    enc = F.col("w")
+    for r, (pair, _cnt) in enumerate(merges):
+        enc = F.replace(enc, F.lit(pair), F.lit(_PLACEHOLDERS[r]))
+    return (
+        src_vocab.withColumn("toks", F.length(enc))
+        .groupBy("source")
+        .agg(
+            F.sum("freq").alias("total_words"),
+            F.sum(F.col("freq") * F.length("w")).alias("total_chars"),
+            F.sum(F.col("freq") * F.col("toks")).alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "total_words",
+            "total_chars",
+            "total_tokens",
+            F.expr(
+                "total_chars * 1000000 div total_tokens"
+            ).alias("chars_per_token_ppm"),
+        )
+    )
+
+
+@graded(
+    "vocab_oov_rate",
+    oracle=f"""
+        WITH {_VOCAB_SQL},
+        topk AS (
+            SELECT w FROM v0 ORDER BY freq DESC, w LIMIT 20
+        ),
+        src_words AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        ),
+        marked AS (
+            SELECT s.source, s.w,
+                   CASE WHEN t.w IS NULL THEN 1 ELSE 0 END AS oov
+            FROM src_words s LEFT JOIN topk t USING (w)
+            WHERE s.w <> ''
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               CAST(sum(oov) AS BIGINT) * 1000000 // count(*) AS oov_ppm
+        FROM marked GROUP BY 1
+    """,
+    section="F6,C6,C8,F14",
+    description="tokenizer-coverage eval: per-source out-of-vocabulary "
+    "word rate against the global top-20 frequency vocabulary "
+    "(deterministic tie-break) — broadcast membership join, exact "
+    "integer ppm",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate vs the top-K global vocabulary.
+
+    Scale shape: top-K via TakeOrderedAndProject over the collapsed
+    vocab, broadcast onto the per-(source, word) count frame (vocab ×
+    sources rows — the corpus is scanned once, in the counts); the OOV
+    mark is a broadcast LEFT join, never a shuffle of word strings."""
+    docs = load(spark, "documents", sf_dir)
+    vocab = word_freqs(docs)
+    topk = vocab.orderBy(F.desc("freq"), F.asc("w")).limit(20).select("w")
+    src_counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    marked = src_counts.join(
+        F.broadcast(topk.withColumn("in_vocab", F.lit(1))), "w", "left"
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("freq")).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+        )
     )
