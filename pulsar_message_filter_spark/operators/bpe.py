@@ -233,7 +233,7 @@ def _encode_sql(col: str) -> str:
             FROM agg
         ) WHERE rk <= 40
     """,
-    section="F6,F8,C11,F14",
+    section="F15,F6,F8,C11,F14",
     description="BPE training statistics, round 1: frequency-weighted "
     "adjacent-character pair counts over the word-frequency vocabulary "
     "(corpus collapses to vocab at the first combinable groupBy; pair "
@@ -276,7 +276,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
         ) ORDER BY round
     """,
-    section="F6,F14",
+    section="F15,F6,F14",
     description=f"BPE greedy merge schedule: {BPE_ROUNDS} rounds of "
     "(vocab-sized pair stats -> argmax -> scan-side placeholder "
     "rewrite), each round ONE collected row; merged symbols expanded "
@@ -329,7 +329,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                total_chars * 1000000 // total_tokens AS chars_per_token_ppm
         FROM stats0 CROSS JOIN stats{BPE_ROUNDS}
     """,
-    section="F6,C11,F14",
+    section="F15,F6,C11,F14",
     description=f"BPE encode with the learned {BPE_ROUNDS}-merge table: "
     "corpus token count before/after at character-symbol level, "
     "compression graded in exact integer math (chars*1e6 div tokens) "
@@ -390,7 +390,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS chars_per_token_ppm
         FROM enc GROUP BY 1
     """,
-    section="F6,F11,C11,F14",
+    section="F15,F6,F11,C11,F14",
     description="per-source token accounting with the learned BPE "
     "merges — the number a mixture/token-budget pass consumes (ties "
     "tokenizer training to curation): global merges applied to the "
@@ -463,7 +463,7 @@ def bpe_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(oov) AS BIGINT) * 1000000 // count(*) AS oov_ppm
         FROM marked GROUP BY 1
     """,
-    section="F6,C6,C8,F14",
+    section="F15,F6,C6,C8,F14",
     description="tokenizer-coverage eval: per-source out-of-vocabulary "
     "word rate against the global top-20 frequency vocabulary "
     "(deterministic tie-break) — broadcast membership join, exact "
