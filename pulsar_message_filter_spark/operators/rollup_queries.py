@@ -222,8 +222,75 @@ def stream_cms_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(merged_cms, keys, "user_id")
 
 
+def _hll_readpath_oracle() -> str:
+    """The HLL rollup read path is hash-exact against the DIRECT
+    build+estimate oracle because merge-by-max is exact: per-epoch
+    register maxima max-merge to the whole-table register maxima (the
+    hash family is a deterministic literal).  Composes the same shared
+    fragments as hll_distinct_users / hll_audience_overlap — same
+    registers, same estimate formula."""
+    from pulsar_message_filter_spark.operators.sketch import (
+        _HLL_EST_SQL,
+        _hll_regs_sql,
+    )
+
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS registers_hit,
+               {_HLL_EST_SQL} AS hll_estimate,
+               (SELECT count(DISTINCT user_id) FROM events) AS true_distinct
+        FROM {_hll_regs_sql("")} regs
+    """
+
+
+@graded(
+    "stream_hll_rollup_readpath",
+    oracle=_hll_readpath_oracle(),
+    section="E10,C12,F14",
+    description="streaming HLL rollup READ PATH, hash-exact: 3 emulated "
+    "epochs of register maxima written through the epoch-keyed store "
+    "(both sketch halves committed, exercising the consistency "
+    "semi-join), merged on read (MAX over registers, the sketch's merge) "
+    "and estimated; max-merge exactness makes the answer identical to "
+    "the direct whole-table build the oracle runs",
+)
+def stream_hll_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives ``hll_registers`` (+ the CMS half the store format pairs
+    with) → epoch-keyed store → ``read_sketch_rollup`` merge-on-read →
+    the register-table estimate, end-to-end through the graded surface —
+    the HLL half ``stream_cms_rollup_readpath`` writes but does not
+    grade.  Plan-time side job (store build) — off bench HEADLINE."""
+    from pulsar_message_filter_spark.operators.sketch import (
+        _HLL_ALPHA,
+        _HLL_M,
+        cms_build,
+        hll_registers,
+    )
+    from pulsar_message_filter_spark.streaming.pipeline import read_sketch_rollup
+
+    store = _store_dir("hll_readpath", sf_dir)
+    events = load(spark, "events", sf_dir)
+    for e in range(_EPOCHS):
+        batch = events.filter(F.col("event_id") % _EPOCHS == e)
+        _epoch_write(cms_build(batch, "user_id"), e, f"{store}/cms")
+        _epoch_write(hll_registers(batch, "user_id"), e, f"{store}/hll")
+    _merged_cms, merged_hll = read_sketch_rollup(spark, store)
+    true_distinct = events.select("user_id").distinct().count()
+    return merged_hll.agg(
+        F.count("*").alias("registers_hit"),
+        F.round(
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                + (F.lit(_HLL_M) - F.count("*"))
+            ),
+            4,
+        ).alias("hll_estimate"),
+    ).withColumn("true_distinct", F.lit(true_distinct).cast("long"))
+
+
 __all__ = [
     "stream_mg_rollup_readpath",
     "stream_kll_rollup_readpath",
     "stream_cms_rollup_readpath",
+    "stream_hll_rollup_readpath",
 ]
