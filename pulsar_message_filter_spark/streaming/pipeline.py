@@ -1129,7 +1129,18 @@ def read_sketch_rollup(spark, store_dir: str, epochs=None):
     between the CMS write and the HLL write of the same epoch (the
     replay will redo it) can never make the two sketches answer over
     different data.  Before any epoch has committed, both frames are
-    empty with the right schema instead of raising PATH_NOT_FOUND."""
+    empty with the right schema instead of raising PATH_NOT_FOUND.
+
+    Store age: at thousands of epochs the read cost is FILE-COUNT-bound,
+    not merge-bound (tools/rollup_epoch_probe.py: 7.6 s at 1,000
+    one-file epoch partitions vs 1.2 s for the same rows compacted —
+    SCALING.md round-19).  ``streaming.compaction.compact_parquet`` on
+    each half restores the floor: ``epoch_id`` demotes from a partition
+    directory to a data column, which this reader (incl. the
+    consistency semi-join and the ``epochs=`` filter) handles
+    identically.  Compact only CLOSED stores — a later epoch-partitioned
+    write into a compacted (flat-file) directory would mix layouts and
+    make ``epoch_id`` ambiguous to partition discovery."""
     import os
 
     try:

@@ -114,3 +114,55 @@ def test_cms_rollup_readpath_merge_identity(spark, tmp_path):
     write(cms_build(events.limit(5), "user_id"), "cms", 99)
     merged2, _ = read_sketch_rollup(spark, store)
     assert sorted(map(tuple, merged2.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_sketch_store_compaction_preserves_rollup_reads(spark, tmp_path):
+    """Round-19 (epoch-growth probe consequence): compact_parquet on a
+    CLOSED sketch store — epoch_id demotes from partition dir to data
+    column — must leave read_sketch_rollup's merged answer AND the
+    torn-epoch consistency rule byte-identical, with fewer files."""
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.operators.sketch import cms_build, hll_registers
+    from pulsar_message_filter_spark.streaming.compaction import (
+        compact_parquet,
+        sink_file_stats,
+    )
+    from pulsar_message_filter_spark.streaming.pipeline import read_sketch_rollup
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    store = str(tmp_path / "store")
+
+    def write(df, sub, e):
+        (df.withColumn("epoch_id", F.lit(e))
+           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+           .partitionBy("epoch_id").parquet(f"{store}/{sub}"))
+
+    for e in range(EPOCHS):
+        batch = events.filter(F.col("event_id") % EPOCHS == e)
+        write(cms_build(batch, "user_id"), "cms", e)
+        write(hll_registers(batch, "user_id"), "hll", e)
+    # torn epoch BEFORE compaction: cms half only — must stay excluded after
+    write(cms_build(events.limit(5), "user_id"), "cms", 99)
+
+    cms_before, hll_before = read_sketch_rollup(spark, store)
+    cms_rows = sorted(map(tuple, cms_before.collect()))
+    hll_rows = sorted(map(tuple, hll_before.collect()))
+
+    for sub in ("cms", "hll"):
+        r = compact_parquet(
+            spark, f"{store}/{sub}", target_file_bytes=1 << 30,
+            min_files_to_compact=2,
+        )
+        assert r["compacted"] and r["files_after"] < r["files_before"]
+        assert sink_file_stats(spark, f"{store}/{sub}")["n_files"] == r["files_after"]
+
+    cms_after, hll_after = read_sketch_rollup(spark, store)
+    assert sorted(map(tuple, cms_after.collect())) == cms_rows
+    assert sorted(map(tuple, hll_after.collect())) == hll_rows
+    # epochs= filter still works on the demoted column
+    one_epoch_cms, _ = read_sketch_rollup(spark, store, epochs=[0])
+    direct = cms_build(events.filter(F.col("event_id") % EPOCHS == 0), "user_id")
+    assert sorted(map(tuple, one_epoch_cms.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
