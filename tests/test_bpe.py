@@ -127,3 +127,40 @@ def test_encode_totals_match_python_reference(spark):
         F.sum(F.col("freq") * F.length("w"))
     ).collect()[0][0]
     assert got_tokens == ref_tokens
+
+
+def test_bpe_train_rejects_too_many_rounds(spark):
+    import pytest as _pytest
+
+    from pulsar_message_filter_spark.operators.bpe import _PLACEHOLDERS, bpe_train
+
+    vocab = spark.createDataFrame([("ab", 1)], "w string, freq long")
+    with _pytest.raises(ValueError):
+        bpe_train(vocab, rounds=len(_PLACEHOLDERS) + 1)
+
+
+def test_bpe_train_breaks_cleanly_when_merges_exhaust(spark):
+    """A corpus whose pairs run out before BPE_ROUNDS: the loop stops
+    early and the encoded vocab stays consistent (no NULLs, no crash) —
+    the Spark twin of the oracle's coalesce hardening."""
+    from pyspark.sql import functions as F
+
+    from pulsar_message_filter_spark.operators.bpe import _PLACEHOLDERS, bpe_train
+
+    # single 2-char word: round 1 merges it to one symbol, then no pairs
+    vocab = spark.createDataFrame([("ab", 3), ("x", 9)], "w string, freq long")
+    merges, encoded = bpe_train(vocab)
+    assert len(merges) == 1 and merges[0][0] == "ab"
+    rows = {r.w: r.freq for r in encoded.collect()}
+    assert rows == {_PLACEHOLDERS[0]: 3, "x": 9}  # merged word = 1 placeholder symbol
+    assert encoded.filter(F.col("w").isNull()).count() == 0
+
+
+def test_word_freqs_on_letterless_text(spark):
+    from pulsar_message_filter_spark.operators.bpe import word_freqs
+
+    docs = spark.createDataFrame(
+        [("123 456 ---",), ("",), ("A b!",)], "text string"
+    )
+    got = {r.w: r.freq for r in word_freqs(docs).collect()}
+    assert got == {"a": 1, "b": 1}
