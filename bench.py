@@ -96,6 +96,7 @@ HEADLINE = [
     "hist_windowed_merge",  # per-day bin partials merged by sum (exact algebra)
     "bpe_tokens_by_source",  # per-source token accounting with learned merges
     "vocab_oov_rate",  # tokenizer-coverage eval (broadcast membership join)
+    "chunk_reassembly",  # chunked-message reassembly (sorted collect per uuid)
 ]
 
 #: Per-query wall-clock budgets at sf0.1, local[32], warm: 2x the measured
@@ -197,6 +198,7 @@ BUDGET_SEC = {
     "hist_windowed_merge": 3.0,
     "bpe_tokens_by_source": 3.0,
     "vocab_oov_rate": 2.0,
+    "chunk_reassembly": 2.0,
 }
 
 
