@@ -86,11 +86,16 @@ def distributed_prefix_sums(
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"distributed_prefix_sums reserved columns present: {clash}")
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(group_col)] + [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # No explicit partition count: a user-specified N exempts the exchange
+    # from AQE (guide §2.2/§2.4), freezing the scan at shuffle.partitions
+    # tasks whether the per-value table is 4 MB or 4 TB.  Leaving N unset
+    # keeps the range exchange AQE-coalescible, so the partition count
+    # derives from the actual shuffle bytes (advisoryPartitionSizeInBytes)
+    # — scale-adaptive in both directions, and exactness never depends on
+    # the partitioning (module docstring).
     parted = (
-        df.repartitionByRange(n, *keys)
+        df.repartitionByRange(*keys)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -183,11 +188,11 @@ def distributed_prefix_max(
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"distributed_prefix_max reserved columns present: {clash}")
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # Unset N keeps the range exchange AQE-coalescible (see
+    # distributed_prefix_sums) — partition count follows shuffle bytes.
     parted = (
-        df.repartitionByRange(n, *keys)
+        df.repartitionByRange(*keys)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
