@@ -82,7 +82,7 @@ def distributed_prefix_sums(
     ``sum_cols`` entry is attached under that name."""
     reserved = {"__pid"} | ({total_col} if total_col else set()) | {
         f"__lcum_{c}" for c in sum_cols
-    } | {f"__off_{c}" for c in sum_cols}
+    } | {f"__off_{c}" for c in sum_cols} | {f"__ptot_{c}" for c in sum_cols}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"distributed_prefix_sums reserved columns present: {clash}")
@@ -109,6 +109,9 @@ def distributed_prefix_sums(
         local = local.withColumn(f"__lcum_{c}", F.sum(c).over(w_local))
     # totals come from `parted`, NOT `local`: the branch then needs only a
     # map-side-combinable aggregate instead of re-running the sort+window
+    # (measured: riding a whole-partition frame on the same Window operator
+    # was SLOWER — the unbounded frame buffers the partition and the totals
+    # branch re-runs the sort above the reused exchange).
     totals = parted.groupBy("__pid", group_col).agg(
         *[F.sum(c).alias(f"__ptot_{c}") for c in sum_cols]
     )

@@ -517,12 +517,12 @@ def histogram_quantiles(
         {"cnt": "cum"},
         total_col="n",
     ).select("bin", "cnt", "cum", "n")
-    qs = None
-    for q in quantiles:
-        row = F.lit(float(q)).alias("p")
-        qs = c.select(row, "bin", "cnt", "cum", "n") if qs is None else qs.unionAll(
-            c.select(row, "bin", "cnt", "cum", "n")
-        )
+    # One pass, not |quantiles| unioned copies: the union form duplicated
+    # the whole prefix-scanned subtree per quantile (3x the post-checkpoint
+    # stages; 56-Exchange plan in hist_windowed_merge).  Exploding the
+    # quantile literals emits the identical row multiset from ONE copy.
+    ps = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("p")
+    qs = c.select(ps, "bin", "cnt", "cum", "n")
     target = F.col("p") * F.col("n")
     return (
         qs.filter((F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target))
