@@ -795,16 +795,51 @@ def int8_topk(
     # element, a compile-time/execution blowup measured at ~40× on the
     # fixture.  Operationally this IS the index-build step: quantize the
     # corpus once, store int8 arrays, serve many query batches from them.
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        quantize_int8(F.col("embedding")).alias("qq"),
-    ).localCheckpoint(eager=True)
-    c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        quantize_int8(F.col("embedding")).alias("cq"),
-    ).localCheckpoint(eager=True)
+    #
+    # Quantization happens in TWO projections, not one: higher-order
+    # functions are interpreted (no codegen), so a lambda body that embeds
+    # the amax fold re-evaluates that 64-element fold PER ELEMENT (~65
+    # folds/row, measured ~0.5 ms/row on the fixture).  Materializing
+    # amax/norm as per-row columns first makes the lambda reference a
+    # plain attribute — one fold per row — and CollapseProject keeps the
+    # split because the non-cheap expressions are multiply-referenced.
+    # Same math, same structs, ~50× less work (guide §1.2 step 2).
+    def _quantized(df: DataFrame, id_out: str, emb_out: str, q_out: str) -> DataFrame:
+        amaxed = df.select(
+            F.col("vec_id").alias(id_out),
+            F.col("embedding").alias(emb_out),
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            ).alias("__amax"),
+            norm(F.col("embedding")).alias("__norm"),
+        )
+        amax = F.col("__amax")
+        qcodes = F.transform(
+            emb_out,
+            lambda x: F.when(amax > 0, F.round(x.cast("double") / amax * 127))
+            .otherwise(F.lit(0))
+            .cast("tinyint"),
+        )
+        scale = F.when(amax > 0, amax / (F.col("__norm") * 127)).otherwise(
+            F.lit(0.0)
+        )
+        return amaxed.select(
+            id_out,
+            emb_out,
+            F.struct(qcodes.alias("q"), scale.alias("scale")).alias(q_out),
+        )
+
+    # The fixture parquet is one row group = a 1-partition scan; widen the
+    # index build (and the candidate scan that reads the checkpointed
+    # partitions) to cluster width when the scan arrives narrower than
+    # that.  At real scale the corpus scan already exceeds
+    # defaultParallelism and this is a no-op (guide §2.5: repartition
+    # right after an unsplittable read).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par, "vec_id")
+    q = _quantized(queries, "query_id", "qe", "qq").localCheckpoint(eager=True)
+    c = _quantized(corpus, "neighbor_id", "ce", "cq").localCheckpoint(eager=True)
     pool = 4 * k
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
     cands = (
