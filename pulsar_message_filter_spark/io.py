@@ -67,6 +67,27 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return df
 
 
+def widen(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Round a narrow scan up to cluster width (guide §2.5).
+
+    The fixture parquet files are single-row-group, so a scan is ONE
+    effective task no matter the split config — serializing any heavy
+    per-row work (tokenization, n-gram explode, quantization) that fuses
+    into the scan stage.  Repartitioning right after the read is the
+    guide's remedy for unsplittable inputs; the partition-count guard
+    makes it a NO-OP whenever the scan already arrives at or above
+    ``defaultParallelism`` (any real at-scale read), so this never adds a
+    shuffle where the input is wide.  Use on paths whose per-row compute
+    dwarfs one extra exchange of the (narrow) input — not on plain
+    scan→aggregate queries, where the map-side combine is cheaper than a
+    raw-row shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, key) if key else df.repartition(par)
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table; keys match the DuckDB oracle view names."""
     return {name: load(spark, name, sf_dir) for name in TABLES}

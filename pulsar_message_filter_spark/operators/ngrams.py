@@ -66,9 +66,14 @@ def token_ngrams(text: Column, n: int) -> Column:
 
 
 def _doc_grams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """(doc_id, source, gram) — one row per n-gram occurrence."""
+    """(doc_id, source, gram) — one row per n-gram occurrence.
+
+    Widened (guide §2.5): the single-row-group fixture scan would
+    otherwise run the split+slice n-gram generation in one task."""
+    from pulsar_message_filter_spark.io import widen
+
     return (
-        load(spark, "documents", sf_dir)
+        widen(load(spark, "documents", sf_dir), "doc_id")
         .select(
             "doc_id",
             "source",
@@ -128,15 +133,22 @@ def f22_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(F.col("source").isin(*BENCH_SOURCES)).select("gram").distinct()
     )
     train = grams.filter(~F.col("source").isin(*BENCH_SOURCES))
-    totals = train.groupBy("doc_id").agg(
-        F.countDistinct("gram").alias("total_grams")
+    # ONE doc-keyed pass computes both distinct counts (total, and
+    # contaminated via a broadcast membership mark), where the previous
+    # shape ran two full aggregations over the exploded grams and joined
+    # them — that was a third explode of the corpus plus an extra shuffle
+    # (guide §2.3/§2.4).  The inner totals⋈hits join's row set is
+    # recovered exactly by keeping only docs with ≥1 contaminated gram.
+    marked = train.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "gram", "left"
     )
-    hits = (
-        train.join(F.broadcast(bench), "gram")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("contaminated_grams"))
+    per_doc = marked.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("total_grams"),
+        F.countDistinct(
+            F.when(F.col("__hit") == 1, F.col("gram"))
+        ).alias("contaminated_grams"),
     )
-    return totals.join(hits, "doc_id").select(
+    return per_doc.filter(F.col("contaminated_grams") > 0).select(
         "doc_id",
         "total_grams",
         "contaminated_grams",
