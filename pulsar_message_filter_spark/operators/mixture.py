@@ -293,11 +293,9 @@ def f19_curation_to_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_message_filter_spark.operators.dedup import canonical_text
     from pulsar_message_filter_spark.operators.text import quality_flags
 
-    from pulsar_message_filter_spark.io import widen
-
-    # widen: the 1-row-group scan otherwise serializes the tokenize-heavy
-    # quality flags + canonical_text into one task (guide §2.5)
-    docs = widen(load(spark, "documents", sf_dir), "doc_id")
+    # (measured this round: widening the narrow doc scan here was SLOWER —
+    # see f15_curation_pipeline; the checkpoint below is the win)
+    docs = load(spark, "documents", sf_dir)
     flags = quality_flags(F.col("text"))
     q = docs.filter(flags["len_ok"] & flags["word_len_ok"] & flags["diversity_ok"])
     w = Window.partitionBy(canonical_text(F.col("text"))).orderBy("doc_id")

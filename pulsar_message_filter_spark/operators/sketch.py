@@ -1592,6 +1592,10 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth in one plan, the KMV/sample-quantile pattern."""
     from pulsar_message_filter_spark.operators.parity import cents
 
+    # (measured this round: widening the 1-partition scan before the
+    # mapInPandas build was SLOWER — the raw-row exchange + worker fan-out
+    # costs more than the vectorized single-worker build saves at sf0.1;
+    # at scale the scan arrives wide on its own, so nothing to do here)
     li = load(spark, "lineitem", sf_dir).select(
         "l_returnflag", cents("l_extendedprice").alias("v")
     )

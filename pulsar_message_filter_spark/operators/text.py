@@ -510,6 +510,9 @@ def f15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_message_filter_spark.operators.dedup import canonical_text
     from pulsar_message_filter_spark.operators.sampling import hash_sample
 
+    # (measured this round: widening the narrow doc scan here was SLOWER —
+    # quality_flags is a few splits per row, cheaper than the raw-text
+    # exchange widening adds; contrast f22's n-gram explode where widen wins)
     docs = load(spark, "documents", sf_dir)
     flags = quality_flags(F.col("text"))
     q = docs.filter(flags["len_ok"] & flags["word_len_ok"] & flags["diversity_ok"])
