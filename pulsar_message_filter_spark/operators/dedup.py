@@ -382,7 +382,13 @@ def minhash_near_dups(
     "exact Jaccard re-check — the no-cross-join dedup scale path; rows-only",
 )
 def f2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
+    from pulsar_message_filter_spark.io import widen
+
+    # widen (guide §2.5): the per-doc MinHash signature (many xxhash64
+    # permutations over the shingle set) is heavy scan-side work; the
+    # 1-row-group fixture otherwise runs it in one task (same-session A/B
+    # this round: ~1.3 s narrow vs ~1.1 s widened)
+    docs = widen(load(spark, "documents", sf_dir), "doc_id")
     return minhash_near_dups(docs, "text", "doc_id", threshold=0.8)
 
 
@@ -1689,7 +1695,14 @@ def f57_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate generation is a hash equi-join on the fingerprint value —
     content-bucketed like MinHash banding, no cartesian; the >=3-shared
     HAVING floors out coincidental single-gram collisions."""
-    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    from pulsar_message_filter_spark.io import widen
+
+    # widen (guide §2.5): per-position k-gram md5 shingling is heavy
+    # per-row work otherwise serialized in the 1-row-group scan task
+    # (same-session A/B this round: ~2.2 s narrow vs ~1.6 s widened)
+    docs = widen(
+        load(spark, "documents", sf_dir).select("doc_id", "text"), "doc_id"
+    )
     return winnowing_candidates(winnowing_fingerprints(docs))
 
 

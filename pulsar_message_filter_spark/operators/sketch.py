@@ -295,7 +295,12 @@ def cms_string_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     summing cells.  The probe side is a broadcast-sized distinct-key
     frame joined on (row, cell).
     """
-    events = load(spark, "events", sf_dir)
+    from pulsar_message_filter_spark.io import widen
+
+    # widen (guide §2.5): the per-char string fold is heavy scan-side
+    # work serialized by the 1-row-group fixture scan (same-session A/B
+    # this round: ~1.2 s narrow vs ~0.9 s widened)
+    events = widen(load(spark, "events", sf_dir), "event_id")
     sketch = cms_build(events, "event_type")
     keys = events.select("event_type").distinct()
     return cms_estimate(sketch, keys, "event_type")

@@ -95,7 +95,12 @@ def f82_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     width — semantics unchanged.  The final per-lang rollup is a 20-group
     agg.  No driver-side state.
     """
-    docs = load(spark, "documents", sf_dir)
+    from pulsar_message_filter_spark.io import widen
+
+    # widen (guide §2.5): the 8-token shingle explode is heavy per-row
+    # work that otherwise runs in the single-row-group scan's one task
+    # (same-session A/B this round: ~1.9 s narrow vs ~1.55 s widened)
+    docs = widen(load(spark, "documents", sf_dir), "doc_id")
     tagged = docs.select(
         "doc_id",
         "lang",
