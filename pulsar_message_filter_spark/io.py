@@ -44,12 +44,30 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Per-session memo of resolved table DataFrames (metadata only — the
+#: unresolved relation: file listing + parquet footer schema).  Every
+#: ``spark.read.parquet`` call re-lists and re-reads the footer on the
+#: driver (~70–120 ms measured warm), which a query loading two tables
+#: pays twice per run; a real engine resolves a table once per session
+#: (guide §6 file-listing cache — this is its path-read equivalent).  NO
+#: DATA is cached: the value is a lazy DataFrame definition, and every
+#: action still scans the parquet.  WeakKeyDictionary drops the memo
+#: with the session.
+from weakref import WeakKeyDictionary
+
+_RESOLVED: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
 
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one fixture table with type normalization applied."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure(spark)
+    memo = _RESOLVED.setdefault(spark, {})
+    key = (name, os.path.abspath(sf_dir))
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql.types import LongType, TimestampType
@@ -64,6 +82,7 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
             # timestamp_ntz (µs parquet) → TimestampType; UTC session tz makes
             # this a pure type relabel, no wall-clock shift.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    memo[key] = df
     return df
 
 
