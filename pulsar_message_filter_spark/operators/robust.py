@@ -412,7 +412,11 @@ def calib_isotonic_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cumn_k") - F.col("cumn_j") + F.col("nj")).cast("double")
         ).alias("m"),
     )
-    b = bins.select(F.col("bin"), F.col("n").alias("n_bin"), F.col("s"))
+    # b from the prefix-scanned frame, NOT from `bins`: c carries (bin, n,
+    # s) unchanged and sits behind the scan's checkpoint, so reading it
+    # here avoids re-running the full events scan+aggregation in the two
+    # extra branches (guide §2.4: duplicated subtrees)
+    b = c.select(F.col("bin"), F.col("n").alias("n_bin"), F.col("s"))
     inner = (
         b.join(
             F.broadcast(pairs),
