@@ -386,12 +386,25 @@ def calib_isotonic_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         distributed_prefix_sums,
     )
 
-    c = distributed_prefix_sums(
-        bins.withColumn("__g", F.lit(0)),
-        "__g",
-        ["bin"],
-        {"n": "cumn", "s": "cums"},
-    ).select("bin", "n", "s", "cumn", "cums")
+    # The prefix-summed frame feeds THREE consumers (j, k via the pair
+    # join, and b via the inner/rates branches).  The prefix scan's own
+    # checkpoint covers only its range-partitioned input — everything
+    # above it (sort-window, totals groupBy, offsets join) would replay
+    # once per consumer, tripling the exchanges (r14 regression: Exchange
+    # 30 -> 38, bench 1.0 -> 2.0 s).  One lazy localCheckpoint on the
+    # ~B-row result collapses all branches onto a single tiny RDD
+    # (guide §2.4 duplicated subtrees); within-run only, no cross-run
+    # state.
+    c = (
+        distributed_prefix_sums(
+            bins.withColumn("__g", F.lit(0)),
+            "__g",
+            ["bin"],
+            {"n": "cumn", "s": "cums"},
+        )
+        .select("bin", "n", "s", "cumn", "cums")
+        .localCheckpoint(eager=False)
+    )
     j = c.select(
         F.col("bin").alias("j"),
         F.col("n").alias("nj"),

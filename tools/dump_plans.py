@@ -2,7 +2,7 @@
 
 Usage::
 
-    python tools/dump_plans.py before            # plans/r14/<q>_before.txt
+    python tools/dump_plans.py before            # plans/$PMF_PLAN_ROUND/<q>_before.txt
     python tools/dump_plans.py after q1 q2 ...   # subset
 
 Plans are captured at the bench scale factor (default sf0.1) so scan
@@ -25,7 +25,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("PMF_PLAN_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -37,7 +37,10 @@ def main() -> int:
     graded = registry.all_graded()
     names = [n for n in bench.HEADLINE if n in graded]
     if only:
-        names = [n for n in names if n in only]
+        # honor explicitly requested non-headliner graded names too
+        names = [n for n in names if n in only] + sorted(
+            (only - set(names)) & set(graded)
+        )
     for name in names:
         df = graded[name].fn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
