@@ -688,8 +688,10 @@ def connected_components(
     labels == the component minimum.  Each round is two node-id-keyed
     joins + one aggregation — the same shuffle partitioning every round,
     no quadratic anything.  The driver-side loop carries only a
-    converged/not flag per round (an O(1) ``count``), labels stay
-    distributed; each round's label frame is ``localCheckpoint``-ed —
+    converged/not flag per round — computed as ``max(lab != old lab)`` in
+    the SAME action that materializes the round's labels, so convergence
+    costs no extra join or job — labels stay distributed; each round's
+    label frame is ``localCheckpoint``-ed —
     without lineage truncation the plan doubles per round and the driver
     OOMs analyzing it long before the data is a problem (on a real
     cluster with an unreliable-executor concern, swap in
@@ -721,10 +723,15 @@ def connected_components(
             .groupBy(edges["a"].alias("node2"))
             .agg(F.min("lab").alias("nlab"))
         )
+        # carry the pre-round label so the convergence check rides the
+        # SAME action that materializes the round (guide §2.4): the old
+        # shape paid a per-round join of two checkpointed frames plus its
+        # own job just to learn "did anything change".
         new_labels = labels.join(
             neighbor_min, labels["node"] == F.col("node2"), "left"
         ).select(
             "node",
+            F.col("lab").alias("olab"),
             F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
         )
         if shortcut:
@@ -736,16 +743,17 @@ def connected_components(
             )
             new_labels = new_labels.join(
                 jump, new_labels["lab"] == F.col("jn"), "left"
-            ).select("node", F.coalesce("jlab", "lab").alias("lab"))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+            ).select("node", "olab", F.coalesce("jlab", "lab").alias("lab"))
+        # lazy checkpoint + one aggregate: the agg job computes the round
+        # AND persists the label blocks as a side effect, so each round is
+        # one action with no convergence join (exact same fixpoint test —
+        # any lab != its pre-round value).
+        new_labels = new_labels.withColumn(
+            "chg", (F.col("lab") != F.col("olab")).cast("int")
+        ).localCheckpoint(eager=False)
+        # empty graph -> max over zero rows is NULL -> treat as converged
+        changed = new_labels.agg(F.max("chg").alias("c")).first()["c"] or 0
+        labels = new_labels.select("node", "lab")
         if changed == 0:
             break
     if stats is not None:
