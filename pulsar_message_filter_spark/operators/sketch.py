@@ -447,7 +447,12 @@ def hll_registers(df: DataFrame, key_col: str, m: int = _HLL_M) -> DataFrame:
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, "events", sf_dir)
     regs = hll_registers(events, "user_id")
-    true_distinct = events.select("user_id").distinct().count()
+    # the exact count rides the SAME plan as a 1-row aggregate subtree
+    # (one action instead of a driver-side count + lit; guide §1.2/§2.4)
+    # — count_distinct matches the oracle's count(DISTINCT user_id)
+    td = events.agg(
+        F.count_distinct("user_id").cast("long").alias("true_distinct")
+    )
     # empty registers contribute 2^0 = 1 each (rho 0) to the harmonic sum
     return regs.agg(
         F.count("*").alias("registers_hit"),
@@ -459,7 +464,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("hll_estimate"),
-    ).withColumn("true_distinct", F.lit(true_distinct).cast("long"))
+    ).crossJoin(td)
 
 
 def hll_estimate_from_registers(rows, m: int = _HLL_M) -> float:
@@ -720,7 +725,12 @@ def hll_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "user_id", [F.col("ts").cast("date").alias("day")]
     )
     merged = day_regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
-    true_distinct = events.select("user_id").distinct().count()
+    # exact count as a 1-row aggregate subtree in the same plan — one
+    # action instead of a driver count + lit (count_distinct == the
+    # oracle's count(DISTINCT user_id))
+    td = events.agg(
+        F.count_distinct("user_id").cast("long").alias("true_distinct")
+    )
     est = merged.agg(
         F.count("*").alias("__hit"),
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__hsum"),
@@ -731,7 +741,7 @@ def hll_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counts.crossJoin(est)
-        .withColumn("true_distinct", F.lit(true_distinct).cast("long"))
+        .crossJoin(td)
         .select("n_partial_rows", "n_windows", "merged_estimate", "true_distinct")
     )
 
@@ -1238,10 +1248,13 @@ def kmv_windowed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_partial_rows"),
         F.countDistinct("day").alias("n_windows"),
     )
-    true_d = ev.select("user_id").distinct().count()
+    # exact count as a 1-row aggregate subtree in the same plan — one
+    # action instead of a driver count + lit (count_distinct == the
+    # oracle's count(DISTINCT user_id))
+    td = ev.agg(F.count_distinct("user_id").cast("long").alias("true_distinct"))
     return (
         stats.crossJoin(est)
-        .withColumn("true_distinct", F.lit(true_d).cast("long"))
+        .crossJoin(td)
         .select(
             "n_partial_rows", "n_windows", "k_used", "est_distinct",
             "true_distinct",
