@@ -726,7 +726,9 @@ def f13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def quantize_int8(emb: Column) -> Column:
+def quantize_int8(
+    emb: Column, amax: Column | None = None, nrm: Column | None = None
+) -> Column:
     """FAISS-SQ8-style scalar quantization (public design): each vector is
     L2-normalized, then components map to round(v/|v|_max · 127) as a
     tinyint array plus the per-vector ``scale`` needed to reconstruct.
@@ -748,8 +750,19 @@ def quantize_int8(emb: Column) -> Column:
     (``(v_i/n) / (max|v|/n) = v_i / max|v|``), so the quantized codes
     depend only on the raw components and one amax fold, and the
     normalization enters once, in the scalar ``scale``.
+
+    ``amax``/``nrm`` optionally take PRE-MATERIALIZED columns carrying
+    ``array_max(transform(emb, abs))`` and ``norm(emb)``: higher-order
+    functions are interpreted (no codegen), so a lambda body that embeds
+    the amax fold re-evaluates that fold PER ELEMENT (~65 folds/row).
+    Callers on hot paths hoist the folds into their own projection and
+    pass them here — one fold per row, same math, single source of truth
+    for the quantization formula (this function).
     """
-    amax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    if amax is None:
+        amax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    if nrm is None:
+        nrm = norm(emb)
     # amax = 0 (all-zero vector) would give 0/0 = NaN codes and a NaN
     # scale; map it to the zero code vector with scale 0 instead, so a
     # zero embedding has cosine 0 against everything (deterministic,
@@ -760,7 +773,7 @@ def quantize_int8(emb: Column) -> Column:
         .otherwise(F.lit(0))
         .cast("tinyint"),
     )
-    scale = F.when(amax > 0, amax / (norm(emb) * 127)).otherwise(F.lit(0.0))
+    scale = F.when(amax > 0, amax / (nrm * 127)).otherwise(F.lit(0.0))
     return F.struct(q.alias("q"), scale.alias("scale"))
 
 
@@ -791,10 +804,9 @@ def int8_topk(
     """
     # materialize the quantized frames (localCheckpoint): without the
     # barrier Catalyst inlines the whole quantize expression into every
-    # reference inside the pair-scoring lambda — 64 copies per zip_with
-    # element, a compile-time/execution blowup measured at ~40× on the
-    # fixture.  Operationally this IS the index-build step: quantize the
-    # corpus once, store int8 arrays, serve many query batches from them.
+    # reference downstream.  Operationally this IS the index-build step:
+    # quantize the corpus once, store int8 arrays, serve many query
+    # batches from them.
     #
     # Quantization happens in TWO projections, not one: higher-order
     # functions are interpreted (no codegen), so a lambda body that embeds
@@ -803,7 +815,8 @@ def int8_topk(
     # amax/norm as per-row columns first makes the lambda reference a
     # plain attribute — one fold per row — and CollapseProject keeps the
     # split because the non-cheap expressions are multiply-referenced.
-    # Same math, same structs, ~50× less work (guide §1.2 step 2).
+    # The quantization formula itself lives ONLY in quantize_int8 (the
+    # hoisted columns are passed in), so the two paths cannot diverge.
     def _quantized(df: DataFrame, id_out: str, emb_out: str, q_out: str) -> DataFrame:
         amaxed = df.select(
             F.col("vec_id").alias(id_out),
@@ -813,21 +826,15 @@ def int8_topk(
             ).alias("__amax"),
             norm(F.col("embedding")).alias("__norm"),
         )
-        amax = F.col("__amax")
-        qcodes = F.transform(
-            emb_out,
-            lambda x: F.when(amax > 0, F.round(x.cast("double") / amax * 127))
-            .otherwise(F.lit(0))
-            .cast("tinyint"),
-        )
-        scale = F.when(amax > 0, amax / (F.col("__norm") * 127)).otherwise(
-            F.lit(0.0)
-        )
         return amaxed.select(
             id_out,
             emb_out,
-            F.struct(qcodes.alias("q"), scale.alias("scale")).alias(q_out),
+            quantize_int8(
+                F.col(emb_out), amax=F.col("__amax"), nrm=F.col("__norm")
+            ).alias(q_out),
         )
+
+    from pulsar_message_filter_spark.io import widen
 
     # The fixture parquet is one row group = a 1-partition scan; widen the
     # index build (and the candidate scan that reads the checkpointed
@@ -835,12 +842,16 @@ def int8_topk(
     # that.  At real scale the corpus scan already exceeds
     # defaultParallelism and this is a no-op (guide §2.5: repartition
     # right after an unsplittable read).
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
-        corpus = corpus.repartition(par, "vec_id")
+    corpus = widen(corpus, "vec_id")
     q = _quantized(queries, "query_id", "qe", "qq").localCheckpoint(eager=True)
     c = _quantized(corpus, "neighbor_id", "ce", "cq").localCheckpoint(eager=True)
     pool = 4 * k
+    # (r15 measured, same-session A/B at sf0.1: replacing this candidate
+    # stage with a mapInPandas numpy int-GEMM — collected query block,
+    # per-partition top-pool, broadcast-pool rerank — was byte-identical
+    # but SLOWER, 1.62 s vs 1.06 s min: at fixture scale the Python
+    # boundary + per-invocation driver collect cost more than the
+    # interpreted zip_with fold on ~60k pairs saves.  The JVM fold stays.)
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
     cands = (
         F.broadcast(q)
