@@ -129,14 +129,19 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "behavior_markov_entropy": 13,
     "behavior_markov_stationary": 12,
     "behavior_session_pmi": 13,
+    "bpe_encode_corpus": 14,
+    "bpe_merge_rounds": 14,
+    "bpe_pair_counts": 14,
+    "bpe_tokens_by_source": 14,
     "c15b_collect_entries_map": 10,
     "c3b_distinct_pairs_daily": 10,
-    "calib_isotonic_binned": 13,
     "cdc_snapshot_diff": 7,
     "cdc_table_checksum": 7,
     "changepoint_cusum": 11,
+    "chunk_reassembly": 14,
     "cms_string_key_counts": 13,
     "cms_user_event_counts": 10,
+    "cms_windowed_merge": 14,
     "cohort_retention": 7,
     "cohort_retention_monthly": 7,
     "corpus_zipf_slope": 12,
@@ -158,12 +163,13 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "e2g_sliding_unicode_reach_hll": 13,
     "e2h_sliding_unaligned_reach_hll": 13,
     "e2i_sliding_hll_with_aggs": 13,
+    "e2j_sliding_hll_null_keys": 14,
     "e6b_band_enrichment": 9,
     "epoch_shuffle_order": 7,
     "eval_auc_rank": 8,
-    "f10_corpus_profile": 6,
-    "f11_quality_filter": 6,
-    "f11b_gopher_ratios": 6,
+    "f10_corpus_profile": 14,
+    "f11_quality_filter": 14,
+    "f11b_gopher_ratios": 14,
     "f12_multimodal_features": 10,
     "f12b_frame_sample": 8,
     "f12c_media_stats": 8,
@@ -171,18 +177,13 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f12e_audio_spectral": 8,
     "f12f_mel_filterbank": 8,
     "f12g_header_probe": 9,
-    "f13_label_centroids": 6,
-    "f13_normalize": 6,
-    "f15_curation_pipeline": 6,
-    "f16_training_mixture": 7,
-    "f17_sequence_packing": 7,
-    "f18_incremental_dedup": 12,
-    "f19_curation_to_packing": 7,
+    "f13_label_centroids": 14,
+    "f13_normalize": 14,
+    "f15_curation_pipeline": 14,
+    "f16_training_mixture": 14,
+    "f17_sequence_packing": 14,
     "f1_exact_dedup": 13,
-    "f20_dedup_clusters": 13,
-    "f21_topk_int8": 10,
     "f21b_topk_int8_exact": 11,
-    "f22_contamination": 7,
     "f22b_contamination_approx": 8,
     "f23_repetition_profile": 7,
     "f24_span_dedup": 7,
@@ -191,7 +192,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f27_shard_balance": 7,
     "f28_price_histogram": 7,
     "f29_train_val_test_split": 13,
-    "f2_embedding_neardup": 6,
+    "f2_embedding_neardup": 14,
     "f2_jaccard_pairs": 13,
     "f2_minhash_lsh": 10,
     "f2_minhash_lsh_tuned": 10,
@@ -203,16 +204,16 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f32_quality_weighted_keep": 7,
     "f33_dedup_survivor_pick": 7,
     "f34_bloom_prefilter_dedup": 13,
-    "f36_token_entropy": 6,
+    "f36_token_entropy": 14,
     "f37_containment_pairs": 13,
-    "f38_unigram_surprisal": 6,
+    "f38_unigram_surprisal": 14,
     "f39_prefix_filter_jaccard": 13,
     "f3_cosine_label_matrix": 9,
     "f3_cosine_pairs": 13,
     "f3_cosine_threshold_graph": 9,
-    "f40_matryoshka_recall": 6,
-    "f41_rrf_fusion": 6,
-    "f42_doc_chunking": 6,
+    "f40_matryoshka_recall": 14,
+    "f41_rrf_fusion": 14,
+    "f42_doc_chunking": 14,
     "f43_bm25_topk": 8,
     "f44_inverted_index": 8,
     "f45_chi2_token_label": 8,
@@ -221,7 +222,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f48_quantile_normalize": 7,
     "f49_mmr_rerank": 10,
     "f49b_mmr_exact": 11,
-    "f4_topk_cosine": 6,
+    "f4_topk_cosine": 14,
     "f4_topk_ivf": 10,
     "f4_topk_ivf_auto": 10,
     "f4_topk_lsh": 10,
@@ -236,7 +237,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f57_winnowing_candidates": 12,
     "f58_hard_negatives": 12,
     "f59_retrieval_metrics": 12,
-    "f5_knn_vote": 6,
+    "f5_knn_vote": 14,
     "f5_knn_weighted_vote": 9,
     "f60_knn_eval": 12,
     "f61_common_substring_spans": 12,
@@ -244,32 +245,30 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "f63_lsh_dedup_eval": 8,
     "f64_power_iteration_pca": 12,
     "f65_dataset_card": 12,
-    "f66_threshold_sweep": 12,
     "f67_consistent_sharding": 13,
-    "f6_token_stats": 6,
-    "f6b_char_profile": 6,
-    "f6c_subword_counts": 6,
-    "f6d_rolling_fingerprint": 6,
-    "f6e_langid_heuristic": 6,
-    "f70_rendezvous_sharding": 6,
-    "f71_preference_pairs": 6,
+    "f6_token_stats": 14,
+    "f6b_char_profile": 14,
+    "f6c_subword_counts": 14,
+    "f6d_rolling_fingerprint": 14,
+    "f6e_langid_heuristic": 14,
+    "f70_rendezvous_sharding": 14,
+    "f71_preference_pairs": 14,
     "f72_compaction_plan": 8,
-    "f73_cluster_survivors": 7,
     "f78_token_budget_curve": 8,
-    "f7_stopword_filter": 6,
+    "f7_stopword_filter": 14,
     "f7b_stopword_share": 8,
     "f80_epoch_vocab_novelty": 8,
     "f81_source_dup_profile": 8,
     "f82_cross_split_contamination": 10,
     "f83_stopword_autodetect": 10,
     "f85_int8_quant_error": 10,
-    "f8_top_bigrams": 6,
-    "f9_tfidf": 6,
+    "f8_top_bigrams": 14,
+    "f9_tfidf": 14,
     "f9b_tfidf_doc_cosine": 9,
-    "feature_quantile_bins": 6,
-    "feature_target_encode_loo": 6,
-    "feature_winsorize": 6,
-    "feature_zscore": 6,
+    "feature_quantile_bins": 14,
+    "feature_target_encode_loo": 14,
+    "feature_winsorize": 14,
+    "feature_zscore": 14,
     "forecast_seasonal_backtest": 7,
     "func_array": 13,
     "func_array2": 13,
@@ -300,14 +299,14 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "fuzzy_jaro_winkler": 11,
     "fuzzy_mutual_best": 12,
     "fuzzy_vocab_pairs": 10,
-    "g1_scalar_udf": 6,
-    "g3_pandas_udaf": 6,
+    "g1_scalar_udf": 14,
+    "g3_pandas_udaf": 14,
     "g3b_pandas_udaf_weighted": 9,
-    "g4_grouped_map": 6,
+    "g4_grouped_map": 14,
     "g4b_grouped_map_gap_rank": 10,
-    "g5_map_in_pandas": 6,
-    "g5b_map_in_arrow": 6,
-    "g6_udtf_shingles": 6,
+    "g5_map_in_pandas": 14,
+    "g5b_map_in_arrow": 14,
+    "g6_udtf_shingles": 14,
     "g6b_udtf_chunker": 10,
     "g7_sql_scalar_udf": 8,
     "global_dense_ids": 11,
@@ -317,9 +316,8 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "graph_local_clustering": 12,
     "graph_triangle_count": 11,
     "grouping_id_measures": 8,
+    "hist_windowed_merge": 14,
     "hll_audience_overlap": 11,
-    "hll_distinct_users": 10,
-    "hll_windowed_merge": 10,
     "impute_group_median": 11,
     "incremental_partial_merge": 7,
     "interevent_gap_profile": 7,
@@ -340,8 +338,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "kmeans_assign_exact": 11,
     "kmeans_lite_clusters": 8,
     "kmv_distinct_jaccard": 13,
-    "kmv_set_difference": 6,
-    "linkage_entity_clusters": 12,
+    "kmv_set_difference": 14,
     "mi_type_hour_profile": 11,
     "mixture_nucleus_topp": 12,
     "mixture_temperature_weights": 12,
@@ -421,7 +418,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "setop_union_missing_cols": 11,
     "share_of_total": 7,
     "sketch_kll_quantiles": 8,
-    "sketch_misra_gries": 6,
+    "sketch_misra_gries": 14,
     "sketch_sample_quantiles": 7,
     "sql_shared_case_join": 13,
     "sql_shared_cte_setops": 11,
@@ -439,6 +436,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "stream_dedup_daily_first": 8,
     "stream_dedup_first": 13,
     "stream_dedup_keep_last": 8,
+    "stream_hll_rollup_readpath": 14,
     "stream_kll_rollup_readpath": 8,
     "stream_mg_rollup_readpath": 7,
     "stream_static_join": 13,
@@ -455,6 +453,7 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "topk_per_group": 11,
     "topk_with_ties": 11,
     "user_profile_batch_twin": 8,
+    "vocab_oov_rate": 14,
     "window_distribution": 10,
     "window_lag_lead": 10,
     "window_range_frame": 10,
