@@ -64,11 +64,16 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure(spark)
     memo = _RESOLVED.setdefault(spark, {})
-    key = (name, os.path.abspath(sf_dir))
+    # resolve ONCE and read from the resolved path, so the memo key and
+    # the path handed to spark.read can never disagree (a relative sf_dir
+    # across a cwd change would otherwise alias two different reads under
+    # one memo entry — ADVICE r14)
+    resolved = os.path.abspath(sf_dir)
+    key = (name, resolved)
     cached = memo.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{resolved}/{name}.parquet")
     if name == "events":
         from pyspark.sql.types import LongType, TimestampType
 
@@ -86,6 +91,17 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return df
 
 
+def invalidate_load_memo(spark: SparkSession | None = None) -> None:
+    """Drop :func:`load`'s per-session metadata memo (one session, or all
+    when ``spark`` is None).  Needed only when fixture files at an
+    already-loaded path are REWRITTEN mid-session — the memoized frame
+    pins the file listing of the first read (ADVICE r14)."""
+    if spark is None:
+        _RESOLVED.clear()
+    else:
+        _RESOLVED.pop(spark, None)
+
+
 def widen(df: DataFrame, key: str | None = None) -> DataFrame:
     """Round a narrow scan up to cluster width (guide §2.5).
 
@@ -101,8 +117,19 @@ def widen(df: DataFrame, key: str | None = None) -> DataFrame:
     scan→aggregate queries, where the map-side combine is cheaper than a
     raw-row shuffle.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # Trigger floor (ADVICE r14): only a scan narrower than
+    # min(defaultParallelism, floor) is widened, so on a large cluster a
+    # legitimately-parallel scan that is merely below core count (e.g.
+    # 500 partitions under 2000 cores) is NOT hit with a full raw-row
+    # shuffle — only genuinely narrow (few-file / unsplittable) reads
+    # are.  Locally (floor 16 < 32 cores) single-row-group fixture scans
+    # at 1–3 partitions still widen to cluster width, unchanged.  NOTE:
+    # the decision is plan-build-time from the scan's partition count, so
+    # plan snapshots are parallelism-dependent (see tools/plan_snapshot).
+    floor = int(spark.conf.get("spark.pmf.widen.floor", "16"))
+    if df.rdd.getNumPartitions() >= min(par, floor):
         return df
     return df.repartition(par, key) if key else df.repartition(par)
 

@@ -15,6 +15,11 @@ shapes, see ``plans.inspect.plan_fingerprint``): stable across sessions,
 sensitive to exactly the regressions that matter at 100 TB — a join
 strategy flipping off broadcast, a new Exchange, a filter no longer
 reaching the scan, Python eval leaking into a hot path.
+
+CAVEAT (ADVICE r14): paths that call ``io.widen`` decide at plan-build
+time from the scan's partition count vs the host's parallelism, so their
+snapshots are PARALLELISM-DEPENDENT — regenerate and compare on the same
+core count (the committed JSON was captured at local[32]).
 """
 
 from __future__ import annotations
