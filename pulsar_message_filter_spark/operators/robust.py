@@ -443,9 +443,13 @@ def calib_isotonic_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bin",
         F.round(F.col("s").cast("double") / F.col("n_bin"), 6).alias("raw_rate"),
     )
+    # broadcast hint: rates reads the checkpointed ~B-row frame, whose
+    # LogicalRDD carries no size stats, so the static planner would fall
+    # back to SortMergeJoin (AQE fixes it at runtime, but the hint keeps
+    # the plan right from the start — B is bounded at any scale)
     return (
         inner.groupBy("bin")
         .agg(F.round(F.max("mn"), 6).alias("iso_rate"))
-        .join(rates, "bin")
+        .join(F.broadcast(rates), "bin")
         .select("bin", "n_bin", "raw_rate", "iso_rate")
     )
