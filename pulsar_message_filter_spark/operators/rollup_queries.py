@@ -274,7 +274,12 @@ def stream_hll_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         _epoch_write(cms_build(batch, "user_id"), e, f"{store}/cms")
         _epoch_write(hll_registers(batch, "user_id"), e, f"{store}/hll")
     _merged_cms, merged_hll = read_sketch_rollup(spark, store)
-    true_distinct = events.select("user_id").distinct().count()
+    # exact count as a 1-row aggregate subtree in the same plan — one
+    # action instead of a driver count + lit (count_distinct == the
+    # oracle's count(DISTINCT user_id))
+    td = events.agg(
+        F.count_distinct("user_id").cast("long").alias("true_distinct")
+    )
     return merged_hll.agg(
         F.count("*").alias("registers_hit"),
         F.round(
@@ -285,7 +290,7 @@ def stream_hll_rollup_readpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("hll_estimate"),
-    ).withColumn("true_distinct", F.lit(true_distinct).cast("long"))
+    ).crossJoin(td)
 
 
 __all__ = [

@@ -887,10 +887,17 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_a = hll_estimate_col(hll_registers(clicks, "user_id")).withColumnRenamed("est", "est_click")
     est_b = hll_estimate_col(hll_registers(buys, "user_id")).withColumnRenamed("est", "est_purchase")
     est_u = hll_estimate_col(hll_registers(both, "user_id")).withColumnRenamed("est", "est_union")
-    truth = clicks.select("user_id").intersect(buys.select("user_id")).count()
+    # exact INTERSECT count as a 1-row aggregate subtree in the same plan
+    # (one action instead of a driver count + lit; guide §1.2/§2.4)
+    truth = (
+        clicks.select("user_id")
+        .intersect(buys.select("user_id"))
+        .agg(F.count("*").cast("long").alias("true_overlap"))
+    )
     return (
         est_a.crossJoin(est_b)
         .crossJoin(est_u)
+        .crossJoin(truth)
         .select(
             "est_click",
             "est_purchase",
@@ -898,7 +905,7 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("est_click") + F.col("est_purchase") - F.col("est_union"), 4
             ).alias("est_overlap"),
-            F.lit(truth).cast("long").alias("true_overlap"),
+            "true_overlap",
         )
     )
 

@@ -317,7 +317,6 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "graph_triangle_count": 11,
     "grouping_id_measures": 8,
     "hist_windowed_merge": 14,
-    "hll_audience_overlap": 11,
     "impute_group_median": 11,
     "incremental_partial_merge": 7,
     "interevent_gap_profile": 7,
@@ -436,7 +435,6 @@ _DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "stream_dedup_daily_first": 8,
     "stream_dedup_first": 13,
     "stream_dedup_keep_last": 8,
-    "stream_hll_rollup_readpath": 14,
     "stream_kll_rollup_readpath": 8,
     "stream_mg_rollup_readpath": 7,
     "stream_static_join": 13,

@@ -3,6 +3,11 @@ with the contracted fields (guards BENCH_r{N}.json against harness rot)."""
 
 from __future__ import annotations
 
+import pytest
+
+# runs the full 75-headliner bench (~4 min): slow tier — excluded from the default (driver-verify) run
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import subprocess

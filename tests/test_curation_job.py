@@ -2,6 +2,11 @@
 
 from __future__ import annotations
 
+import pytest
+
+# end-to-end curation job (~0.5 min): slow tier — excluded from the default (driver-verify) run
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import subprocess

@@ -10,6 +10,11 @@ the change is intentional, regenerate and commit the snapshot:
 
 from __future__ import annotations
 
+import pytest
+
+# plans all 397 queries (~2 min): slow tier — excluded from the default (driver-verify) run
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import sys

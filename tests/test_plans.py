@@ -4,6 +4,11 @@ promises at scale, asserted on the real optimizer output — not vibes.
 
 from __future__ import annotations
 
+import pytest
+
+# plans all 397 queries (~1.5 min): slow tier — excluded from the default (driver-verify) run
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load

@@ -684,6 +684,7 @@ def test_rendezvous_moves_only_into_new_shard(spark):
     assert abs(moved / total - 1 / 9) < 0.05, (moved, total)
 
 
+@pytest.mark.slow  # streaming rollup soak (~40 s)
 def test_streaming_kll_rollup_quantiles(spark, tmp_path):
     """Streaming percentiles as mergeable state: three micro-batches fold
     into epoch-keyed KLL rows; merge-on-read quantiles match the exact
@@ -827,6 +828,7 @@ def test_execute_compaction_roundtrip(spark, tmp_path):
     assert len(_glob.glob(f"{out}/bin_id=*")) == n_bins
 
 
+@pytest.mark.slow  # streaming rollup soak (~40 s)
 def test_streaming_mg_rollup_heavy_hitters(spark, tmp_path):
     """Streaming heavy hitters: merged MG estimates undercount the true
     counts by at most n/(k+1) (mergeable-MG theorem), and the genuinely

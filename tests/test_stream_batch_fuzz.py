@@ -28,6 +28,9 @@ import random
 
 import pytest
 
+# randomized streaming/batch equivalence (~1 min): slow tier — excluded from the default (driver-verify) run
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.io import load

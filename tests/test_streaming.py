@@ -10,6 +10,9 @@ from pathlib import Path
 
 import pytest
 
+# streaming/TWS soak paths (~8 min): slow tier — excluded from the default (driver-verify) run
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from pulsar_message_filter_spark.filtering import ACCEPT, REJECT, RESCHEDULE
